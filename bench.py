@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {id: sec}, "sf": ...}.
+
+Each query is timed over a full action (noop write — computes everything,
+collects nothing), after a JVM/reader warmup pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from itdb_spark.queries import load_all
+from itdb_spark.session import default_parallelism, get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_action(df) -> int:
+    # noop sink: full computation, zero driver materialization
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    spark = get_spark("itdb_spark_bench", cpus=default_parallelism())
+    registry = load_all()
+    bench_ids = [qid for qid, q in registry.items() if q.bench]
+
+    # warmup: JVM JIT + parquet footer caches, one light query
+    registry["agg-hist-genre"].spark(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for qid in bench_ids:
+        t0 = time.perf_counter()
+        run_action(registry[qid].spark(spark, SF_DIR))
+        timings[qid] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Core scalar column helpers re-expressing the reference's Python/SQL
+scalar transforms as built-in Spark expressions (SURVEY.md §2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Modulus for portable hash arithmetic: a prime below 2^31 so products with
+# 32-bit coefficients stay inside int64.
+HASH_PRIME = 2147483647
+
+
+def stars(rating: Column | str) -> Column:
+    """Null-safe star bucketization — the reference's signature derived
+    column: ``CASE WHEN ISNULL(Rating) THEN 0 ELSE FLOOR(Rating/20) END``
+    (itdb2html.py:265-271; itdbloader.py:273-277). Returns LongType.
+    """
+    c = F.col(rating) if isinstance(rating, str) else rating
+    return F.floor(F.coalesce(c, F.lit(0)) / 20)
+
+
+def portable_hash64(c: Column | str) -> Column:
+    """Deterministic 60-bit integer hash computable identically in Spark and
+    ANSI-ish SQL (DuckDB): first 15 hex chars of md5, base-16 → int64.
+
+    Used by MinHash/SimHash/LSH so the DuckDB oracle can reproduce bucket
+    assignments exactly. (At pure-Spark scale you would use ``xxhash64`` —
+    cheaper — but it has no DuckDB twin.)
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def decode_location(location: Column | str) -> Column:
+    """``file://localhost/...%20...`` iTunes Location → plain filesystem path:
+    strip the scheme, decode the %-escapes the reference actually handles,
+    and unescape ``&amp;`` (playlistlinks.py:268-283; itdbmetadata.py:138;
+    orphaned_files:66-77)."""
+    c = F.col(location) if isinstance(location, str) else location
+    path = F.regexp_replace(c, r"^file://localhost", "")
+    path = F.regexp_replace(path, r"%20", " ")
+    path = F.regexp_replace(path, r"%C3%A9", "é")
+    path = F.regexp_replace(path, r"&amp;", "&")
+    return path
+
+
+def ms_to_hms(ms: Column | str) -> Column:
+    """Milliseconds → ``h:mm:ss`` with no leading zero hours, as rendered by
+    the reference (itdb2html.py:124-131). Pure integer arithmetic so the SQL
+    oracle can mirror it exactly."""
+    c = (F.col(ms) if isinstance(ms, str) else ms).cast("long")
+    secs = (c / 1000).cast("long")
+    h = (secs / 3600).cast("long")
+    m = ((secs % 3600) / 60).cast("long")
+    s = secs % 60
+    return F.concat(
+        h.cast("string"),
+        F.lit(":"),
+        F.lpad(m.cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(s.cast("string"), 2, "0"),
+    )
+
+
+def sanitize_filename(name: Column | str) -> Column:
+    """Whitelist ``[A-Za-z0-9-_.]``, everything else → ``_``; empty/null →
+    ``_NONE_`` (itdb2html.py:63-71)."""
+    c = F.col(name) if isinstance(name, str) else name
+    cleaned = F.regexp_replace(F.coalesce(c, F.lit("")), r"[^A-Za-z0-9\-_.]", "_")
+    return F.when(F.length(cleaned) == 0, F.lit("_NONE_")).otherwise(cleaned)
+
+
+def m3u_line(path: Column, name: Column, seconds: Column) -> Column:
+    """One ``#EXTINF``-style m3u entry line; the reference writes
+    ``#ITDBDESC``/``#ITDBFILE`` header comments plus one decoded Location per
+    line (templates/filelist.tmpl.m3u:1-4; playlistlinks.py:254-265)."""
+    return F.concat(
+        F.lit("#EXTINF:"),
+        seconds.cast("long").cast("string"),
+        F.lit(","),
+        name,
+        F.lit("\n"),
+        path,
+    )

@@ -1,0 +1,67 @@
+"""Text-analysis column helpers for the training-data-pipeline extensions:
+tokenization, stopword/quality metrics, n-gram shingles. All built-in
+higher-order functions — JVM-side, no Python UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic English-marker set; a real language-ID model would be a
+# per-language n-gram profile, but the heuristic shape (marker-token ratio)
+# is the same and is what we can oracle-check.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty string → empty array)."""
+    c = F.col(text) if isinstance(text, str) else text
+    arr = F.split(F.trim(c), r"\s+")
+    return F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")).otherwise(arr)
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are in the marker set — the language-ID /
+    quality heuristic. Uses higher-order ``filter`` so it stays JVM-side."""
+    toks = tokens(text)
+    marker = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        marker.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality score: mean word length in a sane band,
+    low non-alpha ratio, non-trivial length. Deterministic arithmetic only."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    mean_wlen = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tok.cast("double")
+    )
+    non_alpha = F.length(F.regexp_replace(c, r"[A-Za-z\s]", ""))
+    non_alpha_ratio = F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        non_alpha.cast("double") / F.length(c).cast("double")
+    )
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(0.4 * len_ok + 0.3 * wlen_ok + 0.3 * (1.0 - non_alpha_ratio), 6)
+
+
+def char_ngrams(text_col: str, n: int = 3) -> Column:
+    """Distinct character n-gram shingles of the lowercased text →
+    array<string>, via ``transform(sequence(...))`` — JVM-side, no UDF.
+    Expressed with F.expr because ``substr`` needs a dynamic start offset."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(lower({text_col})) - {n - 1}, 0)),"
+        f" i -> substr(lower({text_col}), i, {n})))"
+    )
+
+
+def word_ngrams(text_col: str, n: int = 2) -> Column:
+    """Distinct word n-gram shingles (space-joined) → array<string>."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(split(trim(lower({text_col})), '\\\\s+')) - {n - 1}, 0)),"
+        f" i -> array_join(slice(split(trim(lower({text_col})), '\\\\s+'), i, {n}), ' ')))"
+    )

@@ -1,0 +1,9 @@
+from itdb_spark.operators.dedup import (  # noqa: F401
+    exact_dup_groups,
+    minhash_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from itdb_spark.operators.hierarchy import expand_hierarchy  # noqa: F401
+from itdb_spark.operators.similarity import brute_force_knn, cosine_col  # noqa: F401

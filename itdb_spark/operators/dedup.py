@@ -1,0 +1,194 @@
+"""Deduplication operators for the training-data pipeline: exact
+(hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket-join),
+SimHash, and n-gram Jaccard verification.
+
+The reference's dedup is fingerprint grouping over a bounded content sample
+(sha256 of the last 100 KB, dupes/dedup.py:42,:127-143) plus a fuzzy
+filename self-join (dupes/dedup.py:146-171); these operators are the same
+two ideas generalized to web-corpus scale: cheap candidate generation with
+a bounded number of shuffles, then exact verification only on candidates.
+
+All hashing uses ``portable_hash64`` (md5-prefix → int64) so the DuckDB
+oracle reproduces every bucket assignment bit-for-bit. At pure-Spark scale
+swap in ``xxhash64`` — same structure, cheaper hash.
+
+Scale notes (100 TB):
+* exact_dup_groups: one shuffle on the fingerprint; fingerprints are
+  near-unique so no skew.
+* minhash: explode(tokens) is the big intermediate — size ≈ corpus token
+  count; the groupBy(doc) computes all NUM_PERM mins in one map-side
+  partial agg, so the shuffle carries one row per (doc, NUM_PERM) not per
+  token. Band-bucket join shuffles doc_ids only (no text).
+* verification joins carry only candidate pairs — the quadratic blowup is
+  confined to hash buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from itdb_spark.functions.core import HASH_PRIME, portable_hash64
+
+NUM_PERM = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_PERM // NUM_BANDS
+
+
+def _perm_coeffs(j: int) -> tuple[int, int]:
+    """Deterministic permutation coefficients (odd multiplier, offset)."""
+    return 2 * j + 1, 101 * j + 17
+
+
+def tokens_distinct(text: Column) -> Column:
+    """Distinct whitespace tokens of the lowercased text (the shingle set)."""
+    return F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+"))
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the MinHash/Jaccard unit. Word
+    n-grams (not unigrams) keep shingle space large enough that unrelated
+    documents rarely collide. Pure higher-order expressions; the token
+    array is bound ONCE via a single-element transform (a naive inline
+    `split(...)` inside the lambda re-tokenizes per element → O(tokens²)),
+    and short docs collapse to one whole-text shingle (Spark's sequence()
+    runs descending when stop < start, so it needs the guard)."""
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    return F.expr(
+        f"flatten(transform(array(split(trim(lower({text_col})), '\\\\s+')), toks -> "
+        f"CASE WHEN size(toks) < {n} THEN array(array_join(toks, ' ')) "
+        f"ELSE array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))) END))"
+    )
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: full-content hash → groups with >1 member.
+    One shuffle; group key is the 128-bit md5 so collisions ≈ 0."""
+    return (
+        docs.select(F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("cnt"), F.min("doc").alias("keep_doc"), F.max("doc").alias("max_doc"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """(doc, m0..m{num_perm-1}) MinHash signature over word-3-gram shingles.
+
+    explode(shingle set) → portable hash → ``num_perm`` min-aggregations in
+    a single groupBy (one shuffle; map-side combine keeps the shuffle at one
+    row per doc per partition)."""
+    words = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col)).alias("w"),
+    )
+    hashed = words.select("doc", (portable_hash64(F.col("w")) % HASH_PRIME).alias("h"))
+    aggs = []
+    for j in range(num_perm):
+        a, b = _perm_coeffs(j)
+        aggs.append(F.min((F.col("h") * a + b) % HASH_PRIME).alias(f"m{j}"))
+    return hashed.groupBy("doc").agg(*aggs)
+
+
+def minhash_bands(signatures: DataFrame, num_bands: int = NUM_BANDS) -> DataFrame:
+    """Signature → (doc, band, band_hash): concatenate each band's rows into
+    a string key. Banding trades precision for recall: P(candidate) =
+    1-(1-s^r)^b for Jaccard s."""
+    per_band = NUM_PERM // num_bands
+    structs = []
+    for b in range(num_bands):
+        cols = [F.col(f"m{b * per_band + r}").cast("string") for r in range(per_band)]
+        structs.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("band_hash"))
+        )
+    return signatures.select(
+        "doc", F.explode(F.array(*structs)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def minhash_candidates(
+    docs: DataFrame, id_col: str, text_col: str, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id1 < id2) from LSH band buckets.
+    The self-join shuffles only (band, hash, doc) triples."""
+    bands = minhash_bands(minhash_signatures(docs, id_col, text_col, num_perm))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-3-gram-shingle Jaccard over candidate pairs: the join key
+    is the shingle itself, so only documents sharing a shingle ever pair —
+    the shingle space is large enough that unrelated pairs are rare (at
+    scale, feed LSH candidates from minhash_candidates instead). Returns
+    (id1, id2, jaccard)."""
+    words = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col)).alias("w"),
+    )
+    sizes = words.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = words.alias("a")
+    b = words.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
+    jac = F.col("common").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("common")
+    ).cast("double")
+    return (
+        common.join(sa, "id1")
+        .join(sb, "id2")
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """(doc, simhash): sign of the per-bit sum of ±1 token-hash contributions
+    — token *multiset*, each occurrence votes. One explode + one groupBy
+    with ``bits`` conditional sums (all map-side combinable). Near-dups
+    share most bits → group/bucket on the value."""
+    words = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    hashed = words.select("doc", portable_hash64(F.col("w")).alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"bit{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy("doc").agg(*sums)
+    value = None
+    for b in range(bits):
+        term = F.when(F.col(f"bit{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        value = term if value is None else (value + term)
+    return agg.select("doc", value.cast("long").alias("simhash"))

@@ -1,0 +1,190 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, and a random-hyperplane
+LSH bucketed variant as the scale path. Dot products stay JVM-side via the
+higher-order functions ``zip_with`` + ``aggregate`` — no Python UDF.
+
+Scale notes (100 TB): brute force is O(Q·N) — fine when the query set is
+broadcast-small. The LSH variant buckets both sides by signature so the
+join only compares within buckets; recall is tuned by signature bits and
+probing multiple tables (add a table index to the plane hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from itdb_spark.functions.core import portable_hash64
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns; deterministic
+    left-to-right summation so the SQL oracle reproduces it exactly.
+    JVM-side but interpreted (higher-order functions skip codegen) — use
+    ``dot_pandas`` on the hot pair-scoring path."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+_UDF_CACHE: dict = {}
+
+
+def cosine_pandas(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine of two array<double> columns: each batch
+    becomes two (n, dim) float64 matrices and three einsums — BLAS-grade
+    throughput vs per-row interpreted lambdas (~100× on the pair join).
+    float64 einsum vs sequential sum differ only in the last ulp; consumers
+    round to 6 decimals, absorbing it. (UDF built lazily: pandas_udf needs
+    an active SparkSession to parse its return type.)"""
+    if "cosine" not in _UDF_CACHE:
+
+        @F.pandas_udf("double")
+        def _cosine(sa, sb):
+            import numpy as np
+            import pandas as pd
+
+            A = np.stack(sa.to_numpy())
+            B = np.stack(sb.to_numpy())
+            dots = np.einsum("ij,ij->i", A, B)
+            na = np.sqrt(np.einsum("ij,ij->i", A, A))
+            nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+            return pd.Series(dots / (na * nb))
+
+        _UDF_CACHE["cosine"] = _cosine
+    return _UDF_CACHE["cosine"](a, b)
+
+
+def brute_force_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast the query set, cross join,
+    cosine, per-query window top-k. Returns (query_id, neighbor_id, cosine).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pandas(F.col("qvec"), F.col("nvec")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def hyperplane_signatures(
+    spark: SparkSession,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH signature per vector.
+
+    Planes are pseudo-random ±1 components derived from the portable hash
+    of (plane, dim) — fully deterministic, oracle-reproducible. Pipeline:
+    posexplode(vec) ⋈ broadcast(planes) → per-plane signed dot → sign bits
+    → integer signature. Two shuffles, both on vec_id.
+    """
+    planes = (
+        spark.range(n_planes)
+        .withColumnRenamed("id", "plane")
+        .crossJoin(spark.range(dim).withColumnRenamed("id", "pos"))
+        .select(
+            "plane",
+            "pos",
+            F.when(
+                portable_hash64(
+                    F.concat_ws("_", F.col("plane").cast("string"), F.col("pos").cast("string"))
+                )
+                % 2
+                == 0,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("sign"),
+        )
+    )
+    comps = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    dots = (
+        comps.join(F.broadcast(planes), "pos")
+        .groupBy("vid", "plane")
+        .agg(F.sum(F.col("val") * F.col("sign")).alias("dot"))
+    )
+    sig = dots.groupBy("vid").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.expr("shiftleft(1, cast(plane AS int))")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("signature")
+    )
+    return sig.select(F.col("vid").alias(id_col), "signature")
+
+
+def lsh_knn(
+    spark: SparkSession,
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket, then exact cosine
+    re-rank within candidates only."""
+    sig_v = hyperplane_signatures(spark, vectors, id_col, vec_col, n_planes, dim)
+    sig_q = hyperplane_signatures(spark, queries, id_col, vec_col, n_planes, dim)
+    v = vectors.join(sig_v, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nvec"),
+        "signature",
+    )
+    q = queries.join(sig_q, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        "signature",
+    )
+    scored = (
+        v.join(F.broadcast(q), "signature")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pandas(F.col("qvec"), F.col("nvec")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"))
+    )

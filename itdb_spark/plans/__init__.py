@@ -1,0 +1,11 @@
+from itdb_spark.plans.library import (  # noqa: F401
+    adjacent_dupes,
+    checksum_dupes,
+    genre_histogram,
+    orphans_and_missing,
+    playlist_quality,
+    playlist_stats,
+    restat,
+    unprobed_av_tracks,
+    videos_below,
+)

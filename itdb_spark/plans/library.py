@@ -1,0 +1,136 @@
+"""The reference's end-to-end derived tables, itdb-shaped: one lazy DAG per
+output instead of N+1 SQL strings (SURVEY.md §3.1). These run over the
+fixture tables (itdb_spark.fixtures) or any DataFrames with the catalog
+schemas — e.g. the plist ingest output."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from itdb_spark.functions.core import stars
+from itdb_spark.sources.fswalk import normalize_path
+
+
+def playlist_stats(tracks: DataFrame, playlist_tracks: DataFrame) -> DataFrame:
+    """Materialized per-playlist star histogram — the reference's N+1 loop
+    (one join+GROUP BY per playlist, itdbloader.py:260-293) collapsed into
+    ONE join + ONE shuffle. Stored shape matches itdb.sql:107-114
+    (Rating = stars*20)."""
+    joined = playlist_tracks.join(
+        tracks.select("User_ID", "Track_ID", "Rating"),
+        ["User_ID", "Track_ID"],
+        "inner",
+    )
+    return (
+        joined.groupBy("User_ID", "Playlist_ID", stars("Rating").alias("Stars"))
+        .agg(F.count("*").alias("Count"))
+        .select(
+            "User_ID",
+            "Playlist_ID",
+            (F.col("Stars") * 20).cast("int").alias("Rating"),
+            "Count",
+        )
+    )
+
+
+def restat(stats: DataFrame) -> DataFrame:
+    """Re-aggregation of the materialized aggregate (itdb2html.py:478-493):
+    `SELECT Stars, SUM(Count) GROUP BY Stars`. Equivalence with direct
+    aggregation is a test invariant."""
+    return (
+        stats.groupBy((F.col("Rating") / 20).cast("long").alias("Stars"))
+        .agg(F.sum("Count").alias("Total"))
+    )
+
+
+def genre_histogram(tracks: DataFrame, user_id: int, thing: str = "Genre") -> DataFrame:
+    """The genre/artist/album × stars histogram (itdb2html.py:264-308) with
+    the COALESCE(Genre,'') and non-empty guards."""
+    df = tracks.where(F.col("User_ID") == user_id)
+    if thing != "Genre":
+        df = df.where(F.col(thing).isNotNull() & (F.length(thing) > 0))
+    key = F.coalesce(F.col(thing), F.lit("")).alias(thing)
+    return df.groupBy(key, stars("Rating").alias("Stars")).agg(F.count("*").alias("Count"))
+
+
+def playlist_quality(stats: DataFrame, min_rated_fraction: float = 0.2) -> DataFrame:
+    """quality = Σ(stars·count)/Σ(rated) if ≥20% rated else 0
+    (itdb2html.py:90-98)."""
+    s = stats.select("User_ID", "Playlist_ID", (F.col("Rating") / 20).cast("long").alias("Stars"), "Count")
+    rated = F.sum(F.when(F.col("Stars") > 0, F.col("Count")).otherwise(F.lit(0)))
+    total = F.sum("Count")
+    weighted = F.sum(F.col("Stars") * F.col("Count"))
+    return s.groupBy("User_ID", "Playlist_ID").agg(
+        F.when(
+            rated >= total * F.lit(min_rated_fraction),
+            F.round(weighted.cast("double") / rated.cast("double"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("Quality")
+    )
+
+
+def unprobed_av_tracks(tracks: DataFrame, ffprobe_streams: DataFrame) -> DataFrame:
+    """Incremental enrichment gate: TV/Movie tracks not yet probed —
+    `Persistent_ID NOT IN (SELECT ... FROM ffprobe)` (itdbmetadata.py:
+    127-133) as a left_anti join against sink state."""
+    av = tracks.where(F.col("TV_Show") | F.col("Movie"))
+    return av.join(
+        ffprobe_streams.select("Persistent_ID").distinct(), "Persistent_ID", "left_anti"
+    )
+
+
+def videos_below(ffprobe_streams: DataFrame, max_height: int = 720) -> DataFrame:
+    """Sub-720p videos: MAX(JSON_EXTRACT(stream,'$.height')) per track,
+    HAVING h < 720 (itdbmetadata.py:10-11)."""
+    h = F.get_json_object("stream", "$.height").cast("int")
+    return (
+        ffprobe_streams.groupBy("Persistent_ID")
+        .agg(F.max(h).alias("height"))
+        .where(F.col("height").isNotNull() & (F.col("height") < max_height))
+    )
+
+
+def orphans_and_missing(tracks: DataFrame, files: DataFrame) -> DataFrame:
+    """Bidirectional set difference with path normalization
+    (orphaned_files:66-120): library−fs = missing, fs−library = orphans;
+    excluded prefixes dropped from the scan first (orphaned_files:91-99)."""
+    from itdb_spark.functions.core import decode_location
+
+    lib = tracks.select(
+        normalize_path(decode_location(F.col("Location"))).alias("norm_path")
+    ).distinct()
+    excluded = ["/volumes/data/tones/", "/volumes/data/music/.ds_store"]
+    fs = files.select(normalize_path(F.col("path")).alias("norm_path"))
+    for p in excluded:
+        fs = fs.where(~F.col("norm_path").startswith(p))
+    missing = lib.join(fs, "norm_path", "left_anti").select(
+        F.lit("missing").alias("side"), "norm_path"
+    )
+    orphans = fs.join(lib, "norm_path", "left_anti").select(
+        F.lit("orphan").alias("side"), "norm_path"
+    )
+    return missing.unionByName(orphans)
+
+
+def checksum_dupes(files: DataFrame) -> DataFrame:
+    """Fingerprint dup groups (dupes/dedup.py:127-143): group by checksum,
+    keep groups >1, ordered members for deterministic output."""
+    return (
+        files.where(F.col("checksum").isNotNull())
+        .groupBy("checksum")
+        .agg(F.sort_array(F.collect_list("path")).alias("paths"), F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+def adjacent_dupes(files: DataFrame) -> DataFrame:
+    """finddupes.py:3-18: sort by checksum, flag rows equal to previous."""
+    w = Window.orderBy("checksum", "path")
+    return (
+        files.where(F.col("checksum").isNotNull())
+        .select("checksum", "path", F.lag("checksum").over(w).alias("prev"))
+        .where(F.col("checksum") == F.col("prev"))
+        .select("checksum", "path")
+    )

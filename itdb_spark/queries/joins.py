@@ -1,0 +1,199 @@
+"""Joins — SURVEY.md §2.3. All equi/semi/anti joins; the small dimension side
+is explicitly broadcast where the reference's workload guarantees it's small
+(playlist junction / dimension tables → region, nation, customer)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from itdb_spark.catalog import Tables, register_views
+from itdb_spark.queries import register
+
+
+@register(
+    "join-pt",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, o.o_orderpriority AS priority,
+           l.l_linenumber AS linenumber, l.l_quantity AS qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    doc="Inner equi-join `tracks ⋈ playlist_tracks ON Track_ID AND User_ID` "
+    "(itdb2html.py:508-519; itdbloader.py:273-284). Fact-to-fact shuffle "
+    "join on the key both sides are (or can be) bucketed by.",
+    bench=True,
+)
+def join_pt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey, "inner").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+
+@register(
+    "join-pt2",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey, l.l_partkey AS partkey, o.o_orderstatus AS status
+    FROM lineitem l, orders o
+    WHERE l.l_orderkey = o.o_orderkey AND o.o_orderpriority = '1-URGENT'
+    """,
+    doc="Implicit comma join with WHERE equi-condition "
+    "(playlistlinks.py:164-176) — expressed via spark.sql to keep the "
+    "reference's SQL shape; Catalyst plans the identical join.",
+)
+def join_pt2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_orderkey AS orderkey, l.l_partkey AS partkey, o.o_orderstatus AS status
+        FROM lineitem l, orders o
+        WHERE l.l_orderkey = o.o_orderkey AND o.o_orderpriority = '1-URGENT'
+        """
+    )
+
+
+@register(
+    "join-left",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="Left outer equi-join `ffprobe LEFT JOIN tracks ON Persistent_ID` "
+    "(itdbmetadata.py:8-11); nation dim is broadcast.",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.customer.join(
+        F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey, "left"
+    ).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("n_name").alias("nation"),
+    )
+
+
+@register(
+    "join-anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="Anti-join via NOT IN subquery — tracks not yet probed "
+    "(itdbmetadata.py:127-133) → left_anti, the incremental-enrichment gate.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join-setdiff",
+    oracle="""
+    SELECT 'missing' AS side, p_partkey AS key FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    UNION ALL
+    SELECT 'orphan' AS side, c_custkey AS key FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="Bidirectional anti-join (set difference): library−filesystem = "
+    "missing, filesystem−library = orphans (orphaned_files:101-120).",
+)
+def join_setdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    missing = (
+        t.part.join(t.lineitem, t.part.p_partkey == t.lineitem.l_partkey, "left_anti")
+        .select(F.lit("missing").alias("side"), F.col("p_partkey").alias("key"))
+    )
+    orphans = (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_anti")
+        .select(F.lit("orphan").alias("side"), F.col("c_custkey").alias("key"))
+    )
+    return missing.unionByName(orphans)
+
+
+@register(
+    "join-lookup",
+    oracle="""
+    SELECT e.event_id AS event_id, e.user_id AS user_id, c.c_name AS name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="Hash-map lookup join: playlist items → track metadata via dict "
+    "(restore_playlist.py:90-136) → broadcast hash join on the small dim.",
+)
+def join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    dim = t.customer.select("c_custkey", "c_name")
+    return t.events.join(F.broadcast(dim), t.events.user_id == dim.c_custkey, "inner").select(
+        "event_id", "user_id", F.col("c_name").alias("name")
+    )
+
+
+@register(
+    "join-hier",
+    oracle="""
+    SELECT r.r_name AS parent, n.n_name AS child, 1 AS depth FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    UNION ALL
+    SELECT r.r_name AS parent, c.c_name AS child, 2 AS depth FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="Hierarchy expansion: folder → children via Parent_Persistent_ID "
+    "(playlistlinks.py:153-162; moveplaylist.py:173-175). The reference "
+    "expands one level; we iterate joins to a depth cap "
+    "(see itdb_spark.operators.hierarchy for the fixpoint loop).",
+)
+def join_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    lvl1 = (
+        t.nation.join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
+        .select(F.col("r_name").alias("parent"), F.col("n_name").alias("child"), F.lit(1).alias("depth"))
+    )
+    lvl2 = (
+        t.customer.join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)
+        .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
+        .select(F.col("r_name").alias("parent"), F.col("c_name").alias("child"), F.lit(2).alias("depth"))
+    )
+    return lvl1.unionByName(lvl2)
+
+
+@register(
+    "join-fuzzy",
+    oracle="""
+    SELECT norm_name, CAST(cnt AS BIGINT) AS cnt FROM (
+      SELECT regexp_replace(p_name, '^[a-z]+ ', '') AS norm_name, count(*) AS cnt
+      FROM part GROUP BY 1
+    ) WHERE cnt > 1
+    """,
+    doc="Similarity self-join on normalized filename: strip ` N.mp3` suffix "
+    "variants, group candidates (dupes/dedup.py:146-171). Generalizes to "
+    "MinHash-LSH (see dedup-minhash) at the 100 TB scale.",
+)
+def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.select(F.regexp_replace("p_name", r"^[a-z]+ ", "").alias("norm_name"))
+        .groupBy("norm_name")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+@register(
+    "join-exists",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    """,
+    doc="Existence flag / membership join (dupes/dedup.py:77-99) → left_semi.",
+)
+def join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.part.join(
+        t.lineitem, t.part.p_partkey == t.lineitem.l_partkey, "left_semi"
+    ).select("p_partkey", "p_name")

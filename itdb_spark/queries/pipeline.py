@@ -1,0 +1,458 @@
+"""Training-data-pipeline operators over the documents/embeddings tables:
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+search (brute-force and LSH-bucketed ANN), text analysis, and multimodal
+binary plumbing. These extend the reference's dedup/fingerprint semantics
+(dupes/dedup.py) to corpus scale.
+
+The testdata documents are all unique, so dedup queries run over a derived
+corpus: originals ∪ near-duplicates (first token dropped, +100000) ∪ exact
+duplicates (+200000) — built identically on the Spark and oracle sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from itdb_spark.catalog import Tables
+from itdb_spark.functions.core import HASH_PRIME
+from itdb_spark.functions.text import EN_STOPWORDS, quality_score, stopword_ratio, tokens
+from itdb_spark.operators.dedup import (
+    NUM_BANDS,
+    NUM_PERM,
+    ROWS_PER_BAND,
+    _perm_coeffs,
+    exact_dup_groups,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from itdb_spark.operators.multimodal import decode_binary_metadata
+from itdb_spark.operators.similarity import brute_force_knn, lsh_knn
+from itdb_spark.queries import register
+
+# --- shared derived corpus ---------------------------------------------------
+
+_MUT = r"^[a-z]+\s+"  # drop first token → near-duplicate
+
+ORACLE_CORPUS = """
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, source, regexp_replace(text, '^[a-z]+\\s+', '') AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, source, text FROM documents
+"""
+
+_PORTABLE_HASH_SQL = "CAST(concat('0x', substr(md5({col}), 1, 15)) AS BIGINT)"
+
+# Word-3-gram shingle CTEs (DuckDB) — mirrors operators.dedup.word_shingles.
+_SHINGLE_CTES = """
+    tok AS (
+      SELECT doc_id AS doc, trim(lower(text)) AS lt,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM corpus
+    ),
+    words AS (
+      SELECT DISTINCT doc, w FROM (
+        SELECT doc,
+               unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                           i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) END) AS w
+        FROM tok
+      )
+    )
+"""
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Tables(spark, sf_dir).documents.select("doc_id", "source", "text")
+    near = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "source",
+        F.regexp_replace("text", _MUT, "").alias("text"),
+    )
+    exact = d.select((F.col("doc_id") + 200000).alias("doc_id"), "source", "text")
+    return d.unionByName(near).unionByName(exact)
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+@register(
+    "dedup-exact",
+    oracle=f"""
+    SELECT fingerprint, count(*) AS cnt, min(doc) AS keep_doc, max(doc) AS max_doc
+    FROM (SELECT doc_id AS doc, md5(text) AS fingerprint FROM ({ORACLE_CORPUS}))
+    GROUP BY fingerprint HAVING count(*) > 1
+    """,
+    doc="Exact dedup via full-content hash groupBy — the scale form of the "
+    "reference's checksum grouping (dupes/dedup.py:127-143).",
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(corpus(spark, sf_dir), "doc_id", "text")
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"min(({a} * h + {b}) % {HASH_PRIME}) AS m{j}"
+        for j, (a, b) in ((j, _perm_coeffs(j)) for j in range(NUM_PERM))
+    )
+    band_selects = []
+    for b in range(NUM_BANDS):
+        cols = ", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        band_selects.append(
+            f"SELECT doc, {b} AS band, concat_ws('_', {cols}) AS band_hash FROM sig"
+        )
+    bands = "\n      UNION ALL\n      ".join(band_selects)
+    h = _PORTABLE_HASH_SQL.format(col="w")
+    return f"""
+    WITH corpus AS ({ORACLE_CORPUS}),
+    {_SHINGLE_CTES},
+    hashed AS (SELECT doc, {h} % {HASH_PRIME} AS h FROM words),
+    sig AS (
+      SELECT doc,
+           {mins}
+      FROM hashed GROUP BY doc
+    ),
+    bands AS (
+      {bands}
+    )
+    SELECT DISTINCT a.doc AS id1, b.doc AS id2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc
+    """
+
+
+@register(
+    "dedup-minhash",
+    oracle=_minhash_oracle(),
+    doc="MinHash+LSH near-dup candidates: shingle → 16-perm minhash → 4 "
+    "bands → bucket self-join (generalizes the reference's fuzzy filename "
+    "join, dupes/dedup.py:146-171). Hashing is the md5-prefix portable "
+    "hash so DuckDB reproduces every bucket bit-for-bit.",
+    bench=True,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidates(corpus(spark, sf_dir), "doc_id", "text")
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    h = _PORTABLE_HASH_SQL.format(col="w")
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit{b}"
+        for b in range(bits)
+    )
+    value = " + ".join(f"CASE WHEN bit{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+    WITH corpus AS ({ORACLE_CORPUS}),
+    words AS (
+      SELECT doc_id AS doc, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM corpus
+      )
+    ),
+    hashed AS (SELECT doc, {h} AS h FROM words),
+    agg AS (SELECT doc, {sums} FROM hashed GROUP BY doc)
+    SELECT doc, CAST({value} AS BIGINT) AS simhash FROM agg
+    """
+
+
+@register(
+    "dedup-simhash",
+    oracle=_simhash_oracle(),
+    doc="SimHash document fingerprint: sign of per-bit ±1 token-hash sums "
+    "(16 bits). Near-dups land on close (often equal) values → group or "
+    "band on the fingerprint for candidates.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token multiset (not distinct) — each occurrence votes.
+    return simhash(corpus(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "dedup-jaccard",
+    oracle=f"""
+    WITH corpus AS ({ORACLE_CORPUS}),
+    {_SHINGLE_CTES},
+    sizes AS (SELECT doc, count(*) AS sz FROM words GROUP BY doc),
+    common AS (
+      SELECT a.doc AS id1, b.doc AS id2, count(*) AS common
+      FROM words a JOIN words b ON a.w = b.w AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2, jaccard FROM (
+      SELECT id1, id2,
+             round(CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE), 4)
+               AS jaccard
+      FROM common
+      JOIN sizes s1 ON s1.doc = id1
+      JOIN sizes s2 ON s2.doc = id2
+    ) WHERE jaccard >= 0.5
+    """,
+    doc="Exact word-3-gram Jaccard verification: candidate pairs come from "
+    "shared shingles (at scale: from the dedup-minhash LSH buckets), so "
+    "the quadratic blowup is bounded by shingle selectivity.",
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(corpus(spark, sf_dir), "doc_id", "text")
+
+
+# --- similarity search -------------------------------------------------------
+
+
+_KNN_ORACLE = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_dot_product(q.qvec, v.vec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(v.vec, v.vec)))
+               AS cos_raw
+      FROM v, q WHERE v.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id)
+               AS rn
+      FROM scored
+    ) WHERE rn <= 10
+"""
+
+
+@register(
+    "sim-knn-brute",
+    oracle=_KNN_ORACLE,
+    doc="Exact brute-force cosine top-k over the embedding column: broadcast "
+    "query set × vectors, zip_with/aggregate dot product (JVM-side), "
+    "per-query window top-k. The correctness baseline for ANN.",
+    bench=True,
+)
+def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_knn(emb, queries, "vec_id", "embedding", k=10)
+
+
+@register(
+    "sim-knn-lsh",
+    oracle=None,  # float-sum sign bits are not reliably oracle-reproducible
+    doc="LSH-bucketed approximate nearest neighbor: random-hyperplane "
+    "signatures (deterministic ±1 planes from the portable hash), bucket "
+    "join on signature, exact cosine re-rank within buckets only — the "
+    "100 TB path where brute force is infeasible.",
+)
+def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    dim = 64
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_knn(spark, emb, queries, "vec_id", "embedding", k=3, dim=dim)
+
+
+@register(
+    "dedup-embedding",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+      FROM embeddings
+    )
+    SELECT id1, id2, round(cos_raw, 6) AS cosine FROM (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+               AS cos_raw
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ) WHERE cos_raw > 0.999
+    """,
+    doc="Embedding-cosine near-duplicate pairs (cosine > threshold). The "
+    "corpus gains scaled copies (+10000, ×1.001) so true near-dups exist; "
+    "scaling preserves cosine ≈ 1. At scale: LSH-bucket first, verify "
+    "cosine only within buckets.",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.similarity import cosine_pandas
+
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    copies = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("vec", lambda x: x * 1.001).alias("vec"),
+    )
+    v = base.unionByName(copies)
+    a = v.select(F.col("vec_id").alias("id1"), F.col("vec").alias("avec"))
+    b = v.select(F.col("vec_id").alias("id2"), F.col("vec").alias("bvec"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine_pandas(F.col("avec"), F.col("bvec")).alias("cos_raw"))
+        .where(F.col("cos_raw") > 0.999)
+        .select("id1", "id2", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+_STOPWORD_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+@register(
+    "text-tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT)
+             AS n_distinct
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + distinct token count (the "
+    "BPE-ish regex variant is text-fingerprint). Higher-order functions "
+    "only — no UDF.",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))).cast("long").alias(
+            "n_distinct"
+        ),
+    )
+
+
+@register(
+    "text-langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END AS predicted
+    FROM (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, x -> list_contains({_STOPWORD_LIST_SQL}, x)))
+                       AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS ratio
+      FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents)
+    )
+    """,
+    doc="Language-ID n-gram/marker heuristic: fraction of tokens in an "
+    "English marker set → en/other. A real model is per-language n-gram "
+    "profiles; the operator shape (token-ratio classify) is identical.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ratio = stopword_ratio(F.col("text"))
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("predicted"),
+    )
+
+
+@register(
+    "text-quality",
+    oracle="""
+    SELECT doc_id, round(0.4 * len_ok + 0.3 * wlen_ok + 0.3 * (1.0 - non_alpha_ratio), 6)
+           AS quality
+    FROM (
+      SELECT doc_id,
+             CASE WHEN n_tok >= 5 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END AS len_ok,
+             CASE WHEN n_tok = 0 THEN 0.0
+                  WHEN CAST(total_wlen AS DOUBLE) / n_tok >= 2.0
+                       AND CAST(total_wlen AS DOUBLE) / n_tok <= 12.0 THEN 1.0
+                  ELSE 0.0 END AS wlen_ok,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[A-Za-z\\s]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS non_alpha_ratio
+      FROM (
+        SELECT doc_id, text,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+               list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                       x -> length(x))) AS total_wlen
+        FROM documents
+      )
+    )
+    """,
+    doc="Document quality scoring: token-count band, mean-word-length band, "
+    "non-alpha character ratio → composite score (length/punct/stopword "
+    "heuristics, deterministic arithmetic).",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text-fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(substr(text, 1, 64)) AS prefix_fp,
+           CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 997 AS rolling_bucket
+    FROM documents
+    """,
+    doc="Document fingerprinting: content-prefix hash (the reference hashes "
+    "a bounded sample, dupes/dedup.py:42) + a modular rolling-hash bucket "
+    "for locality-sensitive grouping.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import portable_hash64
+
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 64)).alias("prefix_fp"),
+        (portable_hash64(F.col("text")) % 997).alias("rolling_bucket"),
+    )
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+@register(
+    "mm-meta",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash,
+           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+    FROM documents
+    """,
+    doc="Multimodal binary column plumbing: opaque binary (here utf-8 bytes "
+    "standing in for image/audio blobs) → typed metadata columns (byte "
+    "count, content hash, sniffed format). The decode UDF itself is "
+    "stubbed (operators/multimodal.py), the schema/batch plumbing is real.",
+)
+def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    binary = F.encode("text", "utf-8")
+    return t.documents.select(
+        "doc_id",
+        F.octet_length(binary).cast("long").alias("n_bytes"),
+        F.md5(binary).alias("content_hash"),
+        F.when(F.octet_length(binary) % 2 == 0, F.lit("png")).otherwise(F.lit("jpeg")).alias(
+            "format"
+        ),
+    )
+
+
+@register(
+    "mm-decode",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+           CAST(64 + octet_length(encode(text)) % 331 AS INTEGER) AS height,
+           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+    FROM documents
+    """,
+    doc="Binary decode via Arrow-batched mapInPandas: binary → (width, "
+    "height, format). The decoder is a deterministic STUB (no image libs "
+    "in this container, operators/multimodal.py:_fake_decode); the Spark "
+    "plumbing — schema, batch iteration, types — is the real scale path "
+    "(the reference's analog is the ffprobe fan-out, itdbmetadata.py:135-157).",
+)
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    with_bin = t.documents.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    return decode_binary_metadata(with_bin, "doc_id", "content")

@@ -1,0 +1,294 @@
+"""Scans, sources, sinks, and scalar-function pipelines — SURVEY.md §2.1 and
+§2.8. Source queries that depend on live filesystem state (plist, fswalk)
+synthesize their own deterministic inputs and run rows-only (no SQL oracle);
+everything else is oracle-checked."""
+
+from __future__ import annotations
+
+import os
+import plistlib
+import tempfile
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from itdb_spark.catalog import Tables
+from itdb_spark.queries import register
+from itdb_spark.sinks.manifest import m3u_manifest, symlink_manifest
+from itdb_spark.sources.fswalk import scan_files
+from itdb_spark.sources.plist import read_itunes_library
+
+# --- sources ---------------------------------------------------------------
+
+
+def _synth_library(path: str, n_tracks: int = 50, n_playlists: int = 5) -> None:
+    """Deterministic synthetic iTunes library plist (seedless: pure formula)."""
+    tracks = {
+        str(i): {
+            "Track ID": i,
+            "Name": f"Track {i:03d}",
+            "Artist": f"Artist {i % 7}",
+            "Album": f"Album {i % 11}",
+            "Genre": ["Rock", "Jazz", "Pop"][i % 3],
+            "Rating": (i % 6) * 20 if i % 5 else None,
+            "Total Time": 180000 + i * 1000,
+            "Persistent ID": f"{i:016X}",
+            "Date Added": datetime(2020, 1, 1 + i % 28),
+            "Location": f"file://localhost/Music/Artist%20{i % 7}/track{i}.mp3",
+        }
+        for i in range(1, n_tracks + 1)
+    }
+    for t in tracks.values():  # plistlib can't serialize None
+        if t["Rating"] is None:
+            del t["Rating"]
+    playlists = [
+        {
+            "Playlist ID": p,
+            "Name": f"Playlist {p}",
+            "Playlist Persistent ID": f"P{p:015X}",
+            "Playlist Items": [
+                {"Track ID": i} for i in range(1, n_tracks + 1) if i % n_playlists == p % n_playlists
+            ],
+        }
+        for p in range(1, n_playlists + 1)
+    ]
+    with open(path, "wb") as fh:
+        plistlib.dump({"Tracks": tracks, "Playlists": playlists}, fh)
+
+
+@register(
+    "src-plist",
+    oracle=None,  # filesystem-backed; rows-only check
+    doc="plist XML scan: whole-library plistlib parse → tracks relation "
+    "(itdbloader.py:306-310) via binaryFile + mapPartitions, schema-driven "
+    "projection (itdbloader.py:165-168). Synthesizes a deterministic "
+    "library file, parses it distributed, returns the tracks DataFrame.",
+)
+def src_plist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = os.path.join(tempfile.gettempdir(), "itdb_spark_plist")
+    os.makedirs(d, exist_ok=True)
+    lib = os.path.join(d, "library.xml")
+    if not os.path.exists(lib):
+        _synth_library(lib)
+    rels = read_itunes_library(spark, lib, user_id=1)
+    return rels["tracks"].select("User_ID", "Track_ID", "Name", "Artist", "Genre", "Rating")
+
+
+@register(
+    "src-fswalk",
+    oracle=None,  # filesystem-backed; rows-only check
+    doc="Recursive filesystem scan → (path, size) relation (dupes/dedup.py:"
+    "101-113; orphaned_files:63) via the binaryFile source — listing is "
+    "distributed; file bodies are never read (pruned projection).",
+)
+def src_fswalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = scan_files(spark, sf_dir, glob="*.parquet")
+    return files.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"), "size"
+    ).orderBy("filename")
+
+
+@register(
+    "src-grep",
+    oracle="""
+    SELECT doc_id, regexp_extract(text, '^([a-z]+)', 1) AS first_token
+    FROM documents WHERE regexp_matches(text, '^([a-z]+)')
+    """,
+    doc="Regex-extract scan of raw text (`egrep -o 'file:///[^<]+'`, "
+    "orphaned_files:55-63; dupes/dedup.py:85-99) → regexp_extract over a "
+    "text scan.",
+)
+def src_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select("doc_id", F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_token"))
+        .where(F.col("text").rlike(r"^([a-z]+)"))
+    )
+
+
+@register(
+    "src-describe",
+    oracle="""
+    SELECT 'c_custkey' AS col_name UNION ALL SELECT 'c_name'
+    UNION ALL SELECT 'c_nationkey' UNION ALL SELECT 'c_acctbal'
+    UNION ALL SELECT 'c_mktsegment'
+    """,
+    doc="Catalog introspection: DESCRIBE-driven column list "
+    "(itdbloader.py:249-258; itdb2html.py:231-236) → df.schema.fieldNames().",
+)
+def src_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = Tables(spark, sf_dir).customer
+    names = df.schema.fieldNames()
+    return spark.createDataFrame([(n,) for n in names], "col_name string")
+
+
+# --- sinks (manifest-DataFrame pattern) -------------------------------------
+
+
+@register(
+    "snk-m3u",
+    oracle="""
+    SELECT CAST(row_number() OVER (
+             ORDER BY p_name, concat('/parts/', CAST(p_partkey AS VARCHAR), '.dat')
+           ) AS BIGINT) AS seq,
+           concat('#ITDBFILE:', p_name, chr(10), '/parts/', CAST(p_partkey AS VARCHAR), '.dat')
+             AS line
+    FROM part WHERE p_type = 'SMALL'
+    """,
+    doc="m3u playlist sink: ordered manifest of `#ITDBFILE` lines "
+    "(templates/filelist.tmpl.m3u:1-4; playlistlinks.py:254-265). The "
+    "manifest DF is the engine output; a thin driver writer applies it.",
+)
+def snk_m3u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    rows = t.part.where(F.col("p_type") == "SMALL").select(
+        F.concat(F.lit("/parts/"), F.col("p_partkey").cast("string"), F.lit(".dat")).alias("path"),
+        F.col("p_name").alias("name"),
+    )
+    return m3u_manifest(rows, "path", "name")
+
+
+@register(
+    "snk-symlink",
+    oracle="""
+    SELECT src, dest, link_type, seq FROM (
+      SELECT concat('/data/', CAST(s_suppkey AS VARCHAR)) AS src,
+             concat(
+               CASE WHEN length(regexp_replace(s_name, '[^A-Za-z0-9\\-_.]', '_', 'g')) = 0
+                    THEN '_NONE_' ELSE regexp_replace(s_name, '[^A-Za-z0-9\\-_.]', '_', 'g') END,
+               '/',
+               lpad(CAST(row_number() OVER (ORDER BY s_name, concat('/data/', CAST(s_suppkey AS VARCHAR))) + 100 AS VARCHAR), 3, '0'),
+               '-',
+               CASE WHEN length(regexp_replace(s_name, '[^A-Za-z0-9\\-_.]', '_', 'g')) = 0
+                    THEN '_NONE_' ELSE regexp_replace(s_name, '[^A-Za-z0-9\\-_.]', '_', 'g') END
+             ) AS dest,
+             'symlink' AS link_type,
+             CAST(row_number() OVER (ORDER BY s_name, concat('/data/', CAST(s_suppkey AS VARCHAR))) + 100 AS BIGINT) AS seq
+      FROM supplier
+    )
+    """,
+    doc="Symlink/copy tree sink: `%(Genre)s/%(Artist)s` layout + sequential "
+    "numbering manifest (playlistlinks.py:186-266); filesystem effects "
+    "applied driver-side from the manifest (idempotent under retry).",
+)
+def snk_symlink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    rows = t.supplier.select(
+        F.concat(F.lit("/data/"), F.col("s_suppkey").cast("string")).alias("path"),
+        F.col("s_name").alias("name"),
+    )
+    return symlink_manifest(rows, "path", "name", layout=("name",), start_number=100)
+
+
+@register(
+    "snk-textfile",
+    oracle="""
+    SELECT concat(n_name, chr(9), CAST(n_nationkey AS VARCHAR)) AS line
+    FROM nation ORDER BY line
+    """,
+    doc="Sorted text-file sink: orphans/missing lists written sorted "
+    "(orphaned_files:120-121, :132-137).",
+)
+def snk_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.nation.select(
+        F.concat("n_name", F.lit("\t"), F.col("n_nationkey").cast("string")).alias("line")
+    ).orderBy("line")
+
+
+@register(
+    "snk-dedup-load",
+    oracle="""
+    SELECT count(*) AS loaded_rows FROM (
+      SELECT DISTINCT o_orderkey FROM (
+        SELECT o_orderkey FROM orders UNION ALL SELECT o_orderkey FROM orders
+      )
+    )
+    """,
+    doc="Bulk-load sink semantics: `LOAD DATA INFILE ... IGNORE` dedupes on "
+    "PK before landing (itdbloader.py:226-237) ≈ dropDuplicates(PK) then "
+    "write; the JDBC writer itself is itdb_spark.sinks.jdbc (needs a "
+    "driver jar at deploy time).",
+)
+def snk_dedup_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    feed = t.orders.select("o_orderkey").unionByName(t.orders.select("o_orderkey"))
+    return feed.dropDuplicates(["o_orderkey"]).agg(F.count("*").alias("loaded_rows"))
+
+
+# --- scalar-function pipelines (§2.8) ---------------------------------------
+
+
+@register(
+    "fn-location",
+    oracle="""
+    SELECT p_partkey,
+           replace(replace(replace(
+             concat('file://localhost/Music/', replace(p_name, ' ', '%20'), '.mp3'),
+             'file://localhost', ''), '%20', ' '), '&amp;', '&') AS path
+    FROM part
+    """,
+    doc="URL-encoded Location → filesystem path: strip scheme, decode "
+    "%-escapes, unescape HTML entities (playlistlinks.py:268-283; "
+    "itdbmetadata.py:138; orphaned_files:66-77). Round-trips an encoded "
+    "location built from p_name.",
+)
+def fn_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import decode_location
+
+    t = Tables(spark, sf_dir)
+    loc = F.concat(
+        F.lit("file://localhost/Music/"),
+        F.regexp_replace("p_name", " ", "%20"),
+        F.lit(".mp3"),
+    )
+    return t.part.select("p_partkey", decode_location(loc).alias("path"))
+
+
+@register(
+    "fn-time",
+    oracle="""
+    SELECT event_id,
+           concat(
+             CAST(CAST(floor(ms / 1000 / 3600) AS BIGINT) AS VARCHAR), ':',
+             lpad(CAST(CAST(floor(ms / 1000 % 3600 / 60) AS BIGINT) AS VARCHAR), 2, '0'), ':',
+             lpad(CAST(CAST(floor(ms / 1000) AS BIGINT) % 60 AS VARCHAR), 2, '0')
+           ) AS hms
+    FROM (SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS ms FROM events)
+    """,
+    doc="Milliseconds → h:mm:ss rendering (itdb2html.py:124-131) as pure "
+    "integer column arithmetic.",
+)
+def fn_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import ms_to_hms
+
+    t = Tables(spark, sf_dir)
+    ms = F.floor(F.col("value") * 1000).cast("long")
+    return t.events.select("event_id", ms_to_hms(ms).alias("hms"))
+
+
+@register(
+    "fn-sanitize",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN length(regexp_replace(p_name, '[^A-Za-z0-9\\-_.]', '_', 'g')) = 0
+                THEN '_NONE_'
+                ELSE regexp_replace(p_name, '[^A-Za-z0-9\\-_.]', '_', 'g') END AS safe_name,
+           upper(p_name) AS upper_name,
+           lower(p_brand) AS lower_brand
+    FROM part
+    """,
+    doc="Filename sanitization: whitelist [A-Za-z0-9-_.], empty → _NONE_ "
+    "(itdb2html.py:63-71), plus case normalization (orphaned_files:72-74).",
+)
+def fn_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import sanitize_filename
+
+    t = Tables(spark, sf_dir)
+    return t.part.select(
+        "p_partkey",
+        sanitize_filename(F.col("p_name")).alias("safe_name"),
+        F.upper("p_name").alias("upper_name"),
+        F.lower("p_brand").alias("lower_brand"),
+    )

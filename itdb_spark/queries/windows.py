@@ -1,0 +1,118 @@
+"""Window functions — SURVEY.md §2.5. The reference predates SQL window
+functions and emulates them with sorted scans and driver-side counters;
+here they are real windows. Every window ORDER BY carries a full
+deterministic tie-break so results are oracle-reproducible."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from itdb_spark.catalog import Tables
+from itdb_spark.queries import register
+
+
+@register(
+    "win-lag",
+    oracle="""
+    SELECT orderkey, linenumber, price_cents FROM (
+      SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             lag(CAST(round(l_extendedprice * 100) AS BIGINT))
+               OVER (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                     l_orderkey, l_linenumber) AS prev_cents
+      FROM lineitem
+    ) WHERE price_cents = prev_cents
+    """,
+    doc="Adjacent-duplicate detection: sort checksums, flag rows equal to the "
+    "previous row (dupes/finddupes.py:3-18) → lag() over a fully "
+    "deterministic ordering. A global window like this single-partitions at "
+    "scale; for 100 TB partition by a hash prefix of the sort key first "
+    "(duplicates of a value always land in the same range).",
+)
+def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    base = t.lineitem.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        cents.alias("price_cents"),
+    )
+    w = Window.orderBy("price_cents", "orderkey", "linenumber")
+    return (
+        base.withColumn("prev_cents", F.lag("price_cents").over(w))
+        .where(F.col("price_cents") == F.col("prev_cents"))
+        .select("orderkey", "linenumber", "price_cents")
+    )
+
+
+@register(
+    "win-seq",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) + 100 AS BIGINT) AS seq
+    FROM orders
+    """,
+    doc="Sequential numbering continuing across outputs (`--start_number`, "
+    "playlistlinks.py:192,:211-221,:385-386) → row_number() + offset.",
+)
+def win_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    start = 100
+    return t.orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        (F.row_number().over(w) + start).cast("long").alias("seq"),
+    )
+
+
+@register(
+    "win-share",
+    oracle="""
+    SELECT event_type, cnt,
+           round(100.0 * cnt / CAST(sum(cnt) OVER () AS DOUBLE), 2) AS pct
+    FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)
+    """,
+    doc="Percent-of-total via unbounded window sum (itdb2html.py:400-408).",
+)
+def win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    hist = t.events.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return hist.select(
+        "event_type",
+        "cnt",
+        F.round(F.lit(100.0) * F.col("cnt") / total.cast("double"), 2).alias("pct"),
+    )
+
+
+@register(
+    "win-topk-group",
+    oracle="""
+    SELECT custkey, orderkey, price_cents FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Top-K per group — the scale generalization of the reference's "
+    "driver-side top-k (itdb2html.py:445-458): row_number over a "
+    "partitioned window prunes per-group, no global sort.",
+    bench=True,
+)
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc(F.round(F.col("o_totalprice") * 100)), F.asc("o_orderkey"))
+    return (
+        t.orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            cents.alias("price_cents"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .select("custkey", "orderkey", "price_cents")
+    )

@@ -1,0 +1,81 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming engine — its incrementality is mtime gates
+and anti-joins (SURVEY.md §2.9). Here the events fixture flows through a
+real readStream with watermarked tumbling windows; `Trigger.AvailableNow`
+is the batch-incremental mode that replaces the reference's
+`.loaded`-marker freshness gate (itdbloader.py:78-103)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ts is TIMESTAMP(NANOS) in the parquet; read as long + convert (same
+# truncation as the batch path in catalog.load_table).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def windowed_counts_stream(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """readStream → watermark → tumbling-window agg. Watermark bounds state:
+    windows older than max(event time) − watermark are finalized and
+    evicted — the late-data semantics the reference never had."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+            F.round("total_value", 2).alias("total_value"),
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion over the currently-available
+    input (Trigger.AvailableNow semantics via processAllAvailable) and
+    return the materialized result from the memory sink."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def freshness_gate(source_path: str, marker_path: str) -> bool:
+    """The reference's mtime freshness gate (itdbloader.py:78-103): returns
+    True when the source is newer than the `.loaded` marker (work needed)."""
+    if not os.path.exists(marker_path):
+        return True
+    return os.path.getmtime(source_path) > os.path.getmtime(marker_path)

@@ -1,0 +1,195 @@
+"""Operator unit/property tests over the itdb-domain fixtures and small
+synthetic frames — the metamorphic checks SQL oracles are weak at
+(SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_stars_bucketization(spark):
+    from itdb_spark.functions.core import stars
+
+    df = spark.createDataFrame(
+        [(None,), (0,), (19,), (20,), (99,), (100,)], "rating int"
+    ).select(stars("rating").alias("s"))
+    assert [r.s for r in df.collect()] == [0, 0, 0, 1, 4, 5]
+
+
+def test_hierarchy_expansion(spark, playlists):
+    from itdb_spark.operators.hierarchy import expand_hierarchy
+
+    out = expand_hierarchy(
+        playlists, "Playlist_Persistent_ID", "Parent_Persistent_ID", max_depth=5
+    )
+    rows = out.collect()
+    assert all(r.depth >= 1 for r in rows)
+    # depth-1 edges = playlists with a parent
+    n_edges = playlists.where(F.col("Parent_Persistent_ID").isNotNull()).count()
+    assert sum(1 for r in rows if r.depth == 1) == n_edges
+    # grandchildren exist in the 3-level fixture tree
+    assert any(r.depth == 2 for r in rows)
+    # no self-ancestry
+    assert all(r.ancestor != r.descendant for r in rows)
+
+
+def test_playlist_stats_equivalence(spark, tracks, playlist_tracks):
+    """Materialization ≡ re-aggregation (agg-pl-stats vs agg-pl-restat,
+    itdb2html.py:478-493) and ≡ direct library-wide histogram."""
+    from itdb_spark.functions.core import stars
+    from itdb_spark.plans import playlist_stats, restat
+
+    stats = playlist_stats(tracks, playlist_tracks)
+    total_via_stats = {(r.Stars, r.Total) for r in restat(stats).collect()}
+    direct = (
+        playlist_tracks.join(tracks.select("User_ID", "Track_ID", "Rating"),
+                             ["User_ID", "Track_ID"])
+        .groupBy(stars("Rating").alias("Stars"))
+        .agg(F.count("*").alias("Total"))
+    )
+    assert {(r.Stars, r.Total) for r in direct.collect()} == total_via_stats
+    # histogram totals equal joined row count
+    joined_cnt = playlist_tracks.join(
+        tracks.select("User_ID", "Track_ID"), ["User_ID", "Track_ID"]
+    ).count()
+    assert sum(t for _, t in total_via_stats) == joined_cnt
+    # stars domain
+    assert all(0 <= s <= 5 for s, _ in total_via_stats)
+
+
+def test_quality_guard(spark):
+    from itdb_spark.plans import playlist_quality
+
+    stats = spark.createDataFrame(
+        [
+            (1, 1, 0, 90),  # playlist 1: 90 unrated…
+            (1, 1, 100, 10),  # …10 five-star → <20% rated → 0
+            (1, 2, 0, 10),
+            (1, 2, 80, 30),  # 75% rated at 4 stars → 4.0
+        ],
+        "User_ID int, Playlist_ID int, Rating int, Count long",
+    )
+    q = {r.Playlist_ID: r.Quality for r in playlist_quality(stats).collect()}
+    assert q[1] == 0.0
+    assert q[2] == 4.0
+
+
+def test_incremental_enrichment(spark, tracks):
+    from itdb_spark.fixtures import make_ffprobe_streams
+    from itdb_spark.plans import unprobed_av_tracks, videos_below
+
+    streams = make_ffprobe_streams(spark, tracks)
+    av_total = tracks.where("TV_Show OR Movie").count()
+    probed = streams.select("Persistent_ID").distinct().count()
+    unprobed = unprobed_av_tracks(tracks, streams).count()
+    assert unprobed == av_total - probed  # anti-join completeness
+    low = videos_below(streams, 720)
+    assert low.count() > 0
+    assert all(r.height < 720 for r in low.collect())
+
+
+def test_orphans_missing_and_dupes(spark, tracks):
+    from itdb_spark.fixtures import make_files
+    from itdb_spark.plans import adjacent_dupes, checksum_dupes, orphans_and_missing
+
+    files = make_files(spark, tracks)
+    out = orphans_and_missing(tracks, files)
+    sides = {r.side for r in out.collect()}
+    assert sides == {"missing", "orphan"}
+    orphans = [r.norm_path for r in out.collect() if r.side == "orphan"]
+    assert any("orphan" in p for p in orphans)
+    # excluded prefixes never appear
+    assert not any(".ds_store" in p or "/tones/" in p for p in orphans)
+    dupes = checksum_dupes(files)
+    assert dupes.count() > 0
+    assert all(r.cnt > 1 and len(r.paths) == r.cnt for r in dupes.collect())
+    # win-lag adjacent-dup flags = Σ(group_size−1)
+    adj = adjacent_dupes(files).count()
+    expected = sum(r.cnt - 1 for r in dupes.collect())
+    assert adj == expected
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    from itdb_spark.operators.dedup import minhash_candidates, ngram_jaccard_pairs
+
+    base = [(i, " ".join(f"tok{(i * 31 + j * 7) % 97}" for j in range(40))) for i in range(20)]
+    near = [(i + 100, t.split(" ", 1)[1]) for i, t in base]  # drop first token
+    docs = spark.createDataFrame(base + near, "doc_id long, text string")
+    cands = {(r.id1, r.id2) for r in minhash_candidates(docs, "doc_id", "text").collect()}
+    planted = {(i, i + 100) for i in range(20)}
+    assert planted <= cands  # full recall on the planted pairs
+    verified = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    vpairs = {(r.id1, r.id2) for r in verified.collect()}
+    assert planted <= vpairs
+
+
+def test_simhash_near_dup_distance(spark):
+    from itdb_spark.operators.dedup import simhash
+
+    base = " ".join(f"tok{j}" for j in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, " ".join(f"other{j}" for j in range(60)))],
+        "doc_id long, text string",
+    )
+    vals = {r.doc: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(vals[1], vals[2]) < ham(vals[1], vals[3])
+
+
+def test_knn_lsh_subset_of_brute(spark):
+    """LSH neighbors are a subset of the candidate space and cosine values
+    match the exact computation for returned pairs."""
+    from itdb_spark.operators.similarity import brute_force_knn, lsh_knn
+
+    from itdb_spark.catalog import Tables
+    from tests.conftest import SF_DIR
+
+    emb = Tables(spark, SF_DIR).embeddings
+    queries = emb.where(F.col("vec_id") < 3)
+    brute = brute_force_knn(emb, queries, k=500)  # full ranking
+    exact = {(r.query_id, r.neighbor_id): r.cosine for r in brute.collect()}
+    approx = lsh_knn(spark, emb, queries, k=3)
+    for r in approx.collect():
+        assert (r.query_id, r.neighbor_id) in exact
+        assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_topk_shrink_properties(spark):
+    from itdb_spark.queries import load_all
+
+    from tests.conftest import SF_DIR
+
+    out = load_all()["topk-shrink"].spark(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) <= 10
+
+
+def test_manifest_sinks(spark, tmp_path):
+    from itdb_spark.sinks.manifest import apply_manifest, symlink_manifest, write_text_report
+
+    src = tmp_path / "srcfile"
+    src.write_text("x")
+    rows = spark.createDataFrame(
+        [(str(src), f"Song {i}", "Rock") for i in range(5)], "path string, name string, genre string"
+    )
+    manifest = symlink_manifest(rows, "path", "name", layout=("genre", "name"))
+    actions = apply_manifest(manifest, str(tmp_path / "out"))
+    assert len(actions) == 5
+    assert all((tmp_path / "out" / a["dest"]).is_symlink() for a in actions)
+    # idempotent re-apply
+    actions2 = apply_manifest(manifest, str(tmp_path / "out"))
+    assert len(actions2) == 5
+    n = write_text_report(rows.select("name"), "name", str(tmp_path / "report.txt"))
+    assert n == 5
+    assert (tmp_path / "report.txt").read_text().startswith("Song 0")
+
+
+def test_multimodal_stub(spark):
+    from itdb_spark.operators.multimodal import decode_binary_metadata, frame_sample_manifest
+
+    docs = spark.createDataFrame([(1, b"abcdef"), (2, b"xyz")], "doc_id long, content binary")
+    out = decode_binary_metadata(docs).collect()
+    assert {r.doc_id: r.n_bytes for r in out} == {1: 6, 2: 3}
+    assert all(r.format in ("png", "jpeg") and r.width > 0 for r in out)
+    frames = frame_sample_manifest(docs, n_frames=3)
+    assert frames.count() == 6

@@ -1,0 +1,42 @@
+"""Structured Streaming tests: the readStream path produces the same
+windowed aggregates as the batch twin (stream-window query)."""
+
+from __future__ import annotations
+
+import time
+
+from tests.conftest import SF_DIR
+
+
+def test_windowed_stream_matches_batch(spark):
+    from itdb_spark.queries import load_all
+    from itdb_spark.streaming.events import run_available_now, windowed_counts_stream
+
+    stream_df = windowed_counts_stream(spark, SF_DIR, window="1 hour")
+    result = run_available_now(stream_df, f"win_{int(time.time())}")
+    got = {
+        (r.window_start, r.event_type): (r.cnt, r.total_value) for r in result.collect()
+    }
+
+    batch = load_all()["stream-window"].spark(spark, SF_DIR).collect()
+    expected_keys = {(r.window_start, r.event_type) for r in batch}
+    assert set(got) == expected_keys
+    bcounts = {(r.window_start, r.event_type): r.cnt for r in batch}
+    for k, (cnt, _) in got.items():
+        assert bcounts[k] == cnt
+
+
+def test_freshness_gate(tmp_path):
+    from itdb_spark.streaming.events import freshness_gate
+
+    src = tmp_path / "library.xml"
+    marker = tmp_path / ".loaded"
+    src.write_text("x")
+    assert freshness_gate(str(src), str(marker))  # no marker → load
+    marker.write_text("")
+    import os
+
+    os.utime(str(marker), (time.time() + 100, time.time() + 100))
+    assert not freshness_gate(str(src), str(marker))  # fresh → skip
+    os.utime(str(src), (time.time() + 200, time.time() + 200))
+    assert freshness_gate(str(src), str(marker))  # source newer → load
