@@ -34,8 +34,10 @@ def main() -> None:
     registry = load_all()
     bench_ids = [qid for qid, q in registry.items() if q.bench]
 
-    # warmup: JVM JIT + parquet footer caches, one light query
-    registry["agg-hist-genre"].spark(spark, SF_DIR).count()
+    # Warmup pass: JVM JIT, parquet footer caches, Python-worker pool for
+    # Arrow UDF paths. Timed pass then measures steady-state execution.
+    for qid in bench_ids:
+        run_action(registry[qid].spark(spark, SF_DIR))
 
     timings: dict[str, float] = {}
     for qid in bench_ids:

@@ -1,0 +1,64 @@
+"""JDBC relational sink — the reference's deployment shape (MySQL tables,
+itdb.sql) honored as an optional sink behind the parquet/Delta-first
+engine (SURVEY.md §7.1).
+
+Write semantics mapped from the reference:
+  * `LOAD DATA INFILE ... IGNORE`  → dedupe on PK, then append
+    (itdbloader.py:226-237)
+  * `REPLACE INTO` per row         → idempotent overwrite of the
+    recomputed table (itdbloader.py:202-211)
+  * `DELETE FROM` before reload    → mode("overwrite") with truncate
+    (itdbloader.py:139-144)
+
+No JDBC driver jar ships in this container, so writes are gated: call
+``jdbc_available(spark)`` first; tests exercise the dedup/canonicalize
+logic and the option plumbing without a live database."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def jdbc_available(spark, driver_class: str = "com.mysql.cj.jdbc.Driver") -> bool:
+    """True when the JDBC driver class is on the executor classpath."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(driver_class)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def canonicalize_for_load(df: DataFrame, pk: list[str]) -> DataFrame:
+    """`LOAD DATA ... IGNORE` keeps one row per PK; the engine's
+    deterministic form sorts-within-key via min on every non-key column
+    is NOT generally meaningful, so canonicalization is dropDuplicates
+    on the PK — callers needing oracle-stable output aggregate instead
+    (see set-dedup)."""
+    return df.dropDuplicates(pk)
+
+
+def write_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    pk: list[str] | None = None,
+    batchsize: int = 10_000,
+    truncate: bool = True,
+    **options: str,
+) -> None:
+    """Batched JDBC write. ``overwrite`` + truncate reproduces the
+    reference's DELETE-then-reload; pass ``mode='append'`` with ``pk`` for
+    the LOAD-IGNORE path. Partitioned executors write concurrently —
+    size ``numPartitions``/``batchsize`` to the database's ingest limits."""
+    out = canonicalize_for_load(df, pk) if pk else df
+    writer = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("truncate", str(truncate).lower())
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()

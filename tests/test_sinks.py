@@ -1,0 +1,94 @@
+"""Sink tests: HTML report render+cache, JXA codegen, JDBC gating,
+ffprobe fan-out plumbing."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_html_render_and_cache(spark, tmp_path):
+    from itdb_spark.sinks.html import clear_cache, write_cached_page
+
+    df = spark.createDataFrame(
+        [("Rock", 3, 120), ("Jazz & Blues", 5, 40)], "Genre string, Stars int, Count long"
+    )
+    path = str(tmp_path / "stats.html")
+    p1, hit1 = write_cached_page(df, "Ratings <Stats>", path)
+    assert not hit1
+    content = open(p1).read()
+    assert "Jazz &amp; Blues" in content  # escaped
+    assert 'sortvalue="120"' in content  # tablesort.js attribute
+    assert "Ratings &lt;Stats&gt;" in content
+    _, hit2 = write_cached_page(df, "Ratings <Stats>", path)
+    assert hit2  # cache probe (itdb2html.py:612-625)
+    assert clear_cache(str(tmp_path)) == 1
+    _, hit3 = write_cached_page(df, "Ratings <Stats>", path)
+    assert not hit3  # invalidated
+
+
+def test_jxa_codegen(spark):
+    from itdb_spark.sinks.jxa import render_jxa
+
+    df = spark.createDataFrame(
+        [("AAAA", 2), ("BBBB", 1)], "Persistent_ID string, seq int"
+    )
+    script = render_jxa(df, 'My "Best" List', order_col="seq")
+    assert json.dumps('My "Best" List') in script
+    # order honored: BBBB (seq 1) before AAAA
+    assert script.index('"BBBB"') < script.index('"AAAA"')
+    assert "persistentID" in script
+
+
+def test_jdbc_gating_and_canonicalize(spark):
+    from itdb_spark.sinks.jdbc import canonicalize_for_load, jdbc_available
+
+    assert jdbc_available(spark, "com.mysql.cj.jdbc.Driver") is False  # no jar here
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 1, "a"), (1, 2, "b")], "u int, t int, v string"
+    )
+    out = canonicalize_for_load(df, ["u", "t"])
+    assert out.count() == 2
+
+
+def test_ffprobe_fanout(spark):
+    from itdb_spark.sources.ffprobe import explode_streams, probe_files, stub_probe
+
+    files = spark.createDataFrame(
+        [("P1", "/media/a.m4v"), ("P2", "/media/b.m4v")], "Persistent_ID string, path string"
+    )
+    probed = probe_files(files, prober=stub_probe)
+    rows = {r.Persistent_ID: r for r in probed.collect()}
+    assert rows["P1"].error is None
+    assert json.loads(rows["P1"].ffprobe)["streams"][0]["codec_type"] == "video"
+    streams = explode_streams(probed)
+    srows = streams.collect()
+    assert len(srows) == 2
+    heights = {r.Persistent_ID: json.loads(r.stream)["height"] for r in srows}
+    assert set(heights) == {"P1", "P2"}
+    assert all(h in (480, 720, 1080) for h in heights.values())
+
+    # error capture: a prober that throws must land an error row, not fail
+    def bad(path, timeout_s=30):
+        raise RuntimeError("boom")
+
+    errs = probe_files(files, prober=bad).collect()
+    assert all(r.ffprobe is None and "boom" in r.error for r in errs)
+
+
+def test_incremental_recompute_skip(spark):
+    """inc-mtime-row (dupes/dedup.py:115-131): join new scan vs previous
+    snapshot on (path, mtime); recompute only changed/new files."""
+    from datetime import datetime
+
+    prev = spark.createDataFrame(
+        [("/a", datetime(2024, 1, 1), "ck_a"), ("/b", datetime(2024, 1, 2), "ck_b")],
+        "path string, mtime timestamp, checksum string",
+    )
+    scan = spark.createDataFrame(
+        [("/a", datetime(2024, 1, 1)), ("/b", datetime(2024, 2, 2)), ("/c", datetime(2024, 3, 3))],
+        "path string, mtime timestamp",
+    )
+    unchanged = scan.join(prev, ["path", "mtime"], "inner")
+    changed = scan.join(prev, ["path", "mtime"], "left_anti")
+    assert {r.path for r in unchanged.collect()} == {"/a"}
+    assert {r.path for r in changed.collect()} == {"/b", "/c"}
