@@ -67,9 +67,14 @@ class Tables:
         return self._cache[name]
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view for ``spark.sql``."""
-    for name in TESTDATA_TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> None:
+    """Register testdata tables as temp views for ``spark.sql``. Pass the
+    subset a query actually reads — view registration opens every parquet
+    footer, so registering all ten tables for a one-table query is pure
+    overhead."""
+    for name in tables or TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 

@@ -113,8 +113,11 @@ def minhash_candidates(
     docs: DataFrame, id_col: str, text_col: str, num_perm: int = NUM_PERM
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id1 < id2) from LSH band buckets.
-    The self-join shuffles only (band, hash, doc) triples."""
-    bands = minhash_bands(minhash_signatures(docs, id_col, text_col, num_perm))
+    The self-join shuffles only (band, hash, doc) triples. The band table
+    is cached: without it, Spark recomputes the whole shingle→minhash
+    pipeline for BOTH sides of the self-join (at cluster scale, checkpoint
+    the signature table instead — it is also the reusable dedup index)."""
+    bands = minhash_bands(minhash_signatures(docs, id_col, text_col, num_perm)).cache()
     a = bands.alias("a")
     b = bands.alias("b")
     return (

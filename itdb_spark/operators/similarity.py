@@ -69,10 +69,15 @@ def brute_force_knn(
     """Exact top-k neighbors per query: broadcast the query set, cross join,
     cosine, per-query window top-k. Returns (query_id, neighbor_id, cosine).
     """
+    # The vector table often arrives as one parquet row-group → one
+    # partition; repartition so the scoring UDF parallelizes across cores
+    # (on a cluster: across executors). The shuffle moves only the vectors
+    # once; queries broadcast.
+    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nvec"),
-    )
+    ).repartition(n_parts)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),

@@ -107,7 +107,7 @@ _Q1_SQL = """
     bench=True,
 )
 def api_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("lineitem",))
     return spark.sql(_Q1_SQL)
 
 

@@ -45,7 +45,7 @@ def join_pt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reference's SQL shape; Catalyst plans the identical join.",
 )
 def join_pt2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("lineitem", "orders"))
     return spark.sql(
         """
         SELECT l.l_orderkey AS orderkey, l.l_partkey AS partkey, o.o_orderstatus AS status
