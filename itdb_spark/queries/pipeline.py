@@ -199,6 +199,39 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(corpus(spark, sf_dir), "doc_id", "text")
 
 
+@register(
+    "dedup-cluster",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({_minhash_oracle()})),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+    SELECT component, min(node) AS keeper, count(*) AS n_members,
+           count(*) - 1 AS drop_count
+    FROM comp GROUP BY component
+    """,
+    doc="Near-dup clustering: connected components over the LSH candidate "
+    "pairs (iterative min-label propagation, one shuffle per round, "
+    "converges in O(component diameter)) → keeper election per cluster — "
+    "the dedup *decision* layer (the reference keeps the first member of "
+    "each checksum group, dupes/dedup.py:157-171). Oracle: recursive-CTE "
+    "transitive closure.",
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.clustering import connected_components, elect_keepers
+
+    pairs = minhash_candidates(corpus(spark, sf_dir), "doc_id", "text")
+    return elect_keepers(connected_components(pairs))
+
+
 # --- similarity search -------------------------------------------------------
 
 

@@ -1,0 +1,74 @@
+"""Stateful streaming operator + clustering tests."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState running per-user totals over the events
+    stream equal the batch groupBy at end of input."""
+    from itdb_spark.catalog import Tables
+    from itdb_spark.streaming.events import EVENTS_SCHEMA
+    from itdb_spark.streaming.stateful import run_stateful_to_completion, running_user_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(SF_DIR)
+    )
+    out = run_stateful_to_completion(
+        running_user_totals(stream), f"stateful_{int(time.time())}"
+    )
+    # update mode appends one row per key per batch → take each key's max
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("value_sum").alias("value_sum"))
+        .collect()
+    )
+    got = {r.user_id: (r.n_events, round(r.value_sum, 2)) for r in final}
+
+    batch = (
+        Tables(spark, SF_DIR)
+        .events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    )
+    expected = {r.user_id: (r.n, r.s) for r in batch}
+    assert got == expected
+
+
+def test_connected_components_and_keepers(spark):
+    from itdb_spark.operators.clustering import connected_components, elect_keepers
+
+    # two components: {1,2,3,9} (chain 1-2, 2-3, 3-9) and {5,6}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 9), (5, 6)], "id1 long, id2 long"
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    keepers = {r.component: (r.keeper, r.n_members, r.drop_count)
+               for r in elect_keepers(connected_components(pairs)).collect()}
+    assert keepers == {1: (1, 4, 3), 5: (5, 2, 1)}
+
+
+def test_dedup_cluster_shape(spark):
+    """Every cluster from the derived corpus keeps its min doc_id; planted
+    triplets (base, +100000 near-dup, +200000 exact) should mostly land in
+    one component with the base as keeper."""
+    from itdb_spark.queries import load_all
+
+    rows = load_all()["dedup-cluster"].spark(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.keeper == r.component  # min-label convention
+        assert r.n_members == r.drop_count + 1
+    # most keepers are base docs (< 100000)
+    base_keepers = sum(1 for r in rows if r.keeper < 100000)
+    assert base_keepers == len(rows)
