@@ -137,6 +137,106 @@ def src_ffprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn-strings",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(
+             list_transform(string_split(lower(p_name), ' '),
+                            w -> concat(upper(w[1]), w[2:])), ' ') AS title_name,
+           replace(replace(p_name, '&', '%26'), ' ', '%20') AS url_encoded,
+           format('{:,}', CAST(round(p_retailprice * 100) AS BIGINT)) AS price_display,
+           split_part(concat('/music/', p_brand, '/', p_name, '.mp3'), '/', -1) AS basename,
+           regexp_extract(concat('/music/', p_brand, '/', p_name, '.mp3'),
+                          '^(.*)/[^/]*$', 1) AS dirname
+    FROM part
+    """,
+    doc="Scalar string toolkit (SURVEY.md §2.8): capwords/initcap "
+    "(itdb2html.py:173-175), url-encode for links (itdb2html.py:167-168), "
+    "locale thousands formatting (itdb2html.py:419-421), dirname/basename "
+    "path splits (orphaned_files:117; playlistlinks.py:213).",
+)
+def fn_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    path = F.concat(F.lit("/music/"), F.col("p_brand"), F.lit("/"), F.col("p_name"), F.lit(".mp3"))
+    return t.part.select(
+        "p_partkey",
+        F.initcap(F.lower("p_name")).alias("title_name"),
+        # manual %-encode of the two chars the reference's links need —
+        # DuckDB has no url_encode, so both sides use the same chain
+        F.regexp_replace(F.regexp_replace("p_name", "&", "%26"), " ", "%20").alias("url_encoded"),
+        F.format_number(F.round(F.col("p_retailprice") * 100).cast("long"), 0).alias(
+            "price_display"
+        ),
+        F.substring_index(path, "/", -1).alias("basename"),
+        F.regexp_extract(path, r"^(.*)/[^/]*$", 1).alias("dirname"),
+    )
+
+
+@register(
+    "agg-salted",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Salted two-phase aggregation for skewed group keys (the reference's "
+    "'Library' playlist holds every track — one key with half the table): "
+    "phase 1 groups on (key, salt), phase 2 merges partials. The oracle is "
+    "the UNsalted equivalent — salting must be semantically invisible.",
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.skew import salted_count, salted_sum
+
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select(F.col("l_returnflag").alias("flag"),
+                           F.round("l_quantity").cast("long").alias("qty"))
+    counts = salted_count(li, ["flag"], cnt_alias="cnt")
+    sums = salted_sum(li, ["flag"], F.col("qty"), alias="total_qty")
+    return counts.join(sums, "flag")
+
+
+@register(
+    "join-asof",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(prev_error_ts)) AS BIGINT) AS prev_error_epoch
+    FROM (
+      SELECT event_id, user_id, ts,
+             max(CASE WHEN event_type = 'error' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_error_ts
+      FROM events
+    ) WHERE prev_error_ts IS NOT NULL
+    """,
+    doc="As-of join (Spark has no native one, SURVEY.md §2.3 notes none in "
+    "the reference either): for each event, the most recent STRICTLY "
+    "earlier 'error' event of the same user — a conditional running max "
+    "over an ordered window; the merge_asof/applyInPandas form is the "
+    "two-table variant.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_err = F.max(F.when(F.col("event_type") == "error", F.col("ts"))).over(w)
+    return (
+        t.events.select("event_id", "user_id", prev_err.alias("prev_error_ts"))
+        .where(F.col("prev_error_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("prev_error_ts").alias("prev_error_epoch"),
+        )
+    )
+
+
+@register(
     "agg-approx",
     oracle=None,  # sketch results are engine-specific — rows-only
     doc="Approximate aggregates for the 100 TB path: approx_count_distinct "

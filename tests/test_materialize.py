@@ -1,0 +1,63 @@
+"""Materialization-layer tests: CSV staging round-trip (snk-csv with the
+reference's bool→'1'/'0' encode), parquet-materialized derived tables
+(inc-cache), and re-aggregation equivalence from disk."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_csv_staging_roundtrip(spark, tmp_path, tracks):
+    """snk-csv (itdbloader.py:152-169): booleans staged as 1/0, nulls as
+    empty — write then reload reproduces the source columns."""
+    staged = tracks.select(
+        "User_ID",
+        "Track_ID",
+        "Name",
+        F.col("Compilation").cast("int").alias("Compilation"),  # bool → 1/0
+        "Rating",
+    )
+    out = str(tmp_path / "staging")
+    staged.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == tracks.count()
+    reloaded = back.select(
+        F.col("User_ID").cast("int"),
+        F.col("Track_ID").cast("int"),
+        "Name",
+        F.col("Compilation").cast("int").cast("boolean").alias("Compilation"),
+        F.col("Rating").cast("int"),
+    )
+    src = {(r.User_ID, r.Track_ID): (r.Name, r.Compilation, r.Rating)
+           for r in tracks.select("User_ID", "Track_ID", "Name", "Compilation", "Rating").collect()}
+    dst = {(r.User_ID, r.Track_ID): (r.Name, r.Compilation, r.Rating)
+           for r in reloaded.collect()}
+    assert src == dst
+
+
+def test_materialized_stats_from_disk(spark, tmp_path, tracks, playlist_tracks):
+    """inc-cache: playlist_stats persisted as parquet; re-aggregation from
+    the materialized table ≡ recomputation (itdb2html.py:478-493)."""
+    from itdb_spark.plans import playlist_stats, restat
+
+    stats = playlist_stats(tracks, playlist_tracks)
+    out = str(tmp_path / "playlist_stats")
+    stats.write.mode("overwrite").parquet(out)
+
+    from_disk = restat(spark.read.parquet(out))
+    recomputed = restat(playlist_stats(tracks, playlist_tracks))
+    assert {(r.Stars, r.Total) for r in from_disk.collect()} == {
+        (r.Stars, r.Total) for r in recomputed.collect()
+    }
+
+
+def test_overwrite_idempotence(spark, tmp_path, tracks, playlist_tracks):
+    """snk-delete/snk-replace: overwrite of a recomputed table is
+    idempotent — write twice, same content (itdbloader.py:139-144)."""
+    from itdb_spark.plans import playlist_stats
+
+    out = str(tmp_path / "stats2")
+    for _ in range(2):
+        playlist_stats(tracks, playlist_tracks).write.mode("overwrite").parquet(out)
+    again = spark.read.parquet(out)
+    assert again.count() == playlist_stats(tracks, playlist_tracks).count()

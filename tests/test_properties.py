@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): column-expression helpers against
+plain-Python reference implementations, run in one Spark batch per case
+list to keep the suite fast."""
+
+from __future__ import annotations
+
+import math
+import string
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+settings.register_profile("spark", max_examples=20, deadline=None)
+settings.load_profile("spark")
+
+
+def _eval_batch(spark, rows, schema, col):
+    df = spark.createDataFrame(rows, schema).select(col.alias("out"))
+    return [r.out for r in df.collect()]
+
+
+@given(st.lists(st.one_of(st.none(), st.integers(0, 100)), min_size=1, max_size=50))
+def test_stars_matches_python(spark, ratings):
+    from itdb_spark.functions.core import stars
+
+    got = _eval_batch(spark, [(r,) for r in ratings], "rating int", stars("rating"))
+    expected = [int(math.floor((r or 0) / 20)) for r in ratings]
+    assert got == expected
+
+
+@given(st.lists(st.integers(0, 48 * 3600 * 1000), min_size=1, max_size=50))
+def test_ms_to_hms_matches_python(spark, values):
+    from itdb_spark.functions.core import ms_to_hms
+
+    got = _eval_batch(spark, [(v,) for v in values], "ms long", ms_to_hms("ms"))
+
+    def py(ms):
+        s = ms // 1000
+        return f"{s // 3600}:{(s % 3600) // 60:02d}:{s % 60:02d}"
+
+    assert got == [py(v) for v in values]
+
+
+@given(
+    st.lists(
+        st.text(alphabet=string.ascii_letters + string.digits + " /&éß.-_", max_size=30),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sanitize_filename_whitelist(spark, names):
+    from itdb_spark.functions.core import sanitize_filename
+
+    got = _eval_batch(spark, [(n,) for n in names], "name string", sanitize_filename("name"))
+    allowed = set(string.ascii_letters + string.digits + "-_.")
+    for out in got:
+        assert out == "_NONE_" or all(c in allowed or c == "_" for c in out)
+        assert len(out) > 0
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=20))
+def test_word_shingles_properties(spark, texts):
+    from itdb_spark.operators.dedup import word_shingles
+
+    rows = [(t,) for t in texts]
+    df = spark.createDataFrame(rows, "text string").select(
+        F.col("text"), word_shingles("text").alias("sh")
+    )
+    for r in df.collect():
+        toks = r.text.strip().lower().split()
+        if len(toks) >= 3:
+            # each shingle is 3 consecutive tokens; count ≤ n-2 (distinct)
+            assert len(r.sh) <= max(len(toks) - 2, 0) or len(set(r.sh)) == len(r.sh)
+            for s in r.sh:
+                assert len(s.split(" ")) == 3
+        else:
+            assert len(r.sh) == 1  # whole-text fallback shingle
+
+
+@given(
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False), min_size=4, max_size=16),
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False), min_size=4, max_size=16),
+)
+def test_cosine_pandas_matches_numpy(spark, a, b):
+    import numpy as np
+
+    from itdb_spark.operators.similarity import cosine_pandas
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    if not any(a) or not any(b):
+        return  # zero vectors → undefined cosine
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(cosine_pandas(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    expected = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(got - expected) < 1e-9
