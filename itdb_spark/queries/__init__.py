@@ -51,6 +51,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module so REGISTRY is fully populated."""
     from itdb_spark.queries import (  # noqa: F401
         aggregates,
+        analytics,
         extras,
         filters,
         joins,

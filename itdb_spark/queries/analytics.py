@@ -1,0 +1,132 @@
+"""Analytic value-adds beyond the reference's surface (SURVEY.md notes the
+reference predates window functions and has no grouping sets): rollup
+subtotals, star-histogram pivot, window frames, ranking family. All free
+in Spark/Catalyst — included so a reference user gets the modern forms of
+the reports they build by hand today."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from itdb_spark.catalog import Tables
+from itdb_spark.functions.core import stars
+from itdb_spark.queries import register
+
+
+@register(
+    "agg-rollup",
+    oracle="""
+    SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS cnt,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP subtotals over the histogram keys — the reports the "
+    "reference assembles with separate per-level queries "
+    "(itdb2html.py:264-284 + :386-398) in one pass.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.rollup(F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("price_cents"),
+        )
+    )
+
+
+@register(
+    "agg-pivot",
+    oracle="""
+    SELECT o_orderpriority AS playlist,
+           CAST(sum(CASE WHEN stars = 0 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+           CAST(sum(CASE WHEN stars = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+           CAST(sum(CASE WHEN stars = 2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+           CAST(sum(CASE WHEN stars = 3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+           CAST(sum(CASE WHEN stars >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS s4plus
+    FROM (
+      SELECT o.o_orderpriority,
+             CAST(floor(coalesce(l.l_quantity, 0) / 20) AS BIGINT) AS stars
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ) GROUP BY 1
+    """,
+    doc="Star histogram pivoted to columns — the stats-page row shape the "
+    "reference renders (stars 0..5 as table columns, itdb2html.py:133-149); "
+    "conditional sums rather than .pivot() so the oracle mirrors exactly.",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    joined = t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("playlist"), stars("l_quantity").alias("stars")
+    )
+    buckets = [
+        F.sum(F.when(F.col("stars") == i, 1).otherwise(0)).alias(f"s{i}") for i in range(4)
+    ] + [F.sum(F.when(F.col("stars") >= 4, 1).otherwise(0)).alias("s4plus")]
+    return joined.groupBy("playlist").agg(*buckets)
+
+
+@register(
+    "win-frame",
+    oracle="""
+    SELECT custkey, orderkey, price_cents,
+           CAST(sum(price_cents) OVER (
+             PARTITION BY custkey ORDER BY orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling3_cents
+    FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    )
+    """,
+    doc="Explicit window frame (ROWS BETWEEN): rolling 3-order spend per "
+    "customer — frame specs are absent from the reference (§2.5) but free "
+    "here.",
+)
+def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    w = Window.partitionBy("custkey").orderBy("orderkey").rowsBetween(-2, 0)
+    return base.select(
+        "custkey", "orderkey", "price_cents", F.sum("price_cents").over(w).alias("rolling3_cents")
+    )
+
+
+@register(
+    "win-rank",
+    oracle="""
+    SELECT priority, orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM (
+      SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    )
+    WINDOW w AS (PARTITION BY priority ORDER BY price_cents DESC, orderkey)
+    """,
+    doc="Ranking family (rank/dense_rank/ntile) — no ranking exists in the "
+    "reference (§2.5); full tie-break (price, orderkey) keeps ntile "
+    "deterministic.",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    w = Window.partitionBy("priority").orderBy(F.desc("price_cents"), F.asc("orderkey"))
+    return base.select(
+        "priority",
+        "orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
