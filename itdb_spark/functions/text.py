@@ -52,16 +52,12 @@ def quality_score(text: Column | str) -> Column:
 def char_ngrams(text_col: str, n: int = 3) -> Column:
     """Distinct character n-gram shingles of the lowercased text →
     array<string>, via ``transform(sequence(...))`` — JVM-side, no UDF.
-    Expressed with F.expr because ``substr`` needs a dynamic start offset."""
+    Expressed with F.expr because ``substr`` needs a dynamic start offset.
+    Guarded: Spark's sequence() runs DESCENDING when stop < start, so
+    short strings collapse to a single whole-text shingle. Word-level
+    shingles live in operators.dedup.word_shingles (the dedup path)."""
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length(lower({text_col})) - {n - 1}, 0)),"
-        f" i -> substr(lower({text_col}), i, {n})))"
-    )
-
-
-def word_ngrams(text_col: str, n: int = 2) -> Column:
-    """Distinct word n-gram shingles (space-joined) → array<string>."""
-    return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(split(trim(lower({text_col})), '\\\\s+')) - {n - 1}, 0)),"
-        f" i -> array_join(slice(split(trim(lower({text_col})), '\\\\s+'), i, {n}), ' ')))"
+        f"CASE WHEN length(lower({text_col})) < {n} THEN array(lower({text_col})) "
+        f"ELSE array_distinct(transform(sequence(1, length(lower({text_col})) - {n - 1}),"
+        f" i -> substr(lower({text_col}), i, {n}))) END"
     )

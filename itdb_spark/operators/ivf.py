@@ -1,0 +1,134 @@
+"""IVF (inverted-file) approximate nearest neighbor: k-means coarse
+quantizer → partition vectors by nearest centroid → probe only the top-P
+cells per query. The second scale path next to hyperplane-LSH
+(operators/similarity.py); IVF trades a training pass for tighter recall
+control (probe count) and a physically partitionable index.
+
+Lloyd's iterations are plain DataFrame ops (posexplode → per-dimension
+mean), no MLlib dependency: the index build is itself a scale-safe
+pipeline — assignment is a broadcast join against k centroids, the
+update is one groupBy per iteration.
+
+Determinism: initial centroids are the k vectors with the smallest
+portable-hash of their id (seedless, reproducible); ties in assignment
+break by centroid id. Float means make bit-level SQL oracles impractical
+→ rows-only in the driver gate; recall is asserted against brute force in
+tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from itdb_spark.functions.core import portable_hash64
+from itdb_spark.operators.similarity import cosine_pandas
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """(id, vec, centroid_id): nearest centroid by cosine (broadcast join
+    over k centroids — k rows, always broadcastable)."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        "vec",
+        F.col("centroid_id"),
+        cosine_pandas(F.col("vec"), F.col("cvec")).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "vec", "centroid_id")
+    )
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (assignments, centroids): assignments = (id, vec,
+    centroid_id); centroids = (centroid_id, cvec). At scale, write
+    ``assignments.write.partitionBy("centroid_id")`` — queries then read
+    only probed partitions (partition pruning does the cell selection)."""
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    # seedless deterministic init: k vectors with smallest hashed id;
+    # coalesce(1) so monotonically_increasing_id yields stable 0..k-1
+    init = (
+        v.withColumn("h", portable_hash64(F.col(id_col).cast("string")))
+        .orderBy("h", id_col)
+        .limit(k)
+        .coalesce(1)
+        .select(F.col("vec").alias("cvec"))
+        .withColumn("centroid_id", F.monotonically_increasing_id())
+    )
+    centroids = init.localCheckpoint(eager=True)
+    dim = len(v.select("vec").first().vec)
+    for _ in range(iters):
+        assigned = _assign(v, centroids, id_col)
+        # new centroid = per-dimension mean of members (posexplode → groupBy)
+        comps = assigned.select(
+            "centroid_id", F.posexplode("vec").alias("pos", "val")
+        )
+        means = (
+            comps.groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s.getField("m")).alias("cvec"),
+            )
+        )
+        centroids = means.localCheckpoint(eager=True)
+    assignments = _assign(v, centroids, id_col).localCheckpoint(eager=True)
+    return assignments, centroids
+
+
+def ivf_knn(
+    spark: SparkSession,
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Top-k per query probing only ``n_probe`` nearest cells: the scored
+    candidate set is |cells probed| / |cells| of the corpus instead of all
+    of it. Returns (query_id, neighbor_id, cosine)."""
+    assignments, centroids = build_ivf_index(vectors, id_col, vec_col, k=n_cells)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    # rank cells per query, keep top n_probe
+    cell_scores = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qvec", "centroid_id",
+        cosine_pandas(F.col("qvec"), F.col("cvec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probed = (
+        cell_scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    cands = probed.join(assignments, "centroid_id").where(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_pandas(F.col("qvec"), F.col("vec")).alias("cos_raw"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"))
+    )

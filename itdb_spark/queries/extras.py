@@ -237,6 +237,33 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snk-merge",
+    oracle="""
+    SELECT c_custkey, c_name, segment FROM (
+      SELECT c.c_custkey, c.c_name, c.c_mktsegment AS segment FROM customer c
+      WHERE c.c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+      UNION ALL
+      SELECT c_custkey, c_name, 'REASSIGNED' AS segment FROM customer
+      WHERE c_custkey % 10 = 0
+    )
+    """,
+    doc="MERGE upsert emulation (Delta MERGE at deploy time, SURVEY.md §7.1; "
+    "REPLACE INTO semantics itdbloader.py:202-211): updates win per PK via "
+    "anti-join + union — here every 10th customer is reassigned.",
+)
+def snk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.merge import merge_upsert
+
+    t = Tables(spark, sf_dir)
+    target = t.customer.select("c_custkey", "c_name", F.col("c_mktsegment").alias("segment"))
+    updates = (
+        t.customer.where(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name", F.lit("REASSIGNED").alias("segment"))
+    )
+    return merge_upsert(target, updates, ["c_custkey"])
+
+
+@register(
     "agg-approx",
     oracle=None,  # sketch results are engine-specific — rows-only
     doc="Approximate aggregates for the 100 TB path: approx_count_distinct "

@@ -194,6 +194,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact word-3-gram Jaccard verification: candidate pairs come from "
     "shared shingles (at scale: from the dedup-minhash LSH buckets), so "
     "the quadratic blowup is bounded by shingle selectivity.",
+    bench=True,
 )
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(corpus(spark, sf_dir), "doc_id", "text")
@@ -283,6 +284,24 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 64
     queries = emb.where(F.col("vec_id") < 5)
     return lsh_knn(spark, emb, queries, "vec_id", "embedding", k=3, dim=dim)
+
+
+@register(
+    "sim-knn-ivf",
+    oracle=None,  # float k-means centroids aren't SQL-reproducible
+    doc="IVF approximate nearest neighbor: DataFrame-native Lloyd's k-means "
+    "coarse quantizer → assign vectors to cells → probe top-3 cells per "
+    "query → exact cosine within probed cells only. The partitionable "
+    "index form (write.partitionBy(centroid_id) → partition pruning does "
+    "cell selection at 100 TB). Recall vs brute force asserted in "
+    "tests/test_ivf_merge.py.",
+)
+def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.ivf import ivf_knn
+
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_knn(spark, emb, queries, k=5, n_cells=8, n_probe=3)
 
 
 @register(

@@ -61,6 +61,7 @@ def stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sessionization with a 30-minute inactivity gap: lag(ts) + gap "
     "flag + sum per user — the batch twin of session_window(ts, gap) "
     "(applyInPandasWithState covers richer custom state at deploy time).",
+    bench=True,
 )
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)

@@ -1,0 +1,73 @@
+"""IVF ANN recall test + MERGE/SCD2 semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_ivf_recall_against_brute(spark):
+    from itdb_spark.catalog import Tables
+    from itdb_spark.operators.ivf import ivf_knn
+    from itdb_spark.operators.similarity import brute_force_knn
+
+    emb = Tables(spark, SF_DIR).embeddings
+    queries = emb.where(F.col("vec_id") < 5)
+    k = 5
+    exact = brute_force_knn(emb, queries, k=k)
+    approx = ivf_knn(spark, emb, queries, k=k, n_cells=8, n_probe=3)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(approx_sets) == set(exact_sets)
+    # probing 3/8 cells must recover a reasonable share of true neighbors
+    recall = sum(
+        len(approx_sets[q] & exact_sets[q]) for q in exact_sets
+    ) / sum(len(s) for s in exact_sets.values())
+    assert recall >= 0.4, f"recall {recall}"
+    # every approx cosine must equal the exact cosine for that pair
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(exact_cos[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_merge_upsert(spark):
+    from itdb_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id int, name string, v int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21), (4, "d", 40)], "id int, name string, v int"
+    )
+    out = {r.id: (r.name, r.v) for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert out == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_scd2_apply(spark):
+    from itdb_spark.operators.merge import scd2_apply
+
+    t0, t1 = datetime(2024, 1, 1), datetime(2024, 6, 1)
+    hist = spark.createDataFrame(
+        [(1, "a", t0, True, None), (2, "b", t0, True, None)],
+        "id int, name string, effective_ts timestamp, is_current boolean, end_ts timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(1, "a2", t1)], "id int, name string, effective_ts timestamp"
+    )
+    out = scd2_apply(hist, updates, ["id"]).collect()
+    rows = {(r.id, r.name): r for r in out}
+    assert len(out) == 3
+    closed = rows[(1, "a")]
+    assert closed.is_current is False and closed.end_ts == t1
+    new = rows[(1, "a2")]
+    assert new.is_current is True and new.end_ts is None
+    untouched = rows[(2, "b")]
+    assert untouched.is_current is True and untouched.end_ts is None

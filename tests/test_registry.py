@@ -39,8 +39,8 @@ def test_contract_shape():
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 70
     assert set(oracles) <= set(qs)
-    # the vast majority must be oracle-checked
-    assert len(oracles) >= len(qs) - 5
+    # the vast majority must be oracle-checked (rows-only set stays small)
+    assert len(oracles) >= len(qs) - 8
 
 
 SAMPLE = [
