@@ -137,27 +137,53 @@ def ngram_jaccard_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact word-3-gram-shingle Jaccard over candidate pairs: the join key
-    is the shingle itself, so only documents sharing a shingle ever pair —
-    the shingle space is large enough that unrelated pairs are rare (at
-    scale, feed LSH candidates from minhash_candidates instead). Returns
-    (id1, id2, jaccard)."""
-    words = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col)).alias("w"),
+    """Exact word-3-gram-shingle Jaccard verification → (id1, id2, jaccard).
+
+    With ``candidates`` (an (id1, id2) frame, normally
+    ``minhash_candidates``): intersections are computed ONLY for those
+    pairs — the scale path; work is O(candidates × shingles-per-doc).
+
+    Without: all-pairs via shingle co-occurrence self-join — exact but
+    inherently quadratic once the shingle space saturates (at sf0.1 the
+    ~30-word synthetic vocabulary yields 10M co-occurring pairs), so
+    exhaustive mode is for small corpora and tests only.
+
+    The shingle join key is xxhash64(shingle), not the string (~10× fewer
+    shuffle bytes); a 64-bit collision (P ≈ n²/2⁶⁵) would perturb one
+    pair's count by 1 — negligible. The shingle table is cached: it feeds
+    four consumers and exchange reuse doesn't cover broadcast plans."""
+    words = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(text_col)).alias("ws"),
+        )
+        .select("doc", F.xxhash64("ws").alias("w"))
+        .cache()
     )
     sizes = words.groupBy("doc").agg(F.count("*").alias("sz"))
-    a = words.alias("a")
-    b = words.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.w") == F.col("b.w")) & (F.col("a.doc") < F.col("b.doc")),
+    if candidates is not None:
+        a = words.alias("a")
+        b = words.alias("b")
+        common = (
+            candidates.select("id1", "id2")
+            .join(a, F.col("id1") == F.col("a.doc"))
+            .join(b, (F.col("id2") == F.col("b.doc")) & (F.col("a.w") == F.col("b.w")))
+            .groupBy("id1", "id2")
+            .agg(F.count("*").alias("common"))
         )
-        .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
-        .agg(F.count("*").alias("common"))
-    )
+    else:
+        a = words.alias("a")
+        b = words.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.w") == F.col("b.w")) & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+            .agg(F.count("*").alias("common"))
+        )
     sa = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
     sb = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
     jac = F.col("common").cast("double") / (

@@ -1,5 +1,6 @@
 from itdb_spark.plans.library import (  # noqa: F401
     adjacent_dupes,
+    adjacent_dupes_scalable,
     checksum_dupes,
     genre_histogram,
     orphans_and_missing,

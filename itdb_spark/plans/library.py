@@ -126,11 +126,29 @@ def checksum_dupes(files: DataFrame) -> DataFrame:
 
 
 def adjacent_dupes(files: DataFrame) -> DataFrame:
-    """finddupes.py:3-18: sort by checksum, flag rows equal to previous."""
+    """finddupes.py:3-18: sort by checksum, flag rows equal to previous.
+    Literal translation — the global ORDER BY single-partitions; use
+    adjacent_dupes_scalable for anything bigger than a report."""
     w = Window.orderBy("checksum", "path")
     return (
         files.where(F.col("checksum").isNotNull())
         .select("checksum", "path", F.lag("checksum").over(w).alias("prev"))
         .where(F.col("checksum") == F.col("prev"))
+        .select("checksum", "path")
+    )
+
+
+def adjacent_dupes_scalable(files: DataFrame) -> DataFrame:
+    """Equivalent result with no global sort: under the deterministic
+    (checksum, path) ordering, the rows flagged equal-to-previous are
+    exactly every row but the first within each checksum group — so
+    partition the window BY the checksum instead of ordering the world by
+    it. One hash shuffle on near-unique keys, embarrassingly parallel;
+    equivalence with adjacent_dupes is a test invariant."""
+    w = Window.partitionBy("checksum").orderBy("path")
+    return (
+        files.where(F.col("checksum").isNotNull())
+        .select("checksum", "path", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") > 1)
         .select("checksum", "path")
     )

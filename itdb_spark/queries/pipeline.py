@@ -177,9 +177,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS ({ORACLE_CORPUS}),
     {_SHINGLE_CTES},
     sizes AS (SELECT doc, count(*) AS sz FROM words GROUP BY doc),
+    cand AS (SELECT * FROM ({{minhash}})),
     common AS (
-      SELECT a.doc AS id1, b.doc AS id2, count(*) AS common
-      FROM words a JOIN words b ON a.w = b.w AND a.doc < b.doc
+      SELECT p.id1, p.id2, count(*) AS common
+      FROM cand p
+      JOIN words a ON a.doc = p.id1
+      JOIN words b ON b.doc = p.id2 AND b.w = a.w
       GROUP BY 1, 2
     )
     SELECT id1, id2, jaccard FROM (
@@ -190,14 +193,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes s1 ON s1.doc = id1
       JOIN sizes s2 ON s2.doc = id2
     ) WHERE jaccard >= 0.5
-    """,
-    doc="Exact word-3-gram Jaccard verification: candidate pairs come from "
-    "shared shingles (at scale: from the dedup-minhash LSH buckets), so "
-    "the quadratic blowup is bounded by shingle selectivity.",
+    """.replace("{minhash}", _minhash_oracle()),
+    doc="Exact word-3-gram Jaccard verification over the LSH candidate "
+    "pairs from dedup-minhash — the scale pipeline: quadratic work is "
+    "confined to candidates (exhaustive all-pairs mode exists for small "
+    "corpora; at sf0.1 the saturated synthetic vocabulary makes all-pairs "
+    "10M-row quadratic, which is exactly what LSH banding avoids).",
     bench=True,
 )
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(corpus(spark, sf_dir), "doc_id", "text")
+    c = corpus(spark, sf_dir)
+    cands = minhash_candidates(c, "doc_id", "text")
+    return ngram_jaccard_pairs(c, "doc_id", "text", candidates=cands)
 
 
 @register(

@@ -107,6 +107,12 @@ def test_orphans_missing_and_dupes(spark, tracks):
     adj = adjacent_dupes(files).count()
     expected = sum(r.cnt - 1 for r in dupes.collect())
     assert adj == expected
+    # the scale form (partitioned window, no global sort) is row-identical
+    from itdb_spark.plans import adjacent_dupes_scalable
+
+    a = {(r.checksum, r.path) for r in adjacent_dupes(files).collect()}
+    b = {(r.checksum, r.path) for r in adjacent_dupes_scalable(files).collect()}
+    assert a == b
 
 
 def test_minhash_finds_planted_near_dups(spark):

@@ -26,6 +26,39 @@ def test_windowed_stream_matches_batch(spark):
         assert bcounts[k] == cnt
 
 
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch: the exactly-once sink pattern — each micro-batch lands
+    as an idempotent parquet overwrite keyed by batch id; total rows in
+    the sink equal the source."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.streaming.events import EVENTS_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(SF_DIR)
+        .select("event_id", "event_type")
+    )
+    out_dir = str(tmp_path / "sink")
+
+    def land(df, batch_id):
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = stream.writeStream.foreachBatch(land).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    landed = spark.read.parquet(f"{out_dir}/batch=*")
+    src_count = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert landed.count() == src_count
+    assert landed.select(F.countDistinct("event_id")).collect()[0][0] == src_count
+
+
 def test_freshness_gate(tmp_path):
     from itdb_spark.streaming.events import freshness_gate
 
