@@ -34,15 +34,17 @@ def main() -> None:
     registry = load_all()
     bench_ids = [qid for qid, q in registry.items() if q.bench]
 
-    # Warmup pass: JVM JIT, parquet footer caches, Python-worker pool for
-    # Arrow UDF paths. Then best-of-3 timed runs per query — the min is
-    # the steady-state execution cost, robust to noisy-neighbor CPU on a
-    # shared host.
-    for qid in bench_ids:
-        run_action(registry[qid].spark(spark, SF_DIR))
-
+    # Per-query warmup immediately followed by best-of-3 timed runs: the
+    # warmup pays JVM JIT, parquet footer caches, and (for Arrow-UDF
+    # queries) Python-worker spawn RIGHT before the timed runs — a global
+    # warmup pass lets the worker pool go cold again before the UDF query
+    # is finally timed. Min-of-3 is robust to noisy-neighbor CPU.
     timings: dict[str, float] = {}
     for qid in bench_ids:
+        # isolate queries: cached frames from prior queries/runs otherwise
+        # accumulate in executor storage and perturb later timings
+        spark.catalog.clearCache()
+        run_action(registry[qid].spark(spark, SF_DIR))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

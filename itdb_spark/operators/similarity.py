@@ -106,24 +106,34 @@ def hyperplane_signatures(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Random-hyperplane LSH signature per vector.
+    """Random-hyperplane LSH signatures: (id, table, signature), one row
+    per hash table. Multi-table probing is the recall knob — a true
+    neighbor is a candidate if it collides in ANY table.
 
     Planes are pseudo-random ±1 components derived from the portable hash
-    of (plane, dim) — fully deterministic, oracle-reproducible. Pipeline:
-    posexplode(vec) ⋈ broadcast(planes) → per-plane signed dot → sign bits
-    → integer signature. Two shuffles, both on vec_id.
+    of (table, plane, dim) — fully deterministic. Pipeline: posexplode(vec)
+    ⋈ broadcast(tables × planes) → per-(table, plane) signed dot → sign
+    bits → integer signature. Two shuffles, both on vec_id.
     """
     planes = (
-        spark.range(n_planes)
-        .withColumnRenamed("id", "plane")
+        spark.range(n_tables)
+        .withColumnRenamed("id", "table")
+        .crossJoin(spark.range(n_planes).withColumnRenamed("id", "plane"))
         .crossJoin(spark.range(dim).withColumnRenamed("id", "pos"))
         .select(
+            "table",
             "plane",
             "pos",
             F.when(
                 portable_hash64(
-                    F.concat_ws("_", F.col("plane").cast("string"), F.col("pos").cast("string"))
+                    F.concat_ws(
+                        "_",
+                        F.col("table").cast("string"),
+                        F.col("plane").cast("string"),
+                        F.col("pos").cast("string"),
+                    )
                 )
                 % 2
                 == 0,
@@ -139,10 +149,10 @@ def hyperplane_signatures(
     )
     dots = (
         comps.join(F.broadcast(planes), "pos")
-        .groupBy("vid", "plane")
+        .groupBy("vid", "table", "plane")
         .agg(F.sum(F.col("val") * F.col("sign")).alias("dot"))
     )
-    sig = dots.groupBy("vid").agg(
+    sig = dots.groupBy("vid", "table").agg(
         F.sum(
             F.when(F.col("dot") > 0, F.expr("shiftleft(1, cast(plane AS int))")).otherwise(
                 F.lit(0)
@@ -151,7 +161,7 @@ def hyperplane_signatures(
         .cast("long")
         .alias("signature")
     )
-    return sig.select(F.col("vid").alias(id_col), "signature")
+    return sig.select(F.col("vid").alias(id_col), "table", "signature")
 
 
 def lsh_knn(
@@ -163,29 +173,35 @@ def lsh_knn(
     k: int = 3,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: candidates = same LSH bucket, then exact cosine
-    re-rank within candidates only."""
-    sig_v = hyperplane_signatures(spark, vectors, id_col, vec_col, n_planes, dim)
-    sig_q = hyperplane_signatures(spark, queries, id_col, vec_col, n_planes, dim)
+    """Approximate top-k: candidates = same (table, signature) bucket in
+    ANY of ``n_tables`` hash tables, then exact cosine re-rank within the
+    deduplicated candidate set only."""
+    sig_v = hyperplane_signatures(spark, vectors, id_col, vec_col, n_planes, dim, n_tables)
+    sig_q = hyperplane_signatures(spark, queries, id_col, vec_col, n_planes, dim, n_tables)
     v = vectors.join(sig_v, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nvec"),
+        "table",
         "signature",
     )
     q = queries.join(sig_q, id_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
+        "table",
         "signature",
     )
-    scored = (
-        v.join(F.broadcast(q), "signature")
+    pairs = (
+        v.join(F.broadcast(q), ["table", "signature"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_pandas(F.col("qvec"), F.col("nvec")).alias("cos_raw"),
-        )
+        .select("query_id", "neighbor_id", "qvec", "nvec")
+        .dropDuplicates(["query_id", "neighbor_id"])  # collide-in-any-table
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_pandas(F.col("qvec"), F.col("nvec")).alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (

@@ -467,6 +467,78 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipe-curate",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({ORACLE_CORPUS}),
+    quality AS (
+      SELECT doc_id, round(0.4 * len_ok + 0.3 * wlen_ok + 0.3 * (1.0 - non_alpha_ratio), 6)
+             AS quality
+      FROM (
+        SELECT doc_id,
+               CASE WHEN n_tok >= 5 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END AS len_ok,
+               CASE WHEN n_tok = 0 THEN 0.0
+                    WHEN CAST(total_wlen AS DOUBLE) / n_tok >= 2.0
+                         AND CAST(total_wlen AS DOUBLE) / n_tok <= 12.0 THEN 1.0
+                    ELSE 0.0 END AS wlen_ok,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[A-Za-z\\s]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS non_alpha_ratio
+        FROM (
+          SELECT doc_id, text,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+                 list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                         x -> length(x))) AS total_wlen
+          FROM corpus
+        )
+      )
+    ),
+    pairs AS (SELECT * FROM ({_minhash_oracle()})),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+    keepers AS (SELECT min(node) AS keeper FROM comp GROUP BY component),
+    survivors AS (
+      SELECT c.doc_id FROM corpus c
+      WHERE c.doc_id NOT IN (SELECT node FROM comp)     -- never duplicated
+         OR c.doc_id IN (SELECT keeper FROM keepers)    -- cluster keeper
+    )
+    SELECT s.doc_id, q.quality FROM survivors s
+    JOIN quality q ON q.doc_id = s.doc_id
+    WHERE q.quality >= 0.9
+    """,
+    doc="End-to-end corpus curation — the composite training-data pipeline: "
+    "dedup (LSH candidates → connected components → keeper election) ∘ "
+    "quality filter over the derived corpus; output = curated (doc_id, "
+    "quality). Each stage is an already-verified operator; this checks "
+    "their composition.",
+    bench=True,
+)
+def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.clustering import connected_components, elect_keepers
+
+    c = corpus(spark, sf_dir)
+    quality = c.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    pairs = minhash_candidates(c, "doc_id", "text")
+    comp = connected_components(pairs)
+    keepers = elect_keepers(comp).select(F.col("keeper").alias("doc_id"))
+    dup_members = comp.select(F.col("node").alias("doc_id"))
+    survivors = c.select("doc_id").join(dup_members, "doc_id", "left_anti").unionByName(
+        keepers
+    )
+    return (
+        survivors.join(quality, "doc_id")
+        .where(F.col("quality") >= 0.9)
+        .select("doc_id", "quality")
+    )
+
+
 # --- multimodal --------------------------------------------------------------
 
 

@@ -73,6 +73,23 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def streaming_dedup(
+    spark: SparkSession, source_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on event_id —
+    the training-data ingest guard against replayed/duplicated input
+    batches. State holds only ids younger than the watermark, so memory
+    is bounded by the dedup horizon, not the stream length."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .load(source_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def freshness_gate(source_path: str, marker_path: str) -> bool:
     """The reference's mtime freshness gate (itdbloader.py:78-103): returns
     True when the source is newer than the `.loaded` marker (work needed)."""

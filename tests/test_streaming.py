@@ -59,6 +59,34 @@ def test_foreach_batch_sink(spark, tmp_path):
     assert landed.select(F.countDistinct("event_id")).collect()[0][0] == src_count
 
 
+def test_streaming_dedup(spark, tmp_path):
+    """Duplicated input (the events table landed twice) streams through
+    dropDuplicatesWithinWatermark → exactly the distinct events survive."""
+    from itdb_spark.streaming.events import streaming_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")  # ts as long nanos
+    dup_dir = str(tmp_path / "dup_events")
+    src.write.mode("overwrite").parquet(dup_dir)
+    src.write.mode("append").parquet(dup_dir)
+    assert spark.read.parquet(dup_dir).count() == 2 * src.count()
+
+    deduped = streaming_dedup(spark, dup_dir)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM dedup_stream")
+    assert out.count() == src.count()
+    assert out.select("event_id").distinct().count() == src.count()
+
+
 def test_freshness_gate(tmp_path):
     from itdb_spark.streaming.events import freshness_gate
 
