@@ -237,6 +237,37 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join-range",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, count(*) AS cnt
+    FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 151 = 0) o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+    doc="Point-in-interval range join (no native Spark range join): "
+    "bucketize time, explode intervals into overlapped buckets, "
+    "equi-join on bucket, exact range filter — shuffle on bucket ids, "
+    "never the cross product. Oracle = the naive BETWEEN join.",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.rangejoin import range_join_count
+
+    t = Tables(spark, sf_dir)
+    intervals = (
+        t.orders.where(F.col("o_orderkey") % 151 == 0)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("end"),
+        )
+    )
+    points = t.lineitem.select("l_shipdate")
+    return range_join_count(points, intervals, "l_shipdate", "start", "end", "orderkey")
+
+
+@register(
     "snk-merge",
     oracle="""
     SELECT c_custkey, c_name, segment FROM (

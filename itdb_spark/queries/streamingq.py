@@ -43,6 +43,29 @@ def stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_WINDOW_ORACLE = """
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+           event_type, count(*) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream-window-live",
+    oracle=_STREAM_WINDOW_ORACLE,
+    doc="The SAME windowed aggregation computed by an actual Structured "
+    "Streaming query: readStream → watermark → tumbling windows → memory "
+    "sink, driven to completion, result returned — a real streaming "
+    "execution inside the oracle gate (stream-window is the batch twin).",
+)
+def stream_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.streaming.events import run_available_now, windowed_counts_stream
+
+    stream_df = windowed_counts_stream(spark, sf_dir, window="1 hour")
+    return run_available_now(stream_df, "stream_window_live_sink")
+
+
 @register(
     "stream-session",
     oracle="""

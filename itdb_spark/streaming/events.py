@@ -45,12 +45,17 @@ def windowed_counts_stream(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), F.col("event_type"))
-        .agg(F.count("*").alias("cnt"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            # integer cents: state-merge order can't perturb the sum, so the
+            # streaming result is bit-identical to the batch twin / oracle
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("window_start"),
             "event_type",
             "cnt",
-            F.round("total_value", 2).alias("total_value"),
+            "value_cents",
         )
     )
 

@@ -92,6 +92,30 @@ def test_partial_aggregation_before_shuffle(spark):
     assert "partial_count" in plan
 
 
+def test_range_join_bucketized_equals_naive(spark):
+    """The bucketized range join (shuffle on bucket ids) returns exactly
+    the naive cross-join-filter result."""
+    from itdb_spark.operators.rangejoin import range_join_count, range_join_naive
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    intervals = orders.where(F.col("o_orderkey") % 151 == 0).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("end"),
+    )
+    points = lineitem.select("l_shipdate")
+    fast = {
+        (r.orderkey, r.cnt)
+        for r in range_join_count(points, intervals, "l_shipdate", "start", "end", "orderkey").collect()
+    }
+    naive = {
+        (r.orderkey, r.cnt)
+        for r in range_join_naive(points, intervals, "l_shipdate", "start", "end", "orderkey").collect()
+    }
+    assert fast == naive and len(fast) > 0
+
+
 def test_topk_uses_group_limit(spark):
     from itdb_spark.queries import load_all
 

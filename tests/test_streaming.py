@@ -15,15 +15,12 @@ def test_windowed_stream_matches_batch(spark):
     stream_df = windowed_counts_stream(spark, SF_DIR, window="1 hour")
     result = run_available_now(stream_df, f"win_{int(time.time())}")
     got = {
-        (r.window_start, r.event_type): (r.cnt, r.total_value) for r in result.collect()
+        (r.window_start, r.event_type): (r.cnt, r.value_cents) for r in result.collect()
     }
 
     batch = load_all()["stream-window"].spark(spark, SF_DIR).collect()
-    expected_keys = {(r.window_start, r.event_type) for r in batch}
-    assert set(got) == expected_keys
-    bcounts = {(r.window_start, r.event_type): r.cnt for r in batch}
-    for k, (cnt, _) in got.items():
-        assert bcounts[k] == cnt
+    expected = {(r.window_start, r.event_type): (r.cnt, r.value_cents) for r in batch}
+    assert got == expected  # streaming ≡ batch, counts AND cent-exact sums
 
 
 def test_foreach_batch_sink(spark, tmp_path):
