@@ -68,6 +68,71 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn-sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 100 < 10
+    """,
+    doc="Deterministic hash-based sampling: keep rows whose key-hash bucket "
+    "falls under the rate — reproducible across engines and runs (unlike "
+    "seeded RNG sampling), stable under data reordering, and consistent "
+    "across tables sharing the key: the sampling discipline a training-"
+    "data pipeline needs for holdout splits.",
+)
+def fn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import portable_hash64
+
+    t = Tables(spark, sf_dir)
+    return t.documents.where(portable_hash64(F.col("doc_id")) % 100 < 10).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "fn-resample",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS t0,
+             time_bucket(INTERVAL '1 hour', max(ts)) AS t1
+      FROM events
+    ),
+    timeline AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS hour FROM bounds
+    ),
+    actual AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, count(*) AS cnt
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT CAST(epoch(t.hour) AS BIGINT) AS hour_epoch,
+           CAST(coalesce(a.cnt, 0) AS BIGINT) AS cnt
+    FROM timeline t LEFT JOIN actual a ON a.hour = t.hour
+    """,
+    doc="Time-series resample / gap fill: dense hourly timeline via "
+    "sequence(), left join the actual hourly counts, zero-fill the gaps — "
+    "the reporting shape histograms need when buckets can be empty.",
+)
+def fn_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bounds = t.events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    timeline = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    actual = (
+        t.events.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return timeline.join(actual, "hour", "left").select(
+        F.unix_timestamp("hour").alias("hour_epoch"),
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+    )
+
+
+@register(
     "win-frame",
     oracle="""
     SELECT custkey, orderkey, price_cents,
