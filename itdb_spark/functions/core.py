@@ -34,15 +34,21 @@ def portable_hash64(c: Column | str) -> Column:
 
 def decode_location(location: Column | str) -> Column:
     """``file://localhost/...%20...`` iTunes Location → plain filesystem path:
-    strip the scheme, decode the %-escapes the reference actually handles,
-    and unescape ``&amp;`` (playlistlinks.py:268-283; itdbmetadata.py:138;
-    orphaned_files:66-77)."""
+    strip the scheme, URL-decode ALL %XX escapes, and unescape ``&amp;`` —
+    the reference decodes generally via ``urllib.parse.unquote``
+    (playlistlinks.py:268-283; itdbmetadata.py:138; orphaned_files:66-77).
+
+    ``unquote`` semantics, not form-decoding: a literal ``+`` stays ``+``
+    (protected as %2B before ``url_decode``, whose URLDecoder would turn it
+    into a space). Malformed escapes (stray ``%``) make ``try_url_decode``
+    return null → the whole string passes through undecoded, mirroring the
+    reference's log-and-continue robustness. Property-tested round-trip vs
+    ``urllib.parse.unquote`` in tests/test_functions.py."""
     c = F.col(location) if isinstance(location, str) else location
     path = F.regexp_replace(c, r"^file://localhost", "")
-    path = F.regexp_replace(path, r"%20", " ")
-    path = F.regexp_replace(path, r"%C3%A9", "é")
     path = F.regexp_replace(path, r"&amp;", "&")
-    return path
+    protected = F.regexp_replace(path, r"\+", "%2B")
+    return F.coalesce(F.try_url_decode(protected), path)
 
 
 def ms_to_hms(ms: Column | str) -> Column:

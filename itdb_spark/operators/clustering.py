@@ -36,7 +36,10 @@ def connected_components(
     # round N recomputes rounds 1..N-1 from scratch and the plan grows
     # exponentially. localCheckpoint materializes to executor storage
     # (on a cluster with an unreliable executor set, use checkpoint()).
-    labels = labels.localCheckpoint(eager=True)
+    # LAZY checkpoints: the round's single count() action both materializes
+    # the checkpoint and returns the convergence signal — one job per round
+    # instead of eager-checkpoint + count (two full passes).
+    labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -52,7 +55,7 @@ def connected_components(
                 ),
                 "component",
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         changed = new_labels.where(F.col("new_component") < F.col("component")).count()
         labels = new_labels.select("node", F.col("new_component").alias("component"))
         if changed == 0:

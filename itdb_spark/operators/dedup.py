@@ -73,18 +73,32 @@ def exact_dup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, w) exploded word-3-gram shingle frame — the shared input of
+    MinHash signatures and exact Jaccard verification. Build it ONCE and
+    cache when both stages run in the same pipeline (dedup-jaccard,
+    pipe-curate): the explode is the dominant intermediate (≈ corpus token
+    count) and recomputing it per stage doubles the heaviest scan."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col)).alias("w"),
+    )
+
+
 def minhash_signatures(
-    docs: DataFrame, id_col: str, text_col: str, num_perm: int = NUM_PERM
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = NUM_PERM,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, m0..m{num_perm-1}) MinHash signature over word-3-gram shingles.
 
     explode(shingle set) → portable hash → ``num_perm`` min-aggregations in
     a single groupBy (one shuffle; map-side combine keeps the shuffle at one
-    row per doc per partition)."""
-    words = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col)).alias("w"),
-    )
+    row per doc per partition). Pass a pre-built ``shingles`` frame
+    (``shingle_frame``) to share the explode with other consumers."""
+    words = shingles if shingles is not None else shingle_frame(docs, id_col, text_col)
     hashed = words.select("doc", (portable_hash64(F.col("w")) % HASH_PRIME).alias("h"))
     aggs = []
     for j in range(num_perm):
@@ -96,8 +110,19 @@ def minhash_signatures(
 def minhash_bands(signatures: DataFrame, num_bands: int = NUM_BANDS) -> DataFrame:
     """Signature → (doc, band, band_hash): concatenate each band's rows into
     a string key. Banding trades precision for recall: P(candidate) =
-    1-(1-s^r)^b for Jaccard s."""
-    per_band = NUM_PERM // num_bands
+    1-(1-s^r)^b for Jaccard s.
+
+    The band width is derived from the signature frame's actual m* columns
+    (NOT the module-global NUM_PERM) so callers that built signatures with a
+    different num_perm band the full signature rather than a silent prefix."""
+    m_cols = sorted(
+        (c for c in signatures.columns if c.startswith("m") and c[1:].isdigit()),
+        key=lambda c: int(c[1:]),
+    )
+    num_perm = len(m_cols)
+    if num_perm % num_bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by num_bands={num_bands}")
+    per_band = num_perm // num_bands
     structs = []
     for b in range(num_bands):
         cols = [F.col(f"m{b * per_band + r}").cast("string") for r in range(per_band)]
@@ -110,14 +135,32 @@ def minhash_bands(signatures: DataFrame, num_bands: int = NUM_BANDS) -> DataFram
 
 
 def minhash_candidates(
-    docs: DataFrame, id_col: str, text_col: str, num_perm: int = NUM_PERM
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = NUM_PERM,
+    max_bucket: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id1 < id2) from LSH band buckets.
     The self-join shuffles only (band, hash, doc) triples. The band table
     is cached: without it, Spark recomputes the whole shingle→minhash
     pipeline for BOTH sides of the self-join (at cluster scale, checkpoint
-    the signature table instead — it is also the reusable dedup index)."""
-    bands = minhash_bands(minhash_signatures(docs, id_col, text_col, num_perm)).cache()
+    the signature table instead — it is also the reusable dedup index).
+
+    ``max_bucket`` caps hot buckets (boilerplate/template corpora where one
+    band hash collects thousands of docs — each contributes O(size²) pairs).
+    Buckets above the cap are dropped from pair generation; at 100 TB route
+    them to a template-cluster side channel instead of the pairwise path
+    (SCALE.md "hot buckets"). Implemented as a window count over the bucket
+    key — same shuffle as the join's, so the cap is free."""
+    bands = minhash_bands(minhash_signatures(docs, id_col, text_col, num_perm, shingles))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        bucket_n = F.count("*").over(Window.partitionBy("band", "band_hash"))
+        bands = bands.withColumn("_n", bucket_n).where(F.col("_n") <= max_bucket).drop("_n")
+    bands = bands.cache()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -138,6 +181,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-3-gram-shingle Jaccard verification → (id1, id2, jaccard).
 
@@ -153,15 +197,11 @@ def ngram_jaccard_pairs(
     The shingle join key is xxhash64(shingle), not the string (~10× fewer
     shuffle bytes); a 64-bit collision (P ≈ n²/2⁶⁵) would perturb one
     pair's count by 1 — negligible. The shingle table is cached: it feeds
-    four consumers and exchange reuse doesn't cover broadcast plans."""
-    words = (
-        docs.select(
-            F.col(id_col).alias("doc"),
-            F.explode(word_shingles(text_col)).alias("ws"),
-        )
-        .select("doc", F.xxhash64("ws").alias("w"))
-        .cache()
-    )
+    four consumers and exchange reuse doesn't cover broadcast plans. Pass
+    ``shingles`` (a cached ``shingle_frame``) to also share the explode
+    with the MinHash candidate stage."""
+    base = shingles if shingles is not None else shingle_frame(docs, id_col, text_col)
+    words = base.select("doc", F.xxhash64("w").alias("w")).cache()
     sizes = words.groupBy("doc").agg(F.count("*").alias("sz"))
     if candidates is not None:
         a = words.alias("a")

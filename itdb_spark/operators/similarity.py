@@ -117,11 +117,16 @@ def hyperplane_signatures(
     ⋈ broadcast(tables × planes) → per-(table, plane) signed dot → sign
     bits → integer signature. Two shuffles, both on vec_id.
     """
+    # One range, arithmetically decomposed into (table, plane, pos) — a
+    # crossJoin of three tiny ranges would plan as BroadcastNestedLoopJoin
+    # noise; this keeps the whole plane table a single Range + Project.
     planes = (
-        spark.range(n_tables)
-        .withColumnRenamed("id", "table")
-        .crossJoin(spark.range(n_planes).withColumnRenamed("id", "plane"))
-        .crossJoin(spark.range(dim).withColumnRenamed("id", "pos"))
+        spark.range(n_tables * n_planes * dim)
+        .select(
+            (F.col("id") / (n_planes * dim)).cast("long").alias("table"),
+            ((F.col("id") / dim) % n_planes).cast("long").alias("plane"),
+            (F.col("id") % dim).cast("long").alias("pos"),
+        )
         .select(
             "table",
             "plane",
@@ -162,6 +167,52 @@ def hyperplane_signatures(
         .alias("signature")
     )
     return sig.select(F.col("vid").alias(id_col), "table", "signature")
+
+
+def embedding_dup_pairs(
+    spark: SparkSession,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    threshold: float = 0.999,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cosine > threshold)
+    via hyperplane-LSH bucketing — the scale-safe alternative to the
+    all-pairs cartesian: candidate pairs come from a self-equi-join on
+    (table, signature) (a shuffled hash join on the bucket key, never a
+    BroadcastNestedLoopJoin), then exact cosine is verified only within
+    buckets. Work is Σ bucket² instead of N²; recall for near-identical
+    pairs (cosine→1) is ~exact because near-parallel vectors share every
+    hyperplane sign, and multi-table probing covers the sliver that
+    straddles a plane. The reference's analog is two-phase dedup — cheap
+    fingerprint grouping then exact verify (dupes/dedup.py:127-171)."""
+    sig = hyperplane_signatures(spark, vectors, id_col, vec_col, n_planes, dim, n_tables)
+    cands = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.signature") == F.col("b.signature"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+        )
+        .distinct()  # collide-in-any-table
+    )
+    va = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("avec"))
+    vb = vectors.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("bvec"))
+    return (
+        cands.join(va, "id1")
+        .join(vb, "id2")
+        .select("id1", "id2", cosine_pandas(F.col("avec"), F.col("bvec")).alias("cos_raw"))
+        .where(F.col("cos_raw") > threshold)
+        .select("id1", "id2", F.round("cos_raw", 6).alias("cosine"))
+    )
 
 
 def lsh_knn(

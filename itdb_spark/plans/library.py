@@ -138,6 +138,45 @@ def adjacent_dupes(files: DataFrame) -> DataFrame:
     )
 
 
+def ranged_row_number(
+    df: DataFrame,
+    order_cols,
+    start: int = 0,
+    out_col: str = "seq",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``row_number() + start`` over ``order_cols`` WITHOUT the
+    single-partition global window (SCALE.md "global sorts"): (1)
+    ``repartitionByRange`` on the full sort key, so partition *i* holds keys
+    strictly below partition *i+1*; (2) partition-local row_number keyed on
+    ``spark_partition_id()`` — rows are already co-located, so the window's
+    exchange only re-hashes the pid; (3) per-partition boundary offsets =
+    running sum of partition counts (a #partitions-row frame — its own
+    global window is trivially small), broadcast back. Every stage is
+    parallel over the data; nothing funnels the table through one task.
+
+    ``order_cols`` must be a total order (include tie-breaks) so the result
+    is deterministic and oracle-reproducible."""
+    from pyspark.sql import functions as _F
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *cols).withColumn("_pid", _F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(*cols)
+    local = ranged.withColumn("_local", F.row_number().over(w_local))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .select("_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_local") + F.col("_off") + F.lit(start)).cast("long"))
+        .drop("_pid", "_local")
+    )
+
+
 def adjacent_dupes_scalable(files: DataFrame) -> DataFrame:
     """Equivalent result with no global sort: under the deterministic
     (checksum, path) ordering, the rows flagged equal-to-previous are

@@ -299,12 +299,16 @@ def snk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # sketch results are engine-specific — rows-only
     doc="Approximate aggregates for the 100 TB path: approx_count_distinct "
     "(HyperLogLog++) and percentile_approx over lineitem — the scale "
-    "substitutes for agg-cdistinct / exact quantiles.",
+    "substitutes for agg-cdistinct / exact quantiles. Quantiles emitted as "
+    "scalar columns (q50/q95/q99), not an array — scalar rows canonicalize "
+    "in any downstream comparator.",
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return t.lineitem.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("q50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("q95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("q99"),
     )

@@ -202,9 +202,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.dedup import shingle_frame
+
     c = corpus(spark, sf_dir)
-    cands = minhash_candidates(c, "doc_id", "text")
-    return ngram_jaccard_pairs(c, "doc_id", "text", candidates=cands)
+    # One shingle explode shared by BOTH stages (candidate generation and
+    # exact verification) — the explode is the dominant intermediate.
+    sh = shingle_frame(c, "doc_id", "text").cache()
+    cands = minhash_candidates(c, "doc_id", "text", shingles=sh)
+    return ngram_jaccard_pairs(c, "doc_id", "text", candidates=cands, shingles=sh)
 
 
 @register(
@@ -328,13 +333,18 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v a JOIN v b ON a.vec_id < b.vec_id
     ) WHERE cos_raw > 0.999
     """,
-    doc="Embedding-cosine near-duplicate pairs (cosine > threshold). The "
-    "corpus gains scaled copies (+10000, ×1.001) so true near-dups exist; "
-    "scaling preserves cosine ≈ 1. At scale: LSH-bucket first, verify "
-    "cosine only within buckets.",
+    doc="Embedding-cosine near-duplicate pairs (cosine > threshold), routed "
+    "through hyperplane-LSH buckets: candidates = same (table, signature) "
+    "bucket in any of 2 hash tables, exact cosine verified ONLY within "
+    "buckets — O(bucket²) not O(N²), no BroadcastNestedLoopJoin. Scaling "
+    "(×1.001) preserves every hyperplane sign exactly, so true near-dup "
+    "pairs always collide and recall vs the all-pairs DuckDB oracle is "
+    "exact (tests/test_operators.py also asserts equivalence to the "
+    "all-pairs form). The corpus gains scaled copies (+10000, ×1.001) so "
+    "true near-dups exist.",
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from itdb_spark.operators.similarity import cosine_pandas
+    from itdb_spark.operators.similarity import embedding_dup_pairs
 
     t = Tables(spark, sf_dir)
     base = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
@@ -343,14 +353,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("vec", lambda x: x * 1.001).alias("vec"),
     )
     v = base.unionByName(copies)
-    a = v.select(F.col("vec_id").alias("id1"), F.col("vec").alias("avec"))
-    b = v.select(F.col("vec_id").alias("id2"), F.col("vec").alias("bvec"))
-    return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .select("id1", "id2", cosine_pandas(F.col("avec"), F.col("bvec")).alias("cos_raw"))
-        .where(F.col("cos_raw") > 0.999)
-        .select("id1", "id2", F.round("cos_raw", 6).alias("cosine"))
-    )
+    return embedding_dup_pairs(spark, v, id_col="vec_id", vec_col="vec", threshold=0.999)
 
 
 # --- text analysis -----------------------------------------------------------
@@ -523,7 +526,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.operators.clustering import connected_components, elect_keepers
 
-    c = corpus(spark, sf_dir)
+    # corpus feeds three consumers (quality, the shingle→minhash pipeline,
+    # and the survivor anti-join) — cache it once instead of re-deriving
+    # per consumer.
+    c = corpus(spark, sf_dir).cache()
     quality = c.select("doc_id", quality_score(F.col("text")).alias("quality"))
     pairs = minhash_candidates(c, "doc_id", "text")
     comp = connected_components(pairs)

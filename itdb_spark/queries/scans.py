@@ -224,15 +224,16 @@ def snk_dedup_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn-location",
     oracle="""
     SELECT p_partkey,
-           replace(replace(replace(
-             concat('file://localhost/Music/', replace(p_name, ' ', '%20'), '.mp3'),
-             'file://localhost', ''), '%20', ' '), '&amp;', '&') AS path
+           concat('/Music/', p_name, '''s mix, vol+1 — é.mp3') AS path
     FROM part
     """,
-    doc="URL-encoded Location → filesystem path: strip scheme, decode "
-    "%-escapes, unescape HTML entities (playlistlinks.py:268-283; "
-    "itdbmetadata.py:138; orphaned_files:66-77). Round-trips an encoded "
-    "location built from p_name.",
+    doc="URL-encoded Location → filesystem path: strip scheme, URL-decode "
+    "ALL %-escapes (urllib.parse.unquote semantics, playlistlinks.py:268-283; "
+    "itdbmetadata.py:138; orphaned_files:66-77), unescape HTML entities. The "
+    "encoded input exercises %20, %27, %2C, a literal '+', and multi-byte "
+    "UTF-8 escapes (%E2%80%94, %C3%A9); the oracle states the expected "
+    "plaintext DIRECTLY (no shared decode chain), so the decode itself is "
+    "what's verified.",
 )
 def fn_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.functions.core import decode_location
@@ -241,7 +242,7 @@ def fn_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = F.concat(
         F.lit("file://localhost/Music/"),
         F.regexp_replace("p_name", " ", "%20"),
-        F.lit(".mp3"),
+        F.lit("%27s%20mix%2C%20vol+1%20%E2%80%94%20%C3%A9.mp3"),
     )
     return t.part.select("p_partkey", decode_location(loc).alias("path"))
 

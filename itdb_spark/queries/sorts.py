@@ -83,14 +83,18 @@ def topk_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Random permutation for playlist order (`random.shuffle`, "
     "playlistlinks.py:186-189) — made deterministic by ordering on a hash "
     "of the key (seeded shuffle), so the oracle can reproduce it. "
-    "`orderBy(rand(seed))` is the non-oracle equivalent.",
+    "`orderBy(rand(seed))` is the non-oracle equivalent. Registered in the "
+    "scale-safe ranged form (ranged_row_number): positions come from "
+    "repartitionByRange on the hash + partition-local numbering + boundary "
+    "offsets — no single-partition Exchange.",
 )
 def sort_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from itdb_spark.plans.library import ranged_row_number
 
     t = Tables(spark, sf_dir)
-    w = Window.orderBy(F.md5(F.col("p_partkey").cast("string")), F.col("p_partkey"))
-    return t.part.select("p_partkey", F.row_number().over(w).alias("position"))
+    base = t.part.select("p_partkey", F.md5(F.col("p_partkey").cast("string")).alias("_h"))
+    numbered = ranged_row_number(base, ["_h", "p_partkey"], out_col="position")
+    return numbered.select("p_partkey", "position")
 
 
 @register(

@@ -25,10 +25,14 @@ from itdb_spark.queries import register
     ) WHERE price_cents = prev_cents
     """,
     doc="Adjacent-duplicate detection: sort checksums, flag rows equal to the "
-    "previous row (dupes/finddupes.py:3-18) → lag() over a fully "
-    "deterministic ordering. A global window like this single-partitions at "
-    "scale; for 100 TB partition by a hash prefix of the sort key first "
-    "(duplicates of a value always land in the same range).",
+    "previous row (dupes/finddupes.py:3-18). Registered in the SCALE-SAFE "
+    "form (the adjacent_dupes_scalable pattern, plans/library.py): under "
+    "the global (price_cents, orderkey, linenumber) order, rows flagged "
+    "equal-to-previous are exactly every row but the first within each "
+    "price_cents group — so the window PARTITIONS BY the value instead of "
+    "ordering the world by it. One hash shuffle on near-unique keys; no "
+    "single-partition Exchange (asserted in tests/test_scale_paths.py). "
+    "Result identical to the literal lag()-over-global-sort oracle.",
 )
 def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
@@ -38,10 +42,10 @@ def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("linenumber"),
         cents.alias("price_cents"),
     )
-    w = Window.orderBy("price_cents", "orderkey", "linenumber")
+    w = Window.partitionBy("price_cents").orderBy("orderkey", "linenumber")
     return (
-        base.withColumn("prev_cents", F.lag("price_cents").over(w))
-        .where(F.col("price_cents") == F.col("prev_cents"))
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
         .select("orderkey", "linenumber", "price_cents")
     )
 
@@ -54,16 +58,18 @@ def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
     doc="Sequential numbering continuing across outputs (`--start_number`, "
-    "playlistlinks.py:192,:211-221,:385-386) → row_number() + offset.",
+    "playlistlinks.py:192,:211-221,:385-386) → global row_number + offset, "
+    "registered in the scale-safe ranged form: repartitionByRange + "
+    "partition-local numbering + boundary offsets (ranged_row_number, "
+    "plans/library.py) — no single-partition Exchange.",
 )
 def win_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.plans.library import ranged_row_number
+
     t = Tables(spark, sf_dir)
-    w = Window.orderBy("o_orderdate", "o_orderkey")
-    start = 100
-    return t.orders.select(
-        F.col("o_orderkey").alias("orderkey"),
-        (F.row_number().over(w) + start).cast("long").alias("seq"),
-    )
+    base = t.orders.select(F.col("o_orderkey").alias("orderkey"), "o_orderdate")
+    numbered = ranged_row_number(base, ["o_orderdate", "orderkey"], start=100, out_col="seq")
+    return numbered.select("orderkey", "seq")
 
 
 @register(

@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 from collections.abc import Iterable
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from itdb_spark.functions.core import sanitize_filename
@@ -28,23 +28,28 @@ def symlink_manifest(
 ) -> DataFrame:
     """Compute the symlink tree manifest: `%(Genre)s/%(Artist)s/NNN-name`
     layout (playlistlinks.py:191-197, :211-221; README.md:107-109), with the
-    sequential numbering that continues across playlists (win-seq)."""
+    sequential numbering that continues across playlists (win-seq). The
+    numbering uses the scale-safe ranged pattern (ranged_row_number:
+    repartitionByRange + partition-local numbers + boundary offsets), not a
+    single-partition global window."""
+    from itdb_spark.plans.library import ranged_row_number
+
     dest_dir = F.concat_ws(
         "/", *[sanitize_filename(F.col(c)) for c in layout]
     )
-    w = Window.orderBy(*[F.col(c) for c in layout], F.col(path_col))
-    seq = (F.row_number().over(w) + start_number).cast("long")
-    return tracks.select(
+    order_cols = [F.col(c) for c in layout] + [F.col(path_col)]
+    numbered = ranged_row_number(tracks, order_cols, start=start_number, out_col="seq")
+    return numbered.select(
         F.col(path_col).alias("src"),
         F.concat(
             dest_dir,
             F.lit("/"),
-            F.lpad(seq.cast("string"), 3, "0"),
+            F.lpad(F.col("seq").cast("string"), 3, "0"),
             F.lit("-"),
             sanitize_filename(F.col(name_col)),
         ).alias("dest"),
         F.lit("symlink").alias("link_type"),
-        seq.alias("seq"),
+        F.col("seq"),
     )
 
 
@@ -56,13 +61,17 @@ def m3u_manifest(
 ) -> DataFrame:
     """m3u playlist lines with the reference's `#ITDBDESC`/`#ITDBFILE` header
     comments (templates/filelist.tmpl.m3u:1-4; playlistlinks.py:254-265);
-    one ordered line per row."""
+    one ordered line per row. Line numbering via the scale-safe ranged
+    pattern — no single-partition global window."""
+    from itdb_spark.plans.library import ranged_row_number
+
     path_c = F.col(path_col) if isinstance(path_col, str) else path_col
     name_c = F.col(name_col) if isinstance(name_col, str) else name_col
-    w = Window.orderBy(name_c, path_c)
-    return tracks.select(
-        F.row_number().over(w).cast("long").alias("seq"),
-        F.concat(F.lit("#ITDBFILE:"), name_c, F.lit("\n"), path_c).alias("line"),
+    base = tracks.select(path_c.alias("_path"), name_c.alias("_name"))
+    numbered = ranged_row_number(base, ["_name", "_path"], out_col="seq")
+    return numbered.select(
+        "seq",
+        F.concat(F.lit("#ITDBFILE:"), F.col("_name"), F.lit("\n"), F.col("_path")).alias("line"),
     )
 
 

@@ -58,6 +58,46 @@ def test_sanitize_filename_whitelist(spark, names):
         assert len(out) > 0
 
 
+@given(
+    st.lists(
+        st.text(
+            alphabet=string.ascii_letters + string.digits + " /&'é—ß,.+-_",
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_decode_location_matches_unquote(spark, paths):
+    """decode_location round-trips arbitrary %XX escapes exactly like the
+    reference's urllib.parse.unquote (playlistlinks.py:268-283): encode each
+    path fully with urllib.parse.quote, prefix the scheme, decode in Spark,
+    expect the original path back (+ preserved, multi-byte UTF-8 intact)."""
+    from urllib.parse import quote, unquote
+
+    from itdb_spark.functions.core import decode_location
+
+    encoded = ["file://localhost" + quote("/" + p) for p in paths]
+    got = _eval_batch(
+        spark, [(e,) for e in encoded], "loc string", decode_location("loc")
+    )
+    expected = [unquote(e[len("file://localhost"):]) for e in encoded]
+    assert got == expected == ["/" + p for p in paths]
+
+
+def test_decode_location_malformed_passthrough(spark):
+    """Stray % (invalid escape) → whole string passes through undecoded."""
+    from itdb_spark.functions.core import decode_location
+
+    got = _eval_batch(
+        spark,
+        [("file://localhost/Music/100%25%20done",), ("file://localhost/100% bad",)],
+        "loc string",
+        decode_location("loc"),
+    )
+    assert got == ["/Music/100% done", "/100% bad"]
+
+
 @given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=20))
 def test_word_shingles_properties(spark, texts):
     from itdb_spark.operators.dedup import word_shingles

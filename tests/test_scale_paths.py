@@ -121,3 +121,137 @@ def test_topk_uses_group_limit(spark):
 
     df = load_all()["win-topk-group"].spark(spark, SF_DIR)
     assert "WindowGroupLimit" in _physical_plan(df)
+
+
+def _single_partition_exchanges(plan: str) -> list[str]:
+    """Exchange SinglePartition lines, excluding the ranged_row_number
+    boundary-offset side (a #partitions-row frame — bounded by cluster
+    size, not data size; its broadcast back is the scale-safe shape)."""
+    return [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange SinglePartition" in ln and "_pid" not in ln and "_n" not in ln
+    ]
+
+
+@pytest.mark.parametrize("qid", ["win-lag", "win-seq", "sort-shuffle", "snk-m3u", "snk-symlink"])
+def test_no_global_window_single_partition(spark, qid):
+    """The registered forms of the previously global-window queries must not
+    funnel the DATA through one partition. ranged_row_number's offset frame
+    (one row per partition) is the only allowed SinglePartition exchange,
+    and it must appear only downstream of the per-partition count agg."""
+    from itdb_spark.queries import load_all
+
+    df = load_all()[qid].spark(spark, SF_DIR)
+    plan = _physical_plan(df)
+    offenders = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        # allowed: the offsets branch — its subtree aggregates per-pid
+        # counts (rows = #partitions). Heuristic: the 6 lines below the
+        # exchange must contain the _pid count agg, not a table scan of
+        # the full input.
+        subtree = "\n".join(lines[i : i + 8])
+        if "_pid" in subtree or "_n" in subtree:
+            continue
+        offenders.append(ln)
+    assert not offenders, f"{qid} single-partitions the data:\n{plan}"
+
+
+def test_ranged_row_number_matches_global_window(spark):
+    """ranged_row_number ≡ row_number over a global window (equivalence on
+    orders at sf0.001)."""
+    from pyspark.sql import Window
+
+    from itdb_spark.plans.library import ranged_row_number
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    got = {
+        (r.o_orderkey, r.seq)
+        for r in ranged_row_number(
+            orders, ["o_orderdate", "o_orderkey"], start=7, out_col="seq"
+        ).collect()
+    }
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    expected = {
+        (r.o_orderkey, r.seq)
+        for r in orders.select(
+            "o_orderkey", (F.row_number().over(w) + 7).cast("long").alias("seq")
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_embedding_dup_pairs_no_nested_loop(spark):
+    """dedup-embedding's registered plan must not contain a
+    BroadcastNestedLoopJoin (the all-pairs cartesian it replaced)."""
+    from itdb_spark.queries import load_all
+
+    df = load_all()["dedup-embedding"].spark(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embedding_dup_pairs_equals_all_pairs(spark):
+    """LSH-bucketed near-dup pairs ≡ the all-pairs form at test scale."""
+    from itdb_spark.operators.similarity import cosine_pandas, embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    copies = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("vec", lambda x: x * 1.001).alias("vec"),
+    )
+    v = base.unionByName(copies).cache()
+    got = {
+        (r.id1, r.id2)
+        for r in embedding_dup_pairs(spark, v, "vec_id", "vec", 0.999).collect()
+    }
+    a = v.select(F.col("vec_id").alias("id1"), F.col("vec").alias("avec"))
+    b = v.select(F.col("vec_id").alias("id2"), F.col("vec").alias("bvec"))
+    expected = {
+        (r.id1, r.id2)
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine_pandas(F.col("avec"), F.col("bvec")).alias("c"))
+        .where(F.col("c") > 0.999)
+        .collect()
+    }
+    assert got == expected and len(got) >= 200
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """max_bucket drops template buckets: a corpus where one text repeats
+    50× (a boilerplate cluster) plus distinct docs — with the cap, the
+    1225-pair template clique disappears; distinct near-dup pairs survive."""
+    from itdb_spark.operators.dedup import minhash_candidates
+
+    rows = [(i, "the same boilerplate template text repeated again and again") for i in range(50)]
+    rows += [(100 + i, f"unique document number {i} about topic {i} with extra words here") for i in range(5)]
+    rows += [(200, "unique document number 0 about topic 0 with extra words here")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = minhash_candidates(docs, "doc_id", "text").count()
+    capped = minhash_candidates(docs, "doc_id", "text", max_bucket=10)
+    capped_pairs = {(r.id1, r.id2) for r in capped.collect()}
+    assert uncapped >= 50 * 49 // 2  # template clique present uncapped
+    assert all(i1 >= 100 for i1, _ in capped_pairs), capped_pairs  # clique gone
+    assert (100, 200) in capped_pairs  # true near-dup pair survives the cap
+
+
+def test_minhash_bands_respects_num_perm(spark):
+    """minhash_bands derives band width from the signature frame (ADVICE:
+    num_perm=32 must band m0..m31, not silently m0..m15)."""
+    from itdb_spark.operators.dedup import minhash_bands, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "eta theta iota kappa lambda mu")],
+        "doc_id int, text string",
+    )
+    sig = minhash_signatures(docs, "doc_id", "text", num_perm=32)
+    bands = minhash_bands(sig, num_bands=4)
+    row = bands.where((F.col("doc") == 1) & (F.col("band") == 3)).collect()[0]
+    # band 3 of a 32-perm signature concatenates m24..m31 → 8 components
+    assert len(row.band_hash.split("_")) == 8
