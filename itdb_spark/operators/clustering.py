@@ -29,8 +29,13 @@ def connected_components(
         .distinct()
         .cache()  # reused every round
     )
-    labels = edges.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("component")
+    # Initial labels fold the would-be first propagation round into a plain
+    # groupBy: with identity labels, "min neighbor label" IS min(b) — no
+    # join needed, and the loop starts one round further along.
+    labels = (
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("nmin"))
+        .select("node", F.least(F.col("node"), F.col("nmin")).alias("component"))
     )
     # Iterative algorithms must truncate lineage each round — otherwise
     # round N recomputes rounds 1..N-1 from scratch and the plan grows
