@@ -10,9 +10,12 @@ Write semantics mapped from the reference:
   * `DELETE FROM` before reload    → mode("overwrite") with truncate
     (itdbloader.py:139-144)
 
-No JDBC driver jar ships in this container, so writes are gated: call
-``jdbc_available(spark)`` first; tests exercise the dedup/canonicalize
-logic and the option plumbing without a live database."""
+MySQL itself isn't in this container, but Spark bundles the Apache Derby
+driver (derby-*.jar on every classpath) — tests/test_jdbc.py exercises
+``write_table`` end-to-end against an embedded-Derby database (write,
+LOAD-IGNORE dedupe, REPLACE-style overwrite, read-back). For other
+engines call ``jdbc_available(spark, driver_class)`` first and provision
+the jar via ``spark.jars``."""
 
 from __future__ import annotations
 
@@ -45,12 +48,18 @@ def write_table(
     pk: list[str] | None = None,
     batchsize: int = 10_000,
     truncate: bool = True,
+    varchar_strings: int | None = 255,
     **options: str,
 ) -> None:
     """Batched JDBC write. ``overwrite`` + truncate reproduces the
     reference's DELETE-then-reload; pass ``mode='append'`` with ``pk`` for
     the LOAD-IGNORE path. Partitioned executors write concurrently —
-    size ``numPartitions``/``batchsize`` to the database's ingest limits."""
+    size ``numPartitions``/``batchsize`` to the database's ingest limits.
+
+    ``varchar_strings``: land string columns as VARCHAR(n) instead of the
+    driver default (Derby picks CLOB, which then rejects pushed-down
+    string predicates on read-back; the reference's DDL is VARCHAR(8..1024),
+    itdb.sql:14-84). None keeps the driver default."""
     out = canonicalize_for_load(df, pk) if pk else df
     writer = (
         out.write.format("jdbc")
@@ -59,6 +68,13 @@ def write_table(
         .option("batchsize", str(batchsize))
         .option("truncate", str(truncate).lower())
     )
+    if varchar_strings and "createTableColumnTypes" not in options:
+        string_cols = [f for f, t in out.dtypes if t == "string"]
+        if string_cols:
+            writer = writer.option(
+                "createTableColumnTypes",
+                ", ".join(f"{c} VARCHAR({varchar_strings})" for c in string_cols),
+            )
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.mode(mode).save()

@@ -1,0 +1,88 @@
+"""End-to-end JDBC writes against embedded Apache Derby (the driver jar
+Spark itself ships), proving the reference's MySQL landing semantics run
+for real — not just option plumbing:
+
+  * bulk load with PK dedupe  ≈ `LOAD DATA INFILE ... IGNORE`
+    (itdbloader.py:226-237)
+  * recompute + overwrite     ≈ `REPLACE INTO` / DELETE-then-reload
+    (itdbloader.py:202-211, :139-144)
+
+Embedded Derby runs inside the Spark JVM (single-process DB — the test
+analog of a warehouse endpoint; on a cluster the same code points at
+MySQL with the connector jar on spark.jars).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture()
+def derby_url(spark, tmp_path):
+    from itdb_spark.sinks.jdbc import jdbc_available
+
+    if not jdbc_available(spark, DERBY_DRIVER):
+        pytest.skip("Derby driver not on classpath")
+    return f"jdbc:derby:{tmp_path}/itdb_derby;create=true"
+
+
+def _read(spark, url, table):
+    return spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+
+
+def test_bulk_load_ignore_dedupes_on_pk(spark, derby_url):
+    """Doubled feed + pk= → one row per PK lands (LOAD-IGNORE)."""
+    from itdb_spark.sinks.jdbc import write_table
+
+    orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .limit(100)
+    )
+    doubled = orders.unionByName(orders)
+    write_table(doubled, derby_url, "orders_land", mode="overwrite", pk=["o_orderkey"])
+    back = _read(spark, derby_url, "orders_land")
+    assert back.count() == 100
+    assert back.select("o_orderkey").distinct().count() == 100
+
+
+def test_replace_semantics_roundtrip(spark, derby_url):
+    """Initial load, then recompute-with-updates + overwrite (the engine's
+    REPLACE INTO form) — read-back shows updated rows, stable count."""
+    from itdb_spark.operators.merge import merge_upsert
+    from itdb_spark.sinks.jdbc import write_table
+
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_table(nation, derby_url, "nation_land", mode="overwrite")
+    updates = nation.where(F.col("n_nationkey") < 5).withColumn(
+        "n_name", F.lit("RENAMED")
+    )
+    replaced = merge_upsert(nation, updates, ["n_nationkey"])
+    write_table(replaced, derby_url, "nation_land", mode="overwrite")
+    back = _read(spark, derby_url, "nation_land")
+    assert back.count() == nation.count()
+    assert back.where(F.col("n_name") == "RENAMED").count() == 5
+    assert back.where((F.col("n_nationkey") >= 5) & (F.col("n_name") == "RENAMED")).count() == 0
+
+
+def test_append_then_incremental_anti_join(spark, derby_url):
+    """inc-anti against live sink state: second batch appends only rows the
+    sink doesn't already have (itdbmetadata.py:127-133 incremental gate)."""
+    from itdb_spark.sinks.jdbc import write_table
+
+    region = spark.read.parquet(f"{SF_DIR}/region.parquet").select("r_regionkey", "r_name")
+    first = region.where(F.col("r_regionkey") < 3)
+    write_table(first, derby_url, "region_land", mode="overwrite")
+    sink_state = _read(spark, derby_url, "region_land").select("r_regionkey")
+    fresh = region.join(sink_state, "r_regionkey", "left_anti")
+    write_table(fresh, derby_url, "region_land", mode="append", truncate=False)
+    back = _read(spark, derby_url, "region_land")
+    assert back.count() == region.count()
+    assert back.select("r_regionkey").distinct().count() == region.count()
