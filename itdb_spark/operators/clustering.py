@@ -23,6 +23,10 @@ def connected_components(
     min node id reachable. Converges when a full round changes no label
     (checked with a count — one action per round, each round one shuffle).
     """
+    # The edge union scans `pairs` twice (forward + reversed); the LSH
+    # band self-join feeding it is a broadcast join, which exchange reuse
+    # does not cover — cache pairs so the candidate pipeline runs once.
+    pairs = pairs.cache()
     edges = (
         pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
         .unionByName(pairs.select(F.col(id2).alias("a"), F.col(id1).alias("b")))
