@@ -76,6 +76,29 @@ def src_plist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src-plist-chunked",
+    oracle=None,  # filesystem-backed; rows-only check
+    doc="The >memory plist ingest path: ONE library XML parsed in parallel "
+    "byte ranges (Hadoop-split record protocol on the rigid track-entry "
+    "indentation, sources/plist.py:read_itunes_tracks_chunked) — closes the "
+    "reference's noted memory pressure (README.md:64-68). chunk_bytes here "
+    "is tiny (4 KB) so the 50-track library really spans multiple ranges; "
+    "equivalence with the whole-file parse is a test invariant "
+    "(tests/test_plist.py).",
+)
+def src_plist_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.sources.plist import read_itunes_tracks_chunked
+
+    d = os.path.join(tempfile.gettempdir(), "itdb_spark_plist")
+    os.makedirs(d, exist_ok=True)
+    lib = os.path.join(d, "library.xml")
+    if not os.path.exists(lib):
+        _synth_library(lib)
+    tracks = read_itunes_tracks_chunked(spark, lib, user_id=1, chunk_bytes=4096)
+    return tracks.select("User_ID", "Track_ID", "Name", "Artist", "Genre", "Rating")
+
+
+@register(
     "src-fswalk",
     oracle=None,  # filesystem-backed; rows-only check
     doc="Recursive filesystem scan → (path, size) relation (dupes/dedup.py:"

@@ -43,18 +43,23 @@ def _coerce(value: Any, spark_type_name: str) -> Any:
     return value
 
 
+def _project_track(track: dict, user_id: int) -> tuple:
+    """Project one track dict onto the schema (schema-driven projection,
+    itdbloader.py:165-168), unknown keys tolerated."""
+    row = {"User_ID": user_id}
+    for key, value in track.items():
+        col = key.replace(" ", "_")
+        field = _TRACK_FIELDS.get(col)
+        if field is not None:
+            row[col] = _coerce(value, field.dataType.typeName())
+    return tuple(row.get(f.name) for f in TRACKS_SCHEMA.fields)
+
+
 def _track_rows(itunes: dict, user_id: int) -> Iterator[tuple]:
     """itunes["Tracks"] is a map str(track_id) → dict of ~70 fields
-    (itdbloader.py:148-156); project onto the schema (schema-driven
-    projection, itdbloader.py:165-168), unknown keys tolerated."""
+    (itdbloader.py:148-156)."""
     for _tid, track in itunes.get("Tracks", {}).items():
-        row = {"User_ID": user_id}
-        for key, value in track.items():
-            col = key.replace(" ", "_")
-            field = _TRACK_FIELDS.get(col)
-            if field is not None:
-                row[col] = _coerce(value, field.dataType.typeName())
-        yield tuple(row.get(f.name) for f in TRACKS_SCHEMA.fields)
+        yield _project_track(track, user_id)
 
 
 def _playlist_rows(itunes: dict, user_id: int) -> Iterator[tuple]:
@@ -115,6 +120,97 @@ def read_itunes_library(
         ["User_ID", "Playlist_ID", "Track_ID"]
     )
     return {"tracks": tracks, "playlists": playlists, "playlist_tracks": playlist_tracks}
+
+
+# --- >memory chunked ingest --------------------------------------------------
+#
+# A single library XML bigger than executor memory cannot go through
+# plistlib.load on the whole file (the reference itself flags the memory
+# pressure, README.md:64-68). iTunes library XML is machine-generated and
+# rigidly indented: inside <key>Tracks</key><dict>, every track entry is
+#
+#     \n\t\t<key>TRACK_ID</key>\n\t\t<dict> ... \n\t\t</dict>
+#
+# with exactly two tabs at track level (field keys are 3+ tabs, playlist
+# structures are 1 or 3+ tabs, and plistlib XML-escapes <,>,& in string
+# values — so the 2-tab marker cannot occur in data). That makes the file
+# splittable exactly like Hadoop's text input format: fixed byte ranges,
+# each task claims every record whose *marker offset* falls inside its
+# range and reads past its end to finish the last record.
+
+_TRACK_MARKER = b"\n\t\t<key>"
+_TRACK_CLOSE = b"\n\t\t</dict>"
+_PLIST_WRAP = (
+    b'<?xml version="1.0" encoding="UTF-8"?>\n<plist version="1.0">%s</plist>'
+)
+
+
+def _scan_track_range(path: str, start: int, end: int, user_id: int) -> Iterator[tuple]:
+    """Parse every track whose entry-marker offset lies in [start, end).
+
+    Memory bound: one read buffer of (range + one overhanging record) —
+    never the whole file. Each fragment is wrapped into a one-dict plist
+    and parsed with plistlib (full XML unescaping / type coercion)."""
+    with open(path, "rb") as fh:
+        # back up so a marker straddling the boundary is still found
+        seek = max(0, start - len(_TRACK_MARKER) + 1)
+        fh.seek(seek)
+        buf = fh.read(end - seek)
+
+        def find_extending(token: bytes, from_: int) -> int:
+            """buf.find that reads more of the file when the token may be
+            truncated at the buffer end (a record overhanging the range)."""
+            nonlocal buf
+            while True:
+                idx = buf.find(token, from_)
+                if idx != -1:
+                    return idx
+                more = fh.read(1 << 20)
+                if not more:
+                    return -1
+                buf += more
+
+        pos = 0
+        while True:
+            m = buf.find(_TRACK_MARKER, pos)
+            if m == -1 or seek + m >= end:
+                return
+            dict_open = find_extending(b"<dict>", m)
+            if dict_open == -1:
+                return
+            close = find_extending(_TRACK_CLOSE, dict_open)
+            if close == -1:
+                return
+            frag = buf[dict_open : close + len(_TRACK_CLOSE)]
+            track = plistlib.loads(_PLIST_WRAP % frag)
+            yield _project_track(track, user_id)
+            pos = close + len(_TRACK_CLOSE)
+
+
+def read_itunes_tracks_chunked(
+    spark: SparkSession, path: str, user_id: int = 1, chunk_bytes: int = 64 << 20
+) -> DataFrame:
+    """Tracks relation from ONE (arbitrarily large) library XML, parsed in
+    parallel byte ranges — the >memory ingest path. Ranges are claimed by
+    marker offset (Hadoop-split protocol), so every track parses exactly
+    once regardless of chunk boundaries; equivalence with the whole-file
+    parse is a test invariant (tests/test_plist.py). Playlists (a tiny
+    section) still go through read_itunes_library.
+
+    The driver never reads the file; executors each read their range plus
+    at most one overhanging record. chunk_bytes bounds task memory."""
+    import os
+
+    size = os.path.getsize(path)
+    n_chunks = max(1, -(-size // chunk_bytes))
+    ranges = [
+        (i * chunk_bytes, min(size, (i + 1) * chunk_bytes)) for i in range(n_chunks)
+    ]
+    rows = (
+        spark.sparkContext.parallelize(ranges, n_chunks)
+        .flatMap(lambda r: _scan_track_range(path, r[0], r[1], user_id))
+    )
+    return spark.createDataFrame(rows, TRACKS_SCHEMA)
 
 
 def discover_unknown_keys(spark: SparkSession, path: str) -> DataFrame:

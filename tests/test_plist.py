@@ -71,6 +71,65 @@ def test_discover_unknown_keys(spark, library_path):
     assert "Name" not in missing
 
 
+@pytest.fixture(scope="module")
+def big_library_path(tmp_path_factory):
+    """A library big enough to span many chunks at a small chunk size, with
+    hostile-looking string values (XML-escaped angle brackets / fake markers)
+    that must NOT confuse the range splitter."""
+    d = tmp_path_factory.mktemp("biglib")
+    path = d / "library.xml"
+    tracks = {
+        str(i): {
+            "Track ID": i,
+            "Name": f"Track <key> & </dict> {i}" if i % 7 == 0 else f"Track {i}",
+            "Artist": f"Artist {i % 13}",
+            "Genre": ["Rock", "Jazz", "Pop"][i % 3],
+            "Rating": (i % 6) * 20,
+            "Total Time": 100000 + i,
+            "Persistent ID": f"{i:016X}",
+            "Date Added": datetime(2020, 1, 1 + i % 28),
+        }
+        for i in range(1, 401)
+    }
+    with open(path, "wb") as fh:
+        plistlib.dump({"Tracks": tracks, "Playlists": []}, fh)
+    return str(path)
+
+
+def test_chunked_tracks_equals_whole_parse(spark, big_library_path):
+    """The >memory split-parallel parse (read_itunes_tracks_chunked) yields
+    exactly the whole-file plistlib parse, for chunk sizes that slice
+    records mid-entry (4 KB ≪ file size → dozens of ranges)."""
+    import os
+
+    from itdb_spark.sources.plist import (
+        read_itunes_library,
+        read_itunes_tracks_chunked,
+    )
+
+    assert os.path.getsize(big_library_path) > 16 * 4096  # really multi-chunk
+    whole = sorted(map(tuple, read_itunes_library(spark, big_library_path, 3)["tracks"].collect()))
+    chunked = sorted(
+        map(tuple, read_itunes_tracks_chunked(spark, big_library_path, 3, chunk_bytes=4096).collect())
+    )
+    assert len(whole) == 400
+    assert chunked == whole
+
+
+def test_chunked_tracks_single_chunk_degenerate(spark, library_path):
+    """chunk_bytes larger than the file → one range, same result."""
+    from itdb_spark.sources.plist import (
+        read_itunes_library,
+        read_itunes_tracks_chunked,
+    )
+
+    whole = sorted(map(tuple, read_itunes_library(spark, library_path, 7)["tracks"].collect()))
+    chunked = sorted(
+        map(tuple, read_itunes_tracks_chunked(spark, library_path, 7).collect())
+    )
+    assert chunked == whole
+
+
 def test_fswalk_scan(spark, tmp_path):
     from itdb_spark.sources.fswalk import scan_files
 
