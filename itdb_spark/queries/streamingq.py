@@ -67,6 +67,103 @@ def stream_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream-dedup-live",
+    oracle="""
+    SELECT event_type, count(*) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming ingest dedup executed for REAL: the events parquet is "
+    "staged TWICE into a temp source dir (a replayed input batch), a "
+    "readStream with dropDuplicatesWithinWatermark(event_id) drains it "
+    "(memory sink, processAllAvailable), and the deduped stream aggregates "
+    "back to exactly the single-copy batch result — the oracle is the "
+    "plain events aggregate. Watermark set beyond the data's time span so "
+    "no duplicate is ever late (state = dedup horizon; "
+    "streaming/events.py:streaming_dedup).",
+)
+def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from itdb_spark.streaming.events import streaming_dedup
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"itdb_stream_dedup_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    for copy in ("a.parquet", "b.parquet"):
+        dst = os.path.join(stage, copy)
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+
+    deduped = streaming_dedup(spark, stage, watermark="3650 days")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup_live_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        """
+        SELECT event_type, count(*) AS cnt,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM stream_dedup_live_sink GROUP BY event_type
+        """
+    )
+
+
+@register(
+    "stream-join-live",
+    oracle="""
+    SELECT upper(event_type) AS category, count(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+    doc="Stream-static join executed for REAL: events readStream joined to "
+    "a static dimension (event_type → category), windowless aggregate over "
+    "the joined stream via the memory sink. The static side broadcasts to "
+    "every micro-batch — the streaming enrichment pattern (the reference's "
+    "analog is the ffprobe LEFT JOIN enrichment, itdbmetadata.py:8-11).",
+)
+def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.catalog import Tables
+    from itdb_spark.streaming.events import EVENTS_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    dim = (
+        Tables(spark, sf_dir)
+        .events.select("event_type")
+        .distinct()
+        .select("event_type", F.upper("event_type").alias("category"))
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    joined = stream.join(dim, "event_type")
+    agg = joined.groupBy("category").agg(F.count("*").alias("cnt"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_join_live_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql("SELECT category, cnt FROM stream_join_live_sink")
+
+
+@register(
     "stream-session",
     oracle="""
     SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
