@@ -143,37 +143,54 @@ def ranged_row_number(
     order_cols,
     start: int = 0,
     out_col: str = "seq",
-    num_partitions: int | None = None,
+    bucket=None,
 ) -> DataFrame:
     """Global ``row_number() + start`` over ``order_cols`` WITHOUT the
-    single-partition global window (SCALE.md "global sorts"): (1)
-    ``repartitionByRange`` on the full sort key, so partition *i* holds keys
-    strictly below partition *i+1*; (2) partition-local row_number keyed on
-    ``spark_partition_id()`` — rows are already co-located, so the window's
-    exchange only re-hashes the pid; (3) per-partition boundary offsets =
-    running sum of partition counts (a #partitions-row frame — its own
-    global window is trivially small), broadcast back. Every stage is
-    parallel over the data; nothing funnels the table through one task.
+    single-partition global window (SCALE.md "global sorts"):
 
-    ``order_cols`` must be a total order (include tie-breaks) so the result
-    is deterministic and oracle-reproducible."""
-    from pyspark.sql import functions as _F
+    1. ``bucket`` — a coarse, ORDER-CONSISTENT prefix of the sort key
+       (same value ⇒ adjacent under the total order; b1 < b2 ⇒ every row
+       of b1 sorts before every row of b2). Defaults to the first order
+       column. Rows hash-shuffle once on the bucket — parallel, no global
+       sort, no sampling.
+    2. Partition-local ``row_number`` per bucket.
+    3. Boundary offsets = running sum of per-bucket counts — a
+       #buckets-row frame (its own window is trivially small), broadcast
+       back and added.
 
+    Deterministic by construction (the bucket is a data expression, not
+    ``spark_partition_id``; range-partitioner boundary sampling is not
+    involved), so the offsets branch canonicalizes identically to the
+    data branch and the per-bucket count aggregate is map-side combined —
+    the second pass over the source is a pruned scan + tiny shuffle, not
+    a second full-data shuffle. ``order_cols`` must be a total order
+    (include tie-breaks) so the result is oracle-reproducible.
+
+    Bucket-choice guidance at 100 TB: a date / hash-prefix / leading-key
+    expression with 10³–10⁶ distinct values — far above the partition
+    count (parallelism), far below row count (offsets frame stays
+    broadcast-small)."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *cols).withColumn("_pid", _F.spark_partition_id())
-    w_local = Window.partitionBy("_pid").orderBy(*cols)
-    local = ranged.withColumn("_local", F.row_number().over(w_local))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    b = bucket if bucket is not None else cols[0]
+    b = F.col(b) if isinstance(b, str) else b
+    data = df.withColumn("_bucket", b)
+    w_local = Window.partitionBy("_bucket").orderBy(*cols)
+    local = data.withColumn("_local", F.row_number().over(w_local))
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        local.groupBy("_pid")
+        data.groupBy("_bucket")
         .agg(F.count("*").alias("_n"))
-        .select("_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"))
+        .select(
+            F.col("_bucket").alias("_obucket"),
+            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        )
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(
+            F.broadcast(offsets), F.col("_bucket").eqNullSafe(F.col("_obucket"))
+        )
         .withColumn(out_col, (F.col("_local") + F.col("_off") + F.lit(start)).cast("long"))
-        .drop("_pid", "_local")
+        .drop("_bucket", "_obucket", "_local", "_off")
     )
 
 

@@ -84,16 +84,19 @@ def topk_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "playlistlinks.py:186-189) — made deterministic by ordering on a hash "
     "of the key (seeded shuffle), so the oracle can reproduce it. "
     "`orderBy(rand(seed))` is the non-oracle equivalent. Registered in the "
-    "scale-safe ranged form (ranged_row_number): positions come from "
-    "repartitionByRange on the hash + partition-local numbering + boundary "
-    "offsets — no single-partition Exchange.",
+    "scale-safe bucketed form (ranged_row_number): positions come from a "
+    "2-hex-char hash-prefix bucket (256 buckets, order-consistent with the "
+    "full hash) + per-bucket numbering + boundary offsets — no "
+    "single-partition Exchange over the data.",
 )
 def sort_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.plans.library import ranged_row_number
 
     t = Tables(spark, sf_dir)
     base = t.part.select("p_partkey", F.md5(F.col("p_partkey").cast("string")).alias("_h"))
-    numbered = ranged_row_number(base, ["_h", "p_partkey"], out_col="position")
+    numbered = ranged_row_number(
+        base, ["_h", "p_partkey"], out_col="position", bucket=F.substring("_h", 1, 2)
+    )
     return numbered.select("p_partkey", "position")
 
 

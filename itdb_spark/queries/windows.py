@@ -59,9 +59,9 @@ def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Sequential numbering continuing across outputs (`--start_number`, "
     "playlistlinks.py:192,:211-221,:385-386) → global row_number + offset, "
-    "registered in the scale-safe ranged form: repartitionByRange + "
-    "partition-local numbering + boundary offsets (ranged_row_number, "
-    "plans/library.py) — no single-partition Exchange.",
+    "registered in the scale-safe bucketed form: order-date buckets + "
+    "per-bucket numbering + boundary offsets (ranged_row_number, "
+    "plans/library.py) — no single-partition Exchange over the data.",
 )
 def win_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.plans.library import ranged_row_number

@@ -123,23 +123,13 @@ def test_topk_uses_group_limit(spark):
     assert "WindowGroupLimit" in _physical_plan(df)
 
 
-def _single_partition_exchanges(plan: str) -> list[str]:
-    """Exchange SinglePartition lines, excluding the ranged_row_number
-    boundary-offset side (a #partitions-row frame — bounded by cluster
-    size, not data size; its broadcast back is the scale-safe shape)."""
-    return [
-        ln
-        for ln in plan.splitlines()
-        if "Exchange SinglePartition" in ln and "_pid" not in ln and "_n" not in ln
-    ]
-
-
 @pytest.mark.parametrize("qid", ["win-lag", "win-seq", "sort-shuffle", "snk-m3u", "snk-symlink"])
 def test_no_global_window_single_partition(spark, qid):
     """The registered forms of the previously global-window queries must not
-    funnel the DATA through one partition. ranged_row_number's offset frame
-    (one row per partition) is the only allowed SinglePartition exchange,
-    and it must appear only downstream of the per-partition count agg."""
+    funnel the DATA through one partition. ranged_row_number's offsets frame
+    (one row per bucket, post-aggregation) is the only allowed
+    SinglePartition exchange — identified by its per-bucket count column,
+    never a scan of the full input."""
     from itdb_spark.queries import load_all
 
     df = load_all()[qid].spark(spark, SF_DIR)
@@ -149,12 +139,10 @@ def test_no_global_window_single_partition(spark, qid):
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
             continue
-        # allowed: the offsets branch — its subtree aggregates per-pid
-        # counts (rows = #partitions). Heuristic: the 6 lines below the
-        # exchange must contain the _pid count agg, not a table scan of
-        # the full input.
+        # allowed: the offsets branch — the lines below the exchange carry
+        # the per-bucket count agg output (_n), already aggregated.
         subtree = "\n".join(lines[i : i + 8])
-        if "_pid" in subtree or "_n" in subtree:
+        if "_n#" in subtree or "_bucket" in subtree:
             continue
         offenders.append(ln)
     assert not offenders, f"{qid} single-partitions the data:\n{plan}"
