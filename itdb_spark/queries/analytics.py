@@ -90,6 +90,34 @@ def fn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn-stratified",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+          < CASE c_mktsegment WHEN 'BUILDING' THEN 30
+                              WHEN 'MACHINERY' THEN 10
+                              ELSE 5 END
+    """,
+    doc="Stratified deterministic sampling: per-stratum rates (class "
+    "rebalancing for training-data curation) on the same portable "
+    "key-hash as fn-sample — reproducible across engines/runs/reorderings, "
+    "and a pure filter: no shuffle, no RNG state, pushes down to the scan.",
+)
+def fn_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import portable_hash64
+
+    t = Tables(spark, sf_dir)
+    rate = (
+        F.when(F.col("c_mktsegment") == "BUILDING", 30)
+        .when(F.col("c_mktsegment") == "MACHINERY", 10)
+        .otherwise(5)
+    )
+    return t.customer.where(portable_hash64(F.col("c_custkey")) % 100 < rate).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
     "fn-resample",
     oracle="""
     WITH bounds AS (

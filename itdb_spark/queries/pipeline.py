@@ -545,6 +545,83 @@ def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text-tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.w AS term, CAST(tf.tf AS BIGINT) AS tf,
+           round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    """,
+    doc="TF-IDF term weighting over the corpus — the feature-extraction "
+    "stage of a text pipeline: term frequency per doc (token multiset), "
+    "document frequency via one distinct-count, idf = ln(N/df). Two "
+    "shuffles (both map-side combined) + a broadcast of the df table; a "
+    "single multiplication per value (no float summation), so round(6) is "
+    "engine-stable.",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = t.documents.count()
+    return (
+        tf.join(F.broadcast(df), "w")
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "text-ngrams",
+    oracle="""
+    SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT unnest(
+        CASE WHEN len(toks) < 2 THEN []
+             ELSE list_transform(range(1, len(toks)),
+                                 i -> concat_ws(' ', toks[i], toks[i + 1])) END
+      ) AS ngram
+      FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    ) GROUP BY ngram HAVING count(*) >= 3
+    """,
+    doc="Corpus-wide bigram counts (the n-gram statistics a language-model "
+    "training pipeline extracts): per-doc bigram explode (multiset, not "
+    "the distinct shingle set dedup uses) → one map-side-combined "
+    "groupBy; HAVING prunes the singleton tail, which at 100 TB is the "
+    "difference between a broadcastable LM table and the full corpus "
+    "vocabulary square.",
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bigrams = F.expr(
+        "flatten(transform(array(split(trim(lower(text)), '\\\\s+')), toks -> "
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(toks) - 1), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))) END))"
+    )
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .where(F.col("cnt") >= 3)
+    )
+
+
 # --- multimodal --------------------------------------------------------------
 
 
