@@ -90,6 +90,60 @@ def fn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap-diff",
+    oracle="""
+    WITH newt AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 97 != 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 89 = 0
+    )
+    SELECT c_custkey, change FROM (
+      SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             CASE WHEN o.c_custkey IS NULL THEN 'added'
+                  WHEN n.c_custkey IS NULL THEN 'removed'
+                  WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                       OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM customer o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey
+    ) WHERE change != 'unchanged'
+    """,
+    doc="Snapshot diff / CDC between two table versions: one full-outer "
+    "join on the PK classifies every key added/removed/changed "
+    "(operators/snapshot.py; generalizes the reference's set-difference "
+    "reconciliation and mtime recompute-only-changed, orphaned_files:"
+    "101-120, dupes/dedup.py:115-131). The new snapshot is derived "
+    "deterministically: drop %97 keys, mutate %13 balances, add %89 "
+    "copies under new keys.",
+)
+def snap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.snapshot import snapshot_diff
+
+    t = Tables(spark, sf_dir)
+    old = t.customer.select("c_custkey", "c_acctbal", "c_mktsegment")
+    new = (
+        old.where(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 1).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .unionByName(
+            old.where(F.col("c_custkey") % 89 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+
+
+@register(
     "fn-stratified",
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer

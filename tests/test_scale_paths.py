@@ -229,6 +229,28 @@ def test_minhash_hot_bucket_cap(spark):
     assert (100, 200) in capped_pairs  # true near-dup pair survives the cap
 
 
+def test_snapshot_diff_null_safety(spark):
+    """(null == null) is unchanged; null→value and value→null are changed;
+    empty string is distinct from null."""
+    from itdb_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None), (4, ""), (5, "same")],
+        "k int, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (3, "y"), (4, None), (5, "same"), (6, "new")],
+        "k int, v string",
+    )
+    got = {(r.k, r.change) for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {(2, "changed"), (3, "changed"), (4, "changed"), (6, "added")}
+    full = {
+        (r.k, r.change)
+        for r in snapshot_diff(old, new, ["k"], ["v"], include_unchanged=True).collect()
+    }
+    assert (1, "unchanged") in full and (5, "unchanged") in full
+
+
 def test_minhash_bands_respects_num_perm(spark):
     """minhash_bands derives band width from the signature frame (ADVICE:
     num_perm=32 must band m0..m31, not silently m0..m15)."""
