@@ -81,7 +81,20 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     registry = load_all()
-    spark = get_spark("oracle_check", cpus=16)
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Replicate the driver's UNTUNED session (200 shuffle partitions,
+        # no custom confs) — catches config-dependent bugs the tuned
+        # session hides (e.g. the events nanos read).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .appName("oracle_check_vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle_check", cpus=16)
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
