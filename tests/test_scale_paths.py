@@ -229,6 +229,38 @@ def test_minhash_hot_bucket_cap(spark):
     assert (100, 200) in capped_pairs  # true near-dup pair survives the cap
 
 
+def test_minhash_recall_on_derived_corpus(spark):
+    """LSH candidate recall on the dedup corpus at sf0.001: exact copies
+    (identical text → identical signature) MUST all be candidates; near
+    dups (first token dropped) must exceed 90% recall at the default
+    band/perm parameters — the quantitative backing for 'verification is
+    confined to LSH candidates'."""
+    from itdb_spark.queries.pipeline import corpus, minhash_candidates
+
+    c = corpus(spark, SF_DIR)
+    pairs = {
+        (r.id1, r.id2) for r in minhash_candidates(c, "doc_id", "text").collect()
+    }
+    doc_ids = [r.doc_id for r in c.where(F.col("doc_id") < 100000).select("doc_id").collect()]
+    exact_missing = [i for i in doc_ids if (i, i + 200000) not in pairs]
+    assert not exact_missing, f"exact copies missed: {exact_missing[:5]}"
+    near_hits = sum((i, i + 100000) in pairs for i in doc_ids)
+    assert near_hits / len(doc_ids) > 0.9, f"near-dup recall {near_hits / len(doc_ids):.2f}"
+
+
+def test_bench_headline_set_stable():
+    """The driver times the bench=True registry subset; keep it fixed so
+    BENCH_r{N} totals stay comparable across rounds."""
+    from itdb_spark.queries import load_all
+
+    bench_ids = {qid for qid, q in load_all().items() if q.bench}
+    assert bench_ids == {
+        "agg-hist-genre", "agg-pl-stats", "api-sql", "join-pt",
+        "dedup-exact", "dedup-minhash", "dedup-jaccard", "sim-knn-brute",
+        "pipe-curate", "stream-window", "stream-session", "win-topk-group",
+    }
+
+
 def test_snapshot_diff_null_safety(spark):
     """(null == null) is unchanged; null→value and value→null are changed;
     empty string is distinct from null."""
