@@ -90,8 +90,13 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.streaming.events import streaming_dedup
 
     src = os.path.join(sf_dir, "events.parquet")
+    # stage key includes size+mtime: a regenerated testdata file can never
+    # silently reuse a stale staged copy
+    st = os.stat(src)
     stage = os.path.join(
-        tempfile.gettempdir(), f"itdb_stream_dedup_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"itdb_stream_dedup_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{st.st_size}_{int(st.st_mtime)}",
     )
     os.makedirs(stage, exist_ok=True)
     for copy in ("a.parquet", "b.parquet"):
