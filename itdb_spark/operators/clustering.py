@@ -26,11 +26,14 @@ def connected_components(
     # The edge union scans `pairs` twice (forward + reversed); the LSH
     # band self-join feeding it is a broadcast join, which exchange reuse
     # does not cover — cache pairs so the candidate pipeline runs once.
+    # No distinct() on the union: candidate pairs arrive distinct with
+    # id1 < id2, so the two directions cannot overlap — and min-label
+    # propagation is duplicate-insensitive anyway (min is idempotent), so
+    # deduping edges would buy nothing for a full shuffle.
     pairs = pairs.cache()
     edges = (
         pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
         .unionByName(pairs.select(F.col(id2).alias("a"), F.col(id1).alias("b")))
-        .distinct()
         .cache()  # reused every round
     )
     # Initial labels fold the would-be first propagation round into a plain
