@@ -119,6 +119,45 @@ def test_word_shingles_properties(spark, texts):
 
 @given(
     st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 1000)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(0, 1000),
+)
+def test_ranged_row_number_matches_enumerate(spark, rows, start):
+    """ranged_row_number(bucket = first key) ≡ enumerate(sorted(rows)) for
+    arbitrary (bucket, tiebreak) data including duplicate buckets and
+    skewed bucket sizes."""
+    from itdb_spark.plans.library import ranged_row_number
+
+    # make (bucket, k) unique so the order is total
+    uniq = sorted(set(rows))
+    df = spark.createDataFrame(uniq, "b int, k int")
+    got = {
+        (r.b, r.k): r.seq
+        for r in ranged_row_number(df, ["b", "k"], start=start).collect()
+    }
+    expected = {bk: i + 1 + start for i, bk in enumerate(uniq)}
+    assert got == expected
+
+
+def test_r1_verified_ordering_list_consistent():
+    """Every id in __spark_entry__._R1_VERIFIED must exist in the registry
+    (a typo would silently mis-order the driver grading queue)."""
+    import __spark_entry__ as entry
+    from itdb_spark.queries import load_all
+
+    registry = set(load_all())
+    missing = [q for q in entry._R1_VERIFIED if q not in registry]
+    assert not missing, missing
+    ordered = list(entry.queries())
+    tail = ordered[-len(entry._R1_VERIFIED):]
+    assert tail == list(entry._R1_VERIFIED)
+
+
+@given(
+    st.lists(
         st.floats(min_value=-10, max_value=10, allow_nan=False, allow_subnormal=False),
         min_size=4,
         max_size=16,
