@@ -112,6 +112,31 @@ def api_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "api-sql-param",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 1000.0
+    """,
+    doc="Parameterized SQL API: spark.sql with named bind parameters — the "
+    "injection-safe replacement for the reference's string-spliced values "
+    "(MySQLdb.escape_string interpolation, itdb2html.py:501,:543; "
+    "SURVEY.md §2.8). The values never enter the SQL text, so a hostile "
+    "segment name can't break out of the literal.",
+)
+def api_sql_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("customer",))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM customer
+        WHERE c_mktsegment = :segment AND c_acctbal >= :min_bal
+        """,
+        args={"segment": "BUILDING", "min_bal": 1000.0},
+    )
+
+
+@register(
     "src-ffprobe",
     oracle=None,  # subprocess/stub probe — rows-only
     doc="Per-file media-probe fan-out (itdbmetadata.py:135-157): anti-join "
