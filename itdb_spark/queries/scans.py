@@ -99,6 +99,33 @@ def src_plist_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src-plist-ds",
+    oracle=None,  # filesystem-backed; rows-only check
+    doc="The Spark 4 Python DataSource front end for plist ingest: "
+    "spark.read.format('itunes_plist') over the same split-parallel range "
+    "scanner (sources/plist_datasource.py; SURVEY.md §4 names this as the "
+    "one worthwhile engine extension point). Input partitions are byte "
+    "ranges — one task per range, no driver pass.",
+)
+def src_plist_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.sources.plist_datasource import PlistDataSource
+
+    d = os.path.join(tempfile.gettempdir(), "itdb_spark_plist")
+    os.makedirs(d, exist_ok=True)
+    lib = os.path.join(d, "library.xml")
+    if not os.path.exists(lib):
+        _synth_library(lib)
+    spark.dataSource.register(PlistDataSource)
+    tracks = (
+        spark.read.format("itunes_plist")
+        .option("chunk_bytes", 4096)
+        .option("user_id", 1)
+        .load(lib)
+    )
+    return tracks.select("User_ID", "Track_ID", "Name", "Artist", "Genre", "Rating")
+
+
+@register(
     "src-fswalk",
     oracle=None,  # filesystem-backed; rows-only check
     doc="Recursive filesystem scan → (path, size) relation (dupes/dedup.py:"

@@ -130,6 +130,27 @@ def test_chunked_tracks_single_chunk_degenerate(spark, library_path):
     assert chunked == whole
 
 
+def test_plist_datasource_format(spark, big_library_path):
+    """spark.read.format('itunes_plist') — the Spark 4 Python DataSource
+    front end — returns exactly the whole-file parse, scheduling one task
+    per byte range."""
+    from itdb_spark.sources.plist import read_itunes_library
+    from itdb_spark.sources.plist_datasource import PlistDataSource
+
+    spark.dataSource.register(PlistDataSource)
+    via_ds = (
+        spark.read.format("itunes_plist")
+        .option("chunk_bytes", 8192)
+        .option("user_id", 3)
+        .load(big_library_path)
+    )
+    assert via_ds.schema == read_itunes_library(spark, big_library_path, 3)["tracks"].schema
+    whole = sorted(map(tuple, read_itunes_library(spark, big_library_path, 3)["tracks"].collect()))
+    got = sorted(map(tuple, via_ds.collect()))
+    assert got == whole
+    assert via_ds.rdd.getNumPartitions() > 4  # really split-scheduled
+
+
 def test_fswalk_scan(spark, tmp_path):
     from itdb_spark.sources.fswalk import scan_files
 
