@@ -142,18 +142,35 @@ def test_ranged_row_number_matches_enumerate(spark, rows, start):
     assert got == expected
 
 
-def test_r1_verified_ordering_list_consistent():
-    """Every id in __spark_entry__._R1_VERIFIED must exist in the registry
-    (a typo would silently mis-order the driver grading queue)."""
+def test_grading_queue_ordering_lists_consistent():
+    """Every id in the __spark_entry__ ordering lists must exist in the
+    registry (a typo would silently mis-order the driver grading queue),
+    no id may appear in two lists, and the priority buckets must come out
+    in order: never-graded first, then new, then r2, then r1."""
     import __spark_entry__ as entry
     from itdb_spark.queries import load_all
 
     registry = set(load_all())
-    missing = [q for q in entry._R1_VERIFIED if q not in registry]
-    assert not missing, missing
+    lists = {
+        "_NEVER_GRADED": entry._NEVER_GRADED,
+        "_R2_GRADED": entry._R2_GRADED,
+        "_R1_VERIFIED": entry._R1_VERIFIED,
+    }
+    for name, ids in lists.items():
+        missing = [q for q in ids if q not in registry]
+        assert not missing, (name, missing)
+    all_ids = [q for ids in lists.values() for q in ids]
+    assert len(all_ids) == len(set(all_ids)), "id appears in two ordering lists"
+
     ordered = list(entry.queries())
+    head = ordered[: len(entry._NEVER_GRADED)]
+    assert head == list(entry._NEVER_GRADED)
     tail = ordered[-len(entry._R1_VERIFIED):]
     assert tail == list(entry._R1_VERIFIED)
+    r2_start = len(ordered) - len(entry._R1_VERIFIED) - len(entry._R2_GRADED)
+    assert ordered[r2_start : r2_start + len(entry._R2_GRADED)] == list(
+        entry._R2_GRADED
+    )
 
 
 @given(
