@@ -31,21 +31,38 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# events.parquet carries TIMESTAMP(NANOS), which Spark's schema inference
+# rejects. An EXPLICIT reader schema typing ts as long sidesteps inference
+# entirely — scoped to the one read, no session conf involved (the former
+# `spark.sql.legacy.parquet.nanosAsLong` session mutation made every later
+# events read in a shared session order-dependent).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # raw nanos since epoch
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan — Catalyst handles column pruning + predicate pushdown.
 
-    events.parquet carries TIMESTAMP(NANOS) which the vectorized parquet
-    reader rejects; read nanos as long (legacy conf, runtime-settable) and
-    convert to a microsecond timestamp — the same truncation DuckDB's
-    Python client applies to TIMESTAMP_NS."""
+    events.parquet carries TIMESTAMP(NANOS); read nanos as long via an
+    explicit reader schema and convert to a microsecond timestamp — the
+    same truncation DuckDB's Python client applies to TIMESTAMP_NS."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        return df
+        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
+            os.path.join(sf_dir, f"{name}.parquet")
+        )
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -140,7 +140,6 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.catalog import Tables
     from itdb_spark.streaming.events import EVENTS_SCHEMA
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     dim = (
         Tables(spark, sf_dir)
         .events.select("event_type")

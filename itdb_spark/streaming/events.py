@@ -12,20 +12,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# ts is TIMESTAMP(NANOS) in the parquet; read as long + convert (same
-# truncation as the batch path in catalog.load_table).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+from itdb_spark.catalog import EVENTS_RAW_SCHEMA
+
+# ts is TIMESTAMP(NANOS) in the parquet; the explicit reader schema types it
+# as long (raw nanos) + convert — same truncation as the batch path in
+# catalog.load_table, scoped to the read (no session conf mutation).
+EVENTS_SCHEMA = EVENTS_RAW_SCHEMA
 
 
 def windowed_counts_stream(
@@ -34,7 +27,6 @@ def windowed_counts_stream(
     """readStream → watermark → tumbling-window agg. Watermark bounds state:
     windows older than max(event time) − watermark are finalized and
     evicted — the late-data semantics the reference never had."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)
@@ -85,7 +77,6 @@ def streaming_dedup(
     the training-data ingest guard against replayed/duplicated input
     batches. State holds only ids younger than the watermark, so memory
     is bounded by the dedup horizon, not the stream length."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)

@@ -16,7 +16,6 @@ def test_stateful_running_totals(spark):
     from itdb_spark.streaming.events import EVENTS_SCHEMA
     from itdb_spark.streaming.stateful import run_stateful_to_completion, running_user_totals
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)

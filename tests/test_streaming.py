@@ -31,7 +31,6 @@ def test_foreach_batch_sink(spark, tmp_path):
 
     from itdb_spark.streaming.events import EVENTS_SCHEMA
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)
@@ -51,7 +50,7 @@ def test_foreach_batch_sink(spark, tmp_path):
         q.stop()
 
     landed = spark.read.parquet(f"{out_dir}/batch=*")
-    src_count = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    src_count = spark.read.schema(EVENTS_SCHEMA).parquet(f"{SF_DIR}/events.parquet").count()
     assert landed.count() == src_count
     assert landed.select(F.countDistinct("event_id")).collect()[0][0] == src_count
 
@@ -59,10 +58,10 @@ def test_foreach_batch_sink(spark, tmp_path):
 def test_streaming_dedup(spark, tmp_path):
     """Duplicated input (the events table landed twice) streams through
     dropDuplicatesWithinWatermark → exactly the distinct events survive."""
-    from itdb_spark.streaming.events import streaming_dedup
+    from itdb_spark.streaming.events import EVENTS_SCHEMA, streaming_dedup
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = spark.read.parquet(f"{SF_DIR}/events.parquet")  # ts as long nanos
+    # explicit schema: ts as long nanos (no session conf involved)
+    src = spark.read.schema(EVENTS_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
     dup_dir = str(tmp_path / "dup_events")
     src.write.mode("overwrite").parquet(dup_dir)
     src.write.mode("append").parquet(dup_dir)
@@ -98,3 +97,23 @@ def test_freshness_gate(tmp_path):
     assert not freshness_gate(str(src), str(marker))  # fresh → skip
     os.utime(str(src), (time.time() + 200, time.time() + 200))
     assert freshness_gate(str(src), str(marker))  # source newer → load
+
+
+def test_stream_join_live_no_session_conf_leak(spark):
+    """stream-join-live must not mutate shared-session config: run it FIRST,
+    then another events query in the same session — both still correct, and
+    the legacy nanos conf is never set (every events read path scopes the
+    nanos handling to its own explicit reader schema)."""
+    from itdb_spark.queries import load_all
+
+    registry = load_all()
+    joined = {r.category: r.cnt for r in registry["stream-join-live"].spark(spark, SF_DIR).collect()}
+    # a subsequent batch events query in the SAME session
+    sessions = registry["stream-session"].spark(spark, SF_DIR).collect()
+    assert sum(joined.values()) == 1000  # sf0.001 events rowcount
+    assert sum(r.n_sessions for r in sessions) > 0
+
+    # SET reports the built-in default ("false") when nothing mutated it;
+    # a leak would have flipped it to "true" session-wide
+    [row] = spark.sql("SET spark.sql.legacy.parquet.nanosAsLong").collect()
+    assert row.value == "false", "query leaked a session-wide conf mutation"
