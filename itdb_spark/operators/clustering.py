@@ -72,6 +72,12 @@ def connected_components(
         labels = new_labels.select("node", F.col("new_component").alias("component"))
         if changed == 0:
             break
+    # The convergence count just materialized the final round's (lazy)
+    # checkpoint, so the returned frame reads checkpoint blocks — the edge
+    # caches are no longer on its lineage and can be released here rather
+    # than leaking into the caller's long-lived session.
+    pairs.unpersist()
+    edges.unpersist()
     return labels
 
 

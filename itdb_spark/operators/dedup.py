@@ -143,34 +143,41 @@ def minhash_candidates(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id1 < id2) from LSH band buckets.
-    The self-join shuffles only (band, hash, doc) triples. The band table
-    is cached: without it, Spark recomputes the whole shingle→minhash
-    pipeline for BOTH sides of the self-join (at cluster scale, checkpoint
-    the signature table instead — it is also the reusable dedup index).
+
+    Pair generation is ONE shuffle: groupBy (band, band_hash) collects each
+    bucket's doc ids, then in-bucket pairs come from an array comprehension
+    (transform × slice over the sorted id array — JVM-side, no Python).
+    A band-table self-join would shuffle the table twice (or broadcast one
+    side, recomputing the whole shingle→minhash pipeline for it) and need a
+    cache to avoid double compute; the groupBy form needs neither cache nor
+    second exchange, so nothing is left resident after the action.
 
     ``max_bucket`` caps hot buckets (boilerplate/template corpora where one
     band hash collects thousands of docs — each contributes O(size²) pairs).
     Buckets above the cap are dropped from pair generation; at 100 TB route
     them to a template-cluster side channel instead of the pairwise path
-    (SCALE.md "hot buckets"). Implemented as a window count over the bucket
-    key — same shuffle as the join's, so the cap is free."""
+    (SCALE.md "hot buckets"). With the groupBy form the cap is a size()
+    predicate on the collected array — free, and it bounds the array memory
+    hazard to max_bucket ids per bucket."""
     bands = minhash_bands(minhash_signatures(docs, id_col, text_col, num_perm, shingles))
+    buckets = bands.groupBy("band", "band_hash").agg(
+        F.array_sort(F.collect_list("doc")).alias("docs")
+    )
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        bucket_n = F.count("*").over(Window.partitionBy("band", "band_hash"))
-        bands = bands.withColumn("_n", bucket_n).where(F.col("_n") <= max_bucket).drop("_n")
-    bands = bands.cache()
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
+        buckets = buckets.where(F.size("docs") <= max_bucket)
+    ds = F.col("docs")
+    in_bucket_pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
         )
-        .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+    )
+    return (
+        buckets.select(F.explode(in_bucket_pairs).alias("p"))
+        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .distinct()
     )
 
@@ -196,10 +203,15 @@ def ngram_jaccard_pairs(
 
     The shingle join key is xxhash64(shingle), not the string (~10× fewer
     shuffle bytes); a 64-bit collision (P ≈ n²/2⁶⁵) would perturb one
-    pair's count by 1 — negligible. The shingle table is cached: it feeds
-    four consumers and exchange reuse doesn't cover broadcast plans. Pass
+    pair's count by 1 — negligible. The hashed shingle table is cached (it
+    feeds three consumers and exchange reuse doesn't cover broadcast plans)
+    and released before return: the verified-pair result is materialized
+    with an eager localCheckpoint while the cache is hot, so nothing stays
+    resident in the caller's session (plans.library.materialized). Pass
     ``shingles`` (a cached ``shingle_frame``) to also share the explode
-    with the MinHash candidate stage."""
+    with the MinHash candidate stage — caller-owned, caller-released."""
+    from itdb_spark.plans.library import materialized
+
     base = shingles if shingles is not None else shingle_frame(docs, id_col, text_col)
     words = base.select("doc", F.xxhash64("w").alias("w")).cache()
     sizes = words.groupBy("doc").agg(F.count("*").alias("sz"))
@@ -229,12 +241,13 @@ def ngram_jaccard_pairs(
     jac = F.col("common").cast("double") / (
         F.col("sz1") + F.col("sz2") - F.col("common")
     ).cast("double")
-    return (
+    verified = (
         common.join(sa, "id1")
         .join(sb, "id2")
         .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    return materialized(verified, words)
 
 
 def simhash(

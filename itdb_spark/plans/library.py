@@ -208,3 +208,21 @@ def adjacent_dupes_scalable(files: DataFrame) -> DataFrame:
         .where(F.col("rn") > 1)
         .select("checksum", "path")
     )
+
+
+def materialized(result: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Materialize ``result`` (eager localCheckpoint) while ``caches`` are
+    hot, then unpersist them — the cache-lifecycle contract for operators
+    whose returned frame would otherwise pin caches in a long-lived session
+    (the driver gate runs 100+ queries in ONE session; leaked caches
+    accumulate in executor storage).
+
+    The returned frame reads the checkpointed blocks, never the caches, so
+    nothing stays registered in the CacheManager. Checkpoint blocks
+    themselves are reclaimed by Spark's ContextCleaner once the frame is
+    garbage-collected driver-side. On a cluster with unreliable executors
+    use reliable ``checkpoint()`` instead of localCheckpoint."""
+    out = result.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out

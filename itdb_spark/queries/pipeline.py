@@ -207,9 +207,13 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus(spark, sf_dir)
     # One shingle explode shared by BOTH stages (candidate generation and
     # exact verification) — the explode is the dominant intermediate.
+    # ngram_jaccard_pairs materializes its result before returning, so by
+    # this point every consumer of the shingle cache has run; release it.
     sh = shingle_frame(c, "doc_id", "text").cache()
     cands = minhash_candidates(c, "doc_id", "text", shingles=sh)
-    return ngram_jaccard_pairs(c, "doc_id", "text", candidates=cands, shingles=sh)
+    verified = ngram_jaccard_pairs(c, "doc_id", "text", candidates=cands, shingles=sh)
+    sh.unpersist()
+    return verified
 
 
 @register(
@@ -527,12 +531,17 @@ def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.operators.clustering import connected_components, elect_keepers
 
     # corpus feeds three consumers (quality, the shingle→minhash pipeline,
-    # and the survivor anti-join) — cache it once instead of re-deriving
-    # per consumer.
+    # and the survivor anti-join) — cache it across the CC loop's actions,
+    # then release: connected_components returns checkpoint-materialized
+    # labels, so the only post-release corpus consumers are two cheap
+    # projection scans in the final action (at 100 TB the corpus never fits
+    # in cache anyway — recomputing narrow projections from parquet IS the
+    # scale plan).
     c = corpus(spark, sf_dir).cache()
     quality = c.select("doc_id", quality_score(F.col("text")).alias("quality"))
     pairs = minhash_candidates(c, "doc_id", "text")
     comp = connected_components(pairs)
+    c.unpersist()
     keepers = elect_keepers(comp).select(F.col("keeper").alias("doc_id"))
     dup_members = comp.select(F.col("node").alias("doc_id"))
     survivors = c.select("doc_id").join(dup_members, "doc_id", "left_anti").unionByName(

@@ -297,3 +297,20 @@ def test_minhash_bands_respects_num_perm(spark):
     row = bands.where((F.col("doc") == 1) & (F.col("band") == 3)).collect()[0]
     # band 3 of a 32-perm signature concatenates m24..m31 → 8 components
     assert len(row.band_hash.split("_")) == 8
+
+
+def test_no_resident_cache_after_cache_using_queries(spark):
+    """Cache lifecycle contract: the queries that cache intermediates
+    (shingle/corpus/CC-edge frames) must leave NOTHING registered in the
+    CacheManager after their action completes — a long-lived session (the
+    driver gate runs 100+ queries in one) must not accumulate executor
+    storage. Checkpoint blocks are ContextCleaner-managed and exempt."""
+    from itdb_spark.queries import load_all
+
+    registry = load_all()
+    spark.catalog.clearCache()  # isolate from other tests
+    for qid in ("dedup-minhash", "dedup-jaccard", "dedup-cluster", "pipe-curate"):
+        registry[qid].spark(spark, SF_DIR).count()
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+            f"{qid} left a cached plan resident"
+        )
