@@ -2,16 +2,18 @@
 with typed metadata, decode / feature-extract as Arrow-batched pandas
 functions over ``mapInPandas``.
 
-The decode step itself is STUBBED — the image/audio libraries are not in
-this container — behind ``FAKE_DECODER`` (deterministic metadata derived
-from the bytes) or ``NotImplementedError``. The Spark-side plumbing —
-schema, partitioning, UDF signature, Arrow batch shape — is real and
-tested. The reference's analog is the per-file ffprobe subprocess fan-out
+Header decode is REAL: ``decode_image_header`` parses PNG IHDR / JPEG SOF /
+GIF logical-screen dimensions from the raw bytes with stdlib ``struct`` —
+no image library needed for metadata extraction (full pixel decode still
+needs PIL/ffmpeg at deploy time and falls back to ``_fake_decode`` for
+unrecognized bytes so the batch plumbing stays testable on arbitrary
+blobs). The reference's analog is the per-file ffprobe subprocess fan-out
 (itdbmetadata.py:135-157) whose JSON output lands in a relational column.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -31,30 +33,61 @@ DECODED_SCHEMA = T.StructType(
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, str]:
-    """Deterministic fake decoder: metadata derived from byte length/content.
-    Replace with PIL / ffprobe when the libs are available."""
+    """Deterministic fallback for bytes with no recognizable image header:
+    metadata derived from byte length. Replace with PIL / ffprobe for real
+    pixel decode when the libs are available."""
     n = len(content)
     return (64 + n % 577, 64 + n % 331, "png" if n % 2 == 0 else "jpeg")
 
 
-def _real_decode(content: bytes):  # pragma: no cover - deploy-time path
-    raise NotImplementedError(
-        "image/audio decode libraries are not installed in this environment; "
-        "swap _fake_decode for a PIL/ffprobe-backed decoder at deploy time"
-    )
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry dimensions (C4=DHT, C8=JPG ext,
+# CC=DAC are table/extension segments, not frames).
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def decode_image_header(content: bytes) -> tuple[int, int, str] | None:
+    """REAL header parse, stdlib-only: (width, height, format) from PNG
+    IHDR, JPEG SOFn, or GIF logical-screen descriptor; None when the bytes
+    carry none of those signatures (caller picks the fallback)."""
+    if content[:8] == _PNG_SIG and len(content) >= 24 and content[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", content[16:24])
+        return (w, h, "png")
+    if content[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(content):
+            if content[i] != 0xFF:
+                return None  # desynced marker stream
+            marker = content[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", content[i + 2 : i + 4])
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                return (w, h, "jpeg")
+            i += 2 + seg_len
+        return None
+    if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 10:
+        w, h = struct.unpack("<HH", content[6:10])
+        return (w, h, "gif")
+    return None
 
 
 def decode_binary_metadata(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "content"
 ) -> DataFrame:
-    """binary column → typed metadata via mapInPandas (Arrow batches).
+    """binary column → typed metadata via mapInPandas (Arrow batches):
+    real PNG/JPEG/GIF header parse, ``_fake_decode`` for anything else.
 
     Scale: runs once per Arrow batch per partition — per-row Python overhead
     amortized; binary bytes never shuffle (narrow transformation)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_fake_decode(c) for c in pdf[bin_col]]
+            metas = [
+                decode_image_header(bytes(c)) or _fake_decode(c) for c in pdf[bin_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

@@ -663,19 +663,51 @@ def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm-decode",
     oracle="""
-    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
-           CAST(64 + octet_length(encode(text)) % 331 AS INTEGER) AS height,
-           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 21 END
+                + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(1 + doc_id % 1600 AS INTEGER) AS width,
+           CAST(1 + (doc_id * 7) % 900 AS INTEGER) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
     FROM documents
     """,
-    doc="Binary decode via Arrow-batched mapInPandas: binary → (width, "
-    "height, format). The decoder is a deterministic STUB (no image libs "
-    "in this container, operators/multimodal.py:_fake_decode); the Spark "
-    "plumbing — schema, batch iteration, types — is the real scale path "
-    "(the reference's analog is the ffprobe fan-out, itdbmetadata.py:135-157).",
+    doc="REAL binary decode via Arrow-batched mapInPandas: each doc gets a "
+    "genuine PNG IHDR (29-byte header) or JPEG SOF0 (21-byte header) with "
+    "doc_id-derived dimensions synthesized JVM-side (unhex/concat), and "
+    "the decoder parses width/height/format back out of the raw bytes with "
+    "stdlib struct (operators/multimodal.py:decode_image_header). The "
+    "oracle predicts the dims arithmetically, so a parser bug breaks the "
+    "hash gate — decode output is verified, not stubbed (the reference's "
+    "analog is the ffprobe fan-out, itdbmetadata.py:135-157). Full pixel "
+    "decode still needs PIL/ffmpeg at deploy time.",
 )
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    with_bin = t.documents.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    width = (F.col("doc_id") % 1600 + 1).cast("int")
+    height = ((F.col("doc_id") * 7) % 900 + 1).cast("int")
+
+    def be(col, hex_digits):  # big-endian fixed-width binary from an int col
+        return F.unhex(F.lpad(F.hex(col), hex_digits, "0"))
+
+    # PNG: signature + IHDR len/type + width(4BE) + height(4BE) + depth/
+    # color/compression/filter/interlace. JPEG: SOI + SOF0 seg (len 0x11,
+    # precision, height(2BE), width(2BE), 3 component specs).
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),
+        be(width, 8),
+        be(height, 8),
+        F.unhex(F.lit("0806000000")),
+        F.encode("text", "utf-8"),
+    )
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8FFC0001108")),
+        be(height, 4),
+        be(width, 4),
+        F.unhex(F.lit("03012200021101031101")),
+        F.encode("text", "utf-8"),
+    )
+    with_bin = t.documents.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg).alias("content"),
+    )
     return decode_binary_metadata(with_bin, "doc_id", "content")

@@ -199,3 +199,48 @@ def test_multimodal_stub(spark):
     assert all(r.format in ("png", "jpeg") and r.width > 0 for r in out)
     frames = frame_sample_manifest(docs, n_frames=3)
     assert frames.count() == 6
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 6, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
+def test_decode_image_header_real_formats():
+    """Header parse is REAL: full-spec PNG (CRC included), JPEG whose SOF0
+    sits behind APP0+comment segments (real-world layout), GIF89a — and a
+    graceful None for non-image bytes."""
+    import struct
+
+    from itdb_spark.operators.multimodal import decode_image_header
+
+    assert decode_image_header(_png_bytes(640, 480)) == (640, 480, "png")
+    assert decode_image_header(_png_bytes(1, 1)) == (1, 1, "png")
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    comment = b"\xff\xfe" + struct.pack(">H", 9) + b"helloature"[:7]
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", 768, 1024)  # height, width
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    jpeg = b"\xff\xd8" + app0 + comment + sof0 + b"payload"
+    assert decode_image_header(jpeg) == (1024, 768, "jpeg")
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert decode_image_header(gif) == (320, 200, "gif")
+
+    assert decode_image_header(b"plain text, no image header") is None
+    assert decode_image_header(b"") is None
+    assert decode_image_header(b"\xff\xd8truncated") is None
