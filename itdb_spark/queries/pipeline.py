@@ -571,8 +571,13 @@ def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TF-IDF term weighting over the corpus — the feature-extraction "
     "stage of a text pipeline: term frequency per doc (token multiset), "
     "document frequency via one distinct-count, idf = ln(N/df). Two "
-    "shuffles (both map-side combined) + a broadcast of the df table; a "
-    "single multiplication per value (no float summation), so round(6) is "
+    "shuffles (both map-side combined). The tf⋈df join is UNHINTED: at "
+    "sf0.1 AQE broadcasts the small df table at runtime, but at 100 TB "
+    "the df table IS the corpus vocabulary (10⁸⁺ terms) and a forced "
+    "broadcast would OOM the driver — AQE's size-based choice is the "
+    "scale-correct strategy on both ends. N arrives as a broadcast "
+    "one-row aggregate (no eager driver-side count job). A single "
+    "multiplication per value (no float summation), so round(6) is "
     "engine-stable.",
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,14 +588,15 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    n = t.documents.count()
+    n = t.documents.agg(F.count("*").cast("double").alias("n_docs"))
     return (
-        tf.join(F.broadcast(df), "w")
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             F.col("w").alias("term"),
             F.col("tf").cast("long").alias("tf"),
-            F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias("tfidf"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
         )
     )
 

@@ -198,3 +198,39 @@ def test_cosine_pandas_matches_numpy(spark, a, b):
     got = df.select(cosine_pandas(F.col("a"), F.col("b")).alias("c")).collect()[0].c
     expected = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
     assert abs(got - expected) < 1e-9
+
+
+def test_agg_approx_error_bounds(spark):
+    """Evidence for the rows-only agg-approx entry: the sketches land within
+    their published error bounds of the EXACT answers on the gate's own
+    data. approx_count_distinct's default rsd is 5% (HyperLogLog++);
+    percentile_approx with accuracy=10000 guarantees rank error
+    <= n/10000."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    approx = load_all()["agg-approx"].spark(spark, SF_DIR).collect()[0]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_orderkey").alias("orders"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+
+    assert abs(approx.approx_parts - exact.parts) <= 0.05 * 3 * exact.parts
+    assert abs(approx.approx_orders - exact.orders) <= 0.05 * 3 * exact.orders
+
+    # rank-ε: the reported quantile's true rank must lie within n/accuracy
+    # of the target rank (Greenwald-Khanna bound Spark documents).
+    prices = sorted(r.l_extendedprice for r in li.select("l_extendedprice").collect())
+    n = len(prices)
+    eps_ranks = n / 10000 + 1
+    import bisect
+
+    for q, got in ((0.5, approx.q50), (0.95, approx.q95), (0.99, approx.q99)):
+        lo = bisect.bisect_left(prices, got)
+        hi = bisect.bisect_right(prices, got)
+        target = q * n
+        assert lo - eps_ranks <= target <= hi + eps_ranks, (q, got, lo, hi, target)

@@ -314,3 +314,19 @@ def test_no_resident_cache_after_cache_using_queries(spark):
         assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
             f"{qid} left a cached plan resident"
         )
+
+
+def test_tfidf_vocabulary_join_unhinted(spark):
+    """text-tfidf must not FORCE a broadcast of the document-frequency
+    table: at 100 TB that table is the corpus vocabulary and a hint would
+    OOM where AQE's runtime size check would shuffle. The only hint in the
+    plan is the one-row corpus-count frame."""
+    from itdb_spark.queries import load_all
+
+    df = load_all()["text-tfidf"].spark(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+    # and that one hint hangs off the single-row count aggregate, not the
+    # vocabulary: the hinted subtree contains an Aggregate with no grouping
+    hinted = analyzed.split("ResolvedHint", 1)[1]
+    assert "n_docs" in hinted.split("Aggregate", 1)[1][:200]
