@@ -67,7 +67,6 @@ def build_ivf_index(
         .withColumn("centroid_id", F.monotonically_increasing_id())
     )
     centroids = init.localCheckpoint(eager=True)
-    dim = len(v.select("vec").first().vec)
     for _ in range(iters):
         assigned = _assign(v, centroids, id_col)
         # new centroid = per-dimension mean of members (posexplode → groupBy)

@@ -71,3 +71,39 @@ def test_scd2_apply(spark):
     assert new.is_current is True and new.end_ts is None
     untouched = rows[(2, "b")]
     assert untouched.is_current is True and untouched.end_ts is None
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The SCALE.md claim, proven: an IVF index written with
+    partitionBy(centroid_id) serves a probe by READING ONLY the probed
+    cells' files — partition pruning does the cell selection, so probe
+    cost is |probed cells| / |cells| of the index regardless of total
+    index size."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.operators.ivf import build_ivf_index
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assignments, _ = build_ivf_index(emb)
+    path = str(tmp_path / "ivf_index")
+    assignments.write.partitionBy("centroid_id").parquet(path)
+
+    cells = sorted(
+        r.centroid_id for r in assignments.select("centroid_id").distinct().collect()
+    )
+    probe = cells[:2]
+    idx = spark.read.parquet(path)
+    probed = idx.where(F.col("centroid_id").isin([int(c) for c in probe]))
+
+    # every file actually read lives under a probed partition directory
+    read_files = {r.f for r in probed.select(F.input_file_name().alias("f")).distinct().collect()}
+    assert read_files
+    allowed = tuple(f"/centroid_id={c}/" for c in probe)
+    for f in read_files:
+        assert any(a in f for a in allowed), f
+
+    # and the pruning happens at the scan (partition filters, not a
+    # post-scan Filter over all cells)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:300], plan
