@@ -1,0 +1,47 @@
+"""Plan-audit regression gate: the physical-plan properties SCALE.md cites
+must hold for every bench headline query — a round-1-class regression
+(single-partition exchange, surprise nested-loop join, unpruned scan,
+unpushed filter) fails CI instead of silently returning.
+
+Reuses tools/audit_plans.py (the repeatable form of ".explain and iterate
+until it's the plan you'd want"); run that CLI for the human-readable view.
+"""
+
+from __future__ import annotations
+
+from itdb_spark.queries import load_all
+from tests.conftest import SF_DIR
+from tools.audit_plans import audit
+
+# sim-knn-brute's BroadcastNestedLoopJoin is the intentional exactness
+# baseline (broadcast query side × corpus); every other plan must be free
+# of nested-loop joins.
+BNLJ_ALLOWED = {"sim-knn-brute"}
+
+# Widest column set any bench-query scan may read: these queries project
+# 1-3 columns, so a scan reading more means pruning regressed.
+MAX_SCAN_COLS = 4
+
+
+def test_bench_query_plans_hold_scale_properties(spark):
+    registry = load_all()
+    bench_ids = [qid for qid, q in registry.items() if q.bench]
+    assert bench_ids, "bench set is empty?"
+    failures = []
+    for qid in bench_ids:
+        df = registry[qid].spark(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        a = audit(plan)
+        if a["single_partition_exchanges"]:
+            failures.append(f"{qid}: {a['single_partition_exchanges']} single-partition exchange(s)")
+        if a["nested_loop_joins"] and qid not in BNLJ_ALLOWED:
+            failures.append(f"{qid}: unexpected BroadcastNestedLoopJoin")
+        if a["pushed_filters"] != a["scans"]:
+            failures.append(
+                f"{qid}: {a['scans']} parquet scans but {a['pushed_filters']} PushedFilters sections"
+            )
+        wide = [c for c in a["scan_cols"] if c > MAX_SCAN_COLS]
+        if wide:
+            failures.append(f"{qid}: scan reads {max(wide)} columns (pruning regressed?)")
+    assert not failures, "\n".join(failures)

@@ -30,9 +30,11 @@ from itdb_spark.session import get_spark
 
 
 def audit(plan: str) -> dict:
+    # scan count from the marker itself; per-scan widths only for schemas
+    # the flat regex can parse (nested types embed '>' and are skipped)
     read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     return {
-        "scans": len(read_schemas),
+        "scans": plan.count("ReadSchema:"),
         "scan_cols": [len(s.split(",")) if s else 0 for s in read_schemas],
         "single_partition_exchanges": plan.count("Exchange SinglePartition"),
         "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
