@@ -40,14 +40,19 @@ def decode_location(location: Column | str) -> Column:
 
     ``unquote`` semantics, not form-decoding: a literal ``+`` stays ``+``
     (protected as %2B before ``url_decode``, whose URLDecoder would turn it
-    into a space). Malformed escapes (stray ``%``) make ``try_url_decode``
-    return null → the whole string passes through undecoded, mirroring the
-    reference's log-and-continue robustness. Property-tested round-trip vs
-    ``urllib.parse.unquote`` in tests/test_functions.py."""
+    into a space), and a malformed escape (``%`` not followed by two hex
+    digits) passes through as a literal ``%`` while every VALID escape in
+    the same string still decodes — exactly ``unquote('%zz%20') == '%zz '``.
+    That per-escape behavior comes from protecting invalid ``%`` as ``%25``
+    (negative-lookahead regex) before decoding; ``try_url_decode`` +
+    passthrough remains as a final net for inputs URLDecoder still rejects.
+    Property-tested round-trip vs ``urllib.parse.unquote`` in
+    tests/test_properties.py (well-formed AND mixed valid+invalid)."""
     c = F.col(location) if isinstance(location, str) else location
     path = F.regexp_replace(c, r"^file://localhost", "")
     path = F.regexp_replace(path, r"&amp;", "&")
     protected = F.regexp_replace(path, r"\+", "%2B")
+    protected = F.regexp_replace(protected, r"%(?![0-9A-Fa-f]{2})", "%25")
     return F.coalesce(F.try_url_decode(protected), path)
 
 

@@ -187,8 +187,15 @@ def embedding_dup_pairs(
     buckets. Work is Σ bucket² instead of N²; recall for near-identical
     pairs (cosine→1) is ~exact because near-parallel vectors share every
     hyperplane sign, and multi-table probing covers the sliver that
-    straddles a plane. The reference's analog is two-phase dedup — cheap
-    fingerprint grouping then exact verify (dupes/dedup.py:127-171)."""
+    straddles a plane. DATA-DEPENDENCE caveat: recall is probabilistic —
+    an organic pair sitting marginally above ``threshold`` has roughly a
+    (θ/π·n_planes)^n_tables chance of straddling a plane in every table
+    (~1% at 8 planes × 2 tables for cosine ≈ 0.999) and being missed;
+    raise ``n_tables`` when exactness near the threshold matters more
+    than candidate volume (the registered dedup-embedding gate data has
+    no pair in that band — constructed copies are near-parallel). The
+    reference's analog is two-phase dedup — cheap fingerprint grouping
+    then exact verify (dupes/dedup.py:127-171)."""
     sig = hyperplane_signatures(spark, vectors, id_col, vec_col, n_planes, dim, n_tables)
     cands = (
         sig.alias("a")

@@ -8,10 +8,13 @@ added / removed / changed / unchanged in ONE full-outer join.
 
 Scale: one shuffle on the PK for each side (or zero with PK-bucketed
 storage — the same layout MERGE wants, operators/merge.py); the compare
-runs JVM-side on a concatenated null-tagged projection, so arbitrarily
-wide compare lists stay in codegen. Downstream incremental recompute
-reads only `change != 'unchanged'` — at 100 TB that filter is the
-difference between a daily delta job and a full rebuild.
+is a null-safe struct equality (IS NOT DISTINCT FROM, field-wise) that
+runs JVM-side, so arbitrarily wide compare lists stay in codegen — and,
+unlike a delimiter-concat fingerprint, cannot alias across column
+boundaries when values contain the delimiter bytes. Downstream
+incremental recompute reads only `change != 'unchanged'` — at 100 TB
+that filter is the difference between a daily delta job and a full
+rebuild.
 """
 
 from __future__ import annotations
@@ -29,30 +32,27 @@ def snapshot_diff(
 ) -> DataFrame:
     """(pk..., change) for every key in either snapshot; change ∈
     {added, removed, changed, unchanged}. ``compare_cols`` defaults to all
-    shared non-PK columns. Null-safe compare (null == null) via a tagged
-    concat, mirroring SQL's IS NOT DISTINCT FROM."""
+    shared non-PK columns. The compare is struct equality under eqNullSafe
+    (SQL IS NOT DISTINCT FROM): exact per-column, null == null, and immune
+    to the cross-column aliasing a delimiter-joined string fingerprint
+    suffers when values contain the delimiter bytes."""
     if compare_cols is None:
         shared = set(old.columns) & set(new.columns)
         compare_cols = sorted(shared - set(pk))
 
-    def tagged(side: DataFrame) -> F.Column:
-        # one null-safe fingerprint per row; the \x01/\x00 tags keep
-        # (null, "x") distinct from ("x", null) and "" distinct from null
-        parts = [
-            F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
-                F.concat(F.lit("\x01"), F.col(c).cast("string"))
-            )
-            for c in compare_cols
-        ]
-        return F.concat_ws("\x02", *parts) if parts else F.lit("")
+    def packed() -> F.Column:
+        if not compare_cols:
+            return F.lit(0)
+        return F.struct(*[F.col(c) for c in compare_cols])
 
-    o = old.select(*pk, tagged(old).alias("_ofp"))
-    n = new.select(*pk, tagged(new).alias("_nfp"))
+    # presence flags distinguish "missing side" from "all-null values"
+    o = old.select(*pk, packed().alias("_oval"), F.lit(True).alias("_in_old"))
+    n = new.select(*pk, packed().alias("_nval"), F.lit(True).alias("_in_new"))
     joined = o.join(n, pk, "full_outer")
     change = (
-        F.when(F.col("_ofp").isNull(), F.lit("added"))
-        .when(F.col("_nfp").isNull(), F.lit("removed"))
-        .when(F.col("_ofp") != F.col("_nfp"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("_oval").eqNullSafe(F.col("_nval")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     out = joined.select(*pk, change.alias("change"))

@@ -48,7 +48,7 @@ def write_table(
     pk: list[str] | None = None,
     batchsize: int = 10_000,
     truncate: bool = True,
-    varchar_strings: int | None = 255,
+    varchar_strings: int | None = None,
     **options: str,
 ) -> None:
     """Batched JDBC write. ``overwrite`` + truncate reproduces the
@@ -56,10 +56,13 @@ def write_table(
     the LOAD-IGNORE path. Partitioned executors write concurrently —
     size ``numPartitions``/``batchsize`` to the database's ingest limits.
 
-    ``varchar_strings``: land string columns as VARCHAR(n) instead of the
-    driver default (Derby picks CLOB, which then rejects pushed-down
-    string predicates on read-back; the reference's DDL is VARCHAR(8..1024),
-    itdb.sql:14-84). None keeps the driver default."""
+    ``varchar_strings``: OPT-IN — land string columns as VARCHAR(n)
+    instead of the driver default. Derby's driver default is CLOB, which
+    rejects pushed-down string predicates on read-back, so the Derby tests
+    pass 1024 (the reference's DDL ceiling, itdb.sql:14-84); but VARCHAR(n)
+    makes any value longer than n FAIL the write with a truncation error
+    where the driver default would accept it, so the engine default stays
+    None (driver-typed)."""
     out = canonicalize_for_load(df, pk) if pk else df
     writer = (
         out.write.format("jdbc")

@@ -45,7 +45,7 @@ def test_bulk_load_ignore_dedupes_on_pk(spark, derby_url):
         .limit(100)
     )
     doubled = orders.unionByName(orders)
-    write_table(doubled, derby_url, "orders_land", mode="overwrite", pk=["o_orderkey"])
+    write_table(doubled, derby_url, "orders_land", mode="overwrite", pk=["o_orderkey"], varchar_strings=1024)
     back = _read(spark, derby_url, "orders_land")
     assert back.count() == 100
     assert back.select("o_orderkey").distinct().count() == 100
@@ -60,12 +60,12 @@ def test_replace_semantics_roundtrip(spark, derby_url):
     nation = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    write_table(nation, derby_url, "nation_land", mode="overwrite")
+    write_table(nation, derby_url, "nation_land", mode="overwrite", varchar_strings=1024)
     updates = nation.where(F.col("n_nationkey") < 5).withColumn(
         "n_name", F.lit("RENAMED")
     )
     replaced = merge_upsert(nation, updates, ["n_nationkey"])
-    write_table(replaced, derby_url, "nation_land", mode="overwrite")
+    write_table(replaced, derby_url, "nation_land", mode="overwrite", varchar_strings=1024)
     back = _read(spark, derby_url, "nation_land")
     assert back.count() == nation.count()
     assert back.where(F.col("n_name") == "RENAMED").count() == 5
@@ -79,10 +79,10 @@ def test_append_then_incremental_anti_join(spark, derby_url):
 
     region = spark.read.parquet(f"{SF_DIR}/region.parquet").select("r_regionkey", "r_name")
     first = region.where(F.col("r_regionkey") < 3)
-    write_table(first, derby_url, "region_land", mode="overwrite")
+    write_table(first, derby_url, "region_land", mode="overwrite", varchar_strings=1024)
     sink_state = _read(spark, derby_url, "region_land").select("r_regionkey")
     fresh = region.join(sink_state, "r_regionkey", "left_anti")
-    write_table(fresh, derby_url, "region_land", mode="append", truncate=False)
+    write_table(fresh, derby_url, "region_land", mode="append", truncate=False, varchar_strings=1024)
     back = _read(spark, derby_url, "region_land")
     assert back.count() == region.count()
     assert back.select("r_regionkey").distinct().count() == region.count()

@@ -85,17 +85,23 @@ def test_decode_location_matches_unquote(spark, paths):
     assert got == expected == ["/" + p for p in paths]
 
 
-def test_decode_location_malformed_passthrough(spark):
-    """Stray % (invalid escape) → whole string passes through undecoded."""
+def test_decode_location_malformed_matches_unquote(spark):
+    """Malformed-escape parity with urllib.parse.unquote: an invalid escape
+    stays a literal '%' while valid escapes IN THE SAME STRING still decode
+    ('%zz%20' → '%zz ', not whole-string passthrough)."""
+    from urllib.parse import unquote
+
     from itdb_spark.functions.core import decode_location
 
+    paths = ["/Music/100%25%20done", "/100% bad", "/a%zz%20b", "/%", "/%f", "/%%41"]
     got = _eval_batch(
         spark,
-        [("file://localhost/Music/100%25%20done",), ("file://localhost/100% bad",)],
+        [(f"file://localhost{p}",) for p in paths],
         "loc string",
         decode_location("loc"),
     )
-    assert got == ["/Music/100% done", "/100% bad"]
+    assert got == [unquote(p) for p in paths]
+    assert got[2] == "/a%zz b" and got[5] == "/%A"
 
 
 @given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=20))

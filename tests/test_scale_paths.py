@@ -283,6 +283,19 @@ def test_snapshot_diff_null_safety(spark):
     assert (1, "unchanged") in full and (5, "unchanged") in full
 
 
+def test_snapshot_diff_no_cross_column_aliasing(spark):
+    """A delimiter-concat fingerprint would classify
+    old=('x\\x02\\x01y','z') vs new=('x','y\\x02\\x01z') as unchanged
+    (identical concat bytes); the struct compare must see them as changed.
+    CDC primitives cannot alias on adversarial values."""
+    from itdb_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x\x02\x01y", "z")], "k int, a string, b string")
+    new = spark.createDataFrame([(1, "x", "y\x02\x01z")], "k int, a string, b string")
+    got = snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+    assert [(r.k, r.change) for r in got] == [(1, "changed")]
+
+
 def test_minhash_bands_respects_num_perm(spark):
     """minhash_bands derives band width from the signature frame (ADVICE:
     num_perm=32 must band m0..m31, not silently m0..m15)."""
@@ -330,3 +343,23 @@ def test_tfidf_vocabulary_join_unhinted(spark):
     # vocabulary: the hinted subtree contains an Aggregate with no grouping
     hinted = analyzed.split("ResolvedHint", 1)[1]
     assert "n_docs" in hinted.split("Aggregate", 1)[1][:200]
+
+
+def test_embedding_gate_data_outside_lsh_miss_band(spark):
+    """ADVICE guard: dedup-embedding's oracle is exact all-pairs SQL, so a
+    single LSH-missed pair would break the hash gate. Safe only because no
+    ORGANIC pair sits near the 0.999 threshold — constructed ×1.001 copies
+    are exactly parallel (every hyperplane sign preserved, recall exact).
+    Assert the organic cosine distribution stays far below threshold."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    m = np.array([r.embedding for r in emb], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    np.fill_diagonal(cos, 0.0)
+    organic_max = float(cos.max())
+    assert organic_max < 0.99, (
+        f"an organic pair at cosine {organic_max:.5f} is inside the LSH "
+        "miss-probability band; raise n_tables or regenerate fixture"
+    )
