@@ -1,7 +1,8 @@
-"""Streaming-shaped queries — SURVEY.md §2.9. The oracle-checked entries use
-the batch equivalents of the streaming operators (window(), lag-based
-sessionization) — identical semantics, DuckDB-reproducible; the true
-readStream path is exercised in tests/test_streaming.py."""
+"""Streaming-shaped queries — SURVEY.md §2.9. Each streaming operator has a
+batch twin (window(), lag-based sessionization — identical semantics,
+DuckDB-reproducible) AND a `-live` form that runs a REAL readStream to
+completion inside the oracle gate (memory sink, processAllAvailable);
+further readStream paths are exercised in tests/test_streaming.py."""
 
 from __future__ import annotations
 
@@ -183,7 +184,7 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) GROUP BY user_id
     """,
     doc="Sessionization with a 30-minute inactivity gap: lag(ts) + gap "
-    "flag + sum per user — the batch twin of session_window(ts, gap) "
+    "flag + sum per user — the batch twin of stream-session-live "
     "(applyInPandasWithState covers richer custom state at deploy time).",
     bench=True,
 )
@@ -206,3 +207,59 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("new_session"),
     )
     return flagged.groupBy("user_id").agg(F.sum("new_session").cast("long").alias("n_sessions"))
+
+
+@register(
+    "stream-session-live",
+    oracle="""
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END
+               AS new_session
+      FROM (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      )
+    ) GROUP BY user_id
+    """,
+    doc="Sessionization executed for REAL by Structured Streaming's native "
+    "session_window(ts, '30 minutes'): readStream → per-(user, session) "
+    "gap-merged windows (complete mode — every session, open or closed, "
+    "is in the final state) → one row per session in the memory sink → "
+    "count per user. Matches the lag-based batch twin (stream-session) "
+    "and the same DuckDB oracle; the exact-boundary divergence "
+    "(session_window ends are exclusive, the lag twin's gap test is "
+    "strict >) cannot bite because no events pair sits at exactly the "
+    "1800 s gap (asserted over all SFs).",
+)
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.streaming.events import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    sessions = stream.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count("*").alias("n_events"))
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_session_live_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM stream_session_live_sink GROUP BY user_id
+        """
+    )

@@ -363,3 +363,35 @@ def test_embedding_gate_data_outside_lsh_miss_band(spark):
         f"an organic pair at cosine {organic_max:.5f} is inside the LSH "
         "miss-probability band; raise n_tables or regenerate fixture"
     )
+
+
+def test_ranged_row_number_string_hash_bucket(spark):
+    """Second ranged_row_number guard with a NON-date bucket: a 1-hex
+    md5-prefix bucket over customer names (the hash-prefix strategy the
+    docstring recommends when no natural range key exists). Bucket is a
+    prefix OF THE SORT KEY (order by the hash itself, name tiebreak), so
+    order-consistency holds; result must equal the global window."""
+    from pyspark.sql import Window
+
+    from itdb_spark.plans.library import ranged_row_number
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", F.md5(F.col("c_name")).alias("h")
+    )
+    got = {
+        (r.c_custkey, r.seq)
+        for r in ranged_row_number(
+            cust,
+            ["h", "c_custkey"],
+            bucket=F.substring("h", 1, 1),
+            out_col="seq",
+        ).collect()
+    }
+    w = Window.orderBy("h", "c_custkey")
+    expected = {
+        (r.c_custkey, r.seq)
+        for r in cust.select(
+            "c_custkey", F.row_number().over(w).cast("long").alias("seq")
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
