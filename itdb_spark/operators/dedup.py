@@ -134,6 +134,65 @@ def minhash_bands(signatures: DataFrame, num_bands: int = NUM_BANDS) -> DataFram
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
+def band_structs(
+    text_col: str, num_perm: int = NUM_PERM, num_bands: int = NUM_BANDS
+) -> Column:
+    """array<struct<band,band_hash>> LSH band keys computed NARROWLY per
+    row: text → distinct word-3-gram shingles → portable hashes → per-band
+    concat of the band's permutation minima — one higher-order expression,
+    NO explode and NO signature groupBy shuffle. The shingle and hashed
+    arrays are each bound once via a single-element transform so the md5
+    work runs once per shingle, not once per permutation.
+
+    MEASURED trade-off (sf0.1, local[32], min-of-5): this form is ~2×
+    slower than the exploded ``minhash_signatures`` + groupBy path (1.06 s
+    vs 0.53 s for the band table) — higher-order lambdas evaluate
+    interpreted per element, while the exploded path's 16 partial_min
+    aggregations run in whole-stage codegen and win despite paying a
+    shuffle of the exploded shingle table. ``minhash_candidates`` therefore
+    registers the exploded path; equivalence of the two is pinned by
+    test_band_structs_matches_exploded_signature_path. Revisit if Spark
+    gains codegen for HOF lambdas, or on clusters where shuffle IO (not
+    CPU) is the binding constraint."""
+    if num_perm % num_bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by num_bands={num_bands}")
+    per_band = num_perm // num_bands
+
+    def hash_one(s: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % HASH_PRIME
+        )
+
+    def perm_min(hs: Column, j: Column) -> Column:
+        a = j * 2 + F.lit(1)
+        b = j * 101 + F.lit(17)
+        return F.array_min(F.transform(hs, lambda h: (h * a + b) % HASH_PRIME))
+
+    def bands_of(hs: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda band: F.struct(
+                band.cast("int").alias("band"),
+                F.concat_ws(
+                    "_",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(per_band - 1)),
+                        lambda r: perm_min(hs, band * per_band + r).cast("string"),
+                    ),
+                ).alias("band_hash"),
+            ),
+        )
+
+    bound = F.transform(
+        F.array(word_shingles(text_col)),
+        lambda sh: F.transform(
+            F.array(F.transform(sh, hash_one)),
+            bands_of,
+        ),
+    )
+    return bound[0][0]
+
+
 def minhash_candidates(
     docs: DataFrame,
     id_col: str,
@@ -144,21 +203,25 @@ def minhash_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id1 < id2) from LSH band buckets.
 
-    Pair generation is ONE shuffle: groupBy (band, band_hash) collects each
-    bucket's doc ids, then in-bucket pairs come from an array comprehension
-    (transform × slice over the sorted id array — JVM-side, no Python).
-    A band-table self-join would shuffle the table twice (or broadcast one
-    side, recomputing the whole shingle→minhash pipeline for it) and need a
-    cache to avoid double compute; the groupBy form needs neither cache nor
-    second exchange, so nothing is left resident after the action.
+    Band table: exploded shingles → codegen'd 16-min groupBy (one shuffle;
+    measured faster than the narrow ``band_structs`` HOF form — see its
+    docstring). Pair generation is ONE further shuffle: groupBy (band,
+    band_hash) collects each bucket's doc ids and in-bucket pairs come
+    from an array comprehension (transform × slice over the sorted id
+    array — JVM-side, no Python), followed by a pair-level distinct. A
+    band-table self-join would shuffle the table twice (or broadcast one
+    side, recomputing the signature pipeline) and need a cache to avoid
+    double compute; the groupBy form needs neither, so nothing is left
+    resident after the action. Pass ``shingles`` (a cached
+    ``shingle_frame``) to share the explode with other consumers.
 
     ``max_bucket`` caps hot buckets (boilerplate/template corpora where one
     band hash collects thousands of docs — each contributes O(size²) pairs).
     Buckets above the cap are dropped from pair generation; at 100 TB route
     them to a template-cluster side channel instead of the pairwise path
-    (SCALE.md "hot buckets"). With the groupBy form the cap is a size()
-    predicate on the collected array — free, and it bounds the array memory
-    hazard to max_bucket ids per bucket."""
+    (SCALE.md "hot buckets"). The cap is a size() predicate on the
+    collected array — free, and it bounds the array memory hazard to
+    max_bucket ids per bucket."""
     bands = minhash_bands(minhash_signatures(docs, id_col, text_col, num_perm, shingles))
     buckets = bands.groupBy("band", "band_hash").agg(
         F.array_sort(F.collect_list("doc")).alias("docs")

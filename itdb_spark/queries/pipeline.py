@@ -530,28 +530,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.operators.clustering import connected_components, elect_keepers
 
-    # corpus feeds three consumers (quality, the shingle→minhash pipeline,
-    # and the survivor anti-join) — cache it across the CC loop's actions,
-    # then release: connected_components returns checkpoint-materialized
-    # labels, so the only post-release corpus consumers are two cheap
-    # projection scans in the final action (at 100 TB the corpus never fits
-    # in cache anyway — recomputing narrow projections from parquet IS the
-    # scale plan).
+    from itdb_spark.plans.library import materialized
+
+    # corpus feeds three consumers (quality, the band/candidate pipeline,
+    # and the survivor anti-join) — cache it once; the curated result is
+    # materialized while the cache is hot and the cache released before
+    # return, so nothing stays resident in a long-lived session (at 100 TB
+    # skip the cache entirely: the corpus never fits, and recomputing
+    # narrow projections from columnar parquet IS the scale plan).
     c = corpus(spark, sf_dir).cache()
     quality = c.select("doc_id", quality_score(F.col("text")).alias("quality"))
     pairs = minhash_candidates(c, "doc_id", "text")
     comp = connected_components(pairs)
-    c.unpersist()
     keepers = elect_keepers(comp).select(F.col("keeper").alias("doc_id"))
     dup_members = comp.select(F.col("node").alias("doc_id"))
     survivors = c.select("doc_id").join(dup_members, "doc_id", "left_anti").unionByName(
         keepers
     )
-    return (
+    curated = (
         survivors.join(quality, "doc_id")
         .where(F.col("quality") >= 0.9)
         .select("doc_id", "quality")
     )
+    return materialized(curated, c)
 
 
 @register(

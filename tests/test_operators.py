@@ -244,3 +244,28 @@ def test_decode_image_header_real_formats():
     assert decode_image_header(b"plain text, no image header") is None
     assert decode_image_header(b"") is None
     assert decode_image_header(b"\xff\xd8truncated") is None
+
+
+def test_band_structs_matches_exploded_signature_path(spark):
+    """The narrow per-row band expression (band_structs) must produce
+    exactly the (doc, band, band_hash) table the exploded
+    shingle→signature→groupBy path produces — same hashes, same buckets."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.operators.dedup import band_structs, minhash_bands, minhash_signatures
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text").limit(200)
+    narrow = {
+        (r.doc, r.band, r.band_hash)
+        for r in docs.select(
+            F.col("doc_id").alias("doc"), F.explode(band_structs("text")).alias("bb")
+        )
+        .select("doc", "bb.band", "bb.band_hash")
+        .collect()
+    }
+    exploded = {
+        (r.doc, r.band, r.band_hash)
+        for r in minhash_bands(minhash_signatures(docs, "doc_id", "text")).collect()
+    }
+    assert narrow == exploded and len(narrow) == 200 * 4
