@@ -23,13 +23,13 @@ def connected_components(
     min node id reachable. Converges when a full round changes no label
     (checked with a count — one action per round, each round one shuffle).
     """
-    # The edge union scans `pairs` twice (forward + reversed); the LSH
-    # band self-join feeding it is a broadcast join, which exchange reuse
-    # does not cover — cache pairs so the candidate pipeline runs once.
-    # No distinct() on the union: candidate pairs arrive distinct with
-    # id1 < id2, so the two directions cannot overlap — and min-label
-    # propagation is duplicate-insensitive anyway (min is idempotent), so
-    # deduping edges would buy nothing for a full shuffle.
+    # The edge union scans `pairs` twice (forward + reversed) — cache
+    # pairs so the candidate pipeline runs once. No distinct() anywhere:
+    # pairs carry id1 < id2, so the two union directions cannot overlap,
+    # and min-label propagation is duplicate-insensitive (min is
+    # idempotent) — callers may even pass band-duplicated candidate pairs
+    # (minhash_candidates(distinct_pairs=False)), trading a few duplicate
+    # edge rows for one less full shuffle upstream.
     pairs = pairs.cache()
     edges = (
         pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))

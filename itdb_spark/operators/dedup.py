@@ -200,8 +200,16 @@ def minhash_candidates(
     num_perm: int = NUM_PERM,
     max_bucket: int | None = None,
     shingles: DataFrame | None = None,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id1 < id2) from LSH band buckets.
+
+    ``distinct_pairs=False`` skips the final pair-level distinct (a full
+    shuffle of the pair table): a pair colliding in k bands appears k
+    times. Correct for duplicate-insensitive consumers — connected
+    components' min-label propagation, EXISTS-style membership — and one
+    shuffle cheaper; keep the default for anything that counts or verifies
+    pairs.
 
     Band table: exploded shingles → codegen'd 16-min groupBy (one shuffle;
     measured faster than the narrow ``band_structs`` HOF form — see its
@@ -238,11 +246,10 @@ def minhash_candidates(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(in_bucket_pairs).alias("p"))
-        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
-        .distinct()
+    pairs = buckets.select(F.explode(in_bucket_pairs).alias("p")).select(
+        F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2")
     )
+    return pairs.distinct() if distinct_pairs else pairs
 
 
 def ngram_jaccard_pairs(

@@ -245,7 +245,11 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.operators.clustering import connected_components, elect_keepers
 
-    pairs = minhash_candidates(corpus(spark, sf_dir), "doc_id", "text")
+    # distinct_pairs=False: min-label propagation is duplicate-insensitive,
+    # so the pair-level distinct would be a pure extra shuffle here
+    pairs = minhash_candidates(
+        corpus(spark, sf_dir), "doc_id", "text", distinct_pairs=False
+    )
     return elect_keepers(connected_components(pairs))
 
 
@@ -540,7 +544,8 @@ def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow projections from columnar parquet IS the scale plan).
     c = corpus(spark, sf_dir).cache()
     quality = c.select("doc_id", quality_score(F.col("text")).alias("quality"))
-    pairs = minhash_candidates(c, "doc_id", "text")
+    # distinct_pairs=False: CC's min-label rounds are duplicate-insensitive
+    pairs = minhash_candidates(c, "doc_id", "text", distinct_pairs=False)
     comp = connected_components(pairs)
     keepers = elect_keepers(comp).select(F.col("keeper").alias("doc_id"))
     dup_members = comp.select(F.col("node").alias("doc_id"))
