@@ -643,6 +643,67 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text-pii",
+    oracle="""
+    SELECT doc_id, scrubbed,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones
+    FROM (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(seeded,
+                 '[A-Za-z0-9._-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\s.-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+             len(regexp_extract_all(seeded,
+                 '[A-Za-z0-9._-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(seeded,
+                 '\\+?[0-9][0-9()\\s.-]{7,}[0-9]')) AS n_phones
+      FROM (
+        SELECT doc_id,
+               concat(text, ' user', CAST(doc_id AS VARCHAR),
+                      '@example.com call +1 (555) 01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+                      '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS seeded
+        FROM documents
+      )
+    )
+    """,
+    doc="PII scrubbing — the redaction pass every training-data pipeline "
+    "runs before a corpus ships: email and phone patterns replaced with "
+    "typed placeholder tokens, plus per-doc match counts for audit "
+    "rollups. PII is seeded deterministically from doc_id (the synthetic "
+    "corpus has none) so the scrub provably fires on every row; pure "
+    "regexp_replace/regexp_extract_all — JVM-side, no UDF, identical "
+    "chains both engines (DuckDB needs the 'g' flag; Spark replaces all "
+    "by default).",
+)
+def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email_re = r"[A-Za-z0-9._-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9][0-9()\s.-]{7,}[0-9]"
+    t = Tables(spark, sf_dir)
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1 (555) 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return t.documents.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(seeded, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all(seeded, F.lit(email_re), F.lit(0))).cast("long").alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(seeded, F.lit(phone_re), F.lit(0))).cast("long").alias(
+            "n_phones"
+        ),
+    )
+
+
 # --- multimodal --------------------------------------------------------------
 
 
