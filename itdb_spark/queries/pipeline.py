@@ -784,3 +784,42 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg).alias("content"),
     )
     return decode_binary_metadata(with_bin, "doc_id", "content")
+
+
+@register(
+    "mm-resize",
+    oracle="""
+    SELECT doc_id, width, height,
+           CAST(floor(width * s) AS INTEGER) AS out_w,
+           CAST(floor(height * s) AS INTEGER) AS out_h
+    FROM (
+      SELECT doc_id, width, height,
+             least(256.0 / width, 256.0 / height, 1.0) AS s
+      FROM (
+        SELECT doc_id,
+               CAST(1 + doc_id % 1600 AS INTEGER) AS width,
+               CAST(1 + (doc_id * 7) % 900 AS INTEGER) AS height
+        FROM documents
+      )
+    )
+    """,
+    doc="Image resize PLAN — the aspect-preserving fit-into-256 every "
+    "vision-training pipeline applies before batching: target dims are "
+    "computed relationally from the REAL decoded header dims (mm-decode's "
+    "parser output), never upscaling (scale capped at 1.0). The pixel "
+    "resample itself is the deploy-time Pandas-UDF body; the dims math — "
+    "the part that decides shuffle/batch geometry — is engine-checked "
+    "(identical IEEE double ops both engines, floor to int).",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = mm_decode(spark, sf_dir)
+    s = F.least(
+        F.lit(256.0) / F.col("width"), F.lit(256.0) / F.col("height"), F.lit(1.0)
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * s).cast("int").alias("out_w"),
+        F.floor(F.col("height") * s).cast("int").alias("out_h"),
+    )
