@@ -102,7 +102,11 @@ def read_itunes_library(
 
     # Each library is independent; collectless distributed flatten via RDD
     # mapPartitions (the one justified RDD use: per-file imperative parse).
-    # Cached because three relations derive from one parse.
+    # Cached because three relations derive from one parse. Lifecycle: an
+    # RDD cache (unlike a CacheManager plan cache) is reclaimed by Spark's
+    # ContextCleaner as soon as the three returned DataFrames are
+    # garbage-collected driver-side — no unpersist hook needed, and none
+    # is possible while the frames are live.
     parsed = raw.rdd.mapPartitions(parse_partition).cache()
 
     tracks = spark.createDataFrame(

@@ -61,3 +61,20 @@ def test_overwrite_idempotence(spark, tmp_path, tracks, playlist_tracks):
         playlist_stats(tracks, playlist_tracks).write.mode("overwrite").parquet(out)
     again = spark.read.parquet(out)
     assert again.count() == playlist_stats(tracks, playlist_tracks).count()
+
+
+def test_materialized_releases_caches(spark):
+    """materialized(): result stays correct after the caches it consumed
+    are unpersisted, and the CacheManager ends empty."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.plans.library import materialized
+
+    spark.catalog.clearCache()  # isolate from other tests' caches
+    base = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("k")).cache()
+    agg = base.groupBy("k").agg(F.count("*").alias("cnt"))
+    out = materialized(agg, base)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert {(r.k, r.cnt) for r in out.collect()} == {
+        (i, 143 if i < 6 else 142) for i in range(7)
+    }
