@@ -37,67 +37,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Ordering contract: the driver grades a fixed-size window from the front
 # of the registry, so entries it has NEVER recorded a CORRECTNESS row for
-# must lead. Priority buckets (first → last):
-#   1. _NEVER_GRADED — registered since round 1 but absent from both
-#      CORRECTNESS_r01 and CORRECTNESS_r02 (the round-2 judge re-ran them
-#      manually; round 3 must put them on the driver's record).
-#   2. anything new this round (not in any list below).
-#   3. _R2_GRADED — driver-recorded in CORRECTNESS_r02.
-#   4. _R1_VERIFIED — driver-recorded in CORRECTNESS_r01.
-_NEVER_GRADED = (
-    "win-lag", "win-seq", "win-share", "win-topk-group",
-    "stream-session", "stream-join-live",
-)
+# must lead. Rather than hand-maintained per-round lists (round 2 left 6
+# queries ungraded through a bookkeeping gap), the queue derives itself
+# from the committed grading record: every CORRECTNESS_r*.json in the repo
+# root is read, and queries sort by the LAST round the driver graded them
+# (never-graded first, then oldest-graded), registry order as tie-break.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
-# Driver-recorded in CORRECTNESS_r02 (pass or rows-only, all green).
-_R2_GRADED = (
-    "snap-diff", "fn-stratified", "api-sql-param", "src-ffprobe",
-    "agg-approx", "join-hier", "join-fuzzy", "join-exists", "dedup-exact",
-    "dedup-minhash", "dedup-simhash", "dedup-jaccard", "dedup-cluster",
-    "sim-knn-brute", "sim-knn-lsh", "sim-knn-ivf", "dedup-embedding",
-    "text-tokens", "text-langid", "text-quality", "text-fingerprint",
-    "pipe-curate", "text-tfidf", "text-ngrams", "mm-meta", "mm-decode",
-    "src-plist", "src-plist-chunked", "src-plist-ds", "src-fswalk",
-    "src-grep", "src-describe", "snk-m3u", "snk-symlink", "snk-textfile",
-    "snk-dedup-load", "fn-location", "fn-time", "fn-sanitize",
-    "set-except", "set-union", "set-dedup", "sort-name", "sort-count",
-    "topk-shrink", "sort-shuffle", "sort-sum", "stream-window",
-    "stream-window-live", "stream-dedup-live",
-)
 
-# Driver-recorded in CORRECTNESS_r01.
-_R1_VERIFIED = (
-    "agg-hist-genre", "agg-hist-thing", "agg-hist-overall", "agg-hist-where",
-    "agg-pl-stats", "agg-pl-restat", "agg-count", "agg-cdistinct",
-    "agg-json-max", "agg-quality", "agg-percent", "agg-dircount",
-    "agg-maxlen", "agg-ckgroup", "agg-rollup", "agg-pivot", "fn-sample",
-    "fn-resample", "win-frame", "win-rank", "sort-rating", "sort-text",
-    "fn-remap", "api-sql", "fn-strings", "agg-salted", "join-asof",
-    "join-range", "snk-merge", "proj-cols", "proj-star",
-    "proj-schema-driven", "flt-tenant", "flt-eq", "flt-nonempty",
-    "flt-bool", "flt-like", "flt-regex", "flt-where-passthru", "flt-stars",
-    "expr-stars", "expr-exclude-prefix", "join-pt", "join-pt2", "join-left",
-    "join-anti", "join-setdiff", "join-lookup",
-)
+def _last_graded_round() -> dict[str, int]:
+    """query id → highest round number whose CORRECTNESS file records it
+    (any verdict — pass, fail, or rows-only all count as 'graded')."""
+    import glob
+    import json
+    import re
+
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                graded = json.load(f)
+        except (OSError, ValueError):
+            continue  # unreadable history never blocks the contract
+        for qid in graded:
+            last[qid] = max(last.get(qid, 0), rnd)
+    return last
 
 
 def _ordered() -> dict:
     registry = load_all()
-    lead = {qid: i for i, qid in enumerate(_NEVER_GRADED)}
-    r2 = {qid: i for i, qid in enumerate(_R2_GRADED)}
-    r1 = {qid: i for i, qid in enumerate(_R1_VERIFIED)}
-
-    def key(kv):
-        qid = kv[0]
-        if qid in lead:
-            return (0, lead[qid])
-        if qid in r2:
-            return (2, r2[qid])
-        if qid in r1:
-            return (3, r1[qid])
-        return (1, 0)  # new this round: right after the never-graded set
-
-    return dict(sorted(registry.items(), key=key))
+    last = _last_graded_round()
+    # sorted() is stable → registry (insertion) order breaks ties within
+    # each round bucket; never-graded ids carry round 0 and lead.
+    return dict(sorted(registry.items(), key=lambda kv: last.get(kv[0], 0)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -148,35 +148,27 @@ def test_ranged_row_number_matches_enumerate(spark, rows, start):
     assert got == expected
 
 
-def test_grading_queue_ordering_lists_consistent():
-    """Every id in the __spark_entry__ ordering lists must exist in the
-    registry (a typo would silently mis-order the driver grading queue),
-    no id may appear in two lists, and the priority buckets must come out
-    in order: never-graded first, then new, then r2, then r1."""
+def test_grading_queue_orders_never_graded_first():
+    """The grading queue derives from the committed CORRECTNESS_r*.json
+    history: every graded id must still exist in the registry (a rename
+    would silently strand its grading record), never-graded ids must lead,
+    and the queue must be non-decreasing in last-graded round — so the
+    driver's fixed grading window always reaches the stalest entries."""
     import __spark_entry__ as entry
     from itdb_spark.queries import load_all
 
-    registry = set(load_all())
-    lists = {
-        "_NEVER_GRADED": entry._NEVER_GRADED,
-        "_R2_GRADED": entry._R2_GRADED,
-        "_R1_VERIFIED": entry._R1_VERIFIED,
-    }
-    for name, ids in lists.items():
-        missing = [q for q in ids if q not in registry]
-        assert not missing, (name, missing)
-    all_ids = [q for ids in lists.values() for q in ids]
-    assert len(all_ids) == len(set(all_ids)), "id appears in two ordering lists"
+    registry = load_all()
+    last = entry._last_graded_round()
+    assert last, "no CORRECTNESS history found next to __spark_entry__.py"
+    stranded = [qid for qid in last if qid not in registry]
+    assert not stranded, f"graded ids missing from registry: {stranded}"
 
     ordered = list(entry.queries())
-    head = ordered[: len(entry._NEVER_GRADED)]
-    assert head == list(entry._NEVER_GRADED)
-    tail = ordered[-len(entry._R1_VERIFIED):]
-    assert tail == list(entry._R1_VERIFIED)
-    r2_start = len(ordered) - len(entry._R1_VERIFIED) - len(entry._R2_GRADED)
-    assert ordered[r2_start : r2_start + len(entry._R2_GRADED)] == list(
-        entry._R2_GRADED
-    )
+    assert set(ordered) == set(registry)
+    rounds = [last.get(qid, 0) for qid in ordered]
+    assert rounds == sorted(rounds), "queue not ordered by staleness"
+    never = [qid for qid in registry if qid not in last]
+    assert set(ordered[: len(never)]) == set(never), "never-graded ids must lead"
 
 
 @given(
