@@ -138,21 +138,38 @@ def api_sql_param(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "src-ffprobe",
-    oracle=None,  # subprocess/stub probe — rows-only
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR) AS Persistent_ID,
+           CAST(0 AS INTEGER) AS stream_index,
+           CAST(CASE byte_sum % 3 WHEN 0 THEN 480 WHEN 1 THEN 720
+                ELSE 1080 END AS INTEGER) AS height
+    FROM (
+      SELECT p_partkey,
+             list_sum(list_transform(range(1, len(path) + 1),
+                                     i -> ascii(substr(path, i, 1)))) AS byte_sum
+      FROM (SELECT p_partkey, concat('/media/', p_name, '.m4v') AS path
+            FROM part WHERE p_partkey <= 50)
+    )
+    """,
     doc="Per-file media-probe fan-out (itdbmetadata.py:135-157): anti-join "
-    "picks unprobed files, mapInPandas runs ffprobe per file with error "
-    "capture, from_json+posexplode lands one row per stream. ffprobe "
-    "binary absent here → deterministic stub prober; plumbing is real.",
+    "picks unprobed files, mapInPandas runs the probe per file with error "
+    "capture, from_json+posexplode lands one row per stream. The gate "
+    "pins the deterministic stub prober (path-byte-sum → height), so the "
+    "WHOLE pipeline — mapInPandas batch iteration, JSON landing, "
+    "from_json stream explode, get_json_object typed access — is "
+    "hash-verified against a DuckDB oracle that recomputes the stub "
+    "(ascii == utf-8 byte for the ASCII part names); swap "
+    "prober=real_probe where ffprobe exists, same plumbing.",
 )
 def src_ffprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from itdb_spark.sources.ffprobe import explode_streams, probe_files
+    from itdb_spark.sources.ffprobe import explode_streams, probe_files, stub_probe
 
     t = Tables(spark, sf_dir)
-    files = t.part.limit(50).select(
+    files = t.part.where(F.col("p_partkey") <= 50).select(
         F.col("p_partkey").cast("string").alias("Persistent_ID"),
         F.concat(F.lit("/media/"), F.col("p_name"), F.lit(".m4v")).alias("path"),
     )
-    probed = probe_files(files)
+    probed = probe_files(files, prober=stub_probe)
     streams = explode_streams(probed)
     return streams.select(
         "Persistent_ID",
