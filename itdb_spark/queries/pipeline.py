@@ -292,11 +292,57 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim-knn-lsh",
-    oracle=None,  # float-sum sign bits are not reliably oracle-reproducible
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    planes AS (
+      SELECT i // 512 AS t, (i // 64) % 8 AS p, i % 64 AS d,
+             CASE WHEN CAST(concat('0x', substr(md5(
+                    concat(CAST(i // 512 AS VARCHAR), '_',
+                           CAST((i // 64) % 8 AS VARCHAR), '_',
+                           CAST(i % 64 AS VARCHAR))
+                  ), 1, 15)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+      FROM range(0, 1024) r(i)
+    ),
+    dots AS (
+      SELECT vec_id, t, p, sum(vec[d + 1] * sign) AS dot
+      FROM v CROSS JOIN planes GROUP BY 1, 2, 3
+    ),
+    sig AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN dot > 0 THEN CAST(1 << p AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS signature
+      FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT sq.vec_id AS query_id, sv.vec_id AS neighbor_id
+      FROM sig sq JOIN sig sv ON sq.t = sv.t AND sq.signature = sv.signature
+      WHERE sq.vec_id < 5 AND sv.vec_id != sq.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))) AS cos_raw
+      FROM cand c
+      JOIN v a ON a.vec_id = c.query_id
+      JOIN v b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
     doc="LSH-bucketed approximate nearest neighbor: random-hyperplane "
-    "signatures (deterministic ±1 planes from the portable hash), bucket "
-    "join on signature, exact cosine re-rank within buckets only — the "
-    "100 TB path where brute force is infeasible.",
+    "signatures (deterministic ±1 planes from the portable hash of "
+    "(table, plane, dim)), bucket join on signature, exact cosine re-rank "
+    "within buckets only — the 100 TB path where brute force is "
+    "infeasible. Fully oracle-checked since round 3: DuckDB regenerates "
+    "the planes from the same md5 arithmetic and reproduces every bucket, "
+    "candidate, and ranked neighbor (sign bits are far from the float "
+    "summation-order margin on this data — organic |dot| ≫ ulp; the "
+    "dedup-embedding miss-band test guards the analogous threshold band).",
 )
 def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
