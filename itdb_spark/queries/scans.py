@@ -1,7 +1,9 @@
 """Scans, sources, sinks, and scalar-function pipelines — SURVEY.md §2.1 and
-§2.8. Source queries that depend on live filesystem state (plist, fswalk)
-synthesize their own deterministic inputs and run rows-only (no SQL oracle);
-everything else is oracle-checked."""
+§2.8. The plist source queries synthesize a deterministic library file and
+are hash-checked against a DuckDB oracle that regenerates the expected
+rows from the same formula — a parse bug (e.g. a chunk-boundary drop in
+the range scanner) breaks the gate. Only fswalk (live file sizes) remains
+rows-only here."""
 
 from __future__ import annotations
 
@@ -57,9 +59,20 @@ def _synth_library(path: str, n_tracks: int = 50, n_playlists: int = 5) -> None:
         plistlib.dump({"Tracks": tracks, "Playlists": playlists}, fh)
 
 
+_PLIST_ORACLE = """
+    SELECT CAST(1 AS INTEGER) AS User_ID, CAST(i AS INTEGER) AS Track_ID,
+           concat('Track ', lpad(CAST(i AS VARCHAR), 3, '0')) AS Name,
+           concat('Artist ', CAST(i % 7 AS VARCHAR)) AS Artist,
+           (['Rock', 'Jazz', 'Pop'])[(i % 3) + 1] AS Genre,
+           CAST(CASE WHEN i % 5 = 0 THEN NULL ELSE (i % 6) * 20 END AS INTEGER)
+             AS Rating
+    FROM range(1, 51) r(i)
+"""
+
+
 @register(
     "src-plist",
-    oracle=None,  # filesystem-backed; rows-only check
+    oracle=_PLIST_ORACLE,
     doc="plist XML scan: whole-library plistlib parse → tracks relation "
     "(itdbloader.py:306-310) via binaryFile + mapPartitions, schema-driven "
     "projection (itdbloader.py:165-168). Synthesizes a deterministic "
@@ -77,7 +90,7 @@ def src_plist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "src-plist-chunked",
-    oracle=None,  # filesystem-backed; rows-only check
+    oracle=_PLIST_ORACLE,
     doc="The >memory plist ingest path: ONE library XML parsed in parallel "
     "byte ranges (Hadoop-split record protocol on the rigid track-entry "
     "indentation, sources/plist.py:read_itunes_tracks_chunked) — closes the "
@@ -100,7 +113,7 @@ def src_plist_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "src-plist-ds",
-    oracle=None,  # filesystem-backed; rows-only check
+    oracle=_PLIST_ORACLE,
     doc="The Spark 4 Python DataSource front end for plist ingest: "
     "spark.read.format('itunes_plist') over the same split-parallel range "
     "scanner (sources/plist_datasource.py; SURVEY.md §4 names this as the "
