@@ -2,8 +2,8 @@
 §2.8. The plist source queries synthesize a deterministic library file and
 are hash-checked against a DuckDB oracle that regenerates the expected
 rows from the same formula — a parse bug (e.g. a chunk-boundary drop in
-the range scanner) breaks the gate. Only fswalk (live file sizes) remains
-rows-only here."""
+the range scanner) breaks the gate. fswalk likewise scans a synthesized formula-sized tree, so every
+source query in this module is oracle-checked."""
 
 from __future__ import annotations
 
@@ -138,15 +138,37 @@ def src_plist_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tracks.select("User_ID", "Track_ID", "Name", "Artist", "Genre", "Rating")
 
 
+def _synth_tree(root: str, n: int = 40) -> None:
+    """Deterministic file tree (seedless formula): file f{i:03d}.bin holds
+    exactly i*37 % 991 + 1 bytes — so a DuckDB oracle can predict the
+    listing without touching the filesystem."""
+    os.makedirs(root, exist_ok=True)
+    for i in range(1, n + 1):
+        p = os.path.join(root, f"f{i:03d}.bin")
+        size = i * 37 % 991 + 1
+        if not (os.path.exists(p) and os.path.getsize(p) == size):
+            with open(p, "wb") as fh:
+                fh.write(b"x" * size)
+
+
 @register(
     "src-fswalk",
-    oracle=None,  # filesystem-backed; rows-only check
-    doc="Recursive filesystem scan → (path, size) relation (dupes/dedup.py:"
-    "101-113; orphaned_files:63) via the binaryFile source — listing is "
-    "distributed; file bodies are never read (pruned projection).",
+    oracle="""
+    SELECT concat('f', lpad(CAST(i AS VARCHAR), 3, '0'), '.bin') AS filename,
+           CAST(i * 37 % 991 + 1 AS BIGINT) AS size
+    FROM range(1, 41) r(i)
+    """,
+    doc="Filesystem scan → (path, size) relation (dupes/dedup.py:101-113; "
+    "orphaned_files:63) via the binaryFile source — listing is "
+    "distributed; file bodies are never read (pruned projection). Scans a "
+    "REAL directory it synthesizes deterministically (formula sizes), so "
+    "the DuckDB oracle predicts every row — a listing bug (missed file, "
+    "wrong length column) breaks the hash gate.",
 )
 def src_fswalk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    files = scan_files(spark, sf_dir, glob="*.parquet")
+    root = os.path.join(tempfile.gettempdir(), "itdb_spark_fswalk")
+    _synth_tree(root)
+    files = scan_files(spark, root, glob="*.bin")
     return files.select(
         F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"), "size"
     ).orderBy("filename")
