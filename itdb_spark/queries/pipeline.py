@@ -352,14 +352,78 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_knn(spark, emb, queries, "vec_id", "embedding", k=3, dim=dim)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a},{b})/(sqrt(list_dot_product({a},{a}))"
+        f"*sqrt(list_dot_product({b},{b})))"
+    )
+
+
+def _ivf_oracle(k: int = 5, n_cells: int = 8, n_probe: int = 3,
+                iters: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of build_ivf_index + ivf_knn: the 4 Lloyd's iterations
+    unrolled as CTE pairs (assign by max-cosine with centroid-id
+    tie-break, re-center by per-dimension mean). Every step of the Spark
+    path is deterministic — hash-seeded init, tie-broken assignment — so
+    the only cross-engine freedom is float summation order (ulp-level),
+    far inside the assignment margins on this data; verified exact at
+    sf0.001/0.01/0.1."""
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS centroid_id,
+                vec AS cvec
+            FROM (SELECT vec_id, vec,
+                         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                              AS BIGINT) AS h
+                  FROM v)
+            ORDER BY h, vec_id LIMIT {n_cells})""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""a{it} AS (SELECT vec_id, vec, centroid_id FROM (
+            SELECT v.vec_id, v.vec, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_cos_sql('v.vec', 'c.cvec')} DESC, c.centroid_id) AS rn
+            FROM v CROSS JOIN {prev} c) WHERE rn = 1)""")
+        ctes.append(f"""c{it} AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM (
+            SELECT centroid_id, i AS pos, avg(vec[i + 1]) AS m
+            FROM a{it}, range(0, {dim}) r(i) GROUP BY 1, 2) GROUP BY 1)""")
+        prev = f"c{it}"
+    ctes.append(f"""af AS (SELECT vec_id, vec, centroid_id FROM (
+        SELECT v.vec_id, v.vec, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_cos_sql('v.vec', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM v CROSS JOIN {prev} c) WHERE rn = 1)""")
+    ctes.append("q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5)")
+    ctes.append(f"""probed AS (SELECT query_id, qvec, centroid_id FROM (
+        SELECT q.query_id, q.qvec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_cos_sql('q.qvec', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN {prev} c) WHERE rn <= {n_probe})""")
+    ctes.append(f"""scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_cos_sql('p.qvec', 'a.vec')} AS cos_raw
+        FROM probed p JOIN af a
+          ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {k}""")
+
+
 @register(
     "sim-knn-ivf",
-    oracle=None,  # float k-means centroids aren't SQL-reproducible
+    oracle=_ivf_oracle(),
     doc="IVF approximate nearest neighbor: DataFrame-native Lloyd's k-means "
     "coarse quantizer → assign vectors to cells → probe top-3 cells per "
     "query → exact cosine within probed cells only. The partitionable "
     "index form (write.partitionBy(centroid_id) → partition pruning does "
-    "cell selection at 100 TB). Recall vs brute force asserted in "
+    "cell selection at 100 TB; proven in tests/test_ivf_merge.py). "
+    "Oracle-checked since round 3: the ENTIRE training loop is "
+    "reproduced in DuckDB SQL — hash-seeded init, 4 unrolled Lloyd's "
+    "iterations, tie-broken assignment, probe and re-rank — exact at "
+    "all three SFs. Recall vs brute force also asserted in "
     "tests/test_ivf_merge.py.",
 )
 def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
