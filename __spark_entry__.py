@@ -44,6 +44,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # (never-graded first, then oldest-graded), registry order as tie-break.
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
+# Queries whose RESULT SHAPE or ORACLE changed since their last driver
+# grade — rank them with the never-graded set so the next CORRECTNESS
+# window re-records them under the new definition (clear this set once
+# the round's CORRECTNESS file lands). Round 3: real decoded dims
+# (mm-decode), stub-pinned probe shape (src-ffprobe), formula-oracle
+# sources (plist family, fswalk), newly-oracled ANN (sim-knn-lsh/-ivf).
+_CHANGED_SINCE_GRADED = frozenset({
+    "mm-decode", "src-ffprobe", "src-fswalk",
+    "src-plist", "src-plist-chunked", "src-plist-ds",
+    "sim-knn-lsh", "sim-knn-ivf",
+})
+
 
 def _last_graded_round() -> dict[str, int]:
     """query id → highest round number whose CORRECTNESS file records it
@@ -68,12 +80,20 @@ def _last_graded_round() -> dict[str, int]:
     return last
 
 
+def _effective_rank(qid: str, last: dict[str, int]) -> int:
+    """0 = grade me now (never recorded, or definition changed since the
+    last record); otherwise the round last graded (stalest first)."""
+    if qid in _CHANGED_SINCE_GRADED:
+        return 0
+    return last.get(qid, 0)
+
+
 def _ordered() -> dict:
     registry = load_all()
     last = _last_graded_round()
     # sorted() is stable → registry (insertion) order breaks ties within
-    # each round bucket; never-graded ids carry round 0 and lead.
-    return dict(sorted(registry.items(), key=lambda kv: last.get(kv[0], 0)))
+    # each rank bucket; rank-0 (never-graded / changed) ids lead.
+    return dict(sorted(registry.items(), key=lambda kv: _effective_rank(kv[0], last)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

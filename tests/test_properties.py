@@ -165,10 +165,18 @@ def test_grading_queue_orders_never_graded_first():
 
     ordered = list(entry.queries())
     assert set(ordered) == set(registry)
-    rounds = [last.get(qid, 0) for qid in ordered]
-    assert rounds == sorted(rounds), "queue not ordered by staleness"
-    never = [qid for qid in registry if qid not in last]
-    assert set(ordered[: len(never)]) == set(never), "never-graded ids must lead"
+    ranks = [entry._effective_rank(qid, last) for qid in ordered]
+    assert ranks == sorted(ranks), "queue not ordered by staleness"
+    lead = [
+        qid
+        for qid in registry
+        if qid not in last or qid in entry._CHANGED_SINCE_GRADED
+    ]
+    assert set(ordered[: len(lead)]) == set(lead), (
+        "never-graded and changed-since-graded ids must lead"
+    )
+    unknown = [q for q in entry._CHANGED_SINCE_GRADED if q not in registry]
+    assert not unknown, f"_CHANGED_SINCE_GRADED has unknown ids: {unknown}"
 
 
 @given(
