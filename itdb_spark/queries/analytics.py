@@ -277,3 +277,73 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).cast("long").alias("drnk"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "fn-embed-norm",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_dot_product(vec, vec)), 6) AS l2,
+           round(vec[1] / sqrt(list_dot_product(vec, vec)), 6) AS first_norm
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+    """,
+    doc="Embedding L2 normalization — the preprocessing step every "
+    "cosine-similarity pipeline applies once at ingest so downstream "
+    "scoring is a plain dot product: per-row norm via F.aggregate over "
+    "the array (JVM-side fold, same left-to-right order as DuckDB's "
+    "list_dot_product → bit-stable before the round), normalized first "
+    "component as the spot check. Narrow, no shuffle, whole column "
+    "pipelined.",
+)
+def fn_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    vec = F.col("embedding").cast("array<double>")
+    sumsq = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    norm = F.sqrt(sumsq)
+    return t.embeddings.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2"),
+        F.round(vec.getItem(0) / norm, 6).alias("first_norm"),
+    )
+
+
+@register(
+    "agg-skewcheck",
+    oracle="""
+    SELECT CAST(max(c) AS BIGINT) AS max_cnt, CAST(min(c) AS BIGINT) AS min_cnt,
+           CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(min(k) FILTER (WHERE c = (SELECT max(c) FROM
+             (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1)))
+             AS BIGINT) AS hottest_key
+    FROM (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1)
+    """,
+    doc="Join-key skew pre-flight — the diagnosis run BEFORE a big "
+    "shuffle join to decide between plain hash join, AQE skew split, and "
+    "explicit salting (operators/skew.py): per-key counts in one "
+    "map-side-combined shuffle, then a single global aggregate for "
+    "max/min/sum and the hottest key — the argmax rides along as a "
+    "struct-max ((count, -key): min-id tie-break), so there is NO global "
+    "window and NO single-partition pass over the key table. At 100 TB "
+    "this one cheap pass is the difference between a straggler-free join "
+    "and a 10-hour tail task.",
+)
+def agg_skewcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_key = t.lineitem.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    top = F.max(F.struct(F.col("c").alias("c"), (-F.col("k")).alias("nk"))).alias("t")
+    stats = per_key.agg(
+        F.max("c").cast("long").alias("max_cnt"),
+        F.min("c").cast("long").alias("min_cnt"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        top,
+    )
+    return stats.select(
+        "max_cnt",
+        "min_cnt",
+        "n_keys",
+        "n_rows",
+        (-F.col("t.nk")).cast("long").alias("hottest_key"),
+    )
