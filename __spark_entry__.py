@@ -47,13 +47,12 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # Queries whose RESULT SHAPE or ORACLE changed since their last driver
 # grade — rank them with the never-graded set so the next CORRECTNESS
 # window re-records them under the new definition (clear this set once
-# the round's CORRECTNESS file lands). Round 3: real decoded dims
-# (mm-decode), stub-pinned probe shape (src-ffprobe), formula-oracle
-# sources (plist family, fswalk), newly-oracled ANN (sim-knn-lsh/-ivf).
+# the round's CORRECTNESS file lands; tests/test_entry_contract.py
+# asserts no member appears in the newest committed CORRECTNESS file,
+# so CI forces the cleanup). Round 4: agg-approx switched to the
+# within-bounds boolean form and gained a DuckDB oracle.
 _CHANGED_SINCE_GRADED = frozenset({
-    "mm-decode", "src-ffprobe", "src-fswalk",
-    "src-plist", "src-plist-chunked", "src-plist-ds",
-    "sim-knn-lsh", "sim-knn-ivf",
+    "agg-approx",
 })
 
 

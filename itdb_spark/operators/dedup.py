@@ -25,7 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from itdb_spark.functions.core import HASH_PRIME, portable_hash64
@@ -227,15 +227,22 @@ def minhash_candidates(
     band hash collects thousands of docs — each contributes O(size²) pairs).
     Buckets above the cap are dropped from pair generation; at 100 TB route
     them to a template-cluster side channel instead of the pairwise path
-    (SCALE.md "hot buckets"). The cap is a size() predicate on the
-    collected array — free, and it bounds the array memory hazard to
-    max_bucket ids per bucket."""
+    (SCALE.md "hot buckets"). The cap is enforced BEFORE collect_list via a
+    window count over the same (band, band_hash) keys: the count shares the
+    groupBy's exchange (no extra shuffle) and drops hot-bucket ROWS, so a
+    pathological bucket never materializes its id array in an aggregation
+    buffer — the cap genuinely bounds array memory to max_bucket ids."""
     bands = minhash_bands(minhash_signatures(docs, id_col, text_col, num_perm, shingles))
+    if max_bucket is not None:
+        bucket_n = F.count("*").over(Window.partitionBy("band", "band_hash"))
+        bands = (
+            bands.withColumn("bucket_n", bucket_n)
+            .where(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
     buckets = bands.groupBy("band", "band_hash").agg(
         F.array_sort(F.collect_list("doc")).alias("docs")
     )
-    if max_bucket is not None:
-        buckets = buckets.where(F.size("docs") <= max_bucket)
     ds = F.col("docs")
     in_bucket_pairs = F.flatten(
         F.transform(

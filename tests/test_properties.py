@@ -5,6 +5,7 @@ list to keep the suite fast."""
 from __future__ import annotations
 
 import math
+import os
 import string
 
 from hypothesis import given, settings, strategies as st
@@ -177,6 +178,29 @@ def test_grading_queue_orders_never_graded_first():
     )
     unknown = [q for q in entry._CHANGED_SINCE_GRADED if q not in registry]
     assert not unknown, f"_CHANGED_SINCE_GRADED has unknown ids: {unknown}"
+
+
+def test_changed_since_graded_cleared_after_regrade():
+    """_CHANGED_SINCE_GRADED exists to force a re-grade of queries whose
+    shape or oracle changed; once the driver's newest CORRECTNESS file
+    records a member, the pin is stale and would crowd the fixed grading
+    window ahead of genuinely stale queries (the ADVICE r3 failure mode).
+    This test forces the cleanup in the same commit that lands the file."""
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as entry
+
+    paths = glob.glob(os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r*.json"))
+    newest = max(paths, key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)))
+    with open(newest) as f:
+        graded = set(json.load(f))
+    stale_pins = sorted(entry._CHANGED_SINCE_GRADED & graded)
+    assert not stale_pins, (
+        f"{os.path.basename(newest)} already grades {stale_pins}; "
+        "clear them from _CHANGED_SINCE_GRADED"
+    )
 
 
 @given(

@@ -223,6 +223,18 @@ def test_minhash_hot_bucket_cap(spark):
     docs = spark.createDataFrame(rows, "doc_id int, text string")
     uncapped = minhash_candidates(docs, "doc_id", "text").count()
     capped = minhash_candidates(docs, "doc_id", "text", max_bucket=10)
+    # The cap must drop hot-bucket ROWS before collect_list ever runs —
+    # a window count sharing the groupBy's exchange — so a pathological
+    # bucket never materializes its id array (ADVICE r3 medium). In the
+    # physical plan that reads: Filter(bucket_n) BELOW the collect_list
+    # aggregate, and no Exchange between them.
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    agg_at = plan.index("collect_list")
+    filter_at = plan.index("Filter (bucket_n")
+    assert filter_at > agg_at, "bucket cap must apply below (before) collect_list"
+    assert "Exchange" not in plan[agg_at:filter_at], (
+        "window pre-filter must reuse the groupBy exchange"
+    )
     capped_pairs = {(r.id1, r.id2) for r in capped.collect()}
     assert uncapped >= 50 * 49 // 2  # template clique present uncapped
     assert all(i1 >= 100 for i1, _ in capped_pairs), capped_pairs  # clique gone
