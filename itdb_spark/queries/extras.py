@@ -338,19 +338,97 @@ def snk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg-approx",
-    oracle=None,  # sketch results are engine-specific — rows-only
+    oracle="""
+    SELECT metric, exact_value, within_bounds FROM (
+      SELECT 'approx_orders' AS metric,
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS exact_value,
+             TRUE AS within_bounds
+      UNION ALL
+      SELECT 'approx_parts',
+             (SELECT count(DISTINCT l_partkey) FROM lineitem), TRUE
+      UNION ALL
+      SELECT 'q50', (SELECT count(*) FROM lineitem), TRUE
+      UNION ALL
+      SELECT 'q95', (SELECT count(*) FROM lineitem), TRUE
+      UNION ALL
+      SELECT 'q99', (SELECT count(*) FROM lineitem), TRUE
+    ) ORDER BY metric
+    """,
     doc="Approximate aggregates for the 100 TB path: approx_count_distinct "
     "(HyperLogLog++) and percentile_approx over lineitem — the scale "
-    "substitutes for agg-cdistinct / exact quantiles. Quantiles emitted as "
-    "scalar columns (q50/q95/q99), not an array — scalar rows canonicalize "
-    "in any downstream comparator.",
+    "substitutes for agg-cdistinct / exact quantiles. Registered as a "
+    "WITHIN-BOUNDS gate so the sketches are hash-checkable: Spark computes "
+    "sketch AND exact in one pass, a second pass ranks each approx quantile "
+    "within the sorted column, and each metric row reports (exact_value, "
+    "within_bounds). The DuckDB oracle computes the same exact values and "
+    "expects all-true — a sketch exiting its published error bound "
+    "(rsd=5%%*3 for HLL++, rank-error n/accuracy for Greenwald-Khanna) now "
+    "BREAKS the gate instead of hiding behind a rows-only check. At 100 TB "
+    "run the sketch aggregation alone (first agg below); the exact twin "
+    "exists to make the gate falsifiable at test SFs.",
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    return t.lineitem.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    li = t.lineitem
+    sk = li.agg(
+        F.approx_count_distinct("l_partkey").alias("a_parts"),
+        F.approx_count_distinct("l_orderkey").alias("a_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("q50"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("q95"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("q99"),
+        F.countDistinct("l_partkey").alias("e_parts"),
+        F.countDistinct("l_orderkey").alias("e_orders"),
+        F.count("*").alias("n"),
+    )
+    # Rank pass: broadcast the 1-row sketch frame across lineitem and count
+    # rows strictly-below / at-or-below each reported quantile — the exact
+    # rank interval [lo, hi] the Greenwald-Khanna bound speaks about.
+    price = F.col("l_extendedprice")
+    ranks = (
+        li.join(F.broadcast(sk))
+        .groupBy("a_parts", "a_orders", "q50", "q95", "q99", "e_parts", "e_orders", "n")
+        .agg(
+            *[
+                F.sum((price < F.col(q)).cast("long")).alias(f"lo{q[1:]}")
+                for q in ("q50", "q95", "q99")
+            ],
+            *[
+                F.sum((price <= F.col(q)).cast("long")).alias(f"hi{q[1:]}")
+                for q in ("q50", "q95", "q99")
+            ],
+        )
+    )
+    # HLL++ bound: |approx − exact| ≤ 3·rsd·exact (rsd defaults to 5%).
+    # GK bound: the true rank of the reported value must lie within
+    # n/accuracy (+1 for the floor) of the target rank q·n.
+    eps = F.col("n") / 10000 + 1
+
+    def cd_within(approx: str, exact: str) -> F.Column:
+        return F.abs(F.col(approx) - F.col(exact)) <= 0.05 * 3 * F.col(exact)
+
+    def q_within(q: float, tag: str) -> F.Column:
+        target = F.lit(q) * F.col("n")
+        return (F.col(f"lo{tag}") - eps <= target) & (target <= F.col(f"hi{tag}") + eps)
+
+    def row(metric: str, exact_col: F.Column, within: F.Column):
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            exact_col.cast("long").alias("exact_value"),
+            within.alias("within_bounds"),
+        )
+
+    return (
+        ranks.select(
+            F.explode(
+                F.array(
+                    row("approx_orders", F.col("e_orders"), cd_within("a_orders", "e_orders")),
+                    row("approx_parts", F.col("e_parts"), cd_within("a_parts", "e_parts")),
+                    row("q50", F.col("n"), q_within(0.5, "50")),
+                    row("q95", F.col("n"), q_within(0.95, "95")),
+                    row("q99", F.col("n"), q_within(0.99, "99")),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .orderBy("metric")
     )

@@ -231,23 +231,42 @@ def test_cosine_pandas_matches_numpy(spark, a, b):
 
 
 def test_agg_approx_error_bounds(spark):
-    """Evidence for the rows-only agg-approx entry: the sketches land within
-    their published error bounds of the EXACT answers on the gate's own
-    data. approx_count_distinct's default rsd is 5% (HyperLogLog++);
-    percentile_approx with accuracy=10000 guarantees rank error
-    <= n/10000."""
+    """Two layers of evidence for the within-bounds agg-approx gate.
+
+    Layer 1 — the registered query self-reports: 5 metric rows, every
+    within_bounds true (the same booleans the DuckDB oracle hash-checks).
+
+    Layer 2 — INDEPENDENT verification that the bound arithmetic inside the
+    query isn't circular: recompute the sketches directly and check them
+    against exact answers collected to the driver (approx_count_distinct's
+    default rsd is 5%; percentile_approx with accuracy=10000 guarantees
+    rank error <= n/10000, Greenwald-Khanna)."""
+    import bisect
+
     from pyspark.sql import functions as F
 
     from itdb_spark.queries import load_all
     from tests.conftest import SF_DIR
 
-    approx = load_all()["agg-approx"].spark(spark, SF_DIR).collect()[0]
+    rows = load_all()["agg-approx"].spark(spark, SF_DIR).collect()
+    assert [r.metric for r in rows] == ["approx_orders", "approx_parts", "q50", "q95", "q99"]
+    assert all(r.within_bounds for r in rows), rows
+
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("q50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("q95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("q99"),
+    ).collect()[0]
     exact = li.agg(
         F.countDistinct("l_partkey").alias("parts"),
         F.countDistinct("l_orderkey").alias("orders"),
-        F.count("*").alias("n"),
     ).collect()[0]
+    by_metric = {r.metric: r for r in rows}
+    assert by_metric["approx_parts"].exact_value == exact.parts
+    assert by_metric["approx_orders"].exact_value == exact.orders
 
     assert abs(approx.approx_parts - exact.parts) <= 0.05 * 3 * exact.parts
     assert abs(approx.approx_orders - exact.orders) <= 0.05 * 3 * exact.orders
@@ -256,8 +275,8 @@ def test_agg_approx_error_bounds(spark):
     # of the target rank (Greenwald-Khanna bound Spark documents).
     prices = sorted(r.l_extendedprice for r in li.select("l_extendedprice").collect())
     n = len(prices)
+    assert by_metric["q50"].exact_value == n
     eps_ranks = n / 10000 + 1
-    import bisect
 
     for q, got in ((0.5, approx.q50), (0.95, approx.q95), (0.99, approx.q99)):
         lo = bisect.bisect_left(prices, got)
