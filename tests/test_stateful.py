@@ -57,6 +57,23 @@ def test_connected_components_and_keepers(spark):
     assert keepers == {1: (1, 4, 3), 5: (5, 2, 1)}
 
 
+def test_connected_components_chain_converges_log_rounds(spark):
+    """Pointer-doubling guarantee: a 64-link chain — the worst shape for
+    plain min-label propagation, which needs ~63 rounds — must fully
+    converge within the DEFAULT max_iter=10 budget (≈ log2(64) + slack).
+    Without the label-of-label hop this test fails: the loop exhausts
+    max_iter and returns unconverged labels."""
+    from itdb_spark.operators.clustering import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id1 long, id2 long"
+    )
+    stats: dict = {}
+    comp = {r.node: r.component for r in connected_components(chain, stats=stats).collect()}
+    assert comp == {i: 0 for i in range(65)}, "chain must collapse to min label 0"
+    assert stats["rounds"] <= 10, stats
+
+
 def test_dedup_cluster_shape(spark):
     """Every cluster from the derived corpus keeps its min doc_id; planted
     triplets (base, +100000 near-dup, +200000 exact) should mostly land in
