@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from itdb_spark.plans.library import truncate_lineage
+
 
 def connected_components(
     pairs: DataFrame,
@@ -60,12 +62,14 @@ def connected_components(
     )
     # Iterative algorithms must truncate lineage each round — otherwise
     # round N recomputes rounds 1..N-1 from scratch and the plan grows
-    # exponentially. localCheckpoint materializes to executor storage
-    # (on a cluster with an unreliable executor set, use checkpoint()).
+    # exponentially. truncate_lineage picks localCheckpoint (executor
+    # storage) or reliable checkpoint() (HDFS/S3) depending on whether the
+    # session has a checkpoint dir configured — set one on clusters whose
+    # executors can be reclaimed mid-job (SCALE.md "checkpoint posture").
     # LAZY checkpoints: the round's single count() action both materializes
     # the checkpoint and returns the convergence signal — one job per round
     # instead of eager-checkpoint + count (two full passes).
-    labels = labels.localCheckpoint(eager=False)
+    labels = truncate_lineage(labels, eager=False)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -103,7 +107,8 @@ def connected_components(
                 F.least(F.col("half"), F.coalesce("nmin", F.col("half"))).alias("new_component"),
                 F.col("orig").alias("component"),
             )
-        ).localCheckpoint(eager=False)
+        )
+        new_labels = truncate_lineage(new_labels, eager=False)
         # Convergence compares against the ROUND-START label so a change
         # made by the doubling hop alone still forces another round.
         changed = new_labels.where(F.col("new_component") < F.col("component")).count()

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from itdb_spark.functions.core import portable_hash64
 from itdb_spark.operators.similarity import cosine_pandas
+from itdb_spark.plans.library import truncate_lineage
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
@@ -66,7 +67,10 @@ def build_ivf_index(
         .select(F.col("vec").alias("cvec"))
         .withColumn("centroid_id", F.monotonically_increasing_id())
     )
-    centroids = init.localCheckpoint(eager=True)
+    # truncate_lineage: localCheckpoint, or reliable checkpoint() when the
+    # session has a checkpoint dir (unreliable-executor clusters — the
+    # centroid chain otherwise recomputes from round 0 on block loss).
+    centroids = truncate_lineage(init, eager=True)
     for _ in range(iters):
         assigned = _assign(v, centroids, id_col)
         # new centroid = per-dimension mean of members (posexplode → groupBy)
@@ -83,8 +87,8 @@ def build_ivf_index(
                 F.transform("pm", lambda s: s.getField("m")).alias("cvec"),
             )
         )
-        centroids = means.localCheckpoint(eager=True)
-    assignments = _assign(v, centroids, id_col).localCheckpoint(eager=True)
+        centroids = truncate_lineage(means, eager=True)
+    assignments = truncate_lineage(_assign(v, centroids, id_col), eager=True)
     return assignments, centroids
 
 

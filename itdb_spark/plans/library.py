@@ -210,8 +210,27 @@ def adjacent_dupes_scalable(files: DataFrame) -> DataFrame:
     )
 
 
+def truncate_lineage(df: DataFrame, *, eager: bool = True, reliable: bool | None = None) -> DataFrame:
+    """Lineage-truncation point for iterative/materializing operators.
+
+    ``reliable=None`` (the default) auto-selects: if the session has a
+    checkpoint directory configured (``sc.setCheckpointDir`` — on a real
+    cluster that is HDFS/S3), use RELIABLE ``checkpoint()`` so the blocks
+    survive executor loss; otherwise ``localCheckpoint()``, which pins
+    blocks to executor storage — fine on local mode and on clusters with a
+    stable executor set, fatal under aggressive dynamic allocation
+    (SCALE.md "checkpoint posture"). Pass ``reliable=True/False`` to force
+    either path."""
+    sc = df.sparkSession.sparkContext
+    if reliable is None:
+        reliable = sc.getCheckpointDir() is not None
+    if reliable:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def materialized(result: DataFrame, *caches: DataFrame) -> DataFrame:
-    """Materialize ``result`` (eager localCheckpoint) while ``caches`` are
+    """Materialize ``result`` (eager checkpoint) while ``caches`` are
     hot, then unpersist them — the cache-lifecycle contract for operators
     whose returned frame would otherwise pin caches in a long-lived session
     (the driver gate runs 100+ queries in ONE session; leaked caches
@@ -220,9 +239,11 @@ def materialized(result: DataFrame, *caches: DataFrame) -> DataFrame:
     The returned frame reads the checkpointed blocks, never the caches, so
     nothing stays registered in the CacheManager. Checkpoint blocks
     themselves are reclaimed by Spark's ContextCleaner once the frame is
-    garbage-collected driver-side. On a cluster with unreliable executors
-    use reliable ``checkpoint()`` instead of localCheckpoint."""
-    out = result.localCheckpoint(eager=True)
+    garbage-collected driver-side (localCheckpoint path; reliable
+    checkpoint files live until ``spark.cleaner.referenceTracking.
+    cleanCheckpoints`` or job teardown removes them). The local/reliable
+    choice follows ``truncate_lineage``'s auto-detection."""
+    out = truncate_lineage(result, eager=True)
     for c in caches:
         c.unpersist()
     return out

@@ -86,6 +86,37 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def rocksdb_state_conf() -> dict[str, str]:
+    """The production state-store posture for every live streaming query
+    in this package (SCALE.md "State-store backend"): the default
+    HDFS-backed provider keeps each partition's entire state map in
+    executor HEAP — sessionization / streaming dedup over billions of keys
+    OOMs there first. RocksDB spills state to local disk and, with
+    changelog checkpointing, ships only per-batch deltas to the checkpoint
+    location instead of full snapshots.
+
+    Apply at session build time (state-store provider cannot change across
+    a restart of the same checkpointed query):
+
+        builder = SparkSession.builder
+        for k, v in rocksdb_state_conf().items():
+            builder = builder.config(k, v)
+
+    The sf-scale gate queries stay on the default provider — their state
+    fits heap and the RocksDB JNI lib isn't guaranteed present in minimal
+    test containers."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    return {
+        "spark.sql.streaming.stateStore.providerClass": provider,
+        # ship per-batch changelogs, not full RocksDB snapshots
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        # bound native memory: block-cache + memtable under one cap
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+    }
+
+
 def freshness_gate(source_path: str, marker_path: str) -> bool:
     """The reference's mtime freshness gate (itdbloader.py:78-103): returns
     True when the source is newer than the `.loaded` marker (work needed)."""

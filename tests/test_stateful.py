@@ -74,6 +74,34 @@ def test_connected_components_chain_converges_log_rounds(spark):
     assert stats["rounds"] <= 10, stats
 
 
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """truncate_lineage auto-selects RELIABLE checkpoint() once the session
+    has a checkpoint dir (the unreliable-executor cluster posture, SCALE.md)
+    — both CC and the IVF build must produce identical results on that path,
+    and checkpoint files must actually land in the directory. The context's
+    checkpoint-dir state is restored afterwards so the shared session keeps
+    its localCheckpoint default for every other test."""
+    from itdb_spark.operators.clustering import connected_components
+    from itdb_spark.plans.library import truncate_lineage
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # fixture default: local path
+    sc.setCheckpointDir(str(tmp_path))
+    try:
+        pairs = spark.createDataFrame([(2, 1), (2, 3), (3, 9), (5, 6)], "id1 long, id2 long")
+        comp = {r.node: r.component for r in connected_components(pairs).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+        ckpt_files = [p for p in tmp_path.rglob("*") if p.is_file()]
+        assert ckpt_files, "reliable checkpoint() must write under the checkpoint dir"
+        # explicit override still wins over auto-detection
+        df = spark.range(5)
+        assert truncate_lineage(df, reliable=False).count() == 5
+    finally:
+        # restore Option.empty on the Scala side — PySpark has no unset API
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(spark._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
+
+
 def test_dedup_cluster_shape(spark):
     """Every cluster from the derived corpus keeps its min doc_id; planted
     triplets (base, +100000 near-dup, +200000 exact) should mostly land in

@@ -117,3 +117,35 @@ def test_stream_join_live_no_session_conf_leak(spark):
     # a leak would have flipped it to "true" session-wide
     [row] = spark.sql("SET spark.sql.legacy.parquet.nanosAsLong").collect()
     assert row.value == "false", "query leaked a session-wide conf mutation"
+
+
+def test_rocksdb_state_conf(spark):
+    """The documented RocksDB posture (SCALE.md "State-store backend") must
+    be real: every conf key round-trips through a SparkSession, and the
+    provider class itself loads from Spark's classpath — so the recipe is a
+    config change, not aspiration. Original values are restored so the
+    shared session keeps the default provider for the live gate queries."""
+    from itdb_spark.streaming.events import rocksdb_state_conf
+
+    conf = rocksdb_state_conf()
+    provider = conf["spark.sql.streaming.stateStore.providerClass"]
+    # ships with spark-sql — loads without any RocksDB JNI initialization
+    spark._jvm.java.lang.Class.forName(provider)
+
+    saved = {}
+    for k in conf:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        for k, v in conf.items():
+            assert spark.conf.get(k) == v, k
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
