@@ -239,6 +239,48 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join-salted",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM (
+      SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_partkey END AS k,
+             l_quantity
+      FROM lineitem
+    ) l JOIN part p ON l.k = p.p_partkey
+    GROUP BY 1
+    """,
+    doc="Skew-safe join (operators/skew.py skew_safe_join): a synthetic "
+    "hot key — every third lineitem rerouted to partkey 1, a single key "
+    "holding a third of the fact table — joins `part` via "
+    "split-broadcast-union: pre-flight per-key counts pick the hot keys, "
+    "hot rows take a BROADCAST join (the monster key never lands on one "
+    "reducer), cold rows take the normal shuffled join. The oracle is the "
+    "PLAIN join — the rewrite must be semantically invisible. The "
+    "companion pre-flight is agg-skewcheck; plan shape (hot side "
+    "broadcasts, cold side shuffles) is CI-asserted in "
+    "tests/test_scale_paths.py.",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.skew import skew_safe_join
+
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("l_partkey"))
+        .alias("k"),
+        F.round("l_quantity").cast("long").alias("qty"),
+    )
+    pt = t.part.select(F.col("p_partkey").alias("k"), "p_brand")
+    joined = skew_safe_join(li, pt, ["k"], hot_threshold=1000)
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("qty").cast("long").alias("total_qty"),
+    )
+
+
+@register(
     "join-asof",
     oracle="""
     SELECT event_id, user_id,

@@ -407,3 +407,33 @@ def test_ranged_row_number_string_hash_bucket(spark):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_skew_safe_join_plan_and_equivalence(spark):
+    """skew_safe_join's plan contract: with auto-broadcast OFF (so nothing
+    broadcasts by accident), the HOT slice still joins via
+    BroadcastHashJoin (explicit hint — the monster key never shuffles) and
+    the COLD slice takes the shuffled SortMergeJoin. Result must equal the
+    plain join exactly — the rewrite is semantically invisible."""
+    from itdb_spark.operators.skew import skew_safe_join
+
+    rows = [(1 if i % 3 == 0 else (i % 50) + 2, i) for i in range(3000)]
+    left = spark.createDataFrame(rows, "k long, v long")
+    right = spark.createDataFrame([(k, f"dim{k}") for k in range(1, 60)], "k long, name string")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = skew_safe_join(left, right, ["k"], hot_threshold=500)
+        plan = _physical_plan(out)
+        assert "BroadcastHashJoin" in plan, "hot slice must broadcast"
+        assert "SortMergeJoin" in plan, "cold slice must take the shuffled join"
+        got = sorted((r.k, r.v, r.name) for r in out.collect())
+        want = sorted((r.k, r.v, r.name) for r in left.join(right, "k").collect())
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    # precomputed hot_keys path (reuse an agg-skewcheck-style pre-flight)
+    hot = spark.createDataFrame([(1,)], "k long")
+    out2 = skew_safe_join(left, right, ["k"], hot_keys=hot)
+    assert sorted((r.k, r.v, r.name) for r in out2.collect()) == want
