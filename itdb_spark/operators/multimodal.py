@@ -55,18 +55,37 @@ def decode_image_header(content: bytes) -> tuple[int, int, str] | None:
         return (w, h, "png")
     if content[:2] == b"\xff\xd8":
         i = 2
-        while i + 9 <= len(content):
+        n = len(content)
+        while i < n:
             if content[i] != 0xFF:
                 return None  # desynced marker stream
-            marker = content[i + 1]
+            # runs of 0xFF are legal fill/padding before any marker — skip
+            # them, or a padded real-world JPEG silently falls back to the
+            # fabricated _fake_decode dimensions.
+            j = i + 1
+            while j < n and content[j] == 0xFF:
+                j += 1
+            if j >= n:
+                return None
+            marker = content[j]
             if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
-                i += 2
+                i = j + 1
                 continue
-            (seg_len,) = struct.unpack(">H", content[i + 2 : i + 4])
+            if marker in (0xD9, 0xDA):
+                # EOI / SOS carry no length: entropy-coded data (or nothing)
+                # follows — no SOF was seen, stop rather than desync.
+                return None
+            if j + 3 > n:
+                return None  # truncated before the length field
+            (seg_len,) = struct.unpack(">H", content[j + 1 : j + 3])
             if marker in _JPEG_SOF:
-                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                if j + 8 > n:
+                    return None  # truncated SOF payload
+                h, w = struct.unpack(">HH", content[j + 4 : j + 8])
                 return (w, h, "jpeg")
-            i += 2 + seg_len
+            if seg_len < 2:
+                return None  # length must cover itself; 0/1 would loop
+            i = j + 1 + seg_len
         return None
     if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 10:
         w, h = struct.unpack("<HH", content[6:10])

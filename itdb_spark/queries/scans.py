@@ -141,11 +141,23 @@ def src_plist_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _synth_tree(root: str, n: int = 40) -> None:
     """Deterministic file tree (seedless formula): file f{i:03d}.bin holds
     exactly i*37 % 991 + 1 bytes — so a DuckDB oracle can predict the
-    listing without touching the filesystem."""
+    listing without touching the filesystem.
+
+    Reconciles the directory to EXACTLY the expected set (ADVICE r3): any
+    stale file from an older layout (e.g. a previous n>40 config) or a
+    process squatting the well-known path would otherwise add rows and
+    break the hash gate. Removals tolerate concurrent reconcilers — two
+    processes converging on the same expected set cannot fight."""
+    expected = {f"f{i:03d}.bin": i * 37 % 991 + 1 for i in range(1, n + 1)}
     os.makedirs(root, exist_ok=True)
-    for i in range(1, n + 1):
-        p = os.path.join(root, f"f{i:03d}.bin")
-        size = i * 37 % 991 + 1
+    for name in os.listdir(root):
+        if name not in expected:
+            try:
+                os.remove(os.path.join(root, name))
+            except OSError:
+                pass  # concurrent reconciler already removed it
+    for name, size in expected.items():
+        p = os.path.join(root, name)
         if not (os.path.exists(p) and os.path.getsize(p) == size):
             with open(p, "wb") as fh:
                 fh.write(b"x" * size)

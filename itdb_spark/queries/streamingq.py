@@ -231,8 +231,9 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count per user. Matches the lag-based batch twin (stream-session) "
     "and the same DuckDB oracle; the exact-boundary divergence "
     "(session_window ends are exclusive, the lag twin's gap test is "
-    "strict >) cannot bite because no events pair sits at exactly the "
-    "1800 s gap (asserted over all SFs).",
+    "strict > on second-truncated timestamps) cannot bite because no "
+    "events pair sits in the divergence zone — asserted over all SFs by "
+    "tests/test_streaming.py::test_no_event_gap_on_session_boundary.",
 )
 def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.streaming.events import EVENTS_SCHEMA

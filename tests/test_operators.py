@@ -246,6 +246,44 @@ def test_decode_image_header_real_formats():
     assert decode_image_header(b"\xff\xd8truncated") is None
 
 
+def test_decode_jpeg_padding_and_terminators():
+    """Real-world JPEG quirks the walker must survive (ADVICE r3): 0xFF
+    fill bytes are legal padding before any marker — they are NOT
+    length-bearing segments; EOI (D9) / SOS (DA) end the parseable stream;
+    RST markers are standalone; a zero segment length must not loop."""
+    import struct
+
+    from itdb_spark.operators.multimodal import decode_image_header
+
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", 480, 640)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+
+    # fill bytes between segments: FF FF FF before APP0 and before SOF0
+    padded = b"\xff\xd8" + b"\xff\xff" + app0 + b"\xff\xff\xff" + sof0
+    assert decode_image_header(padded) == (640, 480, "jpeg")
+
+    # standalone RST + TEM markers pass through
+    rst = b"\xff\xd8" + b"\xff\xd0" + b"\xff\x01" + sof0
+    assert decode_image_header(rst) == (640, 480, "jpeg")
+
+    # EOI / SOS before any SOF: clean None, not a bogus seg_len desync
+    assert decode_image_header(b"\xff\xd8" + app0 + b"\xff\xd9") is None
+    assert decode_image_header(b"\xff\xd8" + b"\xff\xda" + b"\x00\x0cscan data") is None
+    # trailing fill bytes only
+    assert decode_image_header(b"\xff\xd8\xff\xff\xff") is None
+    # zero/self-inconsistent segment length terminates instead of looping
+    assert decode_image_header(b"\xff\xd8" + b"\xff\xe0\x00\x00" + sof0) is None
+    assert decode_image_header(b"\xff\xd8" + b"\xff\xe0\x00\x01" + sof0) is None
+    # truncated SOF payload (length field promises more than exists)
+    assert decode_image_header(b"\xff\xd8" + sof0[:7]) is None
+
+
 def test_band_structs_matches_exploded_signature_path(spark):
     """The narrow per-row band expression (band_structs) must produce
     exactly the (doc, band, band_hash) table the exploded
@@ -269,3 +307,21 @@ def test_band_structs_matches_exploded_signature_path(spark):
         for r in minhash_bands(minhash_signatures(docs, "doc_id", "text")).collect()
     }
     assert narrow == exploded and len(narrow) == 200 * 4
+
+
+def test_fswalk_synth_tree_reconciles_stale_files(tmp_path):
+    """A stale *.bin from an older layout (or a squatter on the well-known
+    tmp path) must be removed, not listed — the hash gate counts rows."""
+    import os
+
+    from itdb_spark.queries.scans import _synth_tree
+
+    root = str(tmp_path / "walk")
+    os.makedirs(root)
+    stale = os.path.join(root, "f999.bin")
+    with open(stale, "wb") as fh:
+        fh.write(b"x" * 123)
+    _synth_tree(root)
+    names = sorted(os.listdir(root))
+    assert len(names) == 40 and "f999.bin" not in names
+    assert os.path.getsize(os.path.join(root, "f001.bin")) == 1 * 37 % 991 + 1

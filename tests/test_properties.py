@@ -283,3 +283,41 @@ def test_agg_approx_error_bounds(spark):
         hi = bisect.bisect_right(prices, got)
         target = q * n
         assert lo - eps_ranks <= target <= hi + eps_ranks, (q, got, lo, hi, target)
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_jpeg_walker_total_on_adversarial_bytes(tail):
+    """The SOF walker must be TOTAL on b'\\xff\\xd8' + arbitrary bytes:
+    no exception, no infinite loop, and any parsed dims are uint16-ranged
+    (VERDICT r3 #8 — the truncation guards exercised at every boundary)."""
+    from itdb_spark.operators.multimodal import decode_image_header
+
+    out = decode_image_header(b"\xff\xd8" + tail)
+    if out is not None:
+        w, h, fmt = out
+        assert fmt == "jpeg"
+        assert 0 <= w <= 0xFFFF and 0 <= h <= 0xFFFF
+
+
+@given(st.data())
+@settings(max_examples=100, deadline=None)
+def test_jpeg_walker_prefix_safe(data):
+    """Every truncation of a real padded JPEG parses to either None or the
+    true dimensions — never garbage from a partially-read SOF."""
+    import struct
+
+    from itdb_spark.operators.multimodal import decode_image_header
+
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", 480, 640)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+    full = b"\xff\xd8" + b"\xff\xff" + app0 + b"\xff\xff" + sof0 + b"tail"
+    k = data.draw(st.integers(min_value=0, max_value=len(full)))
+    out = decode_image_header(full[:k])
+    assert out in (None, (640, 480, "jpeg"))

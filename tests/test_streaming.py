@@ -149,3 +149,36 @@ def test_rocksdb_state_conf(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_event_gap_on_session_boundary(spark):
+    """Backs the stream-session-live docstring claim (previously asserted
+    nowhere — ADVICE r3): the live form starts a new session iff the
+    microsecond gap is >= 1800 s (session_window ends are EXCLUSIVE), the
+    lag-based twin and the DuckDB oracle iff the SECOND-truncated gap is
+    strictly > 1800. Assert the two predicates agree on every same-user
+    consecutive pair in every SF's events table — a testdata regen landing
+    a pair in the divergence zone fails here instead of silently diverging
+    the gate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from itdb_spark.streaming.events import EVENTS_SCHEMA
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        ev = (
+            spark.read.format("parquet")
+            .schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .load(f"/root/testdata/{sf}")
+            .select("user_id", "event_id", ((F.col("ts") / 1000).cast("long")).alias("ts_us"))
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        pairs = ev.select(
+            "ts_us", F.lag("ts_us").over(w).alias("prev_us")
+        ).where(F.col("prev_us").isNotNull())
+        new_live = (F.col("ts_us") - F.col("prev_us")) >= 1800 * 1_000_000
+        sec_diff = F.floor(F.col("ts_us") / 1_000_000) - F.floor(F.col("prev_us") / 1_000_000)
+        new_batch = sec_diff > 1800
+        diverging = pairs.where(new_live != new_batch).count()
+        assert diverging == 0, f"{sf}: {diverging} pairs in the session-boundary divergence zone"
