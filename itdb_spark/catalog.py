@@ -31,15 +31,17 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# events.parquet carries TIMESTAMP(NANOS), which Spark's schema inference
-# rejects. An EXPLICIT reader schema typing ts as long sidesteps inference
-# entirely — scoped to the one read, no session conf involved (the former
-# `spark.sql.legacy.parquet.nanosAsLong` session mutation made every later
-# events read in a shared session order-dependent).
+# Explicit reader schema for the events table — shared by the batch scan
+# and every readStream (streaming requires one anyway). ts is
+# TIMESTAMP(MICROS) in the parquet since the 2026-08-13 testdata regen,
+# which Spark reads natively; earlier generations carried TIMESTAMP(NANOS)
+# and needed a raw-long read + /1000 convert. Pinning the schema here keeps
+# a future regen honest: a NANOS flip fails the read loudly (type
+# mismatch) instead of silently shifting every timestamp 1000×.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # raw nanos since epoch
+        T.StructField("ts", T.TimestampType(), True),  # micros since epoch
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -51,17 +53,11 @@ EVENTS_RAW_SCHEMA = T.StructType(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan — Catalyst handles column pruning + predicate pushdown.
 
-    events.parquet carries TIMESTAMP(NANOS); read nanos as long via an
-    explicit reader schema and convert to a microsecond timestamp — the
-    same truncation DuckDB's Python client applies to TIMESTAMP_NS."""
+    events reads under the pinned EVENTS_RAW_SCHEMA (see its comment);
+    every other table infers from the parquet footer."""
     if name == "events":
-        from pyspark.sql import functions as F
-
-        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
+        return spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
             os.path.join(sf_dir, f"{name}.parquet")
-        )
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -243,7 +243,6 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     )
     sessions = stream.groupBy(
         "user_id", F.session_window("ts", "30 minutes")

@@ -15,9 +15,9 @@ from pyspark.sql import functions as F
 
 from itdb_spark.catalog import EVENTS_RAW_SCHEMA
 
-# ts is TIMESTAMP(NANOS) in the parquet; the explicit reader schema types it
-# as long (raw nanos) + convert — same truncation as the batch path in
-# catalog.load_table, scoped to the read (no session conf mutation).
+# ts is TIMESTAMP(MICROS) in the parquet — native TimestampType under the
+# pinned schema (readStream requires an explicit schema regardless); see
+# the EVENTS_RAW_SCHEMA comment in catalog.py for the regen history.
 EVENTS_SCHEMA = EVENTS_RAW_SCHEMA
 
 
@@ -32,7 +32,6 @@ def windowed_counts_stream(
         .schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     )
     return (
         events.withWatermark("ts", watermark)
@@ -81,7 +80,6 @@ def streaming_dedup(
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)
         .load(source_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     )
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 

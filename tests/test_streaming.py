@@ -60,7 +60,7 @@ def test_streaming_dedup(spark, tmp_path):
     dropDuplicatesWithinWatermark → exactly the distinct events survive."""
     from itdb_spark.streaming.events import EVENTS_SCHEMA, streaming_dedup
 
-    # explicit schema: ts as long nanos (no session conf involved)
+    # pinned reader schema (ts native micros timestamp)
     src = spark.read.schema(EVENTS_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
     dup_dir = str(tmp_path / "dup_events")
     src.write.mode("overwrite").parquet(dup_dir)
@@ -102,8 +102,10 @@ def test_freshness_gate(tmp_path):
 def test_stream_join_live_no_session_conf_leak(spark):
     """stream-join-live must not mutate shared-session config: run it FIRST,
     then another events query in the same session — both still correct, and
-    the legacy nanos conf is never set (every events read path scopes the
-    nanos handling to its own explicit reader schema)."""
+    the legacy nanos conf is never set (historical regression guard: events
+    was TIMESTAMP(NANOS) before the 2026-08-13 testdata regen and an early
+    implementation set this conf session-wide; every events read now pins
+    its own reader schema)."""
     from itdb_spark.queries import load_all
 
     registry = load_all()
@@ -171,7 +173,7 @@ def test_no_event_gap_on_session_boundary(spark):
             .schema(EVENTS_SCHEMA)
             .option("pathGlobFilter", "events.parquet")
             .load(f"/root/testdata/{sf}")
-            .select("user_id", "event_id", ((F.col("ts") / 1000).cast("long")).alias("ts_us"))
+            .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
         )
         w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         pairs = ev.select(

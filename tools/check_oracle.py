@@ -84,7 +84,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_VANILLA"):
         # Replicate the driver's UNTUNED session (200 shuffle partitions,
         # no custom confs) — catches config-dependent bugs the tuned
-        # session hides (e.g. the events nanos read).
+        # session hides (e.g. an events reader-schema mismatch).
         from pyspark.sql import SparkSession
 
         spark = (
