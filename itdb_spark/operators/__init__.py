@@ -12,6 +12,7 @@ from itdb_spark.operators.multimodal import (  # noqa: F401
 )
 from itdb_spark.operators.hierarchy import expand_hierarchy  # noqa: F401
 from itdb_spark.operators.similarity import brute_force_knn, cosine_col  # noqa: F401
+from itdb_spark.operators.packing import pack_sequences  # noqa: F401
 from itdb_spark.operators.skew import (  # noqa: F401
     salted_count,
     salted_sum,

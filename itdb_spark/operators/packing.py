@@ -1,0 +1,52 @@
+"""Sequence packing for LLM pretraining batches: concatenate documents in
+a deterministic order and slice the token stream into fixed-budget packs
+(the standard concat-and-chunk layout — every pack is exactly ``budget``
+tokens except the last, documents may straddle pack boundaries).
+
+Packing semantics choice: concat-and-chunk is the form that scales.
+True greedy bin packing (next-fit/first-fit: close a bin when the next
+document would overflow) carries sequential state per bin — inherently a
+single-threaded scan, unshardable without changing its output. The
+concat-and-chunk form is a pure function of the exclusive token cumsum,
+which the ranged two-phase pattern (plans/library.ranged_cumsum)
+computes with NO single-partition exchange — so the same plan packs a
+100 TB corpus. (The reference has no packing analog; this is one of the
+training-data extensions the engine adds, COVERAGE.md.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from itdb_spark.plans.library import ranged_cumsum
+
+
+def pack_sequences(
+    docs: DataFrame,
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    bucket=None,
+) -> DataFrame:
+    """(order_col, n_tokens, pack_id, pack_offset) for every document:
+
+    * ``pack_id``   — which fixed-``budget`` pack the document STARTS in
+                      (floor(cumsum_before / budget));
+    * ``pack_offset`` — token position within that pack
+                      (cumsum_before mod budget).
+
+    A document with pack_offset + n_tokens > budget straddles into the
+    next pack(s) — the trainer's chunker handles the split; the pack
+    boundaries themselves are deterministic and order-reproducible, so a
+    SQL oracle (one window cumsum) can verify the assignment exactly.
+    """
+    cum = ranged_cumsum(
+        docs, [order_col], tokens_col, out_col="_cb", bucket=bucket
+    )
+    return cum.select(
+        order_col,
+        F.col(tokens_col).cast("long").alias(tokens_col),
+        F.floor(F.col("_cb") / budget).cast("long").alias("pack_id"),
+        (F.col("_cb") % budget).cast("long").alias("pack_offset"),
+    )

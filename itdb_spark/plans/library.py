@@ -210,6 +210,53 @@ def adjacent_dupes_scalable(files: DataFrame) -> DataFrame:
     )
 
 
+def ranged_cumsum(
+    df: DataFrame,
+    order_cols,
+    value,
+    out_col: str = "cumsum_before",
+    bucket=None,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``value`` over a total order WITHOUT the
+    single-partition global window — the ranged_row_number pattern
+    generalized from counting to summing:
+
+    1. bucket on an order-consistent data expression (same contract as
+       ranged_row_number: b1 < b2 ⇒ every row of b1 precedes b2);
+    2. per-bucket exclusive window sum (parallel across buckets);
+    3. per-bucket TOTALS → running-sum offsets on a #buckets-row frame,
+       broadcast back and added.
+
+    Exclusive (sum of strictly-preceding rows) because that is the form
+    consumers need for slicing: row i owns [cumsum_before, cumsum_before
+    + value) of the concatenated stream."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    v = F.col(value) if isinstance(value, str) else value
+    b = bucket if bucket is not None else cols[0]
+    b = F.col(b) if isinstance(b, str) else b
+    data = df.withColumn("_bucket", b).withColumn("_v", v)
+    w_local = (
+        Window.partitionBy("_bucket")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = data.withColumn("_local", F.coalesce(F.sum("_v").over(w_local), F.lit(0)))
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        data.groupBy("_bucket")
+        .agg(F.sum("_v").alias("_n"))
+        .select(
+            F.col("_bucket").alias("_obucket"),
+            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), F.col("_bucket").eqNullSafe(F.col("_obucket")))
+        .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("long"))
+        .drop("_bucket", "_obucket", "_local", "_off", "_v")
+    )
+
+
 def truncate_lineage(df: DataFrame, *, eager: bool = True, reliable: bool | None = None) -> DataFrame:
     """Lineage-truncation point for iterative/materializing operators.
 

@@ -933,3 +933,44 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("width") * s).cast("int").alias("out_w"),
         F.floor(F.col("height") * s).cast("int").alias("out_h"),
     )
+
+
+@register(
+    "fn-pack",
+    oracle="""
+    SELECT doc_id, n_tokens,
+           CAST(cb // 2048 AS BIGINT) AS pack_id,
+           CAST(cb % 2048 AS BIGINT) AS pack_offset
+    FROM (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cb
+      FROM (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+      )
+    )
+    """,
+    doc="Sequence packing for pretraining batches "
+    "(operators/packing.py): documents concatenated in doc_id order and "
+    "sliced into 2048-token packs — each doc gets (pack_id, pack_offset). "
+    "Concat-and-chunk, not greedy bin packing: greedy carries sequential "
+    "per-bin state (unshardable); the chunk layout is a pure function of "
+    "the exclusive token cumsum, which runs as the two-phase ranged "
+    "pattern (per-bucket window + broadcast offsets, plans/library."
+    "ranged_cumsum) — NO single-partition exchange over the corpus, "
+    "plan-asserted in tests/test_scale_paths.py. The oracle is the plain "
+    "global-window cumsum.",
+)
+def fn_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.packing import pack_sequences
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", budget=2048, bucket=F.floor(F.col("doc_id") / 100)
+    )

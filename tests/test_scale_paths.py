@@ -123,7 +123,9 @@ def test_topk_uses_group_limit(spark):
     assert "WindowGroupLimit" in _physical_plan(df)
 
 
-@pytest.mark.parametrize("qid", ["win-lag", "win-seq", "sort-shuffle", "snk-m3u", "snk-symlink"])
+@pytest.mark.parametrize(
+    "qid", ["win-lag", "win-seq", "sort-shuffle", "snk-m3u", "snk-symlink", "fn-pack"]
+)
 def test_no_global_window_single_partition(spark, qid):
     """The registered forms of the previously global-window queries must not
     funnel the DATA through one partition. ranged_row_number's offsets frame
