@@ -974,3 +974,78 @@ def fn_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         docs, "doc_id", "n_tokens", budget=2048, bucket=F.floor(F.col("doc_id") / 100)
     )
+
+
+@register(
+    "text-repetition",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), arr AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1])) AS bigrams,
+             list_transform(range(1, len(t)-1),
+                            i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) AS trigrams
+      FROM tk WHERE len(t) >= 3
+    ), cnts AS (
+      SELECT doc_id, bigram, count(*) AS c
+      FROM (SELECT doc_id, unnest(bigrams) AS bigram FROM arr)
+      GROUP BY 1, 2
+    ), tops AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_cnt,
+             CAST(sum(c) AS BIGINT) AS n_bigrams
+      FROM cnts GROUP BY 1
+    )
+    SELECT a.doc_id, t.n_bigrams, t.top_bigram_cnt,
+           CAST(len(a.trigrams) AS BIGINT) AS n_trigrams,
+           CAST(len(a.trigrams) - len(list_distinct(a.trigrams)) AS BIGINT)
+             AS n_dup_trigrams
+    FROM arr a JOIN tops t USING (doc_id)
+    """,
+    doc="Repetition quality signals (the Gopher/C4 pretraining filter "
+    "family): per document, the most-frequent-bigram count (boilerplate "
+    "share) and duplicate-trigram count. Emitted as INTEGER counts, not "
+    "rounded ratios — integer hash parity by construction; consumers "
+    "divide (top_bigram_cnt/n_bigrams > 0.18 is the usual drop rule). "
+    "Bigram mode via explode → two map-side-combinable groupBys (keys "
+    "(doc, bigram) then doc — near-unique, skew-free); trigram dedup "
+    "stays inside a per-row array expression, no shuffle.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    arr = (
+        t.documents.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                " (a, b) -> concat(a, ' ', b))"
+            ).alias("bigrams"),
+            F.expr(
+                "transform(sequence(1, size(t)-2),"
+                " i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+            ).alias("trigrams"),
+        )
+    )
+    tri = arr.select(
+        "doc_id",
+        F.size("trigrams").cast("long").alias("n_trigrams"),
+        (F.size("trigrams") - F.size(F.array_distinct("trigrams")))
+        .cast("long")
+        .alias("n_dup_trigrams"),
+    )
+    tops = (
+        arr.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("long").alias("top_bigram_cnt"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    return tri.join(tops, "doc_id").select(
+        "doc_id", "n_bigrams", "top_bigram_cnt", "n_trigrams", "n_dup_trigrams"
+    )
