@@ -347,3 +347,76 @@ def agg_skewcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         (-F.col("t.nk")).cast("long").alias("hottest_key"),
     )
+
+
+@register(
+    "fn-quantize",
+    oracle="""
+    SELECT vec_id,
+           round(s, 6) AS scale6,
+           CAST(CASE WHEN s = 0 THEN 0 ELSE q[1] END AS BIGINT) AS q_first,
+           CAST(CASE WHEN s = 0 THEN 0
+                     ELSE list_sum(list_transform(q, x -> abs(x))) END AS BIGINT)
+             AS q_l1,
+           (s = 0 OR list_aggregate(
+              list_transform(range(1, len(vec) + 1),
+                             i -> abs(vec[i] - q[i] * s)), 'max') <= s * 0.5 + 1e-9)
+             AS err_ok
+    FROM (
+      SELECT vec_id, vec, s,
+             list_transform(vec, x ->
+               least(127, greatest(-127,
+                 CAST(floor(CASE WHEN s = 0 THEN 0 ELSE x / s END + 0.5) AS BIGINT)))) AS q
+      FROM (
+        SELECT vec_id, vec,
+               list_aggregate(list_transform(vec, x -> abs(x)), 'max') / 127.0 AS s
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+      )
+    )
+    """,
+    doc="Symmetric per-vector int8 quantization — the storage/bandwidth "
+    "step before ANN at scale (4x smaller vectors, int8 dot products): "
+    "scale = max|x|/127, q = floor(x/scale + 0.5) clamped to [-127,127] "
+    "(floor(+0.5) instead of round() so both engines evaluate the "
+    "identical IEEE expression — no round-half-mode divergence). Emits "
+    "the quantized L1 checksum (whole-vector integer parity), first "
+    "component, and an err_ok bound check (max reconstruction error <= "
+    "scale/2) the oracle expects all-true. Narrow per-row array fold, "
+    "no shuffle, no UDF.",
+)
+def fn_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    ).select(
+        "vec_id",
+        "vec",
+        (F.array_max(F.transform("vec", lambda x: F.abs(x))) / 127.0).alias("s"),
+    )
+    zero = F.col("s") == 0
+    q = F.transform(
+        "vec",
+        lambda x: F.least(
+            F.lit(127),
+            F.greatest(
+                F.lit(-127),
+                F.floor(F.when(zero, F.lit(0.0)).otherwise(x / F.col("s")) + 0.5).cast(
+                    "long"
+                ),
+            ),
+        ),
+    )
+    qd = base.select("vec_id", "vec", "s", q.alias("q"))
+    err_max = F.array_max(
+        F.zip_with("vec", "q", lambda x, qq: F.abs(x - qq * F.col("s")))
+    )
+    return qd.select(
+        "vec_id",
+        F.round("s", 6).alias("scale6"),
+        F.when(zero, F.lit(0)).otherwise(F.element_at("q", 1)).cast("long").alias("q_first"),
+        F.when(zero, F.lit(0))
+        .otherwise(F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)))
+        .cast("long")
+        .alias("q_l1"),
+        (zero | (err_max <= F.col("s") * 0.5 + 1e-9)).alias("err_ok"),
+    )
