@@ -49,6 +49,55 @@ def range_join_count(
     return joined.groupBy(F.col("ivl_id").alias(interval_id)).agg(F.count("*").alias("cnt"))
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 604800,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (l.start ≤ r.end AND r.start ≤
+    l.end, closed intervals), bucketized: both sides explode into the
+    time buckets they span and equi-join on bucket. Each overlapping pair
+    shares at least the bucket containing max(l.start, r.start) — the
+    overlap's own start — so keeping ONLY the match in that bucket emits
+    every pair exactly once with NO distinct/dedup shuffle afterwards.
+    Shuffle cardinality is Σ interval-bucket rows, never |L|·|R|.
+
+    Returns (left_id, right_id) pairs. Both inputs must carry
+    ``start_col``/``end_col`` timestamps."""
+
+    def spans(df: DataFrame, id_col: str, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{tag}_id"),
+            F.col(start_col).alias(f"{tag}_s"),
+            F.col(end_col).alias(f"{tag}_e"),
+            F.explode(
+                F.sequence(
+                    (F.unix_timestamp(start_col) / bucket_seconds).cast("long"),
+                    (F.unix_timestamp(end_col) / bucket_seconds).cast("long"),
+                )
+            ).alias("bucket"),
+        )
+
+    l = spans(left, left_id, "l")
+    r = spans(right, right_id, "r")
+    overlap_start_bucket = (
+        F.unix_timestamp(F.greatest("l_s", "r_s")) / bucket_seconds
+    ).cast("long")
+    return (
+        l.join(r, "bucket")
+        .where(
+            (F.col("l_s") <= F.col("r_e"))
+            & (F.col("r_s") <= F.col("l_e"))
+            & (F.col("bucket") == overlap_start_bucket)
+        )
+        .select(F.col("l_id").alias(left_id), F.col("r_id").alias(right_id))
+    )
+
+
 def range_join_naive(
     points: DataFrame,
     intervals: DataFrame,

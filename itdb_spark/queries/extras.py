@@ -474,3 +474,40 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("metric")
     )
+
+
+@register(
+    "join-overlap",
+    oracle="""
+    SELECT l.o_orderkey AS l_key, r.o_orderkey AS r_key
+    FROM (SELECT o_orderkey, o_orderdate AS s, o_orderdate + INTERVAL 7 DAY AS e
+          FROM orders WHERE o_orderkey % 97 = 0) l
+    JOIN (SELECT o_orderkey, o_orderdate AS s, o_orderdate + INTERVAL 10 DAY AS e
+          FROM orders WHERE o_orderkey % 89 = 0) r
+      ON l.s <= r.e AND r.s <= l.e
+    """,
+    doc="Interval × interval OVERLAP join "
+    "(operators/rangejoin.py::interval_overlap_join) — the two-sided "
+    "sibling of join-range's point-in-interval: both interval sets "
+    "explode into week buckets and equi-join on bucket; a pair is kept "
+    "only in the bucket containing its overlap's own start "
+    "(max of the two starts), so every overlapping pair emits exactly "
+    "once with NO post-join distinct. Shuffle is on bucket ids — "
+    "Σ interval-buckets, never |L|·|R|. The oracle is the naive theta "
+    "join.",
+)
+def join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.rangejoin import interval_overlap_join
+
+    t = Tables(spark, sf_dir)
+
+    def intervals(mod: int, days: int, key: str) -> DataFrame:
+        return t.orders.where(F.col("o_orderkey") % mod == 0).select(
+            F.col("o_orderkey").alias(key),
+            F.col("o_orderdate").alias("start"),
+            (F.col("o_orderdate") + F.expr(f"INTERVAL {days} DAY")).alias("end"),
+        )
+
+    return interval_overlap_join(
+        intervals(97, 7, "l_key"), intervals(89, 10, "r_key"), "l_key", "r_key"
+    )

@@ -372,3 +372,51 @@ def test_pack_sequences_semantics(spark):
     ]
     budgeted = pack_sequences(docs, budget=2048).collect()
     assert all(0 <= r.pack_offset < 2048 for r in budgeted)
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Bucketized overlap join ≡ cross-join + theta filter on random
+    intervals spanning multiple buckets (including zero-length and
+    bucket-straddling ones), each pair emitted exactly once — and the
+    plan must be an equi-join on bucket, never a cartesian product."""
+    import datetime as dt
+
+    from itdb_spark.operators.rangejoin import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(n, seed, max_len_h):
+        rows = []
+        for i in range(n):
+            s = base + dt.timedelta(hours=((i * 37 + seed) % 2000))
+            e = s + dt.timedelta(hours=((i * 13 + seed) % max_len_h))
+            rows.append((seed * 10000 + i, s, e))
+        return spark.createDataFrame(rows, "id long, start timestamp, end timestamp")
+
+    left = mk(80, 1, 300)
+    right = mk(70, 2, 500)
+    got = {
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(
+            left.withColumnRenamed("id", "l_id"),
+            right.withColumnRenamed("id", "r_id"),
+            "l_id", "r_id", bucket_seconds=86400,
+        ).collect()
+    }
+    naive = {
+        (l.id, r.id)
+        for l in left.collect()
+        for r in right.collect()
+        if l.start <= r.end and r.start <= l.end
+    }
+    assert got == naive and len(naive) > 0
+
+    plan = (
+        interval_overlap_join(
+            left.withColumnRenamed("id", "l_id"),
+            right.withColumnRenamed("id", "r_id"),
+            "l_id", "r_id", bucket_seconds=86400,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
