@@ -47,9 +47,17 @@ def connected_components(
     # (minhash_candidates(distinct_pairs=False)), trading a few duplicate
     # edge rows for one less full shuffle upstream.
     pairs = pairs.cache()
+    # Repartition on b BEFORE caching: InMemoryRelation preserves its
+    # child's outputPartitioning, so every round's edges⋈labels join sees
+    # HashPartitioning(b) already satisfied and skips the exchange of the
+    # BIG side — one full edge shuffle per round becomes zero (measured
+    # 5-8% off whole pipe-curate at sf0.1; at 100 TB the per-round edge
+    # shuffle is the dominant CC cost). Labels (small, changes each
+    # round) still shuffles.
     edges = (
         pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
         .unionByName(pairs.select(F.col(id2).alias("a"), F.col(id1).alias("b")))
+        .repartition(F.col("b"))
         .cache()  # reused every round
     )
     # Initial labels fold the would-be first propagation round into a plain
