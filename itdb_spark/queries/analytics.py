@@ -420,3 +420,33 @@ def fn_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q_l1"),
         (zero | (err_max <= F.col("s") * 0.5 + 1e-9)).alias("err_ok"),
     )
+
+
+@register(
+    "agg-cube",
+    oracle="""
+    SELECT l_returnflag AS flag, o_orderpriority AS priority,
+           count(*) AS cnt,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY CUBE(l_returnflag, o_orderpriority)
+    """,
+    doc="CUBE over a joined fact — all four grouping combinations "
+    "(flag×priority, flag, priority, grand total) in ONE shuffle via "
+    "Spark's Expand (each input row fans out per grouping set, partials "
+    "map-side combined), completing the rollup/pivot/cube grouping-sets "
+    "family. The reference assembles such reports with one query per "
+    "level (itdb2html.py:264-284, :386-398).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    joined = t.lineitem.join(
+        t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey
+    )
+    return joined.cube(
+        F.col("l_returnflag").alias("flag"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"),
+    )
