@@ -1049,3 +1049,79 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.join(tops, "doc_id").select(
         "doc_id", "n_bigrams", "top_bigram_cnt", "n_trigrams", "n_dup_trigrams"
     )
+
+
+@register(
+    "text-winnow",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), kg AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+               i -> CAST(concat('0x', substr(md5(
+                      concat(t[i], ' ', t[i+1], ' ', t[i+2])), 1, 15)) AS BIGINT))
+               AS h
+      FROM tk WHERE len(t) >= 3
+    ), win AS (
+      SELECT doc_id, h,
+             list_distinct(list_transform(
+               range(1, greatest(len(h) - 4 + 1, 1) + 1),
+               j -> list_aggregate(h[j:j+3], 'min'))) AS fps
+      FROM kg
+    )
+    SELECT doc_id,
+           CAST(len(h) AS BIGINT) AS n_kgrams,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           list_aggregate(fps, 'min') AS fp_min,
+           list_reduce(fps, (a, b) -> xor(a, b)) AS fp_xor
+    FROM win
+    """,
+    doc="Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the "
+    "MOSS scheme): hash every 3-gram, slide a window of 4 consecutive "
+    "hashes, keep each window's minimum — any shared run of >= w+k-1 "
+    "tokens between two documents is GUARANTEED to share a fingerprint, "
+    "the local-dedup property plain fixed-stride sampling lacks. Whole "
+    "computation is per-row array expressions (no shuffle, no UDF); "
+    "hashes are the portable md5-prefix so DuckDB recomputes every "
+    "selected fingerprint exactly (n_kgrams, distinct-fp count, min and "
+    "XOR checksum all hash-gated).",
+)
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import portable_hash64
+
+    k_window = 4
+    t = Tables(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = (
+        t.documents.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(t)-2),"
+                " i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+            ).alias("kgrams"),
+        )
+        .select(
+            "doc_id",
+            F.transform("kgrams", lambda g: portable_hash64(g)).alias("h"),
+        )
+    )
+    n_windows = F.greatest(F.size("h") - k_window + 1, F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice("h", j, k_window)),
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.size("h").cast("long").alias("n_kgrams"),
+        F.size(fps).cast("long").alias("n_fps"),
+        F.array_min(fps).alias("fp_min"),
+        F.aggregate(fps, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)).alias(
+            "fp_xor"
+        ),
+    )
