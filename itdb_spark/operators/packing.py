@@ -50,3 +50,45 @@ def pack_sequences(
         F.floor(F.col("_cb") / budget).cast("long").alias("pack_id"),
         (F.col("_cb") % budget).cast("long").alias("pack_offset"),
     )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    bucket=None,
+) -> DataFrame:
+    """The chunk-split expansion of ``pack_sequences`` — what the trainer
+    actually consumes: one row per (document, pack) a document touches,
+    with the slice geometry
+
+    * ``slice_start`` — first token of the doc that lands in this pack;
+    * ``slice_len``  — how many of the doc's tokens this pack takes.
+
+    A doc spanning packs p0..p1 explodes into p1−p0+1 rows (bounded by
+    ceil(n_tokens/budget)+1 — long docs fan out proportionally to their
+    own length, never to corpus size). Invariants (unit-tested): per-doc
+    Σ slice_len = n_tokens; per-pack Σ slice_len = budget for every pack
+    except the last."""
+    cum = ranged_cumsum(docs, [order_col], tokens_col, out_col="_cb", bucket=bucket)
+    n = F.col(tokens_col).cast("long")
+    cb = F.col("_cb")
+    p0 = F.floor(cb / budget).cast("long")
+    p1 = F.floor((cb + n - 1) / budget).cast("long")
+    exploded = cum.select(
+        order_col,
+        n.alias("_n"),
+        cb.alias("_cbv"),
+        F.explode(F.sequence(p0, p1)).alias("pack_id"),
+    )
+    pack_lo = F.col("pack_id") * budget
+    pack_hi = (F.col("pack_id") + 1) * budget
+    start_tok = F.greatest(F.col("_cbv"), pack_lo)
+    end_tok = F.least(F.col("_cbv") + F.col("_n"), pack_hi)
+    return exploded.select(
+        order_col,
+        "pack_id",
+        (start_tok - F.col("_cbv")).cast("long").alias("slice_start"),
+        (end_tok - start_tok).cast("long").alias("slice_len"),
+    )

@@ -1125,3 +1125,43 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_xor"
         ),
     )
+
+
+@register(
+    "fn-pack-chunks",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(sum(n) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cb
+      FROM tok
+    )
+    SELECT doc_id, p AS pack_id,
+           greatest(cb, p * 2048) - cb AS slice_start,
+           least(cb + n, (p + 1) * 2048) - greatest(cb, p * 2048) AS slice_len
+    FROM cum, unnest(generate_series(cb // 2048, (cb + n - 1) // 2048)) AS g(p)
+    """,
+    doc="Chunk-split expansion of fn-pack (operators/packing.py::"
+    "pack_chunks): one row per (doc, pack) a document touches with "
+    "(slice_start, slice_len) — the geometry the trainer's loader uses "
+    "to assemble fixed-2048-token batches from straddling documents. "
+    "Fan-out per doc is bounded by its own length (ceil(n/budget)+1 "
+    "rows), never corpus size; the cumsum underneath is the two-phase "
+    "ranged form. Oracle = global-window cumsum × generate_series "
+    "lateral.",
+)
+def fn_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.packing import pack_chunks
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_chunks(
+        docs, "doc_id", "n_tokens", budget=2048, bucket=F.floor(F.col("doc_id") / 100)
+    )

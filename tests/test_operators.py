@@ -456,3 +456,29 @@ def test_winnow_guarantee(spark):
     sets = {r.doc_id: set(r.fps) for r in base.select("doc_id", fps.alias("fps")).collect()}
     assert sets[1] & sets[2], "docs sharing a 6-token run must share a fingerprint"
     assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+
+
+def test_pack_chunks_invariants(spark):
+    """Σ slice_len per doc = n_tokens; every pack except the last sums to
+    exactly the budget; slices are within-doc and contiguous."""
+    from itdb_spark.operators.packing import pack_chunks
+
+    rows = [(1, 1000), (2, 1500), (3, 5000), (4, 10), (5, 2048), (6, 1)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_chunks(docs, budget=2048).collect()
+    per_doc = {}
+    per_pack = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append((r.pack_id, r.slice_start, r.slice_len))
+        per_pack[r.pack_id] = per_pack.get(r.pack_id, 0) + r.slice_len
+        assert r.slice_len > 0
+    want = dict(rows)
+    for doc_id, chunks in per_doc.items():
+        assert sum(c[2] for c in chunks) == want[doc_id]
+        chunks.sort()
+        # contiguity: each chunk resumes where the previous ended
+        for (p_a, s_a, l_a), (p_b, s_b, l_b) in zip(chunks, chunks[1:]):
+            assert p_b == p_a + 1 and s_b == s_a + l_a
+    last_pack = max(per_pack)
+    for p, total in per_pack.items():
+        assert total == 2048 or p == last_pack, (p, total)
