@@ -47,7 +47,8 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # Queries whose RESULT SHAPE or ORACLE changed since their last driver
 # grade — rank them with the never-graded set so the next CORRECTNESS
 # window re-records them under the new definition (clear this set once
-# the round's CORRECTNESS file lands; tests/test_entry_contract.py
+# the round's CORRECTNESS file lands;
+# tests/test_properties.py::test_changed_since_graded_cleared_after_regrade
 # asserts no member appears in the newest committed CORRECTNESS file,
 # so CI forces the cleanup). Round 4: agg-approx switched to the
 # within-bounds boolean form and gained a DuckDB oracle.
@@ -103,7 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each SQL-expressible query; keys
-    absent here (src-plist, src-fswalk, sim-knn-lsh) get the weaker
-    rows-only check."""
+    """DuckDB-runnable ANSI SQL twin for every query — since round 4 the
+    registry carries NO rows-only entries (a key absent here would get
+    the weaker rows-only check; there are none)."""
     return {qid: q.oracle for qid, q in _ordered().items() if q.oracle is not None}

@@ -11,9 +11,11 @@ update is one groupBy per iteration.
 
 Determinism: initial centroids are the k vectors with the smallest
 portable-hash of their id (seedless, reproducible); ties in assignment
-break by centroid id. Float means make bit-level SQL oracles impractical
-→ rows-only in the driver gate; recall is asserted against brute force in
-tests.
+break by centroid id. That determinism is what makes the sim-knn-ivf
+gate fully hash-checkable: the DuckDB oracle unrolls the same Lloyd's
+iterations in SQL (round 3) and reproduces every centroid and
+assignment bit-for-bit; recall vs brute force is additionally asserted
+in tests.
 """
 
 from __future__ import annotations

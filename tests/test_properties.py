@@ -321,3 +321,33 @@ def test_jpeg_walker_prefix_safe(data):
     k = data.draw(st.integers(min_value=0, max_value=len(full)))
     out = decode_image_header(full[:k])
     assert out in (None, (640, 480, "jpeg"))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 1000), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ranged_cumsum_matches_global_window(spark, rows):
+    """ranged_cumsum ≡ exclusive global-window sum for arbitrary
+    (bucket, tiebreak, value) data — duplicate buckets, skewed bucket
+    sizes, zero values."""
+    from itdb_spark.plans.library import ranged_cumsum
+
+    uniq = sorted({(b, k) for b, k, _ in rows})
+    vals = {}
+    for b, k, v in rows:
+        vals.setdefault((b, k), v)
+    data = [(b, k, vals[(b, k)]) for b, k in uniq]
+    df = spark.createDataFrame(data, "b int, k int, v long")
+    got = {
+        (r.b, r.k): r.cumsum_before
+        for r in ranged_cumsum(df, ["b", "k"], "v", bucket="b").collect()
+    }
+    run, expected = 0, {}
+    for b, k in uniq:
+        expected[(b, k)] = run
+        run += vals[(b, k)]
+    assert got == expected
