@@ -70,12 +70,19 @@ def skew_safe_join(
     """
     keys = list(keys)
     if hot_keys is None:
+        from itdb_spark.plans.library import truncate_lineage
+
         hot_keys = (
             left.groupBy(*keys)
             .agg(F.count("*").alias("_n"))
             .where(F.col("_n") > hot_threshold)
             .select(*keys)
         )
+        # Materialize the pre-flight ONCE (eager, tiny result): the hot-key
+        # subtree feeds three join sites (semi, anti, right-semi) — left
+        # lazy, each site would re-aggregate the fact table unless AQE's
+        # exchange reuse happens to fire. One explicit job beats hoping.
+        hot_keys = truncate_lineage(hot_keys, eager=True)
     hot = F.broadcast(hot_keys)
     left_hot = left.join(hot, keys, "left_semi")
     left_cold = left.join(hot, keys, "left_anti")
