@@ -351,3 +351,97 @@ def simhash(
         term = F.when(F.col(f"bit{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         value = term if value is None else (value + term)
     return agg.select("doc", value.cast("long").alias("simhash"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(doc, fps): distinct winnowing fingerprints per document —
+    portable-hash every k-gram, slide a ``window`` of consecutive hashes,
+    keep each window's minimum (Schleimer-Wilkerson-Aiken). Guarantee:
+    documents sharing a run of >= window+k-1 tokens share a fingerprint.
+    Pure per-row array expressions: no shuffle, no UDF. Shared by the
+    text-winnow gate query and winnow_pairs."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # k-gram hashes as ROWS, not a nested array expression: Catalyst's
+    # projection collapse would inline an h-array EXPRESSION into every
+    # per-window slice(h, j, w) reference — recomputing the whole md5
+    # chain once per window, O(n·w) interpreted hash evals per doc
+    # (measured 60s for 500 docs). posexplode → codegen'd md5 once per
+    # k-gram → collect back through an aggregation, whose output is an
+    # ATTRIBUTE the collapse cannot substitute into.
+    kg = (
+        docs.select(F.col(id_col).alias("doc"), toks.alias("t"))
+        .where(F.size("t") >= k)
+        .select(
+            "doc",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(t)-2),"
+                    " i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+                )
+            ).alias("pos", "g"),
+        )
+        .select("doc", "pos", portable_hash64(F.col("g")).alias("h"))
+    )
+    base = kg.groupBy("doc").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "h"))),
+            lambda s: s.getField("h"),
+        ).alias("h")
+    )
+    n_windows = F.greatest(F.size("h") - window + 1, F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice("h", j, window)),
+        )
+    )
+    return base.select("doc", F.size("h").cast("long").alias("n_kgrams"), fps.alias("fps"))
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 3,
+    max_df: int = 20,
+) -> DataFrame:
+    """(id1, id2, n_shared): document pairs sharing >= ``min_shared``
+    winnowing fingerprints — the plagiarism/boilerplate-detection join.
+
+    Scale shape mirrors LSH bucketing: explode fingerprints, DROP
+    stop-fingerprints appearing in more than ``max_df`` documents (they
+    are corpus boilerplate, and each contributes O(df²) pairs — the
+    exact hot-bucket hazard minhash_candidates caps), then self-join on
+    fingerprint. Quadratic work is confined to <= max_df-sized posting
+    lists; the df-filter is a map-side-combinable count plus a broadcast
+    semi-join, never a window over the exploded table."""
+    from itdb_spark.plans.library import materialized
+
+    # One cached fingerprint table feeds the df-count AND both join sides
+    # (the ngram_jaccard_pairs cache-then-release convention) — without it
+    # the narrow md5/k-gram pipeline recomputes once per consumer.
+    f = (
+        winnow_fingerprints(docs, id_col, text_col)
+        .select("doc", F.explode("fps").alias("fp"))
+        .cache()
+    )
+    keep = (
+        f.groupBy("fp").agg(F.count("*").alias("df")).where(F.col("df") <= max_df)
+        .select("fp")
+    )
+    kept = f.join(F.broadcast(keep), "fp")
+    a = kept.select(F.col("fp").alias("a_fp"), F.col("doc").alias("id1"))
+    b = kept.select(F.col("fp").alias("b_fp"), F.col("doc").alias("id2"))
+    pairs = (
+        a.join(b, (F.col("a_fp") == F.col("b_fp")) & (F.col("id1") < F.col("id2")))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return materialized(pairs, f)

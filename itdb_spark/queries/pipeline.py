@@ -1089,41 +1089,18 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "XOR checksum all hash-gated).",
 )
 def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from itdb_spark.functions.core import portable_hash64
+    from itdb_spark.operators.dedup import winnow_fingerprints
 
-    k_window = 4
     t = Tables(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    base = (
-        t.documents.select("doc_id", toks.alias("t"))
-        .where(F.size("t") >= 3)
-        .select(
-            "doc_id",
-            F.expr(
-                "transform(sequence(1, size(t)-2),"
-                " i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
-            ).alias("kgrams"),
-        )
-        .select(
-            "doc_id",
-            F.transform("kgrams", lambda g: portable_hash64(g)).alias("h"),
-        )
-    )
-    n_windows = F.greatest(F.size("h") - k_window + 1, F.lit(1))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice("h", j, k_window)),
-        )
-    )
-    return base.select(
-        "doc_id",
-        F.size("h").cast("long").alias("n_kgrams"),
-        F.size(fps).cast("long").alias("n_fps"),
-        F.array_min(fps).alias("fp_min"),
-        F.aggregate(fps, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)).alias(
-            "fp_xor"
-        ),
+    fps = winnow_fingerprints(t.documents, "doc_id", "text")
+    return fps.select(
+        F.col("doc").alias("doc_id"),
+        "n_kgrams",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_min("fps").alias("fp_min"),
+        F.aggregate(
+            "fps", F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
+        ).alias("fp_xor"),
     )
 
 
@@ -1165,3 +1142,48 @@ def fn_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(
         docs, "doc_id", "n_tokens", budget=2048, bucket=F.floor(F.col("doc_id") / 100)
     )
+
+
+@register(
+    "dedup-winnow",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), kg AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+               i -> CAST(concat('0x', substr(md5(
+                      concat(t[i], ' ', t[i+1], ' ', t[i+2])), 1, 15)) AS BIGINT))
+               AS h
+      FROM tk WHERE len(t) >= 3
+    ), win AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(h) - 4 + 1, 1) + 1),
+               j -> list_aggregate(h[j:j+3], 'min'))) AS fps
+      FROM kg
+    ), f AS (
+      SELECT doc_id, unnest(fps) AS fp FROM win
+    ), keep AS (
+      SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
+    FROM f a JOIN keep USING (fp)
+    JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+    doc="Winnowing-fingerprint dedup (operators/dedup.py::winnow_pairs) — "
+    "the plagiarism/boilerplate route next to MinHash: pairs sharing >= 3 "
+    "selected fingerprints, with stop-fingerprints (document frequency "
+    "> 20 — corpus boilerplate, each contributing O(df²) pairs) dropped "
+    "BEFORE the self-join, so quadratic work is confined to short "
+    "posting lists — the same hot-bucket discipline as minhash_candidates. "
+    "Shares the fingerprint arithmetic with text-winnow; the oracle "
+    "recomputes every fingerprint from the portable md5 hash.",
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.dedup import winnow_pairs
+
+    t = Tables(spark, sf_dir)
+    return winnow_pairs(t.documents, "doc_id", "text", min_shared=3, max_df=20)

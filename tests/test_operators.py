@@ -426,8 +426,8 @@ def test_winnow_guarantee(spark):
     """Winnowing's defining property: two documents sharing a run of at
     least w+k-1 = 6 consecutive tokens MUST share a fingerprint; disjoint
     vocabularies must share none."""
-    from itdb_spark.queries import load_all  # registry import side effect
-    from itdb_spark.queries.pipeline import text_winnow
+
+    from itdb_spark.operators.dedup import winnow_fingerprints
 
     shared = "alpha beta gamma delta epsilon zeta"
     rows = [
@@ -435,25 +435,10 @@ def test_winnow_guarantee(spark):
         (2, f"nine eight {shared} seven"),
         (3, "p q r s t u v w x y z aa bb cc"),
     ]
-    # reuse the registered query's fingerprint arithmetic via a temp view?
-    # simpler: recompute fingerprints with the same expressions inline
-    from pyspark.sql import functions as F
-
-    from itdb_spark.functions.core import portable_hash64
-
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    base = docs.select("doc_id", toks.alias("t")).select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, size(t)-2), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
-        ).alias("kgrams"),
-    ).select("doc_id", F.transform("kgrams", lambda g: portable_hash64(g)).alias("h"))
-    n_windows = F.greatest(F.size("h") - 3, F.lit(1))
-    fps = F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n_windows), lambda j: F.array_min(F.slice("h", j, 4)))
-    )
-    sets = {r.doc_id: set(r.fps) for r in base.select("doc_id", fps.alias("fps")).collect()}
+    sets = {
+        r.doc: set(r.fps) for r in winnow_fingerprints(docs, "doc_id", "text").collect()
+    }
     assert sets[1] & sets[2], "docs sharing a 6-token run must share a fingerprint"
     assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
 
