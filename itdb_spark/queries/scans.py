@@ -390,3 +390,69 @@ def fn_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_name").alias("upper_name"),
         F.lower("p_brand").alias("lower_brand"),
     )
+
+
+def _synth_jsonl(path: str, n: int = 60) -> None:
+    """Deterministic JSON-lines checksum cache shaped like the reference's
+    checksums.dat (dupes/dedup.py:37-75): one object per line with
+    formula-predictable path/mtime and an md5 checksum of the path — so a
+    DuckDB oracle recomputes every field without touching the file.
+    Rewritten atomically from scratch each run (same hygiene as
+    _synth_tree: a stale or squatted file cannot perturb the gate)."""
+    import hashlib
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        for i in range(1, n + 1):
+            p = f"/media/f{i:03d}.bin"
+            fh.write(
+                json.dumps(
+                    {
+                        "path": p,
+                        "mtime": i * 37 % 991,
+                        "checksum": hashlib.md5(p.encode()).hexdigest(),
+                    },
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+    os.replace(tmp, path)
+
+
+@register(
+    "src-jsonl",
+    oracle="""
+    SELECT concat('/media/f', lpad(CAST(i AS VARCHAR), 3, '0'), '.bin') AS path,
+           CAST(i * 37 % 991 AS BIGINT) AS mtime,
+           md5(concat('/media/f', lpad(CAST(i AS VARCHAR), 3, '0'), '.bin'))
+             AS checksum
+    FROM range(1, 61) r(i)
+    """,
+    doc="JSON-lines source scan — the reference persists its incremental "
+    "dedup state as JSON-lines KV caches (files.dat / checksums.dat, "
+    "dupes/dedup.py:37-75); here the same shape reads through "
+    "spark.read.json under an explicit schema (schema inference off the "
+    "hot path — at 100 TB an inference pass over JSON is a full extra "
+    "scan). The file is synthesized formula-deterministically, so the "
+    "DuckDB oracle recomputes every field (md5 of the path included) "
+    "without reading it — a dropped line, type drift, or encoding bug "
+    "breaks the hash gate.",
+)
+def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    path = os.path.join(tempfile.gettempdir(), "itdb_spark_checksums.jsonl")
+    _synth_jsonl(path)
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType(), False),
+            T.StructField("mtime", T.LongType(), False),
+            T.StructField("checksum", T.StringType(), False),
+        ]
+    )
+    return (
+        spark.read.schema(schema).json(path)
+        .select("path", "mtime", "checksum")
+        .orderBy("path")
+    )
