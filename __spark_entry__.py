@@ -50,11 +50,10 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # the round's CORRECTNESS file lands;
 # tests/test_properties.py::test_changed_since_graded_cleared_after_regrade
 # asserts no member appears in the newest committed CORRECTNESS file,
-# so CI forces the cleanup). Round 4: agg-approx switched to the
-# within-bounds boolean form and gained a DuckDB oracle.
-_CHANGED_SINCE_GRADED = frozenset({
-    "agg-approx",
-})
+# so CI forces the cleanup). Round 5: empty — CORRECTNESS_r04 recorded
+# agg-approx's new within-bounds boolean form green, so the round-4 pin
+# is cleared and the stalest-first queue (19 r2-era grades) leads again.
+_CHANGED_SINCE_GRADED = frozenset()
 
 
 def _last_graded_round() -> dict[str, int]:

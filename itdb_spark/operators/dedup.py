@@ -201,6 +201,7 @@ def minhash_candidates(
     max_bucket: int | None = None,
     shingles: DataFrame | None = None,
     distinct_pairs: bool = True,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id1 < id2) from LSH band buckets.
 
@@ -231,8 +232,14 @@ def minhash_candidates(
     window count over the same (band, band_hash) keys: the count shares the
     groupBy's exchange (no extra shuffle) and drops hot-bucket ROWS, so a
     pathological bucket never materializes its id array in an aggregation
-    buffer — the cap genuinely bounds array memory to max_bucket ids."""
-    bands = minhash_bands(minhash_signatures(docs, id_col, text_col, num_perm, shingles))
+    buffer — the cap genuinely bounds array memory to max_bucket ids.
+    Over-cap docs are not lost: ``minhash_template_channel`` re-emits them
+    as template clusters (pass the same cached ``bands`` frame to share
+    the banding pass between both outputs)."""
+    if bands is None:
+        bands = minhash_bands(
+            minhash_signatures(docs, id_col, text_col, num_perm, shingles)
+        )
     if max_bucket is not None:
         bucket_n = F.count("*").over(Window.partitionBy("band", "band_hash"))
         bands = (
@@ -257,6 +264,80 @@ def minhash_candidates(
         F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2")
     )
     return pairs.distinct() if distinct_pairs else pairs
+
+
+def _overcap_channel(
+    exploded: DataFrame, key_cols: list[str], id_col: str, cap: int
+) -> DataFrame:
+    """Rows of ``exploded`` whose group (by ``key_cols``) exceeds ``cap``,
+    annotated with the group's elected representative (min id — the same
+    keeper rule elect_keepers uses) and size. ONE shuffle: count and min
+    share a single Window over the group keys; the filter runs above the
+    same Window exec, so the channel costs exactly the exchange the cap
+    check already pays."""
+    w = Window.partitionBy(*[F.col(c) for c in key_cols])
+    return (
+        exploded.select(
+            *[F.col(c) for c in key_cols],
+            F.col(id_col).alias("doc_id"),
+            F.min(id_col).over(w).alias("template_id"),
+            F.count("*").over(w).cast("long").alias("n_members"),
+        )
+        .where(F.col("n_members") > cap)
+    )
+
+
+def minhash_template_channel(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = NUM_PERM,
+    max_bucket: int = 4,
+    shingles: DataFrame | None = None,
+    bands: DataFrame | None = None,
+) -> DataFrame:
+    """(band, band_hash, doc_id, template_id, n_members): the hot-bucket
+    SIDE CHANNEL for ``minhash_candidates(max_bucket=...)`` — every doc in
+    an over-cap LSH bucket, tagged with the bucket's elected template
+    representative (min doc id).
+
+    ``max_bucket`` protects the pairwise path from O(size²) blowup on
+    boilerplate corpora, but dropping over-cap buckets silently UN-dedups
+    their members. This channel re-emits them as template clusters:
+    downstream keeps each bucket's template_id and drops (or re-weights)
+    the rest — constant work per member, no pairs. Share one cached
+    ``bands`` frame (``minhash_bands(minhash_signatures(...))``) with
+    minhash_candidates to get both outputs from a single banding pass;
+    the channel itself adds one Window exchange over the same
+    (band, band_hash) keys the candidate groupBy uses (SCALE.md "hot
+    buckets")."""
+    if bands is None:
+        bands = minhash_bands(minhash_signatures(docs, id_col, text_col, num_perm, shingles))
+    return _overcap_channel(bands, ["band", "band_hash"], "doc", max_bucket)
+
+
+def winnow_template_channel(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int = 20,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(fp, doc_id, template_id, n_members): the stop-fingerprint SIDE
+    CHANNEL for ``winnow_pairs(max_df=...)`` — every (doc, fingerprint)
+    row whose fingerprint exceeds the document-frequency cap, tagged with
+    the fingerprint's elected template representative.
+
+    winnow_pairs anti-joins stop-fingerprints away (they are corpus
+    boilerplate; each contributes O(df²) pairs); this channel preserves
+    them as template clusters so shared-boilerplate documents still get
+    deduped — cluster members sharing an over-df fingerprint collapse to
+    its template_id with constant work per member."""
+    f = winnow_fingerprints(docs, id_col, text_col, k, window).select(
+        F.col("doc"), F.explode("fps").alias("fp")
+    )
+    return _overcap_channel(f, ["fp"], "doc", max_df)
 
 
 def ngram_jaccard_pairs(
@@ -353,6 +434,17 @@ def simhash(
     return agg.select("doc", value.cast("long").alias("simhash"))
 
 
+def _kgram_terms(k: int) -> str:
+    """Space-joined k-gram concat() operand list over tokens ``t`` for a
+    1-based loop variable ``i`` — ``t[i-1], ' ', t[i], ..., t[i+k-2]``.
+    Built from ``k`` so winnow_fingerprints honors its k parameter for
+    every k, not just the trigram default."""
+    def idx(off: int) -> str:
+        return "t[i]" if off == 0 else f"t[i{off:+d}]"
+
+    return ", ' ', ".join(idx(j - 1) for j in range(k))
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     id_col: str,
@@ -381,8 +473,8 @@ def winnow_fingerprints(
             "doc",
             F.posexplode(
                 F.expr(
-                    "transform(sequence(1, size(t)-2),"
-                    " i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+                    f"transform(sequence(1, size(t)-{k - 1}),"
+                    f" i -> concat({_kgram_terms(k)}))"
                 )
             ).alias("pos", "g"),
         )
@@ -419,10 +511,29 @@ def winnow_pairs(
     are corpus boilerplate, and each contributes O(df²) pairs — the
     exact hot-bucket hazard minhash_candidates caps), then self-join on
     fingerprint. Quadratic work is confined to <= max_df-sized posting
-    lists; the df-filter is a map-side-combinable count plus a broadcast
-    semi-join, never a window over the exploded table."""
+    lists. The df-filter broadcasts the SMALL side: a map-side-combinable
+    count yields the stop-set (df > max_df), rare by construction, and
+    the exploded table anti-joins against it — the hot-key discipline of
+    operators/skew.py::skew_safe_join. (Never broadcast the
+    kept-fingerprint complement: it is nearly every distinct fingerprint
+    in the corpus — billions of rows at 100 TB.)"""
     from itdb_spark.plans.library import materialized
 
+    pairs, f = _winnow_pairs_plan(docs, id_col, text_col, min_shared, max_df)
+    return materialized(pairs, f)
+
+
+def _winnow_pairs_plan(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int,
+    max_df: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, cached fingerprint frame) BEFORE lineage truncation — split
+    out so tests/test_scale_paths.py can assert the physical join plan
+    (materialized() checkpoints eagerly, hiding the join behind an RDD
+    scan)."""
     # One cached fingerprint table feeds the df-count AND both join sides
     # (the ngram_jaccard_pairs cache-then-release convention) — without it
     # the narrow md5/k-gram pipeline recomputes once per consumer.
@@ -431,11 +542,11 @@ def winnow_pairs(
         .select("doc", F.explode("fps").alias("fp"))
         .cache()
     )
-    keep = (
-        f.groupBy("fp").agg(F.count("*").alias("df")).where(F.col("df") <= max_df)
+    stop = (
+        f.groupBy("fp").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
         .select("fp")
     )
-    kept = f.join(F.broadcast(keep), "fp")
+    kept = f.join(F.broadcast(stop), "fp", "left_anti")
     a = kept.select(F.col("fp").alias("a_fp"), F.col("doc").alias("id1"))
     b = kept.select(F.col("fp").alias("b_fp"), F.col("doc").alias("id2"))
     pairs = (
@@ -444,4 +555,4 @@ def winnow_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
-    return materialized(pairs, f)
+    return pairs, f

@@ -70,13 +70,20 @@ def pack_chunks(
     ceil(n_tokens/budget)+1 — long docs fan out proportionally to their
     own length, never to corpus size). Invariants (unit-tested): per-doc
     Σ slice_len = n_tokens; per-pack Σ slice_len = budget for every pack
-    except the last."""
+    except the last.
+
+    Zero-token docs emit NO chunk rows (filtered before the explode):
+    with n <= 0 and cumsum_before on a pack boundary, p1 < p0 and
+    F.sequence(p0, p1) would generate a DESCENDING two-element sequence —
+    spurious rows with slice_len <= 0 that a SQL generate_series oracle
+    (empty for p1 < p0) never emits. They still participate in the
+    cumsum; contributing 0 tokens, they shift nothing."""
     cum = ranged_cumsum(docs, [order_col], tokens_col, out_col="_cb", bucket=bucket)
     n = F.col(tokens_col).cast("long")
     cb = F.col("_cb")
     p0 = F.floor(cb / budget).cast("long")
     p1 = F.floor((cb + n - 1) / budget).cast("long")
-    exploded = cum.select(
+    exploded = cum.where(n > 0).select(
         order_col,
         n.alias("_n"),
         cb.alias("_cbv"),

@@ -94,7 +94,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(corpus(spark, sf_dir), "doc_id", "text")
 
 
-def _minhash_oracle() -> str:
+def _minhash_bands_ctes() -> str:
+    """WITH-clause body ending in a ``bands`` CTE (corpus → shingles →
+    portable-hash minhash signature → per-band bucket strings) — shared
+    by the dedup-minhash pair oracle and the dedup-templates channel
+    oracle so both recompute the exact Spark bucket assignment."""
     mins = ",\n           ".join(
         f"min(({a} * h + {b}) % {HASH_PRIME}) AS m{j}"
         for j, (a, b) in ((j, _perm_coeffs(j)) for j in range(NUM_PERM))
@@ -107,8 +111,7 @@ def _minhash_oracle() -> str:
         )
     bands = "\n      UNION ALL\n      ".join(band_selects)
     h = _PORTABLE_HASH_SQL.format(col="w")
-    return f"""
-    WITH corpus AS ({ORACLE_CORPUS}),
+    return f"""corpus AS ({ORACLE_CORPUS}),
     {_SHINGLE_CTES},
     hashed AS (SELECT doc, {h} % {HASH_PRIME} AS h FROM words),
     sig AS (
@@ -118,7 +121,12 @@ def _minhash_oracle() -> str:
     ),
     bands AS (
       {bands}
-    )
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_bands_ctes()}
     SELECT DISTINCT a.doc AS id1, b.doc AS id2
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc
@@ -948,7 +956,9 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
              ), 0) AS BIGINT) AS cb
       FROM (
         SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+               CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS BIGINT) AS n_tokens
         FROM documents
       )
     )
@@ -1109,7 +1119,9 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id,
-             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS BIGINT) AS n
       FROM documents
     ), cum AS (
       SELECT doc_id, n,
@@ -1122,6 +1134,7 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
            greatest(cb, p * 2048) - cb AS slice_start,
            least(cb + n, (p + 1) * 2048) - greatest(cb, p * 2048) AS slice_len
     FROM cum, unnest(generate_series(cb // 2048, (cb + n - 1) // 2048)) AS g(p)
+    WHERE n > 0
     """,
     doc="Chunk-split expansion of fn-pack (operators/packing.py::"
     "pack_chunks): one row per (doc, pack) a document touches with "
@@ -1187,3 +1200,81 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return winnow_pairs(t.documents, "doc_id", "text", min_shared=3, max_df=20)
+
+
+@register(
+    "dedup-templates",
+    oracle=f"""
+    WITH {_minhash_bands_ctes()},
+    c AS (
+      SELECT band, band_hash, doc,
+             min(doc) OVER (PARTITION BY band, band_hash) AS template_id,
+             CAST(count(*) OVER (PARTITION BY band, band_hash) AS BIGINT)
+               AS n_members
+      FROM bands
+    )
+    SELECT CAST(band AS INTEGER) AS band, band_hash, doc AS doc_id,
+           template_id, n_members
+    FROM c WHERE n_members > 4
+    """,
+    doc="Hot-bucket template side channel (operators/dedup.py::"
+    "minhash_template_channel): every doc in an LSH band bucket larger "
+    "than max_bucket=4, tagged with the bucket's elected template "
+    "representative (min doc id) and size. Closes the loop SCALE.md's "
+    "hot-bucket section promises: minhash_candidates' cap protects the "
+    "pairwise path from O(size²) boilerplate blowup, and this channel "
+    "re-emits the capped docs as template clusters (constant work per "
+    "member — no pairs) so they still get deduped. One Window exchange "
+    "over the same (band, band_hash) keys the candidate groupBy uses; "
+    "count and min share a single Window exec.",
+)
+def dedup_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.dedup import minhash_template_channel
+
+    return minhash_template_channel(corpus(spark, sf_dir), "doc_id", "text", max_bucket=4)
+
+
+@register(
+    "dedup-templates-winnow",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), kg AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+               i -> CAST(concat('0x', substr(md5(
+                      concat(t[i], ' ', t[i+1], ' ', t[i+2])), 1, 15)) AS BIGINT))
+               AS h
+      FROM tk WHERE len(t) >= 3
+    ), win AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(h) - 4 + 1, 1) + 1),
+               j -> list_aggregate(h[j:j+3], 'min'))) AS fps
+      FROM kg
+    ), f AS (
+      SELECT doc_id, unnest(fps) AS fp FROM win
+    ), c AS (
+      SELECT fp, doc_id,
+             min(doc_id) OVER (PARTITION BY fp) AS template_id,
+             CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_members
+      FROM f
+    )
+    SELECT fp, doc_id, template_id, n_members
+    FROM c WHERE n_members > 4
+    """,
+    doc="Stop-fingerprint template side channel (operators/dedup.py::"
+    "winnow_template_channel): every (doc, winnowing-fingerprint) row "
+    "whose fingerprint appears in more than max_df=4 documents, tagged "
+    "with the fingerprint's elected template representative. The "
+    "complement of dedup-winnow's anti-join: over-df fingerprints are "
+    "corpus boilerplate the pairwise path must drop (O(df²) pairs), and "
+    "this channel preserves their membership so shared-boilerplate docs "
+    "still collapse to a template cluster.",
+)
+def dedup_templates_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.dedup import winnow_template_channel
+
+    t = Tables(spark, sf_dir)
+    return winnow_template_channel(t.documents, "doc_id", "text", max_df=4)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import plistlib
+import shutil
 import tempfile
 from datetime import datetime
 
@@ -152,9 +153,13 @@ def _synth_tree(root: str, n: int = 40) -> None:
     os.makedirs(root, exist_ok=True)
     for name in os.listdir(root):
         if name not in expected:
+            stale = os.path.join(root, name)
             try:
-                os.remove(os.path.join(root, name))
-            except OSError:
+                if os.path.isdir(stale) and not os.path.islink(stale):
+                    shutil.rmtree(stale)  # a squatting subdir would perturb
+                else:  # the listing just like a stale file (ADVICE r4)
+                    os.remove(stale)
+            except FileNotFoundError:
                 pass  # concurrent reconciler already removed it
     for name, size in expected.items():
         p = os.path.join(root, name)

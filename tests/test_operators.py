@@ -467,3 +467,56 @@ def test_pack_chunks_invariants(spark):
     last_pack = max(per_pack)
     for p, total in per_pack.items():
         assert total == 2048 or p == last_pack, (p, total)
+
+
+def test_pack_chunks_zero_token_docs(spark):
+    """Zero-token docs emit NO chunk rows — even when their cumsum lands
+    exactly on a pack boundary, where the unguarded sequence(p0, p1) is
+    DESCENDING (p1 < p0) and emits spurious slice_len <= 0 rows that a
+    SQL generate_series oracle never produces (ADVICE r4). Empty docs
+    still ride the cumsum; contributing 0 tokens, they shift nothing."""
+    from itdb_spark.operators.packing import pack_chunks
+
+    # doc 2's cumsum_before = 2048: exactly the boundary (the bug shape);
+    # doc 4's cumsum_before = 2058: mid-pack (the slice_len=0 shape).
+    rows = [(1, 2048), (2, 0), (3, 10), (4, 0), (5, 2040)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_chunks(docs, budget=2048).collect()
+    assert {r.doc_id for r in out} == {1, 3, 5}
+    assert all(r.slice_len > 0 for r in out)
+    got = {}
+    for r in out:
+        got[r.doc_id] = got.get(r.doc_id, 0) + r.slice_len
+    assert got == {1: 2048, 3: 10, 5: 2040}
+
+
+def test_winnow_fingerprints_k_param(spark):
+    """k and window are honored for k != 3: fingerprints must equal a
+    pure-Python SWA reimplementation (same portable md5-prefix hash) for
+    several (k, window) combinations — the k-gram expression used to be
+    hard-coded to trigrams regardless of k (ADVICE r4)."""
+    import hashlib
+
+    from itdb_spark.operators.dedup import winnow_fingerprints
+
+    def py_winnow(text, k, w):
+        t = text.strip().split()
+        grams = [" ".join(t[i:i + k]) for i in range(len(t) - k + 1)]
+        h = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        n_win = max(len(h) - w + 1, 1)
+        return {min(h[j:j + w]) for j in range(n_win)}
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, w in [(2, 3), (3, 4), (4, 4), (5, 2)]:
+        got = {
+            r.doc: set(r.fps)
+            for r in winnow_fingerprints(
+                docs, "doc_id", "text", k=k, window=w
+            ).collect()
+        }
+        want = {i: py_winnow(tx, k, w) for i, tx in rows}
+        assert got == want, (k, w)

@@ -439,3 +439,98 @@ def test_skew_safe_join_plan_and_equivalence(spark):
     hot = spark.createDataFrame([(1,)], "k long")
     out2 = skew_safe_join(left, right, ["k"], hot_keys=hot)
     assert sorted((r.k, r.v, r.name) for r in out2.collect()) == want
+
+
+def test_winnow_stop_set_broadcast_direction(spark):
+    """winnow_pairs must broadcast the SMALL stop-fingerprint set
+    (df > max_df — rare by construction) and LeftAnti it, never the
+    corpus-sized keep complement (VERDICT r4: the keep set is nearly
+    every distinct fingerprint — billions at 100 TB, past any broadcast
+    limit). Gate: the anti-join is broadcast and its build subtree
+    filters df > max_df; no `df <= max_df` keep-filter exists anywhere
+    in the plan."""
+    from itdb_spark.operators.dedup import _winnow_pairs_plan
+
+    rows = [
+        (i, f"doc {i} unique tokens alpha{i} beta{i} gamma{i} delta{i} eps{i}")
+        for i in range(6)
+    ]
+    rows += [
+        (100 + i, "common boilerplate sentence repeated in every doc here now")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs, f = _winnow_pairs_plan(docs, "doc_id", "text", 1, 5)
+    try:
+        pairs.collect()  # finalize the AQE plan
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        anti_at = plan.index("LeftAnti")  # anti-join present at all
+        assert "Broadcast" in plan[max(0, anti_at - 200):anti_at + 200], (
+            "stop-set anti-join must be a broadcast join"
+        )
+        assert "> 5" in plan[anti_at:], (
+            "broadcast build side must be the df > max_df stop set"
+        )
+        assert "<= 5" not in plan, (
+            "corpus-sized keep set (df <= max_df) must never be built/broadcast"
+        )
+        # boilerplate fingerprints are stopped: no pair is between two
+        # boilerplate docs via the shared template sentence
+        got = {(r.id1, r.id2) for r in pairs.collect()}
+        assert not any(i1 >= 100 and i2 >= 100 for i1, i2 in got), got
+    finally:
+        f.unpersist()
+
+
+def test_template_channel_catches_capped_docs(spark):
+    """The hot-bucket side channel closes dedup's cap leak: docs the
+    max_bucket cap drops from minhash_candidates MUST reappear in
+    minhash_template_channel with a common template_id, so a boilerplate
+    corpus still gets deduped (as a template cluster) rather than
+    silently skipping dedup. Both outputs derive from ONE shared banded
+    frame — the zero-extra-pass contract."""
+    from itdb_spark.operators.dedup import (
+        minhash_bands,
+        minhash_candidates,
+        minhash_signatures,
+        minhash_template_channel,
+    )
+
+    rows = [(i, "the same boilerplate template text repeated again and again")
+            for i in range(50)]
+    rows += [(100 + i, f"unique document number {i} about topic {i} with extra words here")
+             for i in range(5)]
+    rows += [(200, "unique document number 0 about topic 0 with extra words here")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    bands = minhash_bands(minhash_signatures(docs, "doc_id", "text")).cache()
+    try:
+        capped = minhash_candidates(docs, "doc_id", "text", max_bucket=10, bands=bands)
+        channel = minhash_template_channel(docs, "doc_id", "text", max_bucket=10, bands=bands)
+        paired_docs = {d for r in capped.collect() for d in (r.id1, r.id2)}
+        ch = channel.collect()
+        channel_docs = {r.doc_id for r in ch}
+        # every boilerplate doc the cap dropped is recovered by the channel
+        assert channel_docs == set(range(50))
+        assert not (channel_docs & paired_docs)
+        # one elected representative per bucket; members collapse to it
+        assert all(r.template_id == 0 and r.n_members == 50 for r in ch)
+    finally:
+        bands.unpersist()
+
+
+def test_winnow_template_channel_recovers_stopped_docs(spark):
+    """Same contract for winnowing: docs sharing ONLY over-df boilerplate
+    fingerprints produce no winnow_pairs rows (the anti-join drops them)
+    but must land in winnow_template_channel under one template_id."""
+    from itdb_spark.operators.dedup import winnow_pairs, winnow_template_channel
+
+    boiler = "all rights reserved copyright notice applies to this page body"
+    rows = [(i, f"{boiler} tail{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_pairs(docs, "doc_id", "text", min_shared=1, max_df=5).collect()
+    ch = winnow_template_channel(docs, "doc_id", "text", max_df=5).collect()
+    assert {r.doc_id for r in ch} == set(range(20))
+    assert all(r.template_id == 0 for r in ch if r.n_members == 20)
+    # the pairwise path dropped them (no shared under-df fingerprint pair
+    # remains for the full clique)
+    assert len(pairs) < 20 * 19 // 2

@@ -60,9 +60,11 @@ def test_connected_components_and_keepers(spark):
 def test_connected_components_chain_converges_log_rounds(spark):
     """Pointer-doubling guarantee: a 64-link chain — the worst shape for
     plain min-label propagation, which needs ~63 rounds — must fully
-    converge within the DEFAULT max_iter=10 budget (≈ log2(64) + slack).
-    Without the label-of-label hop this test fails: the loop exhausts
-    max_iter and returns unconverged labels."""
+    converge within 10 rounds (≈ log2(64) + slack; tighter than the
+    default max_iter=12 budget on purpose, so the log-depth property is
+    what passes, not the budget). Without the label-of-label hop this
+    test fails: the loop exhausts max_iter and returns unconverged
+    labels."""
     from itdb_spark.operators.clustering import connected_components
 
     chain = spark.createDataFrame(
