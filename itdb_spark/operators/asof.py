@@ -1,0 +1,104 @@
+"""Two-table as-of join — the merge_asof operation (pandas.merge_asof,
+kdb+ aj): for every left row, attach the payload of the latest right row
+of the same key whose timestamp is at or before (backward, the default)
+the left row's timestamp.
+
+Spark has no native as-of join (SURVEY.md §2.3: the reference has none
+either — its playlist/track joins are all equality). The scalable form
+here is the UNION-TAG pattern, not a join at all:
+
+1. tag both inputs with a side marker and align their schemas (each
+   side's payload packed into ONE nullable struct, null on the other
+   side's rows);
+2. union them — no shuffle yet, unions are free;
+3. one window per key ordered by (ts, side): ``last(right_payload,
+   ignorenulls=true)`` over rows UNBOUNDED PRECEDING..CURRENT carries
+   the most recent right payload forward into every left row;
+4. keep the left rows and flatten both structs.
+
+Cost: exactly ONE exchange (hash partition on the key for the window)
+plus a per-partition sort — the same price as a plain groupBy over the
+combined input, with no join, no broadcast, and no range explosion. A
+sort-merge join formulation would shuffle BOTH tables and then still
+need per-key ordered deduplication; ``applyInPandas`` (a literal
+merge_asof per key group) leaves the JVM. At 100 TB the window form
+scales like any keyed aggregation: skew follows the key distribution
+(salt upstream if one user dominates), and ordering is per-key only —
+no global sort.
+
+Tie semantics: at equal timestamps the right row sorts BEFORE the left
+row (side 0 < 1), so backward matches are INCLUSIVE (ts_right <= ts_left),
+matching pandas.merge_asof(allow_exact_matches=True) and DuckDB
+``ASOF JOIN ... ON l.ts >= r.ts`` — which makes DuckDB's independent
+ASOF implementation usable as the differential oracle. ``strict=True``
+flips the side order so equal-ts right rows are excluded
+(allow_exact_matches=False). Right rows must be unique per (key, ts) —
+pre-aggregate duplicates (the registered query takes max(event_id)); with
+duplicates the carried row is the union's nondeterministic tie order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of LEFT join: every left row, plus the payload columns
+    of the latest right row per key with ``right_ts <= left_ts``
+    (``< left_ts`` when ``strict``), or nulls if none precedes it.
+
+    All non-key right columns (including ``right_ts``) are carried;
+    rename them before the call if they collide with left column names.
+    Output columns: every left column, then the right payload columns.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l_payload = [c for c in left.columns if c not in keys]
+    r_payload = [c for c in right.columns if c not in keys]
+    overlap = set(l_payload) & set(r_payload)
+    if overlap:
+        raise ValueError(f"rename right columns colliding with left: {sorted(overlap)}")
+
+    l_struct_t = left.select(F.struct(*l_payload).alias("s")).schema[0].dataType
+    r_struct_t = right.select(F.struct(*r_payload).alias("s")).schema[0].dataType
+
+    # Equal-ts ordering decides exact-match inclusivity: right first (0)
+    # makes the carry inclusive; right last (2) makes it strict.
+    r_side, l_side = (2, 1) if strict else (0, 1)
+    tagged_l = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(l_side).alias("_side"),
+        F.struct(*l_payload).alias("_l"),
+        F.lit(None).cast(r_struct_t).alias("_r"),
+    )
+    tagged_r = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(r_side).alias("_side"),
+        F.lit(None).cast(l_struct_t).alias("_l"),
+        F.struct(*r_payload).alias("_r"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_l.unionByName(tagged_r).select(
+        *keys,
+        "_side",
+        "_l",
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
+    )
+    return carried.where(F.col("_side") == l_side).select(
+        *keys,
+        *[F.col(f"_l.{c}").alias(c) for c in l_payload],
+        *[F.col(f"_r.{c}").alias(c) for c in r_payload],
+    )

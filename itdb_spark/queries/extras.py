@@ -321,6 +321,49 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join-asof2",
+    oracle="""
+    SELECT l.event_id, l.user_id, r.error_id,
+           CAST(floor(epoch(r.error_ts)) AS BIGINT) AS error_epoch
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type <> 'error') l
+    ASOF LEFT JOIN (SELECT user_id, ts AS error_ts, max(event_id) AS error_id
+                    FROM events WHERE event_type = 'error' GROUP BY 1, 2) r
+      ON l.user_id = r.user_id AND l.ts >= r.error_ts
+    """,
+    doc="TWO-TABLE as-of join (operators/asof.py::asof_join — the "
+    "merge_asof form join-asof's docstring names): every non-error event "
+    "joined to the latest error event of the same user at or before its "
+    "timestamp, nulls when none precedes it. Union-tag implementation: "
+    "both tables tagged and unioned, one per-key ordered window carries "
+    "the last right-side payload struct forward (last ignorenulls) — ONE "
+    "exchange total, no join shuffle, no applyInPandas. The oracle is "
+    "DuckDB's native ASOF LEFT JOIN — an independent as-of "
+    "implementation, not a transcription of the window.",
+)
+def join_asof2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.asof import asof_join
+
+    t = Tables(spark, sf_dir)
+    left = t.events.where(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        t.events.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("error_id"))
+        .select("user_id", F.col("ts").alias("error_ts"), "error_id")
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="error_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "error_id",
+        F.unix_timestamp("error_ts").alias("error_epoch"),
+    )
+
+
+@register(
     "join-range",
     oracle="""
     SELECT o.o_orderkey AS orderkey, count(*) AS cnt

@@ -520,3 +520,53 @@ def test_winnow_fingerprints_k_param(spark):
         }
         want = {i: py_winnow(tx, k, w) for i, tx in rows}
         assert got == want, (k, w)
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row with ts <= left ts per key;
+    inclusive by default (equal-ts match taken), strict excludes it;
+    left rows with no preceding right row keep null payloads; colliding
+    payload names are rejected."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from itdb_spark.operators.asof import asof_join
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, "u", T(5)), (2, "u", T(10)), (3, "u", T(2)), (4, "v", T(30))],
+        "event_id long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", T(3), 100.0), ("u", T(10), 200.0), ("w", T(1), 900.0)],
+        "user string, rts timestamp, price double",
+    )
+    got = {
+        r.event_id: (r.rts, r.price)
+        for r in asof_join(left, right, "user", "ts", "rts").collect()
+    }
+    assert got == {
+        1: (T(3), 100.0),   # latest at-or-before 0:05
+        2: (T(10), 200.0),  # inclusive: equal-ts match taken
+        3: (None, None),    # nothing precedes 0:02
+        4: (None, None),    # key with no right rows at all
+    }
+    strict = {
+        r.event_id: (r.rts, r.price)
+        for r in asof_join(left, right, "user", "ts", "rts", strict=True).collect()
+    }
+    assert strict[2] == (T(3), 100.0)  # equal-ts excluded → falls back
+    assert strict[1] == (T(3), 100.0) and strict[3] == (None, None)
+
+    with _pytest.raises(ValueError, match="colliding"):
+        asof_join(left, right.withColumnRenamed("rts", "ts"), "user", "ts", "ts")
+
+    # ONE exchange total — the window's hash partitioning; union-tag adds
+    # no join shuffle (the operator's scale contract)
+    plan = (
+        asof_join(left, right, "user", "ts", "rts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
