@@ -351,3 +351,92 @@ def test_ranged_cumsum_matches_global_window(spark, rows):
         expected[(b, k)] = run
         run += vals[(b, k)]
     assert got == expected
+
+
+# --- JPEG walker properties (pure Python, no Spark) --------------------------
+
+_JPEG_SKIPPABLE = [0xE0, 0xE1, 0xEE, 0xFE, 0xDB, 0xC4]  # APPn/COM/DQT/DHT
+_JPEG_STANDALONE = [0x01, 0xD0, 0xD1, 0xD7]  # TEM / RSTn
+
+
+def _build_jpeg(segs, fills, w, h):
+    """Well-formed JPEG prefix: SOI, then length-carrying and standalone
+    segments interleaved with 0xFF fill runs, ending in a SOF0 with the
+    given dimensions. Returns (bytes, sof_payload_end_offset)."""
+    import struct as _s
+
+    buf = bytearray(b"\xff\xd8")
+    for (kind, marker, payload), fill in zip(segs, fills):
+        buf += b"\xff" * fill
+        if kind == "standalone":
+            buf += bytes([0xFF, marker])
+        else:
+            buf += bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+    buf += b"\xff" * fills[-1] if fills else b""
+    sof_at = len(buf)
+    buf += b"\xff\xc0" + _s.pack(">H", 17) + b"\x08" + _s.pack(">HH", h, w) + b"\x03"
+    # walker reads dims at j+4..j+8 with j = sof_at + 1 (the marker byte),
+    # so the parse needs sof_at + 9 bytes present
+    return bytes(buf), sof_at + 9
+
+
+_seg_strategy = st.one_of(
+    st.tuples(
+        st.just("length"),
+        st.sampled_from(_JPEG_SKIPPABLE),
+        st.binary(min_size=0, max_size=40),
+    ),
+    st.tuples(st.just("standalone"), st.sampled_from(_JPEG_STANDALONE), st.just(b"")),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    segs=st.lists(_seg_strategy, max_size=6),
+    fills=st.lists(st.integers(0, 4), min_size=7, max_size=7),
+    w=st.integers(1, 65535),
+    h=st.integers(1, 65535),
+)
+def test_jpeg_walker_finds_sof_through_any_padding(segs, fills, w, h):
+    """Property form of the round-4 0xFF-fill fix: for ANY interleaving of
+    table segments, standalone markers, and legal fill runs, the walker
+    must reach the SOF and report its dimensions — segment payloads may
+    even contain 0xFF bytes (the length field jumps over them)."""
+    from itdb_spark.operators.multimodal import decode_image_header
+
+    content, _ = _build_jpeg(segs, fills, w, h)
+    assert decode_image_header(content) == (w, h, "jpeg")
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    segs=st.lists(_seg_strategy, max_size=4),
+    fills=st.lists(st.integers(0, 3), min_size=5, max_size=5),
+    w=st.integers(1, 65535),
+    h=st.integers(1, 65535),
+    data=st.data(),
+)
+def test_jpeg_walker_truncation_never_lies(segs, fills, w, h, data):
+    """Truncating a valid stream at ANY byte must yield exactly None
+    before the SOF payload is complete and the true dimensions after —
+    never an exception, never fabricated dimensions."""
+    from itdb_spark.operators.multimodal import decode_image_header
+
+    content, sof_end = _build_jpeg(segs, fills, w, h)
+    cut = data.draw(st.integers(0, len(content)))
+    got = decode_image_header(content[:cut])
+    if cut < sof_end:
+        assert got is None
+    else:
+        assert got == (w, h, "jpeg")
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=200))
+def test_jpeg_walker_total_on_arbitrary_bytes(blob):
+    """The walker is TOTAL: any byte soup after an SOI marker returns a
+    tuple or None, never raises, never loops (the seg_len >= 2 guard)."""
+    from itdb_spark.operators.multimodal import decode_image_header
+
+    out = decode_image_header(b"\xff\xd8" + blob)
+    assert out is None or (len(out) == 3 and out[2] == "jpeg")
