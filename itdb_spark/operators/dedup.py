@@ -340,6 +340,53 @@ def winnow_template_channel(
     return _overcap_channel(f, ["fp"], "doc", max_df)
 
 
+def ngram_decontam(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """(doc_id, n_grams, n_overlap): training documents sharing at least
+    one word n-gram with a benchmark/eval set — train/test contamination
+    detection (the GPT-3/Llama decontamination step: drop or flag
+    training docs that contain eval n-grams).
+
+    Scale shape: the benchmark side is SMALL by construction (eval sets
+    are thousands of docs against a 100 TB corpus), so its distinct
+    n-gram hash set is broadcast and the corpus side never shuffles its
+    exploded grams — one broadcast left join + one groupBy(doc) over
+    per-doc-distinct grams, whose key is the doc id (near-unique,
+    skew-free). Grams are compared by portable 60-bit hash, not string
+    (~10× fewer broadcast bytes; a collision flags one extra gram —
+    acceptable for a filter that errs toward flagging). Docs shorter
+    than ``n`` tokens carry no grams and cannot be flagged."""
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        grams = F.expr(
+            f"transform(sequence(1, size(t)-{n - 1}),"
+            f" i -> concat({_kgram_terms(n)}))"
+        )
+        return (
+            df.select(F.col(id_col).alias("doc"), toks.alias("t"))
+            .where(F.size("t") >= n)
+            .select("doc", F.explode(F.array_distinct(grams)).alias("g"))
+            .select("doc", portable_hash64(F.col("g")).alias("g"))
+        )
+
+    bench_grams = gram_hashes(bench).select("g").distinct().withColumn("hit", F.lit(1))
+    return (
+        gram_hashes(train)
+        .join(F.broadcast(bench_grams), "g", "left")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .where(F.col("n_overlap") > 0)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str,

@@ -450,3 +450,46 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"),
     )
+
+
+@register(
+    "fn-shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('shuf42:', doc_id)), 1, 15))
+                  AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id, h, CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    doc="Deterministic global training shuffle: every doc gets a "
+    "pseudo-random position — rank under the portable hash of "
+    "(seed, doc_id). The standard pre-training epoch order: reproducible "
+    "across engines/runs/partitionings (same property as fn-sample's "
+    "hash holdout), resumable mid-epoch by position, and re-seedable per "
+    "epoch. Positions come from the bucketed ranged_row_number plan "
+    "(plans/library.py): hash-prefix buckets → per-bucket row_number → "
+    "broadcast boundary offsets — NO single-partition global window at "
+    "any width; the oracle is the plain global-window rank.",
+)
+def fn_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import portable_hash64
+    from itdb_spark.plans.library import ranged_row_number
+
+    t = Tables(spark, sf_dir)
+    hashed = t.documents.select(
+        "doc_id",
+        portable_hash64(F.concat(F.lit("shuf42:"), F.col("doc_id"))).alias("h"),
+    )
+    # bucket = top bits of the 60-bit hash: monotone in the leading order
+    # column (the order-consistency contract), ~64 buckets at any SF
+    numbered = ranged_row_number(
+        hashed,
+        ["h", "doc_id"],
+        start=0,
+        out_col="pos",
+        bucket=F.floor(F.col("h") / F.lit(1 << 54)),
+    )
+    return numbered.select("doc_id", "h", "pos")

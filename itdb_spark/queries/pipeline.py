@@ -1278,3 +1278,98 @@ def dedup_templates_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return winnow_template_channel(t.documents, "doc_id", "text", max_df=4)
+
+
+_DECONTAM_GRAM8 = (
+    "unnest(list_distinct(list_transform(range(1, len(t) - 6), i -> concat_ws(' ', "
+    "t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]))))"
+)
+
+
+@register(
+    "text-decontam",
+    oracle=f"""
+    WITH corpus AS ({ORACLE_CORPUS}),
+    trg AS (
+      SELECT doc, {_PORTABLE_HASH_SQL.format(col="g")} AS g FROM (
+        SELECT doc_id AS doc, {_DECONTAM_GRAM8} AS g
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM corpus)
+        WHERE len(t) >= 8
+      )
+    ),
+    bg AS (
+      SELECT DISTINCT {_PORTABLE_HASH_SQL.format(col="g")} AS g FROM (
+        SELECT {_DECONTAM_GRAM8} AS g
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+        WHERE len(t) >= 8
+      )
+    )
+    SELECT doc AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlap
+    FROM trg LEFT JOIN bg ON trg.g = bg.g
+    GROUP BY 1
+    HAVING sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+    """,
+    doc="Train/eval decontamination (operators/dedup.py::ngram_decontam — "
+    "the GPT-3/Llama n-gram overlap step): training docs (the derived "
+    "dedup corpus) sharing at least one word 8-gram with the benchmark "
+    "set (here: the src0-2 originals), with per-doc distinct-gram and "
+    "overlap counts. The benchmark gram-hash set is broadcast (eval sets "
+    "are tiny against a 100 TB corpus); the corpus side never shuffles "
+    "its exploded grams — one broadcast join + one skew-free "
+    "groupBy(doc).",
+)
+def text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.dedup import ngram_decontam
+
+    t = Tables(spark, sf_dir)
+    bench = t.documents.where(F.col("source").isin("src0", "src1", "src2"))
+    return ngram_decontam(corpus(spark, sf_dir), bench, "doc_id", "text", n=8)
+
+
+@register(
+    "pipe-mixture",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ), z AS (
+      SELECT sum(power(n_tokens, 0.5)) AS z, sum(n_tokens) AS t FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           round(power(n_tokens, 0.5) / z, 6) AS weight,
+           round((power(n_tokens, 0.5) / z) / (n_tokens / t), 6) AS boost
+    FROM s, z
+    """,
+    doc="Domain-mixing weights for pre-training (the temperature-sampling "
+    "step every multi-source corpus needs — alpha=0.5 UniMax/mT5-style): "
+    "per-source token totals → weight ∝ tokens^alpha normalized, plus "
+    "the boost factor vs natural sampling (weight / token share) that "
+    "shows which sources get up-/down-sampled. One map-side-combined "
+    "groupBy(source) + a broadcast 1-row normalizer — nothing about the "
+    "plan changes at 100 TB (sources number in the dozens).",
+)
+def pipe_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    s = t.documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    z = s.agg(
+        F.sum(F.pow("n_tokens", F.lit(0.5))).alias("z"),
+        F.sum("n_tokens").alias("t"),
+    )
+    w = F.pow("n_tokens", F.lit(0.5)) / F.col("z")
+    return s.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(w / (F.col("n_tokens") / F.col("t")), 6).alias("boost"),
+    )

@@ -124,7 +124,16 @@ def test_topk_uses_group_limit(spark):
 
 
 @pytest.mark.parametrize(
-    "qid", ["win-lag", "win-seq", "sort-shuffle", "snk-m3u", "snk-symlink", "fn-pack"]
+    "qid",
+    [
+        "win-lag",
+        "win-seq",
+        "sort-shuffle",
+        "snk-m3u",
+        "snk-symlink",
+        "fn-pack",
+        "fn-shuffle",
+    ],
 )
 def test_no_global_window_single_partition(spark, qid):
     """The registered forms of the previously global-window queries must not
@@ -534,3 +543,36 @@ def test_winnow_template_channel_recovers_stopped_docs(spark):
     # the pairwise path dropped them (no shared under-df fingerprint pair
     # remains for the full clique)
     assert len(pairs) < 20 * 19 // 2
+
+
+def test_decontam_broadcasts_benchmark_side(spark):
+    """ngram_decontam must broadcast the (small) benchmark gram-hash set;
+    the training side's exploded grams may never be the build side of a
+    broadcast nor shuffle through a sort-merge join — at 100 TB the
+    train gram table is the corpus times grams-per-doc. Also checks the
+    semantics: a train doc sharing an 8-token run is flagged with the
+    right overlap count; disjoint docs are absent."""
+    from itdb_spark.operators.dedup import ngram_decontam
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix words {bench_text} suffix words here"),  # overlaps
+            (2, "totally different vocabulary with no shared runs at all ok"),
+            (3, bench_text),  # exact copy
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(900, bench_text)], "doc_id long, text string")
+    out = ngram_decontam(train, bench, "doc_id", "text", n=8)
+    got = {r.doc_id: (r.n_grams, r.n_overlap) for r in out.collect()}
+    # bench_text has 10 tokens → 3 distinct 8-grams, all inside doc 1 and 3
+    assert set(got) == {1, 3}
+    assert got[3] == (3, 3)
+    assert got[1][1] == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # the broadcast build side is the benchmark subtree: it aggregates
+    # the distinct gram set (HashAggregate) before the exchange
+    b_at = plan.index("BroadcastExchange")
+    assert "HashAggregate" in plan[b_at:], "broadcast side must be the distinct bench grams"
