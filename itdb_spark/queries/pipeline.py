@@ -492,9 +492,12 @@ _STOPWORD_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
     "text-tokens",
     oracle="""
     SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT)
-             AS n_distinct
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))
+                END AS BIGINT) AS n_distinct
     FROM documents
     """,
     doc="Token counting: whitespace tokens + distinct token count (the "
@@ -506,7 +509,10 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.select(
         "doc_id",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))).cast("long").alias(
+        # tokens() on the lowered text, not a raw split: an empty doc must
+        # count 0 distinct tokens just as it counts 0 tokens (raw split
+        # would say 1 — the [''] artifact the CASE-guarded oracle excludes)
+        F.size(F.array_distinct(tokens(F.lower(F.col("text"))))).cast("long").alias(
             "n_distinct"
         ),
     )
@@ -1372,4 +1378,43 @@ def pipe_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(w, 6).alias("weight"),
         F.round(w / (F.col("n_tokens") / F.col("t")), 6).alias("boost"),
+    )
+
+
+@register(
+    "pipe-curriculum",
+    oracle="""
+    WITH c AS (
+      SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS q FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(CAST(n_chars > q[1] AS INT) + CAST(n_chars > q[2] AS INT)
+                + CAST(n_chars > q[3] AS INT) AS INT) AS bin
+    FROM documents, c
+    """,
+    doc="Curriculum / length binning: every document assigned a quartile "
+    "bin of its length (0 = shortest quarter .. 3 = longest) — the "
+    "short-to-long ordering signal curriculum schedules and "
+    "length-bucketed batching use. Cutoffs are EXACT percentiles "
+    "(Spark percentile ≡ DuckDB quantile_cont: linear interpolation at "
+    "rank p·(n-1), exact binary fractions over integer lengths — "
+    "hash-stable), computed in one aggregate and broadcast back; the "
+    "per-doc bin is three comparisons. At 100 TB swap the exact "
+    "percentile for approx_percentile with a pinned accuracy and gate "
+    "the cutoffs with bounds instead (the agg-approx pattern) — the "
+    "broadcast-compare shape is unchanged.",
+)
+def pipe_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cuts = t.documents.agg(
+        F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))").alias("q")
+    )
+    return t.documents.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_chars",
+        (
+            (F.col("n_chars") > F.col("q")[0]).cast("int")
+            + (F.col("n_chars") > F.col("q")[1]).cast("int")
+            + (F.col("n_chars") > F.col("q")[2]).cast("int")
+        ).alias("bin"),
     )

@@ -576,3 +576,36 @@ def test_decontam_broadcasts_benchmark_side(spark):
     # the distinct gram set (HashAggregate) before the exchange
     b_at = plan.index("BroadcastExchange")
     assert "HashAggregate" in plan[b_at:], "broadcast side must be the distinct bench grams"
+
+
+@pytest.mark.parametrize("qid", ["text-tokens", "fn-pack", "fn-pack-chunks"])
+def test_tokens_empty_doc_oracle_parity(spark, tmp_path, qid):
+    """Empty / whitespace-only documents: tokens() maps them to 0 tokens,
+    DuckDB's regexp_split_to_array(trim(x)) to 1 — the silent hash-gate
+    killer ADVICE r4 flagged. The real testdata has no empty docs, so
+    this pins the CASE-guarded oracles against a synthetic corpus that
+    DOES: run the registered Spark query AND its registered DuckDB
+    oracle over the same parquet and compare row sets exactly."""
+    import duckdb
+
+    from itdb_spark.queries import load_all
+
+    rows = [
+        (1, "hello world one two three", "en", "src0", 25),
+        (2, "", "en", "src0", 0),
+        (3, "   ", "en", "src1", 3),
+        (4, "single", "en", "src1", 6),
+        (5, "alpha beta gamma delta epsilon zeta eta theta", "en", "src2", 46),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pq = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+
+    q = load_all()[qid]
+    got = sorted(tuple(r) for r in q.spark(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
