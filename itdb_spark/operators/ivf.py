@@ -137,3 +137,40 @@ def ivf_knn(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def cell_balanced_sample(
+    assignments: DataFrame,
+    id_col: str = "vec_id",
+    quota: int = 40,
+    seed: str = "bal42",
+) -> DataFrame:
+    """(id, centroid_id, cell_n): cluster-balanced subsampling — at most
+    ``quota`` members per IVF cell, chosen deterministically by portable
+    hash of (seed, id). The SemDeDup/DiverseSample curation move: dense
+    regions of embedding space (near-duplicate semantic clusters) are
+    capped while sparse regions survive intact, flattening the cluster
+    distribution without a global sort or true randomness.
+
+    One Window exchange on centroid_id: the per-cell rank and the cell
+    size share a single partition+order (the size uses an unbounded
+    frame), so the whole selection costs the one shuffle the cell key
+    already implies. At 100 TB, run it per cell-partition of the written
+    IVF index (partitionBy(centroid_id)) — the window then never crosses
+    files."""
+    h = portable_hash64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("centroid_id").orderBy("_h", id_col)
+    return (
+        assignments.select(F.col(id_col), "centroid_id", h.alias("_h"))
+        .select(
+            id_col,
+            "centroid_id",
+            F.row_number().over(w).alias("_rn"),
+            F.count("*")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .cast("long")
+            .alias("cell_n"),
+        )
+        .where(F.col("_rn") <= quota)
+        .select(id_col, "centroid_id", "cell_n")
+    )

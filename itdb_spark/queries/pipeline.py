@@ -367,15 +367,16 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _ivf_oracle(k: int = 5, n_cells: int = 8, n_probe: int = 3,
-                iters: int = 4, dim: int = 64) -> str:
-    """DuckDB twin of build_ivf_index + ivf_knn: the 4 Lloyd's iterations
-    unrolled as CTE pairs (assign by max-cosine with centroid-id
-    tie-break, re-center by per-dimension mean). Every step of the Spark
-    path is deterministic — hash-seeded init, tie-broken assignment — so
-    the only cross-engine freedom is float summation order (ulp-level),
-    far inside the assignment margins on this data; verified exact at
-    sf0.001/0.01/0.1."""
+def _ivf_assign_ctes(n_cells: int = 8, iters: int = 4, dim: int = 64) -> list[str]:
+    """CTE list reproducing build_ivf_index in DuckDB, ending in ``af`` =
+    (vec_id, vec, centroid_id) — the final cell assignment. Shared by the
+    sim-knn-ivf oracle and the pipe-balance cluster-sampling oracle.
+    The 4 Lloyd's iterations unroll as CTE pairs (assign by max-cosine
+    with centroid-id tie-break, re-center by per-dimension mean). Every
+    step of the Spark path is deterministic — hash-seeded init,
+    tie-broken assignment — so the only cross-engine freedom is float
+    summation order (ulp-level), far inside the assignment margins on
+    this data; verified exact at sf0.001/0.01/0.1."""
     ctes = [
         "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
         f"""c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS centroid_id,
@@ -402,6 +403,16 @@ def _ivf_oracle(k: int = 5, n_cells: int = 8, n_probe: int = 3,
                row_number() OVER (PARTITION BY v.vec_id
                    ORDER BY {_cos_sql('v.vec', 'c.cvec')} DESC, c.centroid_id) AS rn
         FROM v CROSS JOIN {prev} c) WHERE rn = 1)""")
+    return ctes
+
+
+def _ivf_oracle(k: int = 5, n_cells: int = 8, n_probe: int = 3,
+                iters: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of build_ivf_index + ivf_knn (see _ivf_assign_ctes):
+    probe the top-``n_probe`` cells per query, exact cosine re-rank
+    within probed cells only."""
+    prev = f"c{iters}"
+    ctes = _ivf_assign_ctes(n_cells, iters, dim)
     ctes.append("q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5)")
     ctes.append(f"""probed AS (SELECT query_id, qvec, centroid_id FROM (
         SELECT q.query_id, q.qvec, c.centroid_id,
@@ -1418,3 +1429,43 @@ def pipe_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("n_chars") > F.col("q")[2]).cast("int")
         ).alias("bin"),
     )
+
+
+def _balance_oracle(quota: int = 40) -> str:
+    ctes = ",\n".join(_ivf_assign_ctes())
+    return f"""
+    WITH {ctes},
+    b AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY centroid_id ORDER BY h, vec_id) AS rn,
+             count(*) OVER (PARTITION BY centroid_id) AS cell_n
+      FROM (SELECT vec_id, centroid_id,
+                   CAST(concat('0x', substr(md5(concat('bal42:', CAST(vec_id AS VARCHAR))),
+                        1, 15)) AS BIGINT) AS h
+            FROM af)
+    )
+    SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+           CAST(cell_n AS BIGINT) AS cell_n
+    FROM b WHERE rn <= {quota}
+    """
+
+
+@register(
+    "pipe-balance",
+    oracle=_balance_oracle(),
+    doc="Cluster-balanced subsampling (operators/ivf.py::"
+    "cell_balanced_sample — the SemDeDup/DiverseSample curation move): "
+    "assign embeddings to IVF cells (the same deterministic Lloyd's "
+    "quantizer sim-knn-ivf gates), then keep at most 40 members per cell "
+    "by portable (seed, id) hash rank — dense semantic clusters are "
+    "capped, sparse regions survive, no global sort, no RNG. Rank and "
+    "cell size share one Window exchange on centroid_id. The oracle "
+    "replays the full quantizer in SQL (shared _ivf_assign_ctes) plus "
+    "the same windowed selection.",
+)
+def pipe_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.ivf import build_ivf_index, cell_balanced_sample
+
+    emb = Tables(spark, sf_dir).embeddings
+    assignments, _ = build_ivf_index(emb, "vec_id", "embedding", k=8, iters=4)
+    return cell_balanced_sample(assignments, "vec_id", quota=40)

@@ -570,3 +570,30 @@ def test_asof_join_semantics(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_cell_balanced_sample(spark):
+    """Quota respected per cell; under-quota cells kept whole; selection
+    deterministic (same seed → same rows, different seed → generally
+    different rows but same counts); ONE window exchange serves both the
+    rank and the cell size."""
+    from itdb_spark.operators.ivf import cell_balanced_sample
+
+    rows = [(i, 0) for i in range(100)] + [(1000 + i, 1) for i in range(5)]
+    a = spark.createDataFrame(rows, "vec_id long, centroid_id long")
+    out = cell_balanced_sample(a, "vec_id", quota=10).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.centroid_id, []).append(r)
+    assert len(by_cell[0]) == 10 and all(r.cell_n == 100 for r in by_cell[0])
+    assert len(by_cell[1]) == 5 and all(r.cell_n == 5 for r in by_cell[1])
+    again = {r.vec_id for r in cell_balanced_sample(a, "vec_id", quota=10).collect()}
+    assert again == {r.vec_id for r in out}
+    other = {r.vec_id for r in cell_balanced_sample(a, "vec_id", quota=10, seed="x").collect()}
+    assert len(other) == 15
+    plan = (
+        cell_balanced_sample(a, "vec_id", quota=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") <= 2  # rank + size fold into one spec family
