@@ -263,3 +263,48 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM stream_session_live_sink GROUP BY user_id
         """
     )
+
+
+@register(
+    "stream-asof-live",
+    oracle="""
+    SELECT l.event_id, l.user_id, r.error_id,
+           CAST(floor(epoch(r.error_ts)) AS BIGINT) AS error_epoch
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type <> 'error') l
+    ASOF LEFT JOIN (SELECT user_id, ts AS error_ts, max(event_id) AS error_id
+                    FROM events WHERE event_type = 'error' GROUP BY 1, 2) r
+      ON l.user_id = r.user_id AND l.ts >= r.error_ts
+    """,
+    doc="STREAMING as-of enrichment — the custom stateful operator the "
+    "batch union-tag window (join-asof2) cannot be on an unbounded "
+    "stream: applyInPandasWithState carries ONE (ts, id) pair per user "
+    "(state bounded by active keys, not history), error events update "
+    "it, every other event emits with the latest at-or-before error. "
+    "Runs as a REAL readStream driven to completion inside the gate; "
+    "same DuckDB native ASOF LEFT JOIN oracle as join-asof2 — batch "
+    "window, streaming state machine, and DuckDB's independent ASOF "
+    "implementation must all agree row-for-row.",
+)
+def stream_asof_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.streaming.events import EVENTS_SCHEMA
+    from itdb_spark.streaming.stateful import asof_enriched_stream
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    enriched = asof_enriched_stream(stream)
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_asof_live_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql("SELECT * FROM stream_asof_live_sink")

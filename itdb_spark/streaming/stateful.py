@@ -69,3 +69,73 @@ def run_stateful_to_completion(stream_df: DataFrame, query_name: str) -> DataFra
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+ASOF_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("error_id", T.LongType(), True),
+        T.StructField("error_epoch", T.LongType(), True),
+    ]
+)
+
+# exact event-time micros, not the floored output epoch: cross-batch
+# "latest error at-or-before" comparisons need full precision
+ASOF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("err_ts_us", T.LongType(), False),
+        T.StructField("err_id", T.LongType(), False),
+    ]
+)
+
+
+def _asof_carry(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Per-user as-of carry: walk the batch's rows in (ts, event_id)
+    order with error rows first at equal timestamps (inclusive backward
+    semantics — exactly DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` and
+    batch asof_join's side ordering); error events update the carried
+    (ts, id) state, every other event emits with the carried value."""
+    (user_id,) = key
+    last = state.get if state.exists else None
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    is_err = (batch["event_type"] == "error").astype(int)
+    batch = (
+        batch.assign(_e=is_err)
+        .sort_values(["ts", "_e", "event_id"], ascending=[True, False, True])
+    )
+    out_rows = []
+    for r in batch.itertuples(index=False):
+        ts_us = r.ts.value // 1000  # pandas ns → µs
+        if r.event_type == "error":
+            if last is None or (ts_us, r.event_id) >= last:
+                last = (ts_us, r.event_id)
+        else:
+            out_rows.append(
+                (
+                    r.event_id,
+                    user_id,
+                    last[1] if last is not None else None,
+                    last[0] // 1_000_000 if last is not None else None,
+                )
+            )
+    if last is not None:
+        state.update(last)
+    yield pd.DataFrame(
+        out_rows, columns=["event_id", "user_id", "error_id", "error_epoch"]
+    )
+
+
+def asof_enriched_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming twin of operators/asof.py::asof_join on the events
+    shape: every non-error event enriched with the latest error of the
+    same user at or before it. State per user is ONE (ts, id) pair —
+    bounded by active keys, independent of history length; the batch
+    union-tag window cannot run on an unbounded stream, this can."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _asof_carry,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -118,3 +118,66 @@ def test_dedup_cluster_shape(spark):
     # most keepers are base docs (< 100000)
     base_keepers = sum(1 for r in rows if r.keeper < 100000)
     assert base_keepers == len(rows)
+
+
+def test_stream_asof_carries_state_across_batches(spark, tmp_path):
+    """The streaming as-of's reason to exist: an error in micro-batch 1
+    must enrich events arriving in micro-batch 2 (the carried GroupState
+    pair), and a newer error must supersede it — driven with
+    maxFilesPerTrigger=1 so the two files really are separate batches."""
+    import datetime as dt
+    import time as _time
+
+    from itdb_spark.catalog import EVENTS_RAW_SCHEMA
+    from itdb_spark.streaming.stateful import asof_enriched_stream
+
+    d = str(tmp_path / "stream")
+    T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    write_batch(
+        [
+            (1, T0, 7, "error", 0.0, "{}"),
+            (2, T0 + dt.timedelta(minutes=5), 7, "click", 1.0, "{}"),
+        ]
+    )
+    write_batch(
+        [
+            (3, T0 + dt.timedelta(minutes=60), 7, "click", 1.0, "{}"),
+            (4, T0 + dt.timedelta(minutes=61), 7, "error", 0.0, "{}"),
+            (5, T0 + dt.timedelta(minutes=62), 7, "click", 1.0, "{}"),
+            (6, T0 + dt.timedelta(minutes=30), 8, "view", 1.0, "{}"),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    q = (
+        asof_enriched_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_carry_test_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.event_id: (r.error_id, r.error_epoch)
+        for r in spark.sql("SELECT * FROM asof_carry_test_sink").collect()
+    }
+    epoch0 = int(T0.timestamp())
+    assert got[2] == (1, epoch0)  # same-batch carry
+    assert got[3] == (1, epoch0)  # CROSS-BATCH carry from batch 1's error
+    assert got[5] == (4, epoch0 + 61 * 60)  # newer error supersedes
+    assert got[6] == (None, None)  # user with no errors anywhere
+    assert set(got) == {2, 3, 5, 6}  # error rows themselves not emitted
