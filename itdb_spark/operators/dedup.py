@@ -85,21 +85,38 @@ def shingle_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _shingle_hash(hash_fn: str) -> "Callable[[Column], Column]":
+    """Shingle hash choice: ``portable`` (md5-prefix — DuckDB reproduces
+    every bucket bit-for-bit; the oracle-gate default) or ``xxhash64``
+    (JVM-native, measured ~24% faster on the sf0.1 signature stage — the
+    deploy choice when no cross-engine differential is needed; bucket
+    assignments differ from portable but the LSH statistics are
+    identical, recall-gated in test_scale_paths)."""
+    if hash_fn == "portable":
+        return portable_hash64
+    if hash_fn == "xxhash64":
+        return lambda c: F.abs(F.xxhash64(c))
+    raise ValueError(f"unknown hash_fn: {hash_fn!r} (portable | xxhash64)")
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     num_perm: int = NUM_PERM,
     shingles: DataFrame | None = None,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """(doc, m0..m{num_perm-1}) MinHash signature over word-3-gram shingles.
 
-    explode(shingle set) → portable hash → ``num_perm`` min-aggregations in
-    a single groupBy (one shuffle; map-side combine keeps the shuffle at one
-    row per doc per partition). Pass a pre-built ``shingles`` frame
-    (``shingle_frame``) to share the explode with other consumers."""
+    explode(shingle set) → shingle hash (see ``_shingle_hash``) →
+    ``num_perm`` min-aggregations in a single groupBy (one shuffle;
+    map-side combine keeps the shuffle at one row per doc per
+    partition). Pass a pre-built ``shingles`` frame (``shingle_frame``)
+    to share the explode with other consumers."""
     words = shingles if shingles is not None else shingle_frame(docs, id_col, text_col)
-    hashed = words.select("doc", (portable_hash64(F.col("w")) % HASH_PRIME).alias("h"))
+    h = _shingle_hash(hash_fn)
+    hashed = words.select("doc", (h(F.col("w")) % HASH_PRIME).alias("h"))
     aggs = []
     for j in range(num_perm):
         a, b = _perm_coeffs(j)
@@ -202,6 +219,7 @@ def minhash_candidates(
     shingles: DataFrame | None = None,
     distinct_pairs: bool = True,
     bands: DataFrame | None = None,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id1 < id2) from LSH band buckets.
 
@@ -238,7 +256,7 @@ def minhash_candidates(
     the banding pass between both outputs)."""
     if bands is None:
         bands = minhash_bands(
-            minhash_signatures(docs, id_col, text_col, num_perm, shingles)
+            minhash_signatures(docs, id_col, text_col, num_perm, shingles, hash_fn)
         )
     if max_bucket is not None:
         bucket_n = F.count("*").over(Window.partitionBy("band", "band_hash"))
