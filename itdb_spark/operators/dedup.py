@@ -621,3 +621,66 @@ def _winnow_pairs_plan(
         .where(F.col("n_shared") >= min_shared)
     )
     return pairs, f
+
+
+def chunk_dup_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """(doc_id, n_chunks, n_dup_chunks): fixed-window chunk-level dedup
+    signals — split each doc into consecutive ``chunk_tokens``-token
+    chunks (full chunks only), hash them, and count how many of a doc's
+    distinct chunks appear in at least one OTHER document. The
+    paragraph/passage-dedup step (RefinedWeb-style) generalized to
+    boundary-free text; documents shorter than one chunk carry none.
+
+    Blind spot by design: a one-token shift moves every chunk boundary,
+    so near-dups with insertions evade chunk hashing — that is what
+    winnowing (text-winnow) is for; chunk dedup is the cheap exact-reuse
+    detector. Two map-side-combined shuffles: chunk-hash (near-unique,
+    skew-free) then doc."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    chunks = F.expr(
+        f"transform(sequence(1, size(t) div {chunk_tokens}),"
+        f" i -> concat_ws(' ', slice(t, (i-1)*{chunk_tokens}+1, {chunk_tokens})))"
+    )
+    ch = (
+        docs.select(F.col(id_col).alias("doc"), toks.alias("t"))
+        .where(F.size("t") >= chunk_tokens)
+        .select("doc", F.explode(F.array_distinct(chunks)).alias("c"))
+        .select("doc", portable_hash64(F.col("c")).alias("h"))
+    )
+    docs_per_chunk = ch.groupBy("h").agg(
+        F.count_distinct("doc").alias("nd")
+    )
+    return (
+        ch.join(docs_per_chunk, "h")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long")
+            .alias("n_dup_chunks"),
+        )
+    )
+
+
+def band_collision_counts(new_bands: DataFrame, index_bands: DataFrame) -> DataFrame:
+    """(doc_id, n_hit_bands): incremental-ingest dedup — for each NEW
+    document, how many of its LSH bands collide with any bucket of the
+    EXISTING corpus index. A doc with n_hit_bands >= 1 is a near-dup
+    suspect of something already ingested and goes to verification; the
+    rest append clean.
+
+    Scale shape: the index side is the persisted band table of the whole
+    corpus (write.partitionBy or bucketBy on (band, band_hash)); the new
+    batch is small — broadcast it or rely on the index bucketing so only
+    matching buckets are read. No pairwise work at all: collision is
+    detected against bucket KEYS (one distinct pass), not member lists."""
+    idx = index_bands.select("band", "band_hash").distinct()
+    return (
+        new_bands.join(idx, ["band", "band_hash"])
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(F.count_distinct("band").cast("long").alias("n_hit_bands"))
+    )

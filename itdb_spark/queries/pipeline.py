@@ -1469,3 +1469,116 @@ def pipe_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Tables(spark, sf_dir).embeddings
     assignments, _ = build_ivf_index(emb, "vec_id", "embedding", k=8, iters=4)
     return cell_balanced_sample(assignments, "vec_id", quota=40)
+
+
+@register(
+    "dedup-chunks",
+    oracle=f"""
+    WITH corpus AS ({ORACLE_CORPUS}),
+    ch AS (
+      SELECT doc, {_PORTABLE_HASH_SQL.format(col="c")} AS h FROM (
+        SELECT doc_id AS doc,
+               unnest(list_distinct(list_transform(range(1, len(t)//10 + 1),
+                 i -> array_to_string(t[(i-1)*10+1 : i*10], ' ')))) AS c
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM corpus)
+        WHERE len(t) >= 10
+      )
+    ),
+    nd AS (SELECT h, count(DISTINCT doc) AS ndocs FROM ch GROUP BY 1)
+    SELECT doc AS doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks
+    FROM ch JOIN nd USING (h)
+    GROUP BY 1
+    """,
+    doc="Chunk-level dedup signals (operators/dedup.py::chunk_dup_stats — "
+    "the paragraph/passage-dedup step, RefinedWeb-style, generalized to "
+    "boundary-free text): consecutive 10-token chunks hashed; per doc, "
+    "how many of its distinct chunks appear in at least one other "
+    "document. Exact dups share ALL chunks; shifted near-dups evade "
+    "chunk boundaries by design (winnowing covers those — the two are "
+    "complementary). Two map-side-combined shuffles: chunk-hash "
+    "(near-unique) then doc.",
+)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.dedup import chunk_dup_stats
+
+    return chunk_dup_stats(corpus(spark, sf_dir), "doc_id", "text", chunk_tokens=10)
+
+
+@register(
+    "dedup-incremental",
+    oracle=f"""
+    WITH {_minhash_bands_ctes()}
+    SELECT i.doc AS doc_id, CAST(count(DISTINCT i.band) AS BIGINT) AS n_hit_bands
+    FROM bands i
+    JOIN (SELECT DISTINCT band, band_hash FROM bands WHERE doc < 100000) e
+      ON i.band = e.band AND i.band_hash = e.band_hash
+    WHERE i.doc >= 100000
+    GROUP BY 1
+    """,
+    doc="Incremental-ingest dedup (operators/dedup.py::"
+    "band_collision_counts): the +100000/+200000 derived docs play the "
+    "NEW batch, the originals the existing corpus index — each new doc "
+    "counts how many of its LSH bands collide with any existing bucket "
+    "KEY (one distinct pass, no member lists, no pairs). n_hit_bands >= "
+    "1 routes to verification; the rest append clean. At 100 TB the "
+    "index side is the persisted band table partitioned/bucketed on "
+    "(band, band_hash) and the small new batch broadcasts or "
+    "bucket-prunes against it.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.dedup import (
+        band_collision_counts,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    bands = minhash_bands(minhash_signatures(corpus(spark, sf_dir), "doc_id", "text"))
+    new = bands.where(F.col("doc") >= 100000)
+    idx = bands.where(F.col("doc") < 100000)
+    return band_collision_counts(new, idx)
+
+
+@register(
+    "fn-batch",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens // 32 AS BIGINT) AS len_bucket,
+           CAST((row_number() OVER (PARTITION BY n_tokens // 32
+                                    ORDER BY doc_id) - 1) // 16 AS BIGINT)
+             AS batch_id
+    FROM tok
+    """,
+    doc="Length-bucketed batch assignment — the padding-efficiency move "
+    "for variable-length training/inference batches: docs bucket by "
+    "32-token length bands, then pack into 16-doc batches in doc order "
+    "within each bucket (a batch never mixes distant lengths, so pad "
+    "waste is bounded by the band width). Pure integer arithmetic + one "
+    "PARTITIONED window per bucket — no global window, no floats, "
+    "hash-exact.",
+)
+def fn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    bucket = (F.col("n_tokens") / 32).cast("long")
+    w = Window.partitionBy("len_bucket").orderBy("doc_id")
+    return (
+        tok.withColumn("len_bucket", bucket)
+        .withColumn(
+            "batch_id", ((F.row_number().over(w) - 1) / 16).cast("long")
+        )
+        .select("doc_id", "n_tokens", "len_bucket", "batch_id")
+    )

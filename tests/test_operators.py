@@ -597,3 +597,49 @@ def test_cell_balanced_sample(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") <= 2  # rank + size fold into one spec family
+
+
+def test_chunk_dup_stats_semantics(spark):
+    """Exact copies share all chunks; a one-token shift evades every
+    chunk boundary (the documented blind spot winnowing covers); short
+    docs carry no chunks."""
+    from itdb_spark.operators.dedup import chunk_dup_stats
+
+    base = " ".join(f"w{i}" for i in range(30))  # 3 full 10-token chunks
+    rows = [
+        (1, base),
+        (2, base),                      # exact copy
+        (3, "shift " + base),           # one-token shift
+        (4, "tiny doc"),                # < 1 chunk
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_chunks, r.n_dup_chunks)
+           for r in chunk_dup_stats(docs, "doc_id", "text").collect()}
+    assert got[1] == (3, 3) and got[2] == (3, 3)
+    assert got[3] == (3, 0)  # shifted: no chunk survives
+    assert 4 not in got
+
+
+def test_band_collision_counts(spark):
+    """A new doc identical to an indexed doc hits all 4 bands; a new doc
+    with disjoint vocabulary hits none (absent from the result)."""
+    from itdb_spark.operators.dedup import (
+        band_collision_counts,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, text_a), (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, text_a), (101, "completely unrelated vocabulary in this new document here now")],
+        "doc_id long, text string",
+    )
+    idx_bands = minhash_bands(minhash_signatures(corpus, "doc_id", "text"))
+    new_bands = minhash_bands(minhash_signatures(new, "doc_id", "text"))
+    got = {r.doc_id: r.n_hit_bands
+           for r in band_collision_counts(new_bands, idx_bands).collect()}
+    assert got == {100: 4}
