@@ -1582,3 +1582,57 @@ def fn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "len_bucket", "batch_id")
     )
+
+
+@register(
+    "mm-framesample",
+    oracle="""
+    WITH probed AS (
+      SELECT doc_id, CAST(1 + doc_id % 300 AS BIGINT) AS duration_s,
+             least(8, 1 + doc_id % 300) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, duration_s, CAST(i AS BIGINT) AS frame_idx,
+           CAST((i * duration_s) // n_frames AS BIGINT) AS frame_ts_s
+    FROM probed, unnest(generate_series(0, n_frames - 1)) AS g(i)
+    """,
+    doc="Video frame sampling plan (operators/multimodal.py::"
+    "probe_binary_duration): each doc carries a synthesized FAKV "
+    "container header (magic + u32be duration + u16be fps, built "
+    "JVM-side from doc_id arithmetic), a mapInPandas probe parses it "
+    "back byte-for-byte — mm-decode's pattern: the oracle predicts the "
+    "parsed values arithmetically, so a probe bug breaks the hash gate "
+    "— then up to 8 uniformly-spaced frame timestamps explode "
+    "relationally from the PARSED duration. The deploy version swaps "
+    "the stub parser for an mp4 box walk / ffprobe; the Spark plumbing "
+    "(binary column, Arrow batches, bounded fan-out per doc) is the "
+    "real thing.",
+)
+def mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.multimodal import probe_binary_duration
+
+    t = Tables(spark, sf_dir)
+
+    def be(col, hex_digits):
+        return F.unhex(F.lpad(F.hex(col), hex_digits, "0"))
+
+    duration = (F.col("doc_id") % 300 + 1).cast("long")
+    header = F.concat(F.encode(F.lit("FAKV"), "utf-8"), be(duration, 8), be(F.lit(24), 4))
+    docs = t.documents.select("doc_id", header.alias("content"))
+    probed = probe_binary_duration(docs, "doc_id", "content")
+    n_frames = F.least(F.lit(8), F.col("duration_s"))
+    return (
+        probed.select(
+            "doc_id",
+            "duration_s",
+            F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("_p", "frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "duration_s",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.floor(F.col("frame_idx") * F.col("duration_s") / n_frames)
+            .cast("long")
+            .alias("frame_ts_s"),
+        )
+    )

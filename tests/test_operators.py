@@ -643,3 +643,18 @@ def test_band_collision_counts(spark):
     got = {r.doc_id: r.n_hit_bands
            for r in band_collision_counts(new_bands, idx_bands).collect()}
     assert got == {100: 4}
+
+
+def test_probe_container_header_robust():
+    """Probe is total: valid header parses exactly; truncated / wrong
+    magic / empty yield None (nulls downstream, never fabricated)."""
+    import struct
+
+    from itdb_spark.operators.multimodal import probe_container_header
+
+    ok = b"FAKV" + struct.pack(">I", 3600) + struct.pack(">H", 24)
+    assert probe_container_header(ok) == (3600, 24)
+    assert probe_container_header(ok + b"trailing-bytes") == (3600, 24)
+    assert probe_container_header(ok[:9]) is None      # truncated
+    assert probe_container_header(b"RIFF" + ok[4:]) is None  # wrong magic
+    assert probe_container_header(b"") is None
