@@ -1636,3 +1636,40 @@ def mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("frame_ts_s"),
         )
     )
+
+
+@register(
+    "mm-features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, i, (doc_id * 7 + i * 13) % 256 AS byte
+      FROM documents, unnest(generate_series(0, 63)) AS g(i)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(sum(byte) AS BIGINT) AS byte_sum,
+           CAST(sum(CASE WHEN byte // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bin0,
+           CAST(sum(CASE WHEN byte // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bin1,
+           CAST(sum(CASE WHEN byte // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bin2,
+           CAST(sum(CASE WHEN byte // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS bin3
+    FROM b GROUP BY 1
+    """,
+    doc="Multimodal feature extraction (operators/multimodal.py::"
+    "extract_byte_features): 64 doc_id-derived bytes synthesized JVM-side "
+    "(byte[i] = (doc_id*7 + i*13) % 256), then a REAL vectorized numpy "
+    "kernel (frombuffer → shift → bincount) computes byte-sum and a "
+    "4-bin histogram per blob inside mapInPandas Arrow batches. The "
+    "oracle re-derives every byte arithmetically, so the numpy path is "
+    "hash-verified end-to-end; a deploy embedding model inherits the "
+    "same batch shape. Completes the decode / feature-extract / resize / "
+    "frame-sample quartet.",
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.multimodal import extract_byte_features
+
+    t = Tables(spark, sf_dir)
+    byte_hex = F.expr(
+        "concat_ws('', transform(sequence(0, 63),"
+        " i -> lpad(hex((doc_id * 7 + i * 13) % 256), 2, '0')))"
+    )
+    docs = t.documents.select("doc_id", F.unhex(byte_hex).alias("content"))
+    return extract_byte_features(docs, "doc_id", "content")
