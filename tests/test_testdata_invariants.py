@@ -1,0 +1,94 @@
+"""Loud guards for the testdata properties queries DEPEND on.
+
+The driver regenerates /root/testdata between rounds. Most schema drift
+breaks the oracle differential loudly, but some regressions would pass
+SILENTLY — e.g. a renamed source family empties text-decontam's benchmark
+set, and an empty Spark result hash-matches an empty oracle result. These
+tests pin the assumptions so a regen that invalidates a gate fails pytest
+instead of degrading the gate to vacuous-green."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _read(spark, name):
+    return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+
+def test_documents_invariants(spark):
+    d = _read(spark, "documents")
+    assert {"doc_id", "text", "lang", "source", "n_chars"} <= set(d.columns)
+    n = d.count()
+    assert n > 0
+    assert d.select("doc_id").distinct().count() == n  # unique ids
+    # text-decontam benchmarks on src0-2; pipe-mixture groups by source
+    srcs = {r.source for r in d.select("source").distinct().collect()}
+    assert {"src0", "src1", "src2"} <= srcs, (
+        f"text-decontam's benchmark sources missing: {sorted(srcs)[:5]}"
+    )
+    bad = d.where(
+        F.col("text").isNull() | (F.length("text") == 0) | F.col("doc_id").isNull()
+    ).count()
+    assert bad == 0, "null/empty docs appeared — audit tokens()-vs-oracle parity"
+    # derived dedup corpus adds +100000/+200000 — ids must stay below that
+    assert d.agg(F.max("doc_id")).first()[0] < 100000
+
+
+def test_embeddings_invariants(spark):
+    e = _read(spark, "embeddings")
+    assert {"vec_id", "embedding"} <= set(e.columns)
+    dims = e.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r.d for r in dims] == [64], (
+        "IVF oracle unrolls dim=64 (_ivf_assign_ctes); embedding dim changed"
+    )
+    # sim-knn-* use vec_id < 5 as the query set
+    assert e.where(F.col("vec_id") < 5).count() == 5
+    assert e.select("vec_id").distinct().count() == e.count()
+    assert e.where(F.exists("embedding", lambda x: x.isNull())).count() == 0
+
+
+def test_events_invariants(spark):
+    ev = _read(spark, "events")
+    assert {"event_id", "ts", "user_id", "event_type", "value", "props"} <= set(
+        ev.columns
+    )
+    types = {r.event_type for r in ev.select("event_type").distinct().collect()}
+    assert "error" in types, "join-asof/join-asof2/stream-asof-live key on 'error'"
+    assert len(types - {"error"}) >= 1, "as-of queries need non-error events too"
+    assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz"), (
+        "events.ts no longer a timestamp type (raw-long nanos regen?) — "
+        "re-audit EVENTS_RAW_SCHEMA and every events read"
+    )
+    n = ev.count()
+    assert n > 0 and ev.select("event_id").distinct().count() == n
+
+
+def test_star_schema_join_keys(spark):
+    """The TPC-H-ish keys the join family rides on: every lineitem order
+    exists, every order's customer exists, every nation's region exists."""
+    li = _read(spark, "lineitem").select("l_orderkey").distinct()
+    o = _read(spark, "orders")
+    dangling = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+    ).count()
+    assert dangling == 0
+    c = _read(spark, "customer")
+    dangling_c = (
+        o.select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .join(c.select(F.col("c_custkey").alias("k")), "k", "left_anti")
+        .count()
+    )
+    assert dangling_c == 0
+    na = _read(spark, "nation")
+    re = _read(spark, "region")
+    dangling_r = (
+        na.select(F.col("n_regionkey").alias("k"))
+        .distinct()
+        .join(re.select(F.col("r_regionkey").alias("k")), "k", "left_anti")
+        .count()
+    )
+    assert dangling_r == 0
