@@ -11,7 +11,7 @@ the naive BETWEEN join is the oracle/test contract."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
