@@ -1673,3 +1673,92 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = t.documents.select("doc_id", F.unhex(byte_hex).alias("content"))
     return extract_byte_features(docs, "doc_id", "content")
+
+
+@register(
+    "pipe-assemble",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ), z AS (SELECT sum(power(n_tokens, 0.5)) AS z FROM s),
+    quota AS (
+      SELECT source,
+             CAST(round(power(n_tokens, 0.5) / z * 1000) AS BIGINT) AS quota
+      FROM s, z
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY CAST(concat('0x', substr(md5(concat('asm42:', d.doc_id)),
+                             1, 15)) AS BIGINT), d.doc_id) AS rk
+      FROM documents d
+    ),
+    picked AS (
+      SELECT r.doc_id, r.source FROM ranked r JOIN quota q USING (source)
+      WHERE r.rk <= q.quota
+    )
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+             ORDER BY CAST(concat('0x', substr(md5(concat('shuf42:', doc_id)),
+                           1, 15)) AS BIGINT), doc_id) AS BIGINT) AS pos
+    FROM picked
+    """,
+    doc="Epoch-sample assembly — the capstone composite: temperature "
+    "mixing weights (pipe-mixture's alpha=0.5 form) turn a 1000-doc "
+    "budget into per-source quotas; each source contributes its "
+    "quota by deterministic (seed, id) hash rank (fn-sample's holdout "
+    "discipline); the selected set gets global epoch-shuffle positions "
+    "(fn-shuffle's ranged form — hash-prefix buckets, broadcast "
+    "offsets, no single-partition data exchange). One groupBy + one "
+    "broadcast quota join + one per-source window + the ranged global "
+    "rank: every stage is an already-verified operator, this gates "
+    "their composition.",
+)
+def pipe_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from itdb_spark.functions.core import portable_hash64
+    from itdb_spark.plans.library import ranged_row_number
+
+    t = Tables(spark, sf_dir)
+    s = t.documents.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    z = s.agg(F.sum(F.pow("n_tokens", F.lit(0.5))).alias("z"))
+    quota = s.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.round(F.pow("n_tokens", F.lit(0.5)) / F.col("z") * 1000)
+        .cast("long")
+        .alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = (
+        t.documents.select(
+            "doc_id",
+            "source",
+            portable_hash64(F.concat(F.lit("asm42:"), F.col("doc_id"))).alias("h"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+    )
+    picked = (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("rk") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "source",
+            portable_hash64(F.concat(F.lit("shuf42:"), F.col("doc_id"))).alias("sh"),
+        )
+    )
+    out = ranged_row_number(
+        picked,
+        ["sh", "doc_id"],
+        start=0,
+        out_col="pos",
+        bucket=F.floor(F.col("sh") / F.lit(1 << 54)),
+    )
+    return out.select("doc_id", "source", "pos")
