@@ -1762,3 +1762,50 @@ def pipe_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=F.floor(F.col("sh") / F.lit(1 << 54)),
     )
     return out.select("doc_id", "source", "pos")
+
+
+@register(
+    "text-perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM toks)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(exp(-avg(ln(CAST(cnt AS DOUBLE) / n.n))), 6) AS ppl
+    FROM toks JOIN vocab USING (w) CROSS JOIN n
+    GROUP BY doc_id, n.n
+    """,
+    doc="Unigram-LM perplexity scoring — the CCNet-style quality filter "
+    "family (docs scored against a corpus LM; outliers dropped or "
+    "bucketed), with the LM reduced to unigram MLE so the whole thing "
+    "is relational and hash-gated: token explode → corpus vocabulary "
+    "counts → per-doc exp(-mean ln p(w)). The tf⋈vocab join is the "
+    "text-tfidf shape (UNHINTED: AQE broadcasts the small vocab at test "
+    "SF; at 100 TB the vocabulary IS corpus-scale and the join "
+    "sort-merges on the near-unique token key). A deploy version swaps "
+    "the unigram table for KenLM scores via mapInPandas; the filter "
+    "plumbing is identical. ln/exp parity follows text-tfidf's proven "
+    "round-6 discipline.",
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    n = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.exp(-F.avg(F.log(F.col("cnt").cast("double") / F.col("n")))), 6
+            ).alias("ppl"),
+        )
+    )
