@@ -50,15 +50,27 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of LEFT join: every left row, plus the payload columns
-    of the latest right row per key with ``right_ts <= left_ts``
-    (``< left_ts`` when ``strict``), or nulls if none precedes it.
+    """As-of LEFT join: every left row, plus the payload columns of the
+    nearest right row per key — the latest with ``right_ts <= left_ts``
+    (``backward``, default) or the earliest with ``right_ts >= left_ts``
+    (``forward``); strict excludes the equal-ts match. Nulls when no
+    right row qualifies.
+
+    Forward is the same one-exchange union-tag plan with the window
+    frame flipped: first non-null right payload over
+    [CURRENT ROW, UNBOUNDED FOLLOWING] instead of last over
+    [UNBOUNDED PRECEDING, CURRENT ROW], and the equal-ts side order
+    inverted (a following frame includes the current row, so inclusive
+    forward needs right rows sorting AFTER the left row at equal ts).
 
     All non-key right columns (including ``right_ts``) are carried;
     rename them before the call if they collide with left column names.
     Output columns: every left column, then the right payload columns.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     l_payload = [c for c in left.columns if c not in keys]
     r_payload = [c for c in right.columns if c not in keys]
@@ -69,9 +81,15 @@ def asof_join(
     l_struct_t = left.select(F.struct(*l_payload).alias("s")).schema[0].dataType
     r_struct_t = right.select(F.struct(*r_payload).alias("s")).schema[0].dataType
 
-    # Equal-ts ordering decides exact-match inclusivity: right first (0)
-    # makes the carry inclusive; right last (2) makes it strict.
-    r_side, l_side = (2, 1) if strict else (0, 1)
+    # Equal-ts ordering decides exact-match inclusivity relative to the
+    # frame: a PRECEDING frame sees right rows sorting at-or-before the
+    # left row, a FOLLOWING frame sees ones sorting at-or-after — so the
+    # side assignment inverts with the direction.
+    backward = direction == "backward"
+    if backward:
+        r_side, l_side = (2, 1) if strict else (0, 1)
+    else:
+        r_side, l_side = (0, 1) if strict else (2, 1)
     tagged_l = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
@@ -86,16 +104,18 @@ def asof_join(
         F.lit(None).cast(l_struct_t).alias("_l"),
         F.struct(*r_payload).alias("_r"),
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(*keys).orderBy("_ts", "_side")
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = F.last("_r", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = F.first("_r", ignorenulls=True).over(w)
     carried = tagged_l.unionByName(tagged_r).select(
         *keys,
         "_side",
         "_l",
-        F.last("_r", ignorenulls=True).over(w).alias("_r"),
+        carry.alias("_r"),
     )
     return carried.where(F.col("_side") == l_side).select(
         *keys,

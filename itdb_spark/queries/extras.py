@@ -554,3 +554,47 @@ def join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(
         intervals(97, 7, "l_key"), intervals(89, 10, "r_key"), "l_key", "r_key"
     )
+
+
+@register(
+    "join-asof-fwd",
+    oracle="""
+    SELECT l.event_id, l.user_id, r.error_id,
+           CAST(floor(epoch(r.error_ts)) AS BIGINT) AS error_epoch
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type <> 'error') l
+    ASOF LEFT JOIN (SELECT user_id, ts AS error_ts, max(event_id) AS error_id
+                    FROM events WHERE event_type = 'error' GROUP BY 1, 2) r
+      ON l.user_id = r.user_id AND l.ts <= r.error_ts
+    """,
+    doc="FORWARD as-of join (merge_asof direction='forward'): every "
+    "non-error event joined to the EARLIEST error of the same user at or "
+    "after its timestamp — 'time to next failure', the complement of "
+    "join-asof2's 'time since last failure'. Same one-exchange union-tag "
+    "plan with the window frame flipped (first-ignorenulls over "
+    "[CURRENT, UNBOUNDED FOLLOWING]); oracle is DuckDB's native forward "
+    "ASOF (ON l.ts <= r.ts).",
+)
+def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.asof import asof_join
+
+    t = Tables(spark, sf_dir)
+    left = t.events.where(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        t.events.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("error_id"))
+        .select("user_id", F.col("ts").alias("error_ts"), "error_id")
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="error_ts",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "error_id",
+        F.unix_timestamp("error_ts").alias("error_epoch"),
+    )

@@ -658,3 +658,46 @@ def test_probe_container_header_robust():
     assert probe_container_header(ok[:9]) is None      # truncated
     assert probe_container_header(b"RIFF" + ok[4:]) is None  # wrong magic
     assert probe_container_header(b"") is None
+
+
+def test_asof_join_forward(spark):
+    """Forward direction: EARLIEST right row with ts >= left ts;
+    inclusive takes the equal-ts match, strict skips past it; trailing
+    left rows with nothing after them get nulls."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from itdb_spark.operators.asof import asof_join
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, "u", T(5)), (2, "u", T(10)), (3, "u", T(40)), (4, "v", T(1))],
+        "event_id long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", T(3), 100.0), ("u", T(10), 200.0), ("u", T(30), 300.0)],
+        "user string, rts timestamp, price double",
+    )
+    got = {
+        r.event_id: (r.rts, r.price)
+        for r in asof_join(
+            left, right, "user", "ts", "rts", direction="forward"
+        ).collect()
+    }
+    assert got == {
+        1: (T(10), 200.0),  # earliest at-or-after 0:05
+        2: (T(10), 200.0),  # inclusive equal-ts
+        3: (None, None),    # nothing after 0:40
+        4: (None, None),    # key with no right rows
+    }
+    strict = {
+        r.event_id: (r.rts, r.price)
+        for r in asof_join(
+            left, right, "user", "ts", "rts", strict=True, direction="forward"
+        ).collect()
+    }
+    assert strict[2] == (T(30), 300.0)  # equal-ts skipped → next one
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "user", "ts", "rts", direction="nearest")
