@@ -684,3 +684,91 @@ def band_collision_counts(new_bands: DataFrame, index_bands: DataFrame) -> DataF
         .groupBy(F.col("doc").alias("doc_id"))
         .agg(F.count_distinct("band").cast("long").alias("n_hit_bands"))
     )
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+) -> DataFrame:
+    """(doc_id, n_spans, dup_tokens, max_span_len, first_span_start):
+    exact-substring duplicate-span detection (the ExactSubstr dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better") at token granularity: a token span is DUPLICATED when the
+    ``min_len``-gram starting there occurs >= 2 times in the whole corpus
+    (within-document repeats count, as in the paper's suffix-array
+    criterion). Overlapping duplicated grams are consolidated into
+    MAXIMAL disjoint spans — interval union, so ``dup_tokens`` is the
+    exact number of tokens lying inside any duplicated region, the
+    quantity a span-removal pass would delete. Documents with no
+    duplicated span produce no row.
+
+    The reference dedups whole files by content fingerprint
+    (dupes/dedup.py:127-143); this is the sub-document generalization a
+    training corpus needs — boilerplate headers/footers and quoted
+    passages duplicate spans without duplicating files.
+
+    Scale shape (100 TB): the suffix array of the paper is replaced by
+    three bounded shuffles — (1) gram-frequency groupBy, whose map-side
+    partial aggregation collapses boilerplate grams BEFORE the exchange
+    (a gram occurring 10^8 times ships one partial count per input
+    partition, not 10^8 rows); (2) a hash join of gram-positions against
+    the (much smaller) duplicated-gram table; (3) one groupBy(doc)
+    collecting the matched positions, after which span consolidation is
+    pure per-row array arithmetic bounded by each document's own length.
+    No window over the gram table, so a hot gram never serializes into
+    one partition's sort. Gram hashing reuses the posexplode discipline
+    of winnow_fingerprints (dedup.py:526) to keep md5 evaluation at one
+    per gram under projection collapse."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kg = (
+        docs.select(F.col(id_col).alias("doc"), toks.alias("t"))
+        .where(F.size("t") >= min_len)
+        .select(
+            "doc",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t)-{min_len - 1}),"
+                    f" i -> concat_ws(' ', slice(t, i, {min_len})))"
+                )
+            ).alias("pos0", "g"),
+        )
+        .select(
+            "doc",
+            (F.col("pos0") + 1).alias("pos"),
+            portable_hash64(F.col("g")).alias("h"),
+        )
+    )
+    dup_grams = (
+        kg.groupBy("h").agg(F.count("*").alias("cnt")).where(F.col("cnt") >= 2)
+    )
+    positions = (
+        kg.join(dup_grams.select("h"), "h")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(F.array_sort(F.collect_list("pos")).alias("p"))
+    )
+    # Interval union of [pos, pos+L-1] grams: a new maximal span starts
+    # where the gap to the previous duplicated gram exceeds L (lazy CASE
+    # branches keep array indexing in-bounds under ANSI mode).
+    starts = F.expr(
+        "filter(transform(sequence(0, size(p)-1),"
+        " i -> CASE WHEN i = 0 THEN p[i]"
+        f"      WHEN p[i] - p[i-1] > {min_len} THEN p[i] END),"
+        " x -> x IS NOT NULL)"
+    )
+    ends = F.expr(
+        "filter(transform(sequence(0, size(p)-1),"
+        " i -> CASE WHEN i = size(p)-1 THEN p[i]"
+        f"      WHEN p[i+1] - p[i] > {min_len} THEN p[i] END),"
+        " x -> x IS NOT NULL)"
+    )
+    lens = F.zip_with(starts, ends, lambda s, e: e - s + F.lit(min_len))
+    return positions.select(
+        "doc_id",
+        F.size(lens).cast("long").alias("n_spans"),
+        F.aggregate(
+            lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("dup_tokens"),
+        F.array_max(lens).cast("long").alias("max_span_len"),
+        F.element_at(starts, 1).cast("long").alias("first_span_start"),
+    )

@@ -1809,3 +1809,63 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppl"),
         )
     )
+
+
+@register(
+    "dedup-span",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), kg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             CAST(concat('0x', substr(md5(
+               array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+      FROM tk, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ), dupg AS (
+      SELECT h FROM kg GROUP BY h HAVING count(*) >= 2
+    ), arr AS (
+      SELECT doc_id, list_sort(list(pos)) AS p
+      FROM kg WHERE h IN (SELECT h FROM dupg)
+      GROUP BY doc_id
+    ), sp AS (
+      SELECT doc_id,
+        list_filter(list_transform(range(1, len(p) + 1),
+          i -> CASE WHEN i = 1 THEN p[i]
+                    WHEN p[i] - p[i-1] > 8 THEN p[i] END),
+          x -> x IS NOT NULL) AS starts,
+        list_filter(list_transform(range(1, len(p) + 1),
+          i -> CASE WHEN i = len(p) THEN p[i]
+                    WHEN p[i+1] - p[i] > 8 THEN p[i] END),
+          x -> x IS NOT NULL) AS ends
+      FROM arr
+    ), lens AS (
+      SELECT doc_id, starts,
+        list_transform(range(1, len(starts) + 1),
+          i -> ends[i] - starts[i] + 8) AS l
+      FROM sp
+    )
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_spans,
+           CAST(list_sum(l) AS BIGINT) AS dup_tokens,
+           CAST(list_max(l) AS BIGINT) AS max_span_len,
+           CAST(starts[1] AS BIGINT) AS first_span_start
+    FROM lens
+    """,
+    doc="Exact-substring duplicate spans (operators/dedup.py::"
+    "duplicate_spans) — the ExactSubstr criterion of Lee et al. 2022 "
+    "re-expressed without a suffix array: an 8-gram occurring >= 2 times "
+    "corpus-wide marks its tokens duplicated; overlapping marked grams "
+    "consolidate into maximal disjoint spans by interval union, all "
+    "per-row array arithmetic after one gram-frequency groupBy (map-side "
+    "combined, boilerplate-skew-proof) and one hash join. dup_tokens is "
+    "the exact removal count a span-deletion pass would take. Oracle "
+    "replays the md5-prefix gram hashes, the HAVING >= 2 gate, and the "
+    "same interval union in DuckDB list algebra.",
+)
+def dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.dedup import duplicate_spans
+
+    t = Tables(spark, sf_dir)
+    return duplicate_spans(t.documents, "doc_id", "text", min_len=8)

@@ -701,3 +701,59 @@ def test_asof_join_forward(spark):
 
     with _pytest.raises(ValueError, match="direction"):
         asof_join(left, right, "user", "ts", "rts", direction="nearest")
+
+
+def test_duplicate_spans_semantics(spark):
+    """Interval-union span consolidation: a shared 10-token run between
+    two docs yields ONE maximal span of exactly 10 tokens in each (not
+    three overlapping 8-gram spans); a within-doc repeat also counts
+    (corpus frequency >= 2 includes same-doc occurrences); disjoint
+    shared runs separated by > L unique tokens stay separate spans; docs
+    with no duplicated 8-gram are absent."""
+    from itdb_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))          # 10-token run
+    shared2 = " ".join(f"z{i}" for i in range(8))          # 8-token run
+    gap_a = " ".join(f"a{i}" for i in range(12))           # > L unique gap
+    gap_b = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        (1, f"{shared} {gap_a} {shared2}"),
+        (2, f"{gap_b} {shared} {1} {shared2}"),
+        # doc 3: the same 8-gram twice WITHIN one doc, nowhere else
+        (3, " ".join(f"r{i}" for i in range(8)) + " qqq "
+            + " ".join(f"r{i}" for i in range(8))),
+        (4, "totally unique words never repeated anywhere else at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in duplicate_spans(docs, "doc_id", "text", min_len=8).collect()
+    }
+    # doc 1: span [1..10] (len 10) and span at shared2 (len 8) — the
+    # 12-token unique gap exceeds L so they cannot merge.
+    assert (got[1].n_spans, got[1].dup_tokens, got[1].max_span_len) == (2, 18, 10)
+    assert got[1].first_span_start == 1
+    # doc 2: same two runs, separated by one unique token ('1'): even a
+    # single unique token between runs puts the next duplicated gram
+    # L+1 positions past the previous one, so distinct maximal runs are
+    # NEVER merged — the union only consolidates a run's own sliding
+    # grams. Two spans, 10 + 8 = 18 duplicated tokens.
+    assert (got[2].n_spans, got[2].dup_tokens) == (2, 18)
+    # doc 3: within-doc repeat — both occurrences of the 8-run are
+    # duplicated ([1..8] and [10..17]); 'qqq' at position 9 is not, so
+    # two disjoint spans of 8: 16 duplicated tokens.
+    assert (got[3].n_spans, got[3].dup_tokens, got[3].max_span_len) == (2, 16, 8)
+    assert 4 not in got
+
+
+def test_duplicate_spans_gram_freq_is_corpuswide_total(spark):
+    """The >= 2 gate counts TOTAL occurrences, not distinct docs: one doc
+    containing a gram twice marks it duplicated even with no second doc."""
+    from itdb_spark.operators.dedup import duplicate_spans
+
+    one = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(7, f"{one} {'x' * 3} {one}")], "doc_id long, text string"
+    )
+    rows = duplicate_spans(docs, "doc_id", "text", min_len=8).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 7

@@ -636,3 +636,29 @@ def test_minhash_xxhash64_deploy_path_recall(spark):
 
     with _pytest.raises(ValueError, match="unknown hash_fn"):
         minhash_candidates(c, "doc_id", "text", hash_fn="sha1")
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """dedup-span scale gates: the gram-frequency count must partial-
+    aggregate map-side (a boilerplate gram collapses before the exchange
+    — the skew defense the docstring promises), the positions table must
+    never be the broadcast build side, and the whole query runs in <= 3
+    exchanges (gram groupBy, gram join, doc groupBy)."""
+    from itdb_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(i, f"{shared} filler{i} tail{i} words{i} here{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = duplicate_spans(docs, "doc_id", "text", min_len=8)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # final AQE plan only
+    assert "partial_count" in plan, "gram frequency must map-side combine"
+    assert plan.count("Exchange hashpartitioning") <= 3
+    # if AQE picked a broadcast join, the build side must be the counted
+    # dup-gram subtree (it contains the count filter), not raw positions
+    if "BroadcastHashJoin" in plan:
+        bcast = plan.split("BroadcastExchange", 1)[1]
+        assert "count(1)" in bcast or "cnt" in bcast
