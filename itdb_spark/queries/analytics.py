@@ -493,3 +493,37 @@ def fn_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=F.floor(F.col("h") / F.lit(1 << 54)),
     )
     return numbered.select("doc_id", "h", "pos")
+
+
+@register(
+    "agg-quantile",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.5)  AS p50,
+           quantile_cont(n_chars, 0.75) AS p75,
+           quantile_cont(n_chars, 0.95) AS p95
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Exact grouped percentiles of document length — the length-"
+    "distribution profile a curation pass thresholds against (reference "
+    "profiles distributions with full-table Python loops, "
+    "itdb2html.py:264-284; here one partial-aggregated groupBy). Exact "
+    "`percentile` (R-7 linear interpolation) rather than approx so the "
+    "DuckDB quantile_cont twin matches bit-for-bit on integer inputs; "
+    "the approx/sketch form for 100 TB is agg-approx's "
+    "percentile_approx, already registered — this is its exactness "
+    "baseline, the same pairing as sim-knn-brute vs sim-knn-lsh.",
+)
+def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.percentile("n_chars", 0.25).alias("p25"),
+        F.percentile("n_chars", 0.5).alias("p50"),
+        F.percentile("n_chars", 0.75).alias("p75"),
+        F.percentile("n_chars", 0.95).alias("p95"),
+    )
