@@ -527,3 +527,84 @@ def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("n_chars", 0.75).alias("p75"),
         F.percentile("n_chars", 0.95).alias("p95"),
     )
+
+
+@register(
+    "agg-funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.t_view
+      GROUP BY 1
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+      GROUP BY 1
+    ), u AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type IN ('view', 'click', 'purchase'))
+    SELECT u.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+           CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                     WHEN t2.user_id IS NOT NULL THEN 2
+                     WHEN t1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+    FROM u LEFT JOIN t1 USING (user_id)
+           LEFT JOIN t2 USING (user_id)
+           LEFT JOIN t3 USING (user_id)
+    """,
+    doc="Sequential conversion funnel over the event stream: per user, "
+    "first 'view', first 'click' STRICTLY after that view, first "
+    "'purchase' strictly after that click — the ordered-subsequence "
+    "semantics a naive per-type min() gets wrong (a purchase before the "
+    "click must not count). One shuffle: groupBy(user) collects the "
+    "sorted (ts, type) array and the three stage timestamps fall out of "
+    "per-row filter/element_at folds, bounded by each user's own event "
+    "count (a bot user with millions of events is the skew case — cap "
+    "or pre-filter by event_type IN (...) as here, which also prunes "
+    "the collected array). The oracle takes the chained-join form — a "
+    "genuinely different plan computing the same answer.",
+)
+def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "ts", "event_type")
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("a")
+    )
+    return (
+        g.withColumn(
+            "t_view",
+            F.expr("try_element_at(filter(a, x -> x.event_type = 'view'), 1).ts"),
+        )
+        .withColumn(
+            "t_click",
+            F.expr(
+                "try_element_at(filter(a, x -> x.event_type = 'click'"
+                " AND x.ts > t_view), 1).ts"
+            ),
+        )
+        .withColumn(
+            "t_purchase",
+            F.expr(
+                "try_element_at(filter(a, x -> x.event_type = 'purchase'"
+                " AND x.ts > t_click), 1).ts"
+            ),
+        )
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("stage"),
+        )
+    )

@@ -757,3 +757,39 @@ def test_duplicate_spans_gram_freq_is_corpuswide_total(spark):
     )
     rows = duplicate_spans(docs, "doc_id", "text", min_len=8).collect()
     assert len(rows) == 1 and rows[0].doc_id == 7
+
+
+def test_funnel_strict_ordering(spark, monkeypatch):
+    """agg-funnel's sequential semantics: a purchase BEFORE the first
+    click does not convert; a click before the first view does not
+    count as stage 2; out-of-order users stall at the stage they
+    actually reached in order."""
+    from datetime import datetime
+
+    import itdb_spark.catalog as catalog
+    from itdb_spark.queries import load_all
+
+    ts = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: clean view(1) -> click(2) -> purchase(3) => stage 3
+        (1, ts(1), "view"), (1, ts(2), "click"), (1, ts(3), "purchase"),
+        # user 2: purchase(1) BEFORE view(2)+click(3) => stage 2 only
+        (2, ts(1), "purchase"), (2, ts(2), "view"), (2, ts(3), "click"),
+        # user 3: click(1) before view(2) => stage 1 only
+        (3, ts(1), "click"), (3, ts(2), "view"),
+        # user 4: view only => stage 1
+        (4, ts(5), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    ).withColumn("event_id", F.lit(0)).withColumn("value", F.lit(0.0)).withColumn("props", F.lit("{}"))
+
+    class FakeTables:
+        def __init__(self, _spark, _sf):
+            self.events = ev
+
+    import itdb_spark.queries.analytics as qa
+    monkeypatch.setattr(qa, "Tables", FakeTables)
+    out = load_all()["agg-funnel"].spark(spark, "unused")
+    got = {r.user_id: r.stage for r in out.collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 1}
