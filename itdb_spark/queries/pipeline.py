@@ -1926,3 +1926,79 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = base.unionByName(copies)
     return semantic_dedup(v, id_col="vec_id", vec_col="vec", n_cells=8, threshold=0.95)
+
+
+@register(
+    "text-classify",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(
+               concat(t[i], ' ', t[i+1])), 1, 15)) AS BIGINT) % 64 AS bucket
+      FROM tk, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ), w AS (
+      SELECT range AS bucket,
+             CAST(concat('0x', substr(md5(concat('w', range)), 1, 15))
+                  AS BIGINT) % 2001 - 1000 AS mw
+      FROM range(0, 64)
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_features,
+           CAST(sum(w.mw) AS BIGINT) AS logit_milli,
+           sum(w.mw) >= 0 AS keep
+    FROM feat f JOIN w USING (bucket)
+    GROUP BY 1
+    """,
+    doc="Linear text classifier application at scale — the fastText-style "
+    "hashed-bigram scorer CCNet/GPT-3-style quality filtering runs over "
+    "every document: lowercase bigrams hash into 64 feature buckets, a "
+    "weight TABLE joins in (broadcast — a real model's weights load the "
+    "same way, a few MB against 100 TB of text), and the per-doc logit "
+    "is the summed bucket weight. Weights are deterministic md5-derived "
+    "integer MILLIweights so the whole score is integer-exact in any "
+    "aggregation order (the first cut emitted a float mean too — it hit "
+    "an exact decimal half-boundary where Spark and DuckDB round "
+    "opposite ways, so the score stays integer end-to-end); the keep "
+    "decision compares the integer sum. One explode + one "
+    "broadcast join + one map-side-combined groupBy.",
+)
+def text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import portable_hash64
+
+    t = Tables(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    feat = (
+        t.documents.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(t)-1),"
+                       " i -> concat(t[i-1], ' ', t[i]))")
+            ).alias("g"),
+        )
+        .select("doc_id", (portable_hash64(F.col("g")) % 64).alias("bucket"))
+    )
+    weights = spark.range(0, 64).select(
+        F.col("id").alias("bucket"),
+        (portable_hash64(F.concat(F.lit("w"), F.col("id").cast("string")))
+         % 2001 - 1000).alias("mw"),
+    )
+    return (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            F.sum("mw").cast("long").alias("logit_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_features",
+            "logit_milli",
+            (F.col("logit_milli") >= 0).alias("keep"),
+        )
+    )
