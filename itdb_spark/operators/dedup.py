@@ -721,6 +721,31 @@ def duplicate_spans(
     of winnow_fingerprints (dedup.py:526) to keep md5 evaluation at one
     per gram under projection collapse."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    iv = duplicate_span_intervals(docs, id_col, text_col, min_len)
+    lens = F.zip_with("starts", "ends", lambda s, e: e - s + F.lit(min_len))
+    return iv.select(
+        "doc_id",
+        F.size(lens).cast("long").alias("n_spans"),
+        F.aggregate(
+            lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("dup_tokens"),
+        F.array_max(lens).cast("long").alias("max_span_len"),
+        F.element_at(F.col("starts"), 1).cast("long").alias("first_span_start"),
+    )
+
+
+def duplicate_span_intervals(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+) -> DataFrame:
+    """(doc_id, starts, ends): the maximal duplicated regions underlying
+    duplicate_spans, as parallel arrays of GRAM positions — region i
+    covers tokens [starts[i], ends[i] + min_len - 1]. Shared by the
+    dedup-span stats query and remove_duplicate_spans (the despan
+    rewrite). Only documents with at least one duplicated gram appear."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     kg = (
         docs.select(F.col(id_col).alias("doc"), toks.alias("t"))
         .where(F.size("t") >= min_len)
@@ -762,13 +787,40 @@ def duplicate_spans(
         f"      WHEN p[i+1] - p[i] > {min_len} THEN p[i] END),"
         " x -> x IS NOT NULL)"
     )
-    lens = F.zip_with(starts, ends, lambda s, e: e - s + F.lit(min_len))
     return positions.select(
+        "doc_id", starts.alias("starts"), ends.alias("ends")
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+) -> DataFrame:
+    """(doc_id, clean_text, n_tokens, n_removed): the despan REWRITE —
+    the actual deliverable of exact-substring dedup: every token inside
+    a duplicated region (duplicate_span_intervals) is deleted and the
+    survivors re-join with single spaces (whitespace is normalized; the
+    token stream, not the byte stream, is the unit of removal, as in
+    Lee et al.'s span-excision pass). Documents with no duplicated span
+    pass through with their token stream intact. Left join against the
+    interval table + per-row array arithmetic — membership cost is
+    O(n_tokens · n_spans) per doc, both bounded by the doc itself."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    iv = duplicate_span_intervals(docs, id_col, text_col, min_len)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    j = base.join(iv, "doc_id", "left")
+    kept = F.expr(
+        "CASE WHEN starts IS NULL THEN t ELSE "
+        "filter(transform(sequence(1, size(t)), j -> "
+        "  CASE WHEN array_max(zip_with(starts, ends, (s, e) -> "
+        f"    CASE WHEN j >= s AND j <= e + {min_len - 1} THEN 1 ELSE 0 END)) = 1 "
+        "  THEN NULL ELSE t[j-1] END), x -> x IS NOT NULL) END"
+    )
+    return j.select(
         "doc_id",
-        F.size(lens).cast("long").alias("n_spans"),
-        F.aggregate(
-            lens, F.lit(0).cast("long"), lambda acc, x: acc + x
-        ).alias("dup_tokens"),
-        F.array_max(lens).cast("long").alias("max_span_len"),
-        F.element_at(starts, 1).cast("long").alias("first_span_start"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
     )

@@ -1811,9 +1811,10 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup-span",
-    oracle="""
+# shared CTE block for the exact-substring span family: tk = token
+# arrays, kg = positioned 8-gram md5-prefix hashes, dupg = grams with
+# corpus-wide frequency >= 2, sp = maximal-region (starts, ends) arrays.
+_SPAN_CTES = """
     WITH tk AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents
@@ -1840,7 +1841,12 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN p[i+1] - p[i] > 8 THEN p[i] END),
           x -> x IS NOT NULL) AS ends
       FROM arr
-    ), lens AS (
+    )"""
+
+
+@register(
+    "dedup-span",
+    oracle=_SPAN_CTES + """, lens AS (
       SELECT doc_id, starts,
         list_transform(range(1, len(starts) + 1),
           i -> ends[i] - starts[i] + 8) AS l
@@ -2002,3 +2008,43 @@ def text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("logit_milli") >= 0).alias("keep"),
         )
     )
+
+
+@register(
+    "text-despan",
+    oracle=_SPAN_CTES + """
+    SELECT tk.doc_id,
+           coalesce(CASE WHEN sp.starts IS NULL THEN array_to_string(tk.t, ' ')
+                ELSE array_to_string(list_filter(tk.t, (x, j) ->
+                  len(list_filter(sp.starts, (s, k) ->
+                    j >= s AND j <= sp.ends[k] + 7)) = 0), ' ')
+           END, '') AS clean_text,
+           CAST(CASE WHEN sp.starts IS NULL THEN len(tk.t)
+                ELSE len(list_filter(tk.t, (x, j) ->
+                  len(list_filter(sp.starts, (s, k) ->
+                    j >= s AND j <= sp.ends[k] + 7)) = 0))
+           END AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN sp.starts IS NULL THEN 0
+                ELSE len(tk.t) - len(list_filter(tk.t, (x, j) ->
+                  len(list_filter(sp.starts, (s, k) ->
+                    j >= s AND j <= sp.ends[k] + 7)) = 0))
+           END AS BIGINT) AS n_removed
+    FROM tk LEFT JOIN sp USING (doc_id)
+    """,
+    doc="The despan REWRITE (operators/dedup.py::remove_duplicate_spans) "
+    "— dedup-span's deliverable: every token inside a maximal duplicated "
+    "region is excised and survivors re-join with single spaces, the "
+    "span-deletion pass of Lee et al. 2022 (token-stream granularity). "
+    "Docs without duplicated spans pass through intact via the left "
+    "join. Per-row membership arithmetic is O(n_tokens · n_spans), both "
+    "bounded by the doc itself; the corpus-scale work is the same "
+    "map-side-combined gram-frequency pass dedup-span already gates. "
+    "The oracle rebuilds the intervals from the shared CTE block and "
+    "re-derives the clean text with DuckDB's indexed list_filter — the "
+    "full cleaned string participates in the hash gate.",
+)
+def text_despan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.dedup import remove_duplicate_spans
+
+    t = Tables(spark, sf_dir)
+    return remove_duplicate_spans(t.documents, "doc_id", "text", min_len=8)

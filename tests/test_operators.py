@@ -793,3 +793,33 @@ def test_funnel_strict_ordering(spark, monkeypatch):
     out = load_all()["agg-funnel"].spark(spark, "unused")
     got = {r.user_id: r.stage for r in out.collect()}
     assert got == {1: 3, 2: 2, 3: 1, 4: 1}
+
+
+def test_remove_duplicate_spans_rewrite(spark):
+    """Despans excise exactly the tokens duplicate_spans counts: the
+    shared run disappears from both docs, unique docs pass through
+    token-identical, a fully-duplicated doc becomes empty-string (not
+    null), and n_removed reconciles with dedup-span's dup_tokens."""
+    from itdb_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, f"{shared} tail1 tail2 tail3"),
+        (2, f"head1 head2 {shared}"),
+        (3, shared),                       # fully duplicated
+        (4, "all unique words in this one nothing repeats here today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clean = {r.doc_id: r for r in
+             remove_duplicate_spans(docs, "doc_id", "text").collect()}
+    spans = {r.doc_id: r for r in
+             duplicate_spans(docs, "doc_id", "text").collect()}
+    assert clean[1].clean_text == "tail1 tail2 tail3"
+    assert clean[2].clean_text == "head1 head2"
+    assert clean[3].clean_text == "" and clean[3].n_tokens == 0
+    assert clean[4].clean_text == rows[3][1] and clean[4].n_removed == 0
+    for d in (1, 2, 3):
+        assert clean[d].n_removed == spans[d].dup_tokens
