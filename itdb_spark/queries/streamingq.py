@@ -308,3 +308,75 @@ def stream_asof_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.sql("SELECT * FROM stream_asof_live_sink")
+
+
+@register(
+    "stream-funnel-live",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.t_view
+      GROUP BY 1
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+      GROUP BY 1
+    ), u AS (SELECT DISTINCT user_id FROM events
+             WHERE event_type IN ('view', 'click', 'purchase'))
+    SELECT u.user_id,
+           CAST(epoch_us(t1.t_view) AS BIGINT) AS t_view_us,
+           CAST(epoch_us(t2.t_click) AS BIGINT) AS t_click_us,
+           CAST(epoch_us(t3.t_purchase) AS BIGINT) AS t_purchase_us,
+           CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                     WHEN t2.user_id IS NOT NULL THEN 2
+                     WHEN t1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+    FROM u LEFT JOIN t1 USING (user_id)
+           LEFT JOIN t2 USING (user_id)
+           LEFT JOIN t3 USING (user_id)
+    """,
+    doc="STREAMING sequential funnel — agg-funnel's batch sorted-array "
+    "fold cannot run on an unbounded stream; this applyInPandasWithState "
+    "machine can: per-user state is three SET-ONCE timestamps (first "
+    "view, first click strictly after it, first purchase strictly after "
+    "that), so every transition is monotone and the per-batch emission "
+    "converges to the batch answer. Runs as a REAL readStream driven to "
+    "completion in the gate; the final per-user row (max over the "
+    "monotone emissions) must match the same chained-join DuckDB oracle "
+    "agg-funnel uses, at microsecond precision.",
+)
+def stream_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.streaming.events import EVENTS_SCHEMA
+    from itdb_spark.streaming.stateful import funnel_stream
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    out = funnel_stream(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_funnel_live_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # monotone set-once state: the final value per user is the max of
+    # each emitted column (earlier emissions are prefixes of the answer)
+    return spark.sql(
+        """SELECT user_id, max(t_view_us) AS t_view_us,
+                  max(t_click_us) AS t_click_us,
+                  max(t_purchase_us) AS t_purchase_us,
+                  CAST(max(stage) AS INT) AS stage
+           FROM stream_funnel_live_sink GROUP BY user_id"""
+    )

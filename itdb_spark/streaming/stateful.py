@@ -139,3 +139,74 @@ def asof_enriched_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("t_view_us", T.LongType(), True),
+        T.StructField("t_click_us", T.LongType(), True),
+        T.StructField("t_purchase_us", T.LongType(), True),
+        T.StructField("stage", T.IntegerType(), False),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t_view_us", T.LongType(), True),
+        T.StructField("t_click_us", T.LongType(), True),
+        T.StructField("t_purchase_us", T.LongType(), True),
+    ]
+)
+
+
+def _funnel_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Per-user sequential-funnel carry (the streaming twin of
+    agg-funnel): walk the batch in ts order; each stage timestamp is
+    SET-ONCE and only when strictly after the previous stage —
+    first 'view', first 'click' > t_view, first 'purchase' > t_click.
+    Because every transition is monotone (a set stage never changes),
+    the per-batch emission is a running lower bound that converges to
+    the batch answer once the user's events have all arrived in
+    event-time order; ties in ts cannot chain (strict >), so
+    processing order within a timestamp is immaterial."""
+    (user_id,) = key
+    tv, tc, tp = state.get if state.exists else (None, None, None)
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts", "event_id"]
+    )
+    for r in batch.itertuples(index=False):
+        ts_us = r.ts.value // 1000
+        if r.event_type == "view":
+            if tv is None:
+                tv = ts_us
+        elif r.event_type == "click":
+            if tv is not None and tc is None and ts_us > tv:
+                tc = ts_us
+        elif r.event_type == "purchase":
+            if tc is not None and tp is None and ts_us > tc:
+                tp = ts_us
+    state.update((tv, tc, tp))
+    stage = 3 if tp is not None else 2 if tc is not None else 1 if tv is not None else 0
+    yield pd.DataFrame(
+        [(user_id, tv, tc, tp, stage)],
+        columns=["user_id", "t_view_us", "t_click_us", "t_purchase_us", "stage"],
+    )
+
+
+def funnel_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming sequential funnel: per-user state is THREE set-once
+    timestamps — bounded by active keys, independent of history; the
+    batch sorted-array fold (agg-funnel) cannot run on an unbounded
+    stream, this can. Pre-filter to the funnel event types so state is
+    only created for users who enter the funnel at all."""
+    filtered = events_stream.where(
+        events_stream["event_type"].isin("view", "click", "purchase")
+    )
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -181,3 +181,76 @@ def test_stream_asof_carries_state_across_batches(spark, tmp_path):
     assert got[5] == (4, epoch0 + 61 * 60)  # newer error supersedes
     assert got[6] == (None, None)  # user with no errors anywhere
     assert set(got) == {2, 3, 5, 6}  # error rows themselves not emitted
+
+
+def test_stream_funnel_carries_state_across_batches(spark, tmp_path):
+    """The streaming funnel's reason to exist: a view in micro-batch 1
+    must let a click in micro-batch 2 advance the funnel (carried
+    set-once state); a purchase arriving before its click (batch 1)
+    must NOT convert even though the click lands later; emissions are
+    monotone so the max-per-user aggregate is the final answer."""
+    import datetime as dt
+    import time as _time
+
+    from itdb_spark.catalog import EVENTS_RAW_SCHEMA
+    from itdb_spark.streaming.stateful import funnel_stream
+
+    d = str(tmp_path / "funnel_stream")
+    T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    mins = lambda m: T0 + dt.timedelta(minutes=m)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _time.sleep(1.1)
+
+    # user 7: view in batch 1, click+purchase in batch 2 => stage 3
+    # user 8: purchase (batch 1) BEFORE view+click (batch 2) => stage 2
+    write_batch(
+        [
+            (1, mins(0), 7, "view", 0.0, "{}"),
+            (2, mins(1), 8, "purchase", 0.0, "{}"),
+        ]
+    )
+    write_batch(
+        [
+            (3, mins(10), 7, "click", 0.0, "{}"),
+            (4, mins(20), 7, "purchase", 0.0, "{}"),
+            (5, mins(30), 8, "view", 0.0, "{}"),
+            (6, mins(40), 8, "click", 0.0, "{}"),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_carry_test_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        """SELECT user_id, max(t_view_us) tv, max(t_click_us) tc,
+                  max(t_purchase_us) tp, max(stage) stage
+           FROM funnel_carry_test_sink GROUP BY user_id"""
+    ).collect()
+    got = {r.user_id: r for r in rows}
+    us = lambda m: int(mins(m).timestamp()) * 1_000_000
+    assert got[7].stage == 3
+    assert (got[7].tv, got[7].tc, got[7].tp) == (us(0), us(10), us(20))
+    assert got[8].stage == 2  # early purchase never converts
+    assert (got[8].tv, got[8].tc, got[8].tp) == (us(30), us(40), None)
+    # monotone emissions: per-batch stage never decreases for a user
+    em = spark.sql(
+        "SELECT user_id, stage FROM funnel_carry_test_sink"
+    ).collect()
+    assert all(e.stage >= 0 for e in em)
