@@ -222,3 +222,93 @@ def extract_byte_features(
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
 
     return df.select(id_col, bin_col).mapInPandas(feats, FEATURES_SCHEMA)
+
+
+def decode_wav_header(content: bytes) -> tuple[int, int, int, int] | None:
+    """(channels, sample_rate, bits, data_size) from a RIFF/WAVE blob —
+    a REAL chunk walk, not a fixed-offset read: after the 12-byte RIFF
+    header, chunks are (fourcc, u32le size, payload [+ pad byte when the
+    size is odd — RIFF word alignment]) in ANY order; we take fmt and
+    the FIRST data chunk and skip everything else (LIST, fact, cue...).
+    Truncated or non-RIFF blobs yield None rather than garbage, and a
+    data size that overruns the actual payload is clamped — the same
+    defensive posture as the JPEG segment walker above."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(content):
+        fourcc = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        body = pos + 8
+        if fourcc == b"fmt " and size >= 16 and body + 16 <= len(content):
+            _, channels, rate = struct.unpack("<HHI", content[body:body + 8])
+            (bits,) = struct.unpack("<H", content[body + 14:body + 16])
+            fmt = (channels, rate, bits)
+        elif fourcc == b"data" and data_size is None:
+            data_size = min(size, len(content) - body)
+        pos = body + size + (size % 2)  # odd sizes pad to word boundary
+    if fmt is None or data_size is None:
+        return None
+    channels, rate, bits = fmt
+    if channels == 0 or rate == 0 or bits == 0:
+        return None
+    return channels, rate, bits, data_size
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("chunk_id", T.LongType(), False),
+        T.StructField("start_sample", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("start_byte", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def audio_chunk_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "content",
+    chunk_ms: int = 1000,
+) -> DataFrame:
+    """binary WAV column → one row per fixed-duration chunk with FRAME-
+    ALIGNED sample/byte geometry — the loader manifest an audio-training
+    pipeline slices PCM with (the audio twin of pack_chunks' slice
+    geometry). All integer arithmetic: samples_per_chunk =
+    chunk_ms·rate/1000 (exact for the rates used), total frames =
+    data_size // frame_bytes, last chunk truncates. Fan-out per doc is
+    bounded by its own duration, never corpus size; parse + emit run in
+    one Arrow-batched mapInPandas with no shuffle at all (the chunk
+    explode happens inside the batch)."""
+
+    def chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf[id_col], pdf[bin_col]):
+                meta = decode_wav_header(bytes(content))
+                if meta is None:
+                    continue
+                channels, rate, bits, data_size = meta
+                frame_bytes = channels * (bits // 8)
+                total = data_size // frame_bytes
+                spc = chunk_ms * rate // 1000
+                n_chunks = (total + spc - 1) // spc
+                for c in range(n_chunks):
+                    s0 = c * spc
+                    n = min(spc, total - s0)
+                    rows.append(
+                        (int(doc_id), c, s0, n, s0 * frame_bytes, n * frame_bytes)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "chunk_id", "start_sample",
+                    "n_samples", "start_byte", "n_bytes",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(chunks, AUDIO_CHUNK_SCHEMA)

@@ -2048,3 +2048,68 @@ def text_despan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return remove_duplicate_spans(t.documents, "doc_id", "text", min_len=8)
+
+
+@register(
+    "mm-audiochunk",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS ch,
+             8000 + (doc_id % 5) * 2000 AS rate,
+             octet_length(encode(repeat(text, 8))) AS data_size
+      FROM documents
+    ), g AS (
+      SELECT doc_id, ch, rate,
+             data_size // (ch * 2) AS total,
+             (25 * rate) // 1000 AS spc
+      FROM a
+    )
+    SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+           CAST(c * spc AS BIGINT) AS start_sample,
+           CAST(least(spc, total - c * spc) AS BIGINT) AS n_samples,
+           CAST(c * spc * ch * 2 AS BIGINT) AS start_byte,
+           CAST(least(spc, total - c * spc) * ch * 2 AS BIGINT) AS n_bytes
+    FROM g, unnest(range(0, (total + spc - 1) // spc)) AS u(c)
+    """,
+    doc="Audio chunk manifest over a binary WAV column (operators/"
+    "multimodal.py::audio_chunk_manifest): each doc carries a GENUINE "
+    "RIFF/WAVE blob synthesized JVM-side (fmt + fact + data chunks, "
+    "little-endian fields, doc_id-derived channels/rate, PCM payload "
+    "stood in by repeated text bytes); the decoder is a REAL chunk walk "
+    "— fourcc dispatch, u32le sizes, unknown-chunk skip (the fact chunk "
+    "is deliberately in the way), truncation clamp — and the manifest "
+    "emits frame-aligned 25 ms slice geometry, the audio twin of "
+    "fn-pack-chunks. One Arrow-batched mapInPandas, zero shuffles; "
+    "fan-out bounded by each doc's own duration. Oracle predicts every "
+    "chunk row arithmetically, so a parser or alignment bug breaks the "
+    "hash gate.",
+)
+def mm_audiochunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.multimodal import audio_chunk_manifest
+
+    t = Tables(spark, sf_dir)
+
+    def le(col, n):  # n-byte little-endian binary from an int column
+        h = F.lpad(F.hex(col.cast("bigint")), n * 2, "0")
+        return F.unhex(
+            F.concat(*[F.substring(h, 2 * i + 1, 2) for i in reversed(range(n))])
+        )
+
+    ch = 1 + F.col("doc_id") % 2
+    rate = 8000 + (F.col("doc_id") % 5) * 2000
+    payload = F.encode(F.repeat("text", 8), "utf-8")
+    data_size = F.octet_length(payload)
+    total_frames = F.floor(data_size / (ch * 2))
+    wav = F.concat(
+        F.encode(F.lit("RIFF"), "utf-8"), le(F.lit(48) + data_size, 4),
+        F.encode(F.lit("WAVE"), "utf-8"),
+        F.encode(F.lit("fmt "), "utf-8"), le(F.lit(16), 4),
+        le(F.lit(1), 2), le(ch, 2), le(rate, 4),
+        le(rate * ch * 2, 4), le(ch * 2, 2), le(F.lit(16), 2),
+        # a fact chunk the walker must skip to reach data
+        F.encode(F.lit("fact"), "utf-8"), le(F.lit(4), 4), le(total_frames, 4),
+        F.encode(F.lit("data"), "utf-8"), le(data_size, 4), payload,
+    )
+    with_bin = t.documents.select("doc_id", wav.alias("content"))
+    return audio_chunk_manifest(with_bin, "doc_id", "content", chunk_ms=25)

@@ -823,3 +823,82 @@ def test_remove_duplicate_spans_rewrite(spark):
     assert clean[4].clean_text == rows[3][1] and clean[4].n_removed == 0
     for d in (1, 2, 3):
         assert clean[d].n_removed == spans[d].dup_tokens
+
+
+def test_wav_walker_robustness():
+    """RIFF chunk walk: odd-size chunks pad to word boundaries, unknown
+    chunks are skipped, chunk order doesn't matter (data before fmt),
+    data sizes overrunning the payload clamp, and malformed blobs yield
+    None instead of garbage."""
+    import struct as st
+
+    from itdb_spark.operators.multimodal import decode_wav_header
+
+    def fmt_chunk(ch=2, rate=16000, bits=16):
+        body = st.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+                       ch * bits // 8, bits)
+        return b"fmt " + st.pack("<I", len(body)) + body
+
+    def chunk(cc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cc + st.pack("<I", len(body)) + body + pad
+
+    def wav(*chunks):
+        inner = b"".join(chunks)
+        return b"RIFF" + st.pack("<I", 4 + len(inner)) + b"WAVE" + inner
+
+    pcm = b"\x01\x02" * 50  # 100 bytes
+    # clean file
+    assert decode_wav_header(wav(fmt_chunk(), chunk(b"data", pcm))) == (
+        2, 16000, 16, 100)
+    # odd-size junk chunk before data: the pad byte must be consumed
+    assert decode_wav_header(
+        wav(fmt_chunk(), chunk(b"LIST", b"\x07" * 5), chunk(b"data", pcm))
+    ) == (2, 16000, 16, 100)
+    # data before fmt: order-independent
+    assert decode_wav_header(wav(chunk(b"data", pcm), fmt_chunk(1, 8000))) == (
+        1, 8000, 16, 100)
+    # declared data size overruns the blob: clamp to what exists
+    overrun = wav(fmt_chunk()) + b"data" + st.pack("<I", 10_000) + pcm
+    assert decode_wav_header(overrun) == (2, 16000, 16, 100)
+    # malformed inputs
+    assert decode_wav_header(b"") is None
+    assert decode_wav_header(b"RIFFxxxxAIFF" + b"\x00" * 40) is None
+    assert decode_wav_header(wav(fmt_chunk())) is None          # no data
+    assert decode_wav_header(wav(chunk(b"data", pcm))) is None  # no fmt
+    assert decode_wav_header(
+        wav(fmt_chunk(ch=0), chunk(b"data", pcm))) is None      # zero channels
+
+
+def test_audio_chunk_manifest_geometry(spark):
+    """Chunk geometry invariants: chunks tile [0, total_frames) exactly,
+    byte offsets are frame-aligned, the last chunk truncates, and an
+    undecodable blob contributes no rows."""
+    import struct as st
+
+    from itdb_spark.operators.multimodal import audio_chunk_manifest
+
+    def mono_wav(rate, n_frames):
+        body = st.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        pcm = b"\x00\x01" * n_frames
+        inner = (b"fmt " + st.pack("<I", 16) + body
+                 + b"data" + st.pack("<I", len(pcm)) + pcm)
+        return b"RIFF" + st.pack("<I", 4 + len(inner)) + b"WAVE" + inner
+
+    rows = [
+        (1, mono_wav(8000, 450)),   # spc=200 @ 25ms -> chunks 200,200,50
+        (2, mono_wav(16000, 400)),  # spc=400 -> one exact chunk
+        (3, b"not audio at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = audio_chunk_manifest(df, chunk_ms=25).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [(r.start_sample, r.n_samples) for r in c1] == [
+        (0, 200), (200, 200), (400, 50)]
+    assert all(r.start_byte == r.start_sample * 2 and r.n_bytes == r.n_samples * 2
+               for r in c1)
+    assert [(r.start_sample, r.n_samples) for r in by_doc[2]] == [(0, 400)]
+    assert 3 not in by_doc
