@@ -2113,3 +2113,63 @@ def mm_audiochunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_bin = t.documents.select("doc_id", wav.alias("content"))
     return audio_chunk_manifest(with_bin, "doc_id", "content", chunk_ms=25)
+
+
+@register(
+    "text-entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ), cnt AS (
+      SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2
+    ), arr AS (
+      SELECT doc_id, list(c ORDER BY w) AS cs, CAST(sum(c) AS BIGINT) AS n
+      FROM cnt GROUP BY 1
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST(len(cs) AS BIGINT) AS n_distinct,
+           round(ln(n) - list_sum(list_transform(cs, c -> c * ln(c))) / n, 6)
+             AS entropy
+    FROM arr
+    """,
+    doc="Token-distribution Shannon entropy per document — the "
+    "repetitiveness signal complementing text-repetition's structural "
+    "counts and text-perplexity's LM score: boilerplate and template "
+    "junk sit at low entropy, natural prose near ln(n_distinct). "
+    "Computed as ln(n) - sum(c·ln c)/n so the only float work is a fold "
+    "over per-doc counts in DETERMINISTIC token-sorted order — both "
+    "engines sum identical doubles in the identical sequence, so the "
+    "rounded value hash-matches without any margin argument. One "
+    "explode + two map-side-combined groupBys, per-doc arrays bounded "
+    "by the doc's own vocabulary.",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = (
+        t.documents.where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+    )
+    cnt = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    arr = cnt.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("cs"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    ssum = F.aggregate(
+        "cs",
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+    )
+    return arr.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.size("cs").cast("long").alias("n_distinct"),
+        F.round(F.log(F.col("n").cast("double")) - ssum / F.col("n"), 6)
+        .alias("entropy"),
+    )
