@@ -2173,3 +2173,87 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("n").cast("double")) - ssum / F.col("n"), 6)
         .alias("entropy"),
     )
+
+
+@register(
+    "agg-cms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ), rows_ AS (SELECT range AS j FROM range(0, 4)),
+    cells AS (
+      SELECT j,
+             CAST(concat('0x', substr(md5(concat('cms', j, ':', w)), 1, 15))
+                  AS BIGINT) % 64 AS bucket,
+             count(*) AS c
+      FROM toks, rows_ GROUP BY 1, 2
+    ), exact_ AS (
+      SELECT w, count(*) AS exact_cnt FROM toks GROUP BY 1
+    ), top AS (
+      SELECT w, exact_cnt FROM exact_
+      ORDER BY exact_cnt DESC, w LIMIT 20
+    ), est AS (
+      SELECT t.w, min(c.c) AS est_cnt
+      FROM top t, rows_ r
+      JOIN cells c
+        ON c.j = r.j
+       AND c.bucket = CAST(concat('0x', substr(md5(
+             concat('cms', r.j, ':', t.w)), 1, 15)) AS BIGINT) % 64
+      GROUP BY 1
+    )
+    SELECT t.w AS token,
+           CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.est_cnt AS BIGINT) AS est_cnt,
+           e.est_cnt >= t.exact_cnt AS never_undercounts
+    FROM top t JOIN est e USING (w)
+    """,
+    doc="Count-Min sketch as pure DataFrame ops — the mergeable "
+    "heavy-hitter sketch (Cormode-Muthukrishnan) a 100 TB profiler "
+    "keeps instead of exact token counts: d=4 hash rows × w=64 counters "
+    "built in ONE map-side-combined groupBy (partial sums ARE the "
+    "sketch merge — executor-local sketches combine exactly like the "
+    "update rule), point queries = min over the d counters. Estimates "
+    "for the exact top-20 tokens are emitted next to their true counts "
+    "with the one-sided guarantee (est >= exact, a certainty, not a "
+    "bound-in-expectation) as a gate column. Everything is integer "
+    "portable-hash arithmetic, so the oracle replays the sketch "
+    "bit-for-bit — the exact side doubles as the accuracy reference.",
+)
+def agg_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import portable_hash64
+
+    t = Tables(spark, sf_dir)
+    toks = (
+        t.documents.where(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+    )
+
+    def bucket(j_col, w_col):
+        return portable_hash64(
+            F.concat(F.lit("cms"), j_col.cast("string"), F.lit(":"), w_col)
+        ) % 64
+
+    fan = toks.select("w", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"))
+    cells = (
+        fan.select("j", bucket(F.col("j"), F.col("w")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = toks.groupBy("w").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("w")).limit(20)
+    probes = top.select(
+        "w", "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+    ).select("w", "exact_cnt", "j", bucket(F.col("j"), F.col("w")).alias("bucket"))
+    est = (
+        probes.join(cells, ["j", "bucket"])
+        .groupBy("w", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("w").alias("token"),
+        F.col("exact_cnt").cast("long"),
+        F.col("est_cnt").cast("long"),
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_undercounts"),
+    )
