@@ -662,3 +662,51 @@ def test_duplicate_spans_plan_shape(spark):
     if "BroadcastHashJoin" in plan:
         bcast = plan.split("BroadcastExchange", 1)[1]
         assert "count(1)" in bcast or "cnt" in bcast
+
+
+def test_runtime_bloom_filter_join_reduction(spark):
+    """The 100 TB fact-dim join defense that needs NO code: Spark's
+    runtime bloom-filter injection builds a bloom filter from the
+    selective dim side and semi-reduces the fact scan before the
+    shuffle. At test SF the size gates (creationSideThreshold /
+    applicationSideScanSizeThreshold, tuned for real clusters) keep it
+    off — this test scales the gates down, asserts might_contain lands
+    in the plan, and proves the rewrite is result-neutral."""
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+        "o_orderpriority = '1-URGENT'"
+    )
+
+    def run():
+        return sorted(
+            (r.o_orderpriority, r.cnt)
+            for r in li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+
+    baseline = run()
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("cnt"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "bloom filter must inject"
+        got = sorted((r.o_orderpriority, r.cnt) for r in j.collect())
+        assert got == baseline
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
