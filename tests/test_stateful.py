@@ -254,3 +254,63 @@ def test_stream_funnel_carries_state_across_batches(spark, tmp_path):
         "SELECT user_id, stage FROM funnel_carry_test_sink"
     ).collect()
     assert all(e.stage >= 0 for e in em)
+
+
+def test_funnel_tws_equivalence_or_gated(spark, tmp_path):
+    """funnel_stream_tws (transformWithStateInPandas) must equal
+    funnel_stream when the protobuf runtime exists; without it the
+    operator must fail FAST with the dependency named (not deep inside
+    a running stream)."""
+    import pytest as _pytest
+
+    from itdb_spark.streaming.stateful import funnel_stream, funnel_stream_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    from itdb_spark.catalog import EVENTS_RAW_SCHEMA
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, T0, 7, "view", 0.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=1), 7, "click", 0.0, "{}"),
+        (3, T0 + dt.timedelta(minutes=2), 7, "purchase", 0.0, "{}"),
+    ]
+    d = str(tmp_path / "tws")
+    spark.createDataFrame(rows, EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(d)
+    stream = spark.readStream.format("parquet").schema(EVENTS_RAW_SCHEMA).load(d)
+
+    if not has_protobuf:
+        with _pytest.raises(ImportError, match="protobuf"):
+            funnel_stream_tws(stream)
+        return
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def drive(df, name):
+        q = (df.writeStream.outputMode("update").format("memory")
+             .queryName(name).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            r.user_id: (r.t_view_us, r.t_click_us, r.t_purchase_us, r.stage)
+            for r in spark.sql(
+                f"""SELECT user_id, max(t_view_us) t_view_us,
+                           max(t_click_us) t_click_us,
+                           max(t_purchase_us) t_purchase_us, max(stage) stage
+                    FROM {name} GROUP BY user_id"""
+            ).collect()
+        }
+
+    assert drive(funnel_stream_tws(stream), "tws_funnel_sink") == drive(
+        funnel_stream(stream), "aip_funnel_sink"
+    )
