@@ -2257,3 +2257,75 @@ def agg_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_cnt").cast("long"),
         (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_undercounts"),
     )
+
+
+@register(
+    "agg-kmv",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT source,
+             CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS hv
+      FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE len(trim(text)) > 0
+      )
+    ), ranked AS (
+      SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+             count(*) OVER (PARTITION BY source) AS nd
+      FROM h
+    )
+    SELECT source,
+           CAST(max(nd) AS BIGINT) AS exact_distinct,
+           CAST(max(hv) AS BIGINT) AS h_k,
+           CAST(round(31 * 1152921504606846976.0 / max(hv)) AS BIGINT)
+             AS kmv_estimate
+    FROM ranked WHERE rn <= 32
+    GROUP BY source
+    """,
+    doc="K-Minimum-Values cardinality sketch (Bar-Yossef et al.) per "
+    "source — the third sketch next to agg-cms (frequency) and "
+    "agg-approx's HLL (cardinality, error-gated): keep the k=32 "
+    "smallest 60-bit token hashes; distinct-count estimate = "
+    "(k-1)·2^60 / h_k. Fully deterministic given the portable hash, so "
+    "the oracle replays the estimate bit-for-bit next to the exact "
+    "distinct count. The mergeable shape is the plan itself: the "
+    "row_number window under rn <= k triggers WindowGroupLimit, which "
+    "prunes to per-partition k-smallest BEFORE the exchange — exactly "
+    "how KMV sketches union (keep k smallest of the concatenation).",
+)
+def agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from itdb_spark.functions.core import portable_hash64
+
+    t = Tables(spark, sf_dir)
+    h = (
+        t.documents.where(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .select("source", portable_hash64(F.col("w")).alias("hv"))
+        .distinct()
+    )
+    # exact count via groupBy, NOT a count-over window: an unordered
+    # window over the same partition key would need every row per source
+    # and block WindowGroupLimit from pruning the rank window below.
+    exact = h.groupBy("source").agg(F.count("*").cast("long").alias("exact_distinct"))
+    w = Window.partitionBy("source").orderBy("hv")
+    sketch = (
+        h.select("source", "hv", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 32)
+        .groupBy("source")
+        .agg(
+            F.max("hv").cast("long").alias("h_k"),
+            F.round(31 * 1152921504606846976.0 / F.max("hv"))
+            .cast("long")
+            .alias("kmv_estimate"),
+        )
+    )
+    return exact.join(sketch, "source").select(
+        "source", "exact_distinct", "h_k", "kmv_estimate"
+    )

@@ -45,3 +45,19 @@ def test_bench_query_plans_hold_scale_properties(spark):
         if wide:
             failures.append(f"{qid}: scan reads {max(wide)} columns (pruning regressed?)")
     assert not failures, "\n".join(failures)
+
+
+def test_kmv_sketch_plan_prunes_before_exchange(spark):
+    """agg-kmv's rank window must trigger WindowGroupLimit — the
+    per-partition k-smallest prune IS the KMV merge shape; an unordered
+    count window sharing the partition would silently block it (the
+    first cut did exactly that)."""
+    from tests.conftest import SF_DIR
+
+    from itdb_spark.queries import load_all
+
+    df = load_all()["agg-kmv"].spark(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan
