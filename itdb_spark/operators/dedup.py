@@ -439,14 +439,28 @@ def ngram_jaccard_pairs(
     words = base.select("doc", F.xxhash64("w").alias("w")).cache()
     sizes = words.groupBy("doc").agg(F.count("*").alias("sz"))
     if candidates is not None:
-        a = words.alias("a")
-        b = words.alias("b")
+        # per-doc hash ARRAYS, intersected per candidate row — replaces
+        # the exploded (pair x shingle) join+groupBy: same-session A/B
+        # at sf0.1 measured the verification stage alone 2.3x faster
+        # (1.39 s -> 0.60 s warm over cached inputs) and the registered
+        # end-to-end query ~10% faster (3.38/2.73 s -> 3.04/2.52 s,
+        # identical 17,274 output rows — candidate generation dominates
+        # the rest). Fewer shuffled bytes: each pair ships two
+        # doc-bounded arrays once instead of one row per candidate-side
+        # shingle plus an aggregation; the groupBy(doc) collect is the
+        # same volume the sizes agg already shuffles.
+        arrs = words.groupBy("doc").agg(F.collect_list("w").alias("ws"))
+        a = arrs.select(F.col("doc").alias("id1"), F.col("ws").alias("ws1"))
+        b = arrs.select(F.col("doc").alias("id2"), F.col("ws").alias("ws2"))
         common = (
             candidates.select("id1", "id2")
-            .join(a, F.col("id1") == F.col("a.doc"))
-            .join(b, (F.col("id2") == F.col("b.doc")) & (F.col("a.w") == F.col("b.w")))
-            .groupBy("id1", "id2")
-            .agg(F.count("*").alias("common"))
+            .join(a, "id1")
+            .join(b, "id2")
+            .select(
+                "id1",
+                "id2",
+                F.size(F.array_intersect("ws1", "ws2")).alias("common"),
+            )
         )
     else:
         a = words.alias("a")
