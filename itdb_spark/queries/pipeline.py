@@ -2329,3 +2329,109 @@ def agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(sketch, "source").select(
         "source", "exact_distinct", "h_k", "kmv_estimate"
     )
+
+
+@register(
+    "pipe-profile",
+    oracle="""
+    WITH sig AS (
+      SELECT source, lang,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+             CASE WHEN len(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE list_sum(list_transform(
+                         regexp_split_to_array(trim(text), '\\s+'),
+                         t -> len(t))) END AS tok_chars,
+             n_chars,
+             CASE WHEN n_chars < 200 THEN 1 ELSE 0 END AS is_short,
+             md5(text) AS fp
+      FROM documents
+    ), q AS (
+      SELECT source, lang, n_tok, n_chars, is_short, fp,
+             CAST(floor(1000 * (
+               0.4 * (CASE WHEN n_tok >= 5 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * (CASE WHEN n_tok > 0
+                            AND CAST(tok_chars AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 2.0
+                            AND CAST(tok_chars AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 12.0
+                           THEN 1.0 ELSE 0.0 END)
+             + 0.3)) AS BIGINT) AS q_milli
+      FROM sig
+    ), dupfp AS (
+      SELECT fp FROM sig GROUP BY fp HAVING count(*) >= 2
+    )
+    SELECT coalesce(source, '(all)') AS source,
+           coalesce(lang, '(all)') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(is_short) AS BIGINT) AS short_docs,
+           CAST(sum(q_milli) AS BIGINT) AS quality_milli_sum,
+           CAST(sum(CASE WHEN fp IN (SELECT fp FROM dupfp) THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_dup_docs
+    FROM q
+    GROUP BY ROLLUP(source, lang)
+    """,
+    doc="Dataset-card profile in ONE pass — the per-(source, lang) "
+    "corpus summary a training run documents: doc/token/char totals, "
+    "short-doc counts, an integer-milli quality aggregate, and how many "
+    "docs are corpus-wide exact duplicates, with ROLLUP subtotals from "
+    "a single Expand (no per-level re-scan — the reference assembles "
+    "such reports with separate per-level queries, itdb2html.py:264). "
+    "Every aggregated column is an INTEGER: the per-doc quality floor "
+    "happens before the sum, so no cross-engine float-summation-order "
+    "exposure exists anywhere (the word-length band check is the only "
+    "float compare and both engines evaluate the identical expression). "
+    "NB the quality band here drops the non-alpha term of "
+    "functions/text.py::quality_score — its ratio denominator is "
+    "byte-length-vs-codepoint sensitive; the card keeps the two "
+    "portable bands.",
+)
+def pipe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_ok = (
+        (n_tok > 0)
+        & (tok_chars.cast("double") / n_tok.cast("double") >= 2.0)
+        & (tok_chars.cast("double") / n_tok.cast("double") <= 12.0)
+    )
+    q_milli = F.floor(
+        1000
+        * (
+            0.4 * F.when((n_tok >= 5) & (n_tok <= 10000), 1.0).otherwise(0.0)
+            + 0.3 * F.when(mean_ok, 1.0).otherwise(0.0)
+            + 0.3
+        )
+    ).cast("long")
+    sig = t.documents.select(
+        "source", "lang",
+        n_tok.alias("n_tok"),
+        F.col("n_chars"),
+        F.when(F.col("n_chars") < 200, 1).otherwise(0).alias("is_short"),
+        q_milli.alias("q_milli"),
+        F.md5("text").alias("fp"),
+    )
+    dupfp = sig.groupBy("fp").agg(F.count("*").alias("c")).where(F.col("c") >= 2)
+    marked = sig.join(
+        dupfp.select("fp", F.lit(1).alias("is_dup")), "fp", "left"
+    ).withColumn("is_dup", F.coalesce("is_dup", F.lit(0)))
+    return (
+        marked.rollup("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("is_short").cast("long").alias("short_docs"),
+            F.sum("q_milli").cast("long").alias("quality_milli_sum"),
+            F.sum("is_dup").cast("long").alias("exact_dup_docs"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n_docs", "total_tokens", "total_chars",
+            "short_docs", "quality_milli_sum", "exact_dup_docs",
+        )
+    )

@@ -902,3 +902,38 @@ def test_audio_chunk_manifest_geometry(spark):
                for r in c1)
     assert [(r.start_sample, r.n_samples) for r in by_doc[2]] == [(0, 400)]
     assert 3 not in by_doc
+
+
+def test_pipe_profile_dup_and_rollup_reconcile(spark, monkeypatch):
+    """The dataset card's exact_dup_docs counts docs whose fingerprint is
+    duplicated CORPUS-WIDE (both copies count, across sources), and the
+    rollup grand total reconciles with the per-group rows."""
+    import itdb_spark.queries.pipeline as qp
+    from itdb_spark.queries import load_all
+
+    rows = [
+        (1, "same exact content here ok good fine yes", "en", "web", 40),
+        (2, "same exact content here ok good fine yes", "en", "books", 40),
+        (3, "totally different words in this one my friend", "en", "web", 45),
+        (4, "short", "de", "web", 5),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    class FakeTables:
+        def __init__(self, _spark, _sf):
+            self.documents = docs
+
+    monkeypatch.setattr(qp, "Tables", FakeTables)
+    out = load_all()["pipe-profile"].spark(spark, "unused")
+    got = {(r.source, r.lang): r for r in out.collect()}
+    assert got[("(all)", "(all)")].n_docs == 4
+    assert got[("(all)", "(all)")].exact_dup_docs == 2  # both copies
+    assert got[("web", "en")].exact_dup_docs == 1       # one copy per source
+    assert got[("books", "en")].exact_dup_docs == 1
+    assert got[("web", "de")].short_docs == 1
+    # per-(source,lang) rows sum to the grand total
+    leaf = [r for r in out.collect() if r.source != "(all)" and r.lang != "(all)"]
+    assert sum(r.n_docs for r in leaf) == 4
+    assert sum(r.total_tokens for r in leaf) == got[("(all)", "(all)")].total_tokens
