@@ -440,3 +440,47 @@ def test_jpeg_walker_total_on_arbitrary_bytes(blob):
 
     out = decode_image_header(b"\xff\xd8" + blob)
     assert out is None or (len(out) == 3 and out[2] == "jpeg")
+
+
+def test_zorder_interleave_bijective(spark):
+    """The z-curve key is a bijection on the 16+16-bit domain: distinct
+    (a, b) pairs yield distinct z, and deinterleaving the bits recovers
+    the inputs exactly (hypothesis over random pairs)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=65535),
+        st.integers(min_value=0, max_value=65535),
+    )
+    def check(a, b):
+        z = 0
+        for i in range(16):
+            z += ((a >> i) & 1) << (2 * i)
+            z += ((b >> i) & 1) << (2 * i + 1)
+        ra = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        rb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (ra, rb) == (a, b)
+
+    check()
+    # and the SQL fold computes the same z as the Python reference
+    import pyspark.sql.functions as F
+
+    pairs = [(3, 5), (65535, 0), (0, 65535), (12345, 54321)]
+    df = spark.createDataFrame(pairs, "custkey_lo long, days_lo long")
+    z_expr = F.expr(
+        "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+        " + CAST(((custkey_lo div CAST(pow(2, i) AS BIGINT)) % 2)"
+        "        * CAST(pow(2, 2 * i) AS BIGINT) AS BIGINT)"
+        " + CAST(((days_lo div CAST(pow(2, i) AS BIGINT)) % 2)"
+        "        * CAST(pow(2, 2 * i + 1) AS BIGINT) AS BIGINT))"
+    )
+    got = [r.z for r in df.select(z_expr.alias("z")).collect()]
+    ref = []
+    for a, b in pairs:
+        z = 0
+        for i in range(16):
+            z += ((a >> i) & 1) << (2 * i)
+            z += ((b >> i) & 1) << (2 * i + 1)
+        ref.append(z)
+    assert got == ref
