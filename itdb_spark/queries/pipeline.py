@@ -2393,11 +2393,13 @@ def pipe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_chars = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
-    mean_ok = (
-        (n_tok > 0)
-        & (tok_chars.cast("double") / n_tok.cast("double") >= 2.0)
-        & (tok_chars.cast("double") / n_tok.cast("double") <= 12.0)
-    )
+    # try_divide, not /: conjuncts do NOT short-circuit, so a plain
+    # division raises ANSI DIVIDE_BY_ZERO for empty docs even under the
+    # n_tok > 0 guard (caught by the empty-doc edge-corpus gate; the
+    # oracle side is safe — DuckDB float division yields inf, which the
+    # band comparison rejects)
+    _mean = F.try_divide(tok_chars.cast("double"), n_tok.cast("double"))
+    mean_ok = (n_tok > 0) & (_mean >= 2.0) & (_mean <= 12.0)
     q_milli = F.floor(
         1000
         * (

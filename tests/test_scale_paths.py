@@ -578,7 +578,10 @@ def test_decontam_broadcasts_benchmark_side(spark):
     assert "HashAggregate" in plan[b_at:], "broadcast side must be the distinct bench grams"
 
 
-@pytest.mark.parametrize("qid", ["text-tokens", "fn-pack", "fn-pack-chunks"])
+@pytest.mark.parametrize("qid", ["text-tokens", "fn-pack", "fn-pack-chunks",
+                                 "text-entropy", "text-classify", "agg-cms",
+                                 "agg-kmv", "dedup-span", "text-despan",
+                                 "mm-audiochunk", "pipe-profile"])
 def test_tokens_empty_doc_oracle_parity(spark, tmp_path, qid):
     """Empty / whitespace-only documents: tokens() maps them to 0 tokens,
     DuckDB's regexp_split_to_array(trim(x)) to 1 — the silent hash-gate
