@@ -484,3 +484,56 @@ def test_zorder_interleave_bijective(spark):
             z += ((b >> i) & 1) << (2 * i + 1)
         ref.append(z)
     assert got == ref
+
+
+def test_funnel_order_invariance(spark):
+    """Metamorphic: agg-funnel's sorted-array fold must be invariant to
+    input ROW order (hypothesis generates event sets, we compare against
+    a shuffled permutation of the same rows)."""
+    import random
+
+    from hypothesis import given, settings, strategies as st
+
+    import itdb_spark.queries.analytics as qa
+    from itdb_spark.queries import load_all
+
+    q = load_all()["agg-funnel"]
+
+    evt = st.tuples(
+        st.integers(min_value=1, max_value=3),            # user
+        st.integers(min_value=0, max_value=50),           # second offset
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(evt, min_size=1, max_size=12), st.randoms())
+    def check(events, rnd):
+        import datetime as dt
+
+        T0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (i, T0 + dt.timedelta(seconds=s), u, t, 0.0, "{}")
+            for i, (u, s, t) in enumerate(events)
+        ]
+        shuffled = rows[:]
+        rnd.shuffle(shuffled)
+
+        class FakeTables:
+            def __init__(self, _s, sf):
+                data = rows if sf == "a" else shuffled
+                self.events = spark.createDataFrame(
+                    data,
+                    "event_id long, ts timestamp, user_id long,"
+                    " event_type string, value double, props string",
+                )
+
+        orig = qa.Tables
+        qa.Tables = FakeTables
+        try:
+            a = sorted(tuple(r) for r in q.spark(spark, "a").collect())
+            b = sorted(tuple(r) for r in q.spark(spark, "b").collect())
+        finally:
+            qa.Tables = orig
+        assert a == b
+
+    check()
