@@ -99,3 +99,32 @@ def pack_chunks(
         (start_tok - F.col("_cbv")).cast("long").alias("slice_start"),
         (end_tok - start_tok).cast("long").alias("slice_len"),
     )
+
+
+BPE_MERGES = (
+    "t h", "h e", "i n", "e r", "a n", "r e", "o n", "a t", "e n", "n d",
+    "e s", "o r", "t e", "e d", "i s", "i t", "a l", "a r", "s t", "t o",
+    "th e", "in g", "an d", "er s",
+)
+
+
+def bpe_segment(word: str, merges: tuple[str, ...] = BPE_MERGES) -> list[str]:
+    """GPT-2-style BPE application with a fixed merge table: repeatedly
+    merge the FIRST occurrence of the lowest-rank adjacent pair until no
+    pair is in the table. First-occurrence-per-step is equivalent to the
+    usual merge-all-occurrences-left-to-right: while the best pair is
+    still present it stays the best (ranks are fixed; equal rank means
+    the same pair), so successive steps sweep its occurrences left to
+    right before any other pair can move."""
+    syms = list(word)
+    rank = {m: i for i, m in enumerate(merges)}
+    while len(syms) > 1:
+        best_i, best_r = -1, len(merges)
+        for i in range(len(syms) - 1):
+            r = rank.get(syms[i] + " " + syms[i + 1], len(merges))
+            if r < best_r:
+                best_i, best_r = i, r
+        if best_i < 0 or best_r >= len(merges):
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms

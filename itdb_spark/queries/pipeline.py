@@ -2437,3 +2437,87 @@ def pipe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "short_docs", "quality_milli_sum", "exact_dup_docs",
         )
     )
+
+
+def _bpe_merges_sql() -> str:
+    from itdb_spark.operators.packing import BPE_MERGES
+
+    return "[" + ", ".join(f"'{m}'" for m in BPE_MERGES) + "]"
+
+
+@register(
+    "fn-bpe",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE len(trim(text)) > 0
+      ) WHERE len(w) >= 1
+    ), bpe AS (
+      SELECT w, list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+      FROM words
+      UNION ALL
+      SELECT w,
+        list_concat(list_concat(
+          syms[1:bi-1],
+          [concat(syms[bi], syms[bi+1])]),
+          syms[bi+2:]) AS syms
+      FROM (
+        SELECT w, syms,
+          list_position(
+            list_transform(range(1, len(syms)),
+              i -> nullif(list_position({_bpe_merges_sql()},
+                                 concat(syms[i], ' ', syms[i+1])), 0)),
+            list_min(list_filter(
+              list_transform(range(1, len(syms)),
+                i -> nullif(list_position({_bpe_merges_sql()},
+                                   concat(syms[i], ' ', syms[i+1])), 0)),
+              x -> x IS NOT NULL))) AS bi
+        FROM bpe
+      ) WHERE bi IS NOT NULL
+    )
+    SELECT w AS word,
+           array_to_string(syms, ' ') AS segmentation,
+           CAST(len(syms) AS BIGINT) AS n_subwords
+    FROM bpe
+    WHERE len(list_filter(list_transform(range(1, len(syms)),
+            i -> nullif(list_position({_bpe_merges_sql()},
+                               concat(syms[i], ' ', syms[i+1])), 0)),
+          x -> x IS NOT NULL)) = 0
+    """,
+    doc="BPE tokenizer APPLICATION (operators/packing.py::bpe_segment) — "
+    "the subword segmentation step every LLM pipeline runs, with a fixed "
+    "24-merge table standing where a trained tokenizer's merges load. "
+    "This is the legitimate-UDF case the brief carves out: the per-word "
+    "merge loop (repeatedly merge the lowest-rank adjacent pair) is "
+    "inherently iterative and not expressible in Catalyst expressions, "
+    "so it runs as an Arrow-batched pandas UDF — applied to the "
+    "DISTINCT vocabulary, never the corpus (the tokenize-the-vocab "
+    "trick: segmentations join back by word at corpus scale). "
+    "First-occurrence-per-step merging is provably equivalent to "
+    "GPT-2's merge-all-left-to-right, which is what lets a DuckDB "
+    "RECURSIVE CTE replay the exact fixpoint: one merge per recursion "
+    "level, terminal rows are states with no mergeable pair. The full "
+    "segmentation string participates in the hash gate.",
+)
+def fn_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from itdb_spark.operators.packing import bpe_segment
+
+    t = Tables(spark, sf_dir)
+
+    @pandas_udf("string")
+    def seg(words):  # no type hints: future-annotations stringify them
+        return words.map(lambda w: " ".join(bpe_segment(w)))
+
+    vocab = (
+        t.documents.where(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        .where(F.length("w") >= 1)
+        .distinct()
+    )
+    return vocab.select(
+        F.col("w").alias("word"),
+        seg("w").alias("segmentation"),
+    ).withColumn("n_subwords", F.size(F.split("segmentation", " ")).cast("long"))

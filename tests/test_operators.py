@@ -937,3 +937,27 @@ def test_pipe_profile_dup_and_rollup_reconcile(spark, monkeypatch):
     leaf = [r for r in out.collect() if r.source != "(all)" and r.lang != "(all)"]
     assert sum(r.n_docs for r in leaf) == 4
     assert sum(r.total_tokens for r in leaf) == got[("(all)", "(all)")].total_tokens
+
+
+def test_bpe_segment_reference_semantics():
+    """bpe_segment follows GPT-2 apply semantics with the fixed table:
+    rank order decides merge order (not position), merges cascade into
+    multi-char symbols, first-occurrence-per-step sweeps all occurrences
+    of the best pair left to right, and unmergeable words stay chars."""
+    from itdb_spark.operators.packing import BPE_MERGES, bpe_segment
+
+    assert bpe_segment("the") == ["the"]          # t h -> th; th e -> the
+    assert bpe_segment("thing") == ["th", "ing"]  # in g after i n
+    assert bpe_segment("anderson") == ["and", "ers", "on"]
+    assert bpe_segment("agg") == ["a", "g", "g"]  # nothing mergeable
+    assert bpe_segment("x") == ["x"]
+    assert bpe_segment("") == []
+    # rank beats position: in 'inth', 't h' (rank 0) merges before 'i n'
+    # (rank 2) even though 'i n' occurs first
+    out = bpe_segment("inth")
+    assert out == ["in", "th"]
+    # repeated best pair sweeps left to right: 'ththth' -> th th th
+    assert bpe_segment("ththth") == ["th", "th", "th"]
+    # segmentation is a partition of the word
+    for w in ["the", "thing", "anderson", "agg", "ththth", "interesting"]:
+        assert "".join(bpe_segment(w)) == w
