@@ -2521,3 +2521,86 @@ def fn_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("word"),
         seg("w").alias("segmentation"),
     ).withColumn("n_subwords", F.size(F.split("segmentation", " ")).cast("long"))
+
+
+@register(
+    "fn-bpe-count",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ), words AS (
+      SELECT DISTINCT w FROM toks WHERE len(w) >= 1
+    ), bpe AS (
+      SELECT w, list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+      FROM words
+      UNION ALL
+      SELECT w,
+        list_concat(list_concat(
+          syms[1:bi-1],
+          [concat(syms[bi], syms[bi+1])]),
+          syms[bi+2:]) AS syms
+      FROM (
+        SELECT w, syms,
+          list_position(
+            list_transform(range(1, len(syms)),
+              i -> nullif(list_position({_bpe_merges_sql()},
+                                 concat(syms[i], ' ', syms[i+1])), 0)),
+            list_min(list_filter(
+              list_transform(range(1, len(syms)),
+                i -> nullif(list_position({_bpe_merges_sql()},
+                                   concat(syms[i], ' ', syms[i+1])), 0)),
+              x -> x IS NOT NULL))) AS bi
+        FROM bpe
+      ) WHERE bi IS NOT NULL
+    ), seg AS (
+      SELECT w, CAST(len(syms) AS BIGINT) AS n_subwords
+      FROM bpe
+      WHERE len(list_filter(list_transform(range(1, len(syms)),
+              i -> nullif(list_position({_bpe_merges_sql()},
+                                 concat(syms[i], ' ', syms[i+1])), 0)),
+            x -> x IS NOT NULL)) = 0
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(s.n_subwords) AS BIGINT) AS n_bpe_tokens
+    FROM toks t JOIN seg s USING (w)
+    GROUP BY 1
+    """,
+    doc="Per-document BPE token counts via the tokenize-the-vocabulary "
+    "join-back — the corpus-scale pattern fn-bpe's docstring promises: "
+    "the expensive iterative UDF touches each DISTINCT word once, and "
+    "the corpus only pays a hash join on the word plus a "
+    "map-side-combined groupBy(doc). n_bpe_tokens is what the packing "
+    "and curriculum stages would consume instead of whitespace counts. "
+    "Oracle = the same recursive-CTE segmentation joined back in SQL.",
+)
+def fn_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from itdb_spark.operators.packing import bpe_segment
+
+    t = Tables(spark, sf_dir)
+
+    @pandas_udf("int")
+    def n_sub(words):  # no type hints: future-annotations stringify them
+        return words.map(lambda w: len(bpe_segment(w)))
+
+    toks = (
+        t.documents.where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .where(F.length("w") >= 1)
+    )
+    vocab = toks.select("w").distinct().select("w", n_sub("w").alias("n_subwords"))
+    return (
+        toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_bpe_tokens"),
+        )
+    )
