@@ -655,3 +655,50 @@ def fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "        * CAST(pow(2, 2 * i + 1) AS BIGINT) AS BIGINT))"
     )
     return base.select("orderkey", "custkey_lo", "days_lo", z.alias("z"))
+
+
+@register(
+    "agg-cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(min(ts))) / 604800) AS BIGINT) AS cohort_week
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(floor(epoch(e.ts)) / 604800) AS BIGINT) - f.cohort_week
+               AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity GROUP BY 1, 2
+    """,
+    doc="Cohort retention over the event stream — the canonical "
+    "product-analytics rollup: users cohort by their first-ever event "
+    "week (epoch-week integer arithmetic, no timezone edges), and each "
+    "(cohort, week-offset) cell counts users active that many weeks "
+    "later. Two map-side-combined shuffles (first-event min per user, "
+    "then the distinct activity cell count); the firsts table is "
+    "user-cardinality and broadcastable against the fact stream at "
+    "warehouse scale. week_offset 0 row per cohort doubles as the "
+    "cohort size, so retention ratios are a window division away.",
+)
+def agg_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    week = lambda c: F.floor(F.unix_timestamp(c) / 604800).cast("long")
+    firsts = t.events.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        t.events.select("user_id", week(F.col("ts")).alias("wk"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id", "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("long").alias("active_users")
+    )
