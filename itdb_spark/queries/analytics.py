@@ -702,3 +702,71 @@ def agg_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").cast("long").alias("active_users")
     )
+
+
+@register(
+    "agg-sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+    ), marked AS (
+      SELECT user_id, s,
+             CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
+                       > 1800
+                  OR lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ), sessioned AS (
+      SELECT user_id, s,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    ), sessions AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             max(s) - min(s) AS span_s
+      FROM sessioned GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           CAST(sum(span_s) AS BIGINT) AS total_active_s
+    FROM sessions GROUP BY 1
+    """,
+    doc="Batch sessionization by 30-minute inactivity gap — the "
+    "gaps-and-islands WINDOW mechanism, deliberately distinct from "
+    "stream-session's session_window aggregate: lag marks session "
+    "starts, a running sum assigns session ids, two grouped rollups "
+    "produce per-user session stats. Everything is integer epoch "
+    "seconds; equal-timestamp ties cannot flip any session boundary "
+    "(gap 0 never splits), so the result is order-deterministic without "
+    "tie-break columns. One exchange on user_id serves the lag window, "
+    "the running sum, AND both aggregations (same key prefix)." ,
+)
+def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    e = t.events.select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("s")
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("s").over(w).isNull()
+            | ((F.col("s") - F.lag("s").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = marked.withColumn(
+        "sid", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sessions = sessioned.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        (F.max("s") - F.min("s")).alias("span_s"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.sum("span_s").cast("long").alias("total_active_s"),
+    )
