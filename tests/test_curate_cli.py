@@ -1,0 +1,63 @@
+"""tools/curate.py end-to-end: every stage must actually fire on a
+corpus engineered to trigger it, and the outputs must be loadable,
+deterministic, and internally consistent."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+
+def test_curate_cli_end_to_end(spark, tmp_path):
+    base = " ".join(f"w{i}" for i in range(60))
+    boiler = " ".join(f"b{i}" for i in range(10))  # shared 10-token run
+    rows = [
+        (1, f"{base} unique tail one", "en", "web", 300),
+        (2, f"{base} unique tail one", "en", "web", 300),      # exact dup of 1
+        (3, base + " two", "en", "web", 290),                   # near dup of 1
+        (4, f"{boiler} alpha beta gamma delta epsilon", "en", "web", 120),
+        (5, f"{boiler} zeta eta theta iota kappa", "en", "web", 120),
+        (6, "@@@@@@@@ ##########", "en", "web", 19),            # junk: fails quality
+        (7, " ".join(f"good{i}" for i in range(40)), "en", "books", 250),
+    ]
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(indir / "documents.parquet"))
+
+    import tools.curate as curate
+
+    report = curate.main([
+        "--input", str(indir), "--output", str(outdir),
+        "--quality", "0.5", "--budget", "32",
+    ])
+    st = report["stages"]
+    assert st["input"]["rows"] == 7
+    assert st["exact_dedup"]["removed"] == 1           # doc 2
+    assert st["near_dedup"]["removed"] == 1            # doc 3 (LSH+Jaccard+CC)
+    assert st["despan"]["tokens_removed"] >= 20        # boiler run in 4 AND 5
+    assert st["quality"]["removed"] >= 1               # doc 6
+    assert st["pack"]["packs"] >= 2                    # 32-token budget splits
+
+    corpus = spark.read.parquet(str(outdir / "corpus"))
+    got_ids = {r.doc_id for r in corpus.collect()}
+    assert 1 in got_ids and 2 not in got_ids and 3 not in got_ids
+    assert 6 not in got_ids
+    assert {4, 5, 7} <= got_ids
+    # the boilerplate run is excised from BOTH survivors
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+    assert "b0" not in texts[4] and "b0" not in texts[5]
+    # epoch positions are a permutation of 1..n
+    pos = sorted(r.epoch_pos for r in corpus.collect())
+    assert pos == list(range(1, len(pos) + 1))
+    # pack geometry covers every surviving token exactly once
+    packs = spark.read.parquet(str(outdir / "packs"))
+    tok_total = corpus.agg(F.sum("n_tokens")).collect()[0][0]
+    slice_total = packs.agg(F.sum("slice_len")).collect()[0][0]
+    assert tok_total == slice_total
+    # report round-trips from disk
+    on_disk = json.loads((outdir / "report.json").read_text())
+    assert on_disk["output"]["corpus_rows"] == len(got_ids)

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""End-to-end corpus curation CLI — the product face of the engine: one
+command takes a documents parquet and emits a training-ready corpus plus
+a JSON report, running the same registry-verified operators the
+correctness gate checks one by one.
+
+    python tools/curate.py --input /root/testdata/sf0.001 \
+        --output /tmp/curated [--budget 2048] [--quality 0.5] [--jaccard 0.5]
+
+Stages (each = operators with oracle-checked twins):
+  1. profile      — dataset card before/after (pipe-profile shape)
+  2. exact dedup  — md5 fingerprint groups, keep min doc_id
+  3. near dedup   — MinHash LSH candidates → Jaccard verify → connected
+                    components → keep component minimum
+  4. span excision— remove duplicated 8-gram regions (ExactSubstr)
+  5. quality gate — heuristic score threshold
+  6. pack plan    — 2048-token concat-and-chunk geometry
+  7. shuffle      — deterministic epoch order (ranged row_number)
+
+Outputs under --output:
+  corpus/   cleaned documents (doc_id, text, n_tokens, epoch_pos)
+  packs/    (doc_id, pack_id, slice_start, slice_len) loader geometry
+  report.json  per-stage row counts + removal reasons
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--input", required=True, help="dir containing documents.parquet")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--budget", type=int, default=2048, help="pack token budget")
+    ap.add_argument("--quality", type=float, default=0.5, help="min quality score")
+    ap.add_argument("--jaccard", type=float, default=0.5, help="near-dup threshold")
+    args = ap.parse_args(argv)
+
+    import pyspark.sql.functions as F
+
+    from itdb_spark.functions.text import quality_score, tokens
+    from itdb_spark.operators.clustering import connected_components, elect_keepers
+    from itdb_spark.operators.dedup import (
+        exact_dup_groups,
+        minhash_candidates,
+        ngram_jaccard_pairs,
+        remove_duplicate_spans,
+    )
+    from itdb_spark.operators.packing import pack_chunks
+    from itdb_spark.plans.library import ranged_row_number
+    from itdb_spark.session import get_spark
+
+    spark = get_spark()
+    report: dict = {"input": args.input, "stages": {}}
+
+    docs = spark.read.parquet(os.path.join(args.input, "documents.parquet"))
+    n0 = docs.count()
+    report["stages"]["input"] = {"rows": n0}
+
+    # 2. exact dedup: drop every member of a fingerprint group except min
+    groups = exact_dup_groups(docs, "doc_id", "text")
+    dup_members = (
+        docs.select("doc_id", F.md5("text").alias("fingerprint"))
+        .join(groups.select("fingerprint", "keep_doc"), "fingerprint")
+        .where(F.col("doc_id") != F.col("keep_doc"))
+        .select("doc_id")
+    )
+    docs1 = docs.join(dup_members, "doc_id", "left_anti").cache()
+    n1 = docs1.count()
+    report["stages"]["exact_dedup"] = {"rows": n1, "removed": n0 - n1}
+
+    # 3. near dedup: LSH -> verify -> CC -> keep component min
+    cands = minhash_candidates(docs1, "doc_id", "text")
+    verified = ngram_jaccard_pairs(
+        docs1, "doc_id", "text", threshold=args.jaccard, candidates=cands
+    )
+    comp = connected_components(verified.select("id1", "id2"))
+    keepers = elect_keepers(comp).select(F.col("keeper").alias("doc_id"))
+    members = comp.select(F.col("node").alias("doc_id"))
+    docs2 = (
+        docs1.join(members, "doc_id", "left_anti")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(
+            docs1.join(keepers, "doc_id").select(
+                "doc_id", "text", "lang", "source", "n_chars"
+            )
+        )
+        .cache()
+    )
+    n2 = docs2.count()
+    report["stages"]["near_dedup"] = {"rows": n2, "removed": n1 - n2}
+
+    # 4. span excision (ExactSubstr) on the survivors
+    clean = remove_duplicate_spans(docs2, "doc_id", "text", min_len=8)
+    docs3 = (
+        docs2.select("doc_id", "lang", "source")
+        .join(clean, "doc_id")
+        .select("doc_id", F.col("clean_text").alias("text"), "lang", "source",
+                "n_tokens", "n_removed")
+    )
+    span_tokens_removed = docs3.agg(F.sum("n_removed")).collect()[0][0] or 0
+    report["stages"]["despan"] = {"rows": n2, "tokens_removed": int(span_tokens_removed)}
+
+    # 5. quality gate on the CLEANED text
+    docs4 = (
+        docs3.withColumn("quality", quality_score(F.col("text")))
+        .where(F.col("quality") >= args.quality)
+        .where(F.col("n_tokens") > 0)
+        .cache()
+    )
+    n4 = docs4.count()
+    report["stages"]["quality"] = {"rows": n4, "removed": n2 - n4}
+
+    # 6. pack plan over cleaned token counts
+    packs = pack_chunks(
+        docs4.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens")),
+        "doc_id", "n_tokens",
+        budget=args.budget,
+        bucket=F.floor(F.col("doc_id") / 100),
+    )
+    n_packs = packs.select("pack_id").distinct().count()
+    report["stages"]["pack"] = {"packs": int(n_packs), "budget": args.budget}
+
+    # 7. deterministic epoch order
+    final = ranged_row_number(
+        docs4.withColumn(
+            "h", F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        ),
+        ["h", "doc_id"],
+        out_col="epoch_pos",
+    ).select("doc_id", "text", "lang", "source", "n_tokens", "epoch_pos")
+
+    os.makedirs(args.output, exist_ok=True)
+    final.write.mode("overwrite").parquet(os.path.join(args.output, "corpus"))
+    packs.write.mode("overwrite").parquet(os.path.join(args.output, "packs"))
+    report["output"] = {
+        "corpus_rows": n4,
+        "total_tokens": int(
+            docs4.agg(F.sum("n_tokens")).collect()[0][0] or 0
+        ),
+    }
+    with open(os.path.join(args.output, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    for d in (docs1, docs2, docs4):
+        d.unpersist()
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()
