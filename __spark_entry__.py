@@ -49,11 +49,18 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # window re-records them under the new definition (clear this set once
 # the round's CORRECTNESS file lands;
 # tests/test_properties.py::test_changed_since_graded_cleared_after_regrade
-# asserts no member appears in the newest committed CORRECTNESS file,
-# so CI forces the cleanup). Round 5: empty — CORRECTNESS_r04 recorded
-# agg-approx's new within-bounds boolean form green, so the round-4 pin
-# is cleared and the stalest-first queue (19 r2-era grades) leads again.
-_CHANGED_SINCE_GRADED = frozenset()
+# asserts no member remains once a NEWER CORRECTNESS file re-records
+# it, so CI forces the cleanup). Since round 5 the pin carries the
+# round whose grade it invalidates: {qid: stale_as_of} means "grades
+# up to and including round stale_as_of predate a definition change" —
+# the query ranks as never-graded until a file with a higher round
+# number records it, at which point the gate demands removal. Round 5:
+# dedup-embedding's planted-copy id offset moved +10000 → +1e9
+# (code-review: the old offset collides with real ids once the table
+# passes 10k rows), changing its result values; its newest grade is r4,
+# so grades ≤ 4 are stale. (dedup-semantic shares the fix but has never
+# been graded — it fronts the queue automatically.)
+_CHANGED_SINCE_GRADED: dict[str, int] = {"dedup-embedding": 4}
 
 
 def _last_graded_round() -> dict[str, int]:
@@ -82,7 +89,7 @@ def _last_graded_round() -> dict[str, int]:
 def _effective_rank(qid: str, last: dict[str, int]) -> int:
     """0 = grade me now (never recorded, or definition changed since the
     last record); otherwise the round last graded (stalest first)."""
-    if qid in _CHANGED_SINCE_GRADED:
+    if last.get(qid, 0) <= _CHANGED_SINCE_GRADED.get(qid, -1):
         return 0
     return last.get(qid, 0)
 

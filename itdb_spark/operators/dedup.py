@@ -734,7 +734,6 @@ def duplicate_spans(
     one partition's sort. Gram hashing reuses the posexplode discipline
     of winnow_fingerprints (dedup.py:526) to keep md5 evaluation at one
     per gram under projection collapse."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     iv = duplicate_span_intervals(docs, id_col, text_col, min_len)
     lens = F.zip_with("starts", "ends", lambda s, e: e - s + F.lit(min_len))
     return iv.select(

@@ -294,8 +294,14 @@ def audio_chunk_manifest(
                     continue
                 channels, rate, bits, data_size = meta
                 frame_bytes = channels * (bits // 8)
-                total = data_size // frame_bytes
                 spc = chunk_ms * rate // 1000
+                if frame_bytes == 0 or spc == 0:
+                    # sub-byte sample formats (4-bit ADPCM) or a chunk
+                    # window shorter than one sample period: skip like
+                    # an undecodable blob rather than ZeroDivisionError
+                    # inside the executor (code-review finding)
+                    continue
+                total = data_size // frame_bytes
                 n_chunks = (total + spc - 1) // spc
                 for c in range(n_chunks):
                     s0 = c * spc

@@ -459,7 +459,7 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
       UNION ALL
-      SELECT vec_id + 10000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+      SELECT vec_id + 1000000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
       FROM embeddings
     )
     SELECT id1, id2, round(cos_raw, 6) AS cosine FROM (
@@ -477,7 +477,7 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(×1.001) preserves every hyperplane sign exactly, so true near-dup "
     "pairs always collide and recall vs the all-pairs DuckDB oracle is "
     "exact (tests/test_operators.py also asserts equivalence to the "
-    "all-pairs form). The corpus gains scaled copies (+10000, ×1.001) so "
+    "all-pairs form). The corpus gains scaled copies (+1e9 — past any future id range, ×1.001) so "
     "true near-dups exist.",
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,7 +486,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     base = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
     copies = base.select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
+        (F.col("vec_id") + 1000000000).alias("vec_id"),
         F.transform("vec", lambda x: x * 1.001).alias("vec"),
     )
     v = base.unionByName(copies)
@@ -1880,7 +1880,7 @@ def dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semantic_dedup_oracle(n_cells: int = 8, iters: int = 4,
                            threshold: float = 0.95) -> str:
     """DuckDB twin of operators/ivf.py::semantic_dedup over the planted
-    corpus (originals ∪ ×1.001-scaled copies at +10000): reuse the
+    corpus (originals ∪ ×1.001-scaled copies at +1e9): reuse the
     unrolled-Lloyd's assignment CTEs with the corpus CTE swapped for the
     union, then max cosine to lower-id cell-mates and the thresholded
     decision on the ROUNDED value."""
@@ -1888,7 +1888,7 @@ def _semantic_dedup_oracle(n_cells: int = 8, iters: int = 4,
     ctes[0] = """v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
       UNION ALL
-      SELECT vec_id + 10000,
+      SELECT vec_id + 1000000000,
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
       FROM embeddings)"""
     ctes.append(f"""p AS (
@@ -1913,7 +1913,7 @@ def _semantic_dedup_oracle(n_cells: int = 8, iters: int = 4,
     "vector is a duplicate when its cosine to any LOWER-id cell-mate "
     "reaches 0.95 (greedy keep-lowest-id). Quadratic work is O(sum "
     "cell²), never O(N²); SemDeDup scales n_cells ~ sqrt(N) so cells "
-    "stay bounded. The corpus gains ×1.001-scaled copies (+10000) so "
+    "stay bounded. The corpus gains ×1.001-scaled copies (+1e9, past any future id range) so "
     "true semantic dups exist (cosine 1.0 to their original, far above "
     "threshold; organic within-cell sims top out ≈0.48, far below — "
     "no boundary exposure). Oracle unrolls the identical Lloyd's "
@@ -1927,7 +1927,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     copies = base.select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
+        (F.col("vec_id") + 1000000000).alias("vec_id"),
         F.transform("vec", lambda x: x * 1.001).alias("vec"),
     )
     v = base.unionByName(copies)

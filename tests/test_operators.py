@@ -961,3 +961,33 @@ def test_bpe_segment_reference_semantics():
     # segmentation is a partition of the word
     for w in ["the", "thing", "anderson", "agg", "ththth", "interesting"]:
         assert "".join(bpe_segment(w)) == w
+
+
+def test_audio_chunk_manifest_subbyte_formats_skip(spark):
+    """4-bit ADPCM (frame_bytes 0) and sub-sample chunk windows must skip
+    the doc like an undecodable blob, not ZeroDivisionError in the
+    executor (code-review finding)."""
+    import struct as st
+
+    from itdb_spark.operators.multimodal import audio_chunk_manifest
+
+    def wav(ch, rate, bits, pcm):
+        body = st.pack("<HHIIHH", 1, ch, rate, max(rate * ch * bits // 8, 1),
+                       max(ch * bits // 8, 1), bits)
+        inner = (b"fmt " + st.pack("<I", 16) + body
+                 + b"data" + st.pack("<I", len(pcm)) + pcm)
+        return b"RIFF" + st.pack("<I", 4 + len(inner)) + b"WAVE" + inner
+
+    rows = [
+        (1, wav(1, 8000, 4, b"\x11" * 64)),    # 4-bit: frame_bytes == 0
+        (2, wav(1, 8000, 16, b"\x00\x01" * 100)),  # healthy control
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = audio_chunk_manifest(df, chunk_ms=25).collect()
+    ids = {r.doc_id for r in got}
+    assert ids == {2}
+    # chunk window shorter than one sample period: spc == 0 must skip too
+    df2 = spark.createDataFrame(
+        [(3, wav(1, 30, 16, b"\x00\x01" * 10))], "doc_id long, content binary"
+    )
+    assert audio_chunk_manifest(df2, chunk_ms=25).collect() == []

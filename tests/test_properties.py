@@ -194,12 +194,16 @@ def test_changed_since_graded_cleared_after_regrade():
 
     paths = glob.glob(os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r*.json"))
     newest = max(paths, key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)))
+    newest_round = int(re.search(r"r(\d+)\.json$", newest).group(1))
     with open(newest) as f:
         graded = set(json.load(f))
-    stale_pins = sorted(entry._CHANGED_SINCE_GRADED & graded)
+    stale_pins = sorted(
+        q for q, stale_as_of in entry._CHANGED_SINCE_GRADED.items()
+        if q in graded and newest_round > stale_as_of
+    )
     assert not stale_pins, (
-        f"{os.path.basename(newest)} already grades {stale_pins}; "
-        "clear them from _CHANGED_SINCE_GRADED"
+        f"{os.path.basename(newest)} re-grades {stale_pins} after their "
+        "definition change; clear them from _CHANGED_SINCE_GRADED"
     )
 
 

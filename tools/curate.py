@@ -44,6 +44,7 @@ def main(argv: list[str] | None = None) -> dict:
 
     import pyspark.sql.functions as F
 
+    from itdb_spark.functions.core import portable_hash64
     from itdb_spark.functions.text import quality_score, tokens
     from itdb_spark.operators.clustering import connected_components, elect_keepers
     from itdb_spark.operators.dedup import (
@@ -51,6 +52,7 @@ def main(argv: list[str] | None = None) -> dict:
         minhash_candidates,
         ngram_jaccard_pairs,
         remove_duplicate_spans,
+        shingle_frame,
     )
     from itdb_spark.operators.packing import pack_chunks
     from itdb_spark.plans.library import ranged_row_number
@@ -62,6 +64,20 @@ def main(argv: list[str] | None = None) -> dict:
     docs = spark.read.parquet(os.path.join(args.input, "documents.parquet"))
     n0 = docs.count()
     report["stages"]["input"] = {"rows": n0}
+
+    def profile(df, text_col="text"):
+        """per-source dataset-card summary (pipe-profile shape)."""
+        return {
+            r.source: {"docs": r.n, "tokens": r.tok}
+            for r in df.groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("tok"),
+            )
+            .collect()
+        }
+
+    report["profile_before"] = profile(docs)
 
     # 2. exact dedup: drop every member of a fingerprint group except min
     groups = exact_dup_groups(docs, "doc_id", "text")
@@ -76,11 +92,14 @@ def main(argv: list[str] | None = None) -> dict:
     report["stages"]["exact_dedup"] = {"rows": n1, "removed": n0 - n1}
 
     # 3. near dedup: LSH -> verify -> CC -> keep component min
-    cands = minhash_candidates(docs1, "doc_id", "text")
+    sh = shingle_frame(docs1, "doc_id", "text").cache()
+    cands = minhash_candidates(docs1, "doc_id", "text", shingles=sh)
     verified = ngram_jaccard_pairs(
-        docs1, "doc_id", "text", threshold=args.jaccard, candidates=cands
+        docs1, "doc_id", "text", threshold=args.jaccard,
+        candidates=cands, shingles=sh,
     )
     comp = connected_components(verified.select("id1", "id2"))
+    sh.unpersist()  # verified is materialized by ngram_jaccard_pairs
     keepers = elect_keepers(comp).select(F.col("keeper").alias("doc_id"))
     members = comp.select(F.col("node").alias("doc_id"))
     docs2 = (
@@ -108,8 +127,13 @@ def main(argv: list[str] | None = None) -> dict:
     report["stages"]["despan"] = {"rows": n2, "tokens_removed": int(span_tokens_removed)}
 
     # 5. quality gate on the CLEANED text
+    # n_tokens recomputed with tokens() semantics (empty -> 0): the despan
+    # operator's count inherits split-of-empty-string's phantom [''] token,
+    # which would sail through the > 0 gate and emit a 1-token pack slice
+    # into an empty string (code-review finding)
     docs4 = (
-        docs3.withColumn("quality", quality_score(F.col("text")))
+        docs3.withColumn("n_tokens", F.size(tokens(F.col("text"))).cast("long"))
+        .withColumn("quality", quality_score(F.col("text")))
         .where(F.col("quality") >= args.quality)
         .where(F.col("n_tokens") > 0)
         .cache()
@@ -128,17 +152,22 @@ def main(argv: list[str] | None = None) -> dict:
     report["stages"]["pack"] = {"packs": int(n_packs), "budget": args.budget}
 
     # 7. deterministic epoch order
+    # portable_hash64 (BIGINT, not the string conv of an earlier cut: that
+    # ordered lexicographically AND defaulted the ranged bucket to the
+    # unique hash itself — one offsets row per document, i.e. the global
+    # single-partition window the helper exists to avoid); bucket on the
+    # hash prefix exactly like the registered fn-shuffle plan
     final = ranged_row_number(
-        docs4.withColumn(
-            "h", F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        ),
+        docs4.withColumn("h", portable_hash64(F.col("doc_id").cast("string"))),
         ["h", "doc_id"],
+        bucket=F.floor(F.col("h") / F.lit(2 ** 54)),
         out_col="epoch_pos",
     ).select("doc_id", "text", "lang", "source", "n_tokens", "epoch_pos")
 
     os.makedirs(args.output, exist_ok=True)
     final.write.mode("overwrite").parquet(os.path.join(args.output, "corpus"))
     packs.write.mode("overwrite").parquet(os.path.join(args.output, "packs"))
+    report["profile_after"] = profile(docs4)
     report["output"] = {
         "corpus_rows": n4,
         "total_tokens": int(
