@@ -265,6 +265,7 @@ AUDIO_CHUNK_SCHEMA = T.StructType(
         T.StructField("n_samples", T.LongType(), False),
         T.StructField("start_byte", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("rate", T.IntegerType(), False),
     ]
 )
 
@@ -307,13 +308,14 @@ def audio_chunk_manifest(
                     s0 = c * spc
                     n = min(spc, total - s0)
                     rows.append(
-                        (int(doc_id), c, s0, n, s0 * frame_bytes, n * frame_bytes)
+                        (int(doc_id), c, s0, n,
+                         s0 * frame_bytes, n * frame_bytes, rate)
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "chunk_id", "start_sample",
-                    "n_samples", "start_byte", "n_bytes",
+                    "n_samples", "start_byte", "n_bytes", "rate",
                 ],
             )
 

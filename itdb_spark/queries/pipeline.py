@@ -2069,7 +2069,8 @@ def text_despan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c * spc AS BIGINT) AS start_sample,
            CAST(least(spc, total - c * spc) AS BIGINT) AS n_samples,
            CAST(c * spc * ch * 2 AS BIGINT) AS start_byte,
-           CAST(least(spc, total - c * spc) * ch * 2 AS BIGINT) AS n_bytes
+           CAST(least(spc, total - c * spc) * ch * 2 AS BIGINT) AS n_bytes,
+           CAST(rate AS INTEGER) AS rate
     FROM g, unnest(range(0, (total + spc - 1) // spc)) AS u(c)
     """,
     doc="Audio chunk manifest over a binary WAV column (operators/"
@@ -2602,5 +2603,106 @@ def fn_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_words"),
             F.sum("n_subwords").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+@register(
+    "mm-av-align",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS ch,
+             8000 + (doc_id % 5) * 2000 AS rate,
+             octet_length(encode(repeat(text, 8))) AS data_size
+      FROM documents
+    ), g AS (
+      SELECT doc_id, rate,
+             data_size // (ch * 2) AS total,
+             (25 * rate) // 1000 AS spc
+      FROM a
+    ), chunks AS (
+      SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+             c * spc AS s0, least(spc, total - c * spc) AS n, rate
+      FROM g, unnest(range(0, (total + spc - 1) // spc)) AS u(c)
+    ), frames AS (
+      SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             CAST(f * 40 AS BIGINT) AS t_ms
+      FROM (SELECT DISTINCT doc_id FROM documents), unnest(range(0, 8)) AS v(f)
+    )
+    SELECT f.doc_id, f.frame_idx, f.t_ms,
+           c.chunk_id,
+           CAST(f.t_ms * c.rate // 1000 - c.s0 AS BIGINT) AS off_in_chunk
+    FROM frames f
+    LEFT JOIN chunks c
+      ON c.doc_id = f.doc_id
+     AND f.t_ms * c.rate // 1000 >= c.s0
+     AND f.t_ms * c.rate // 1000 < c.s0 + c.n
+    """,
+    doc="Audio-video alignment — the multimodal-training join: video "
+    "frames sampled at 40 ms land in their containing PARSED-rate audio "
+    "chunk (mm-audiochunk's manifest now carries the rate the RIFF "
+    "walker decoded), giving each frame its (chunk_id, sample offset) "
+    "for paired AV feature extraction. The join is per-doc "
+    "point-in-interval — at corpus scale exactly the bucketized range "
+    "join shape (operators/rangejoin.py); here chunk fan-out per doc is "
+    "tiny so the doc_id equi-join carries it. Frames past the audio's "
+    "end stay NULL via the left join (the A/V-length-mismatch case). "
+    "All integer sample arithmetic; oracle replays chunk geometry and "
+    "the alignment condition from the synthesis formulas.",
+)
+def mm_av_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.multimodal import audio_chunk_manifest
+
+    t = Tables(spark, sf_dir)
+
+    def le(col, n):
+        h = F.lpad(F.hex(col.cast("bigint")), n * 2, "0")
+        return F.unhex(
+            F.concat(*[F.substring(h, 2 * i + 1, 2) for i in reversed(range(n))])
+        )
+
+    ch = 1 + F.col("doc_id") % 2
+    rate = 8000 + (F.col("doc_id") % 5) * 2000
+    payload = F.encode(F.repeat("text", 8), "utf-8")
+    data_size = F.octet_length(payload)
+    wav = F.concat(
+        F.encode(F.lit("RIFF"), "utf-8"), le(F.lit(36) + data_size, 4),
+        F.encode(F.lit("WAVE"), "utf-8"),
+        F.encode(F.lit("fmt "), "utf-8"), le(F.lit(16), 4),
+        le(F.lit(1), 2), le(ch, 2), le(rate, 4),
+        le(rate * ch * 2, 4), le(ch * 2, 2), le(F.lit(16), 2),
+        F.encode(F.lit("data"), "utf-8"), le(data_size, 4), payload,
+    )
+    chunks = audio_chunk_manifest(
+        t.documents.select("doc_id", wav.alias("content")),
+        "doc_id", "content", chunk_ms=25,
+    ).select("doc_id", "chunk_id", "start_sample", "n_samples", "rate")
+    frames = t.documents.select("doc_id").select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx"),
+    ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+             (F.col("frame_idx") * 40).cast("long").alias("t_ms"))
+    fs = F.floor(F.col("t_ms") * F.col("rate") / 1000)
+    return (
+        frames.join(
+            chunks,
+            (frames["doc_id"] == chunks["doc_id"])
+            & (F.floor(frames["t_ms"] * chunks["rate"] / 1000) >= chunks["start_sample"])
+            & (
+                F.floor(frames["t_ms"] * chunks["rate"] / 1000)
+                < chunks["start_sample"] + chunks["n_samples"]
+            ),
+            "left",
+        )
+        .select(
+            frames["doc_id"],
+            "frame_idx",
+            "t_ms",
+            "chunk_id",
+            (
+                F.floor(frames["t_ms"] * chunks["rate"] / 1000)
+                - chunks["start_sample"]
+            ).cast("long").alias("off_in_chunk"),
         )
     )

@@ -991,3 +991,37 @@ def test_audio_chunk_manifest_subbyte_formats_skip(spark):
         [(3, wav(1, 30, 16, b"\x00\x01" * 10))], "doc_id long, content binary"
     )
     assert audio_chunk_manifest(df2, chunk_ms=25).collect() == []
+
+
+def test_kmv_sketch_merge_is_union_of_parts(spark):
+    """KMV mergeability — the property that makes it a sketch: the k
+    smallest hashes of a union equal the k smallest of the concatenated
+    per-part k-smallest lists. Verified against the documents corpus
+    split by source."""
+    import pyspark.sql.functions as F
+
+    from itdb_spark.functions.core import portable_hash64
+    from tests.conftest import SF_DIR
+
+    k = 32
+    h = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .select("source", portable_hash64(F.col("w")).alias("hv"))
+        .distinct()
+    )
+    per_source = {
+        r.source: sorted(x.hv for x in h.where(F.col("source") == r.source)
+                         .select("hv").distinct().collect())[:k]
+        for r in h.select("source").distinct().collect()
+    }
+    # merge rule: k smallest of the concatenation, deduped
+    merged = sorted(set().union(*map(set, per_source.values())))[:k]
+    global_k = sorted(
+        x.hv for x in h.select("hv").distinct().collect()
+    )[:k]
+    assert merged == global_k
