@@ -541,3 +541,52 @@ def test_funnel_order_invariance(spark):
         assert a == b
 
     check()
+
+
+def test_wav_walker_random_chunk_layouts():
+    """Property: decode_wav_header recovers the planted (channels, rate,
+    bits, data size) from ANY chunk layout — random junk chunks with
+    random (possibly odd, word-padded) sizes before/between/after fmt
+    and data, in either order."""
+    import struct as st
+
+    from hypothesis import given, settings, strategies as st_
+
+    from itdb_spark.operators.multimodal import decode_wav_header
+
+    junk_chunk = st_.tuples(
+        st_.sampled_from([b"LIST", b"cue ", b"bext", b"junk", b"id3 "]),
+        st_.binary(min_size=0, max_size=9),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st_.integers(min_value=1, max_value=2),      # channels
+        st_.sampled_from([8000, 16000, 44100]),      # rate
+        st_.sampled_from([8, 16, 32]),               # bits
+        st_.binary(min_size=0, max_size=40),         # pcm payload
+        st_.lists(junk_chunk, max_size=3),           # junk before fmt
+        st_.lists(junk_chunk, max_size=3),           # junk between
+        st_.booleans(),                              # data before fmt
+    )
+    def check(ch, rate, bits, pcm, junk1, junk2, data_first):
+        def chunk(cc, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return cc + st.pack("<I", len(body)) + body + pad
+
+        fmt = chunk(
+            b"fmt ",
+            st.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+                    ch * bits // 8, bits),
+        )
+        data = b"data" + st.pack("<I", len(pcm)) + pcm + (
+            b"\x00" if len(pcm) % 2 else b""
+        )
+        parts = [chunk(cc, b) for cc, b in junk1]
+        core = [data, fmt] if data_first else [fmt, data]
+        parts += [core[0]] + [chunk(cc, b) for cc, b in junk2] + [core[1]]
+        inner = b"".join(parts)
+        blob = b"RIFF" + st.pack("<I", 4 + len(inner)) + b"WAVE" + inner
+        assert decode_wav_header(blob) == (ch, rate, bits, len(pcm))
+
+    check()
