@@ -590,3 +590,36 @@ def test_wav_walker_random_chunk_layouts():
         assert decode_wav_header(blob) == (ch, rate, bits, len(pcm))
 
     check()
+
+
+def test_despan_reconciles_with_span_stats_random(spark):
+    """Property: for ANY corpus, remove_duplicate_spans' n_removed equals
+    duplicate_spans' dup_tokens per doc (docs absent from the stats have
+    n_removed 0), and n_tokens + n_removed equals the doc's whitespace
+    token count. Small vocabulary forces organic duplicated 8-grams."""
+    from hypothesis import given, settings, strategies as st
+
+    from itdb_spark.operators.dedup import duplicate_spans, remove_duplicate_spans
+
+    word = st.sampled_from([f"w{i}" for i in range(6)])  # tiny vocab
+    doc = st.lists(word, min_size=0, max_size=24).map(" ".join)
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=6))
+    def check(texts):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        stats = {r.doc_id: r.dup_tokens
+                 for r in duplicate_spans(docs, "doc_id", "text").collect()}
+        clean = {r.doc_id: r
+                 for r in remove_duplicate_spans(docs, "doc_id", "text").collect()}
+        assert set(clean) == set(range(len(texts)))
+        for i, t in enumerate(texts):
+            n_ws = len(t.strip().split()) if t.strip() else 1  # split-of-'' artifact
+            if not t:
+                n_ws = 1
+            assert clean[i].n_removed == stats.get(i, 0)
+            assert clean[i].n_tokens + clean[i].n_removed == n_ws
+
+    check()
