@@ -380,3 +380,119 @@ def stream_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(max(stage) AS INT) AS stage
            FROM stream_funnel_live_sink GROUP BY user_id"""
     )
+
+
+@register(
+    "stream-cms-live",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ), rows_ AS (SELECT range AS j FROM range(0, 4)),
+    cells AS (
+      SELECT j,
+             CAST(concat('0x', substr(md5(concat('cms', j, ':', w)), 1, 15))
+                  AS BIGINT) % 64 AS bucket,
+             count(*) AS c
+      FROM toks, rows_ GROUP BY 1, 2
+    ), exact_ AS (
+      SELECT w, count(*) AS exact_cnt FROM toks GROUP BY 1
+    ), top AS (
+      SELECT w, exact_cnt FROM exact_
+      ORDER BY exact_cnt DESC, w LIMIT 20
+    ), est AS (
+      SELECT t.w, min(c.c) AS est_cnt
+      FROM top t, rows_ r
+      JOIN cells c
+        ON c.j = r.j
+       AND c.bucket = CAST(concat('0x', substr(md5(
+             concat('cms', r.j, ':', t.w)), 1, 15)) AS BIGINT) % 64
+      GROUP BY 1
+    )
+    SELECT t.w AS token,
+           CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.est_cnt AS BIGINT) AS est_cnt,
+           e.est_cnt >= t.exact_cnt AS never_undercounts
+    FROM top t JOIN est e USING (w)
+    """,
+    doc="STREAMING sketch maintenance — agg-cms's d=4 × w=64 Count-Min "
+    "cells kept as a live complete-mode streaming aggregate over a real "
+    "documents readStream: each micro-batch's partial counts fold into "
+    "the running cells exactly like the batch partial aggregation (the "
+    "merge IS the update rule — the property that makes the sketch "
+    "streamable at all). The gate drives the stream to completion, then "
+    "answers the top-20 point queries from the SINK's cells; the result "
+    "must equal batch agg-cms's oracle bit-for-bit. State is bounded at "
+    "d·w counters regardless of stream length — the whole point of "
+    "sketching an unbounded stream.",
+)
+def stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from itdb_spark.functions.core import portable_hash64
+
+    docs_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+    def bucket(j_col, w_col):
+        return portable_hash64(
+            F.concat(F.lit("cms"), j_col.cast("string"), F.lit(":"), w_col)
+        ) % 64
+
+    cells_stream = (
+        stream.where(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        .select("w", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"))
+        .select("j", bucket(F.col("j"), F.col("w")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    q = (
+        cells_stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_cms_cells")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    cells = spark.table("stream_cms_cells")
+
+    # point queries against the streamed cells: exact top-20 from the
+    # same table batch-side (the sketch answers, the exact side grades)
+    toks = (
+        spark.read.schema(docs_schema)
+        .parquet(f"{sf_dir}/documents.parquet")
+        .where(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+    )
+    top = (
+        toks.groupBy("w").agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("w")).limit(20)
+    )
+    probes = top.select(
+        "w", "exact_cnt", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+    ).select("w", "exact_cnt", "j", bucket(F.col("j"), F.col("w")).alias("bucket"))
+    return (
+        probes.join(cells, ["j", "bucket"])
+        .groupBy("w", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+        .select(
+            F.col("w").alias("token"),
+            F.col("exact_cnt").cast("long"),
+            F.col("est_cnt").cast("long"),
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_undercounts"),
+        )
+    )
