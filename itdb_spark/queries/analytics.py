@@ -770,3 +770,53 @@ def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").cast("long").alias("max_session_events"),
         F.sum("span_s").cast("long").alias("total_active_s"),
     )
+
+
+@register(
+    "fn-interleave",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(concat('0x', substr(md5(concat('il7:', doc_id)),
+                                    1, 15)) AS BIGINT), doc_id
+             ) AS BIGINT) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, rn,
+           CAST(row_number() OVER (ORDER BY rn, source, doc_id) AS BIGINT)
+             AS pos
+    FROM r
+    """,
+    doc="Proportional source interleave — the training order that avoids "
+    "source clumping (a plain shuffle can emit long single-source runs; "
+    "interleaving guarantees every source appears once per round-robin "
+    "cycle while position within a source stays hash-random): rank docs "
+    "WITHIN each source by seeded hash (partitioned window — no global "
+    "anything), then order globally by (rank, source) via the bucketed "
+    "ranged_row_number plan, bucketing on the leading rank column so no "
+    "single-partition window exists at any width. Complements "
+    "fn-shuffle (pure random order) and pipe-assemble (quota "
+    "selection); the oracle is the plain two-window SQL.",
+)
+def fn_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import portable_hash64
+    from itdb_spark.plans.library import ranged_row_number
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        portable_hash64(F.concat(F.lit("il7:"), F.col("doc_id"))), "doc_id"
+    )
+    ranked = t.documents.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("rn")
+    )
+    # rn is small-integer and heavily tied (one per source per value) —
+    # bucket on it directly; order-consistency holds since rn leads
+    return ranged_row_number(
+        ranked,
+        ["rn", "source", "doc_id"],
+        start=0,  # start is an OFFSET on the 1-based rank
+        out_col="pos",
+        bucket=F.floor(F.col("rn") / 64),
+    ).select("doc_id", "source", "rn", "pos")
