@@ -820,3 +820,49 @@ def fn_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="pos",
         bucket=F.floor(F.col("rn") / 64),
     ).select("doc_id", "source", "rn", "pos")
+
+
+@register(
+    "win-dist",
+    oracle="""
+    SELECT priority, orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(10) OVER (PARTITION BY priority
+                                ORDER BY price_cents DESC, orderkey)
+                AS BIGINT) AS decile
+    FROM (
+      SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    )
+    WINDOW w AS (PARTITION BY priority ORDER BY price_cents DESC)
+    """,
+    doc="Distribution window family (percent_rank / cume_dist / ntile "
+    "deciles) completing win-rank's ranking set: percent_rank and "
+    "cume_dist depend only on the VALUE ordering (ties share a value, "
+    "so no tie-break is needed for determinism — both engines compute "
+    "(rank-1)/(n-1) and peers/n over identical integer cents), while "
+    "ntile assigns rows and therefore keeps the full (price, orderkey) "
+    "tie-break. The rounded ratios are quotients of small integers — "
+    "identical doubles in both engines, one rounding, no sum-order "
+    "exposure.",
+)
+def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    wv = Window.partitionBy("priority").orderBy(F.desc("price_cents"))
+    wt = Window.partitionBy("priority").orderBy(
+        F.desc("price_cents"), F.asc("orderkey")
+    )
+    return base.select(
+        "priority",
+        "orderkey",
+        F.round(F.percent_rank().over(wv), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wv), 6).alias("cume"),
+        F.ntile(10).over(wt).cast("long").alias("decile"),
+    )
