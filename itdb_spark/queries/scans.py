@@ -461,3 +461,64 @@ def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("path", "mtime", "checksum")
         .orderBy("path")
     )
+
+
+def _synth_csv(path: str, n: int = 50) -> None:
+    """Deterministic CSV with the staging-file edge cases the reference's
+    CSV loader handles by escaping (itdbloader.py:162-163): quoted fields
+    with embedded commas, embedded double quotes (doubled per RFC 4180),
+    embedded newlines inside quotes, and 1/0 booleans. Row i carries
+    formula values so the oracle can also be cross-checked arithmetically;
+    byte-identical rewrite keeps concurrent reconcilers stable."""
+    rows = ["track_id,name,plays,starred"]
+    for i in range(1, n + 1):
+        if i % 10 == 0:
+            name = f'"Song, the {i}th"'            # embedded comma
+        elif i % 7 == 0:
+            name = f'"Say ""{i}"" twice"'          # embedded quotes
+        elif i % 13 == 0:
+            name = f'"line one {i}\nline two"'     # embedded newline
+        else:
+            name = f"Track {i}"
+        rows.append(f"{i},{name},{i * 31 % 997},{i % 2}")
+    content = "\n".join(rows) + "\n"
+    if not (os.path.exists(path) and open(path).read() == content):
+        with open(path, "w") as fh:
+            fh.write(content)
+
+
+@register(
+    "src-csv",
+    oracle=f"""
+    SELECT track_id, name, plays, starred_raw = 1 AS starred
+    FROM read_csv('{os.path.join(tempfile.gettempdir(), "itdb_spark_src.csv")}',
+                  header=true, quote='"', escape='"',
+                  columns={{'track_id': 'BIGINT', 'name': 'VARCHAR',
+                           'plays': 'BIGINT', 'starred_raw': 'BIGINT'}})
+    """,
+    doc="CSV source scan with the RFC-4180 edge cases the reference's "
+    "staging loader escapes by hand (itdbloader.py:152-168: LOAD DATA "
+    "from a csv.writer file): quoted embedded commas, doubled embedded "
+    "quotes, and multiLine quoted newlines, with a pinned schema and "
+    "FAILFAST (a malformed row aborts loudly rather than silently "
+    "nulling — the loader's posture). Spark's multiLine CSV parse and "
+    "DuckDB's independent read_csv must agree on every cell of the "
+    "same REAL file, deterministically synthesized at a well-known "
+    "path with self-reconciling rewrite.",
+)
+def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(tempfile.gettempdir(), "itdb_spark_src.csv")
+    _synth_csv(path)
+    raw = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .option("mode", "FAILFAST")
+        .schema("track_id long, name string, plays long, starred long")
+        .csv(path)
+    )
+    # 1/0 -> boolean decode, the loader's staging convention in reverse
+    # (Spark's CSV boolean parser only accepts true/false literals)
+    return raw.select(
+        "track_id", "name", "plays", (F.col("starred") == 1).alias("starred")
+    )
