@@ -2706,3 +2706,99 @@ def mm_av_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("off_in_chunk"),
         )
     )
+
+
+@register(
+    "text-perplexity2",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ), bg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS w1, t[i+1] AS w2
+      FROM tk, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ), uni AS (
+      SELECT w, count(*) AS c1 FROM (
+        SELECT unnest(t) AS w FROM tk
+      ) GROUP BY 1
+    ), v AS (SELECT count(*) AS vsize FROM uni),
+    big AS (
+      SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+    ), joined AS (
+      SELECT b.doc_id, b.pos, big.c2, uni.c1, v.vsize
+      FROM bg b JOIN big ON big.w1 = b.w1 AND big.w2 = b.w2
+                JOIN uni ON uni.w = b.w1
+                CROSS JOIN v
+    ), folded AS (
+      SELECT doc_id,
+             list_transform(
+               list(struct_pack(pos := pos, c2 := c2, c1 := c1,
+                                vsize := vsize) ORDER BY pos),
+               r -> ln((r.c2 + 1) / CAST(r.c1 + r.vsize AS DOUBLE)))
+               AS lps
+      FROM joined GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(len(lps) AS BIGINT) AS n_bigrams,
+           round(exp(-list_sum(lps) / len(lps)), 6) AS ppl2
+    FROM folded
+    """,
+    doc="Bigram-LM perplexity with add-one smoothing — the conditional "
+    "upgrade of text-perplexity's unigram scorer (CCNet-style filtering "
+    "with a context-aware model): P(w|prev) = (c2+1)/(c1+V), per-doc "
+    "ppl = exp(-mean ln P). The integer (pos, c2, c1) triples collect "
+    "per doc and the float work (ln, sum) runs in a per-row fold over "
+    "the POSITION-SORTED list — both engines evaluate identical doubles "
+    "in the identical sequence, the text-entropy determinism discipline "
+    "extended to joined counts. Two count shuffles (unigram, bigram — "
+    "both map-side combined) + the join-back + one groupBy(doc).",
+)
+def text_perplexity2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    tk = t.documents.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    bg = (
+        tk.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr("transform(sequence(1, size(t)-1),"
+                       " i -> struct(t[i-1] AS w1, t[i] AS w2))")
+            ).alias("pos0", "p"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = (
+        tk.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c1"))
+    )
+    vsize = uni.agg(F.count("*").alias("vsize"))
+    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    joined = (
+        bg.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vsize))
+    )
+    folded = joined.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c2", "c1", "vsize"))),
+            lambda r: F.log(
+                (r.getField("c2") + 1).cast("double")
+                / (r.getField("c1") + r.getField("vsize")).cast("double")
+            ),
+        ).alias("lps")
+    )
+    return folded.select(
+        "doc_id",
+        F.size("lps").cast("long").alias("n_bigrams"),
+        F.round(
+            F.exp(
+                -F.aggregate("lps", F.lit(0.0), lambda a, x: a + x)
+                / F.size("lps")
+            ),
+            6,
+        ).alias("ppl2"),
+    )
