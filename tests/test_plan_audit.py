@@ -61,3 +61,36 @@ def test_kmv_sketch_plan_prunes_before_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "WindowGroupLimit" in plan
+
+
+def test_funnel_event_type_filter_pushed_to_scan(spark):
+    """agg-funnel's event-type pre-filter must reach the parquet scan
+    (PushedFilters In(event_type, ...)) — it prunes both the shuffle and
+    the skew surface, the property SCALE.md claims."""
+    from tests.conftest import SF_DIR
+
+    from itdb_spark.queries import load_all
+
+    df = load_all()["agg-funnel"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "event_type" in pushed
+
+
+def test_classifier_weights_broadcast(spark):
+    """text-classify's weight table must broadcast (a real model's
+    weights ship the same way); the corpus side must never be the
+    build side."""
+    from tests.conftest import SF_DIR
+
+    from itdb_spark.queries import load_all
+
+    df = load_all()["text-classify"].spark(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    bcast = plan.split("BroadcastExchange", 1)[1]
+    assert "Range" in bcast.split("Scan parquet")[0], (
+        "broadcast build side must be the Range-backed weight table"
+    )
