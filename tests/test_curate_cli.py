@@ -61,3 +61,37 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     # report round-trips from disk
     on_disk = json.loads((outdir / "report.json").read_text())
     assert on_disk["output"]["corpus_rows"] == len(got_ids)
+
+
+def test_curate_cli_deterministic(spark, tmp_path):
+    """Two runs over the same input produce IDENTICAL corpus rows, pack
+    geometry, and report — the property that makes the pipeline
+    resumable and its outputs diffable across reruns."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    rows = [
+        (i, " ".join(f"t{(i * 13 + j * 5) % 41}" for j in range(30)),
+         "en", f"s{i % 3}", 150)
+        for i in range(40)
+    ]
+    indir = tmp_path / "in"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(indir / "documents.parquet"))
+
+    import tools.curate as curate
+
+    outs = []
+    for d in ("out_a", "out_b"):
+        outdir = tmp_path / d
+        rep = curate.main(["--input", str(indir), "--output", str(outdir)])
+        corpus = {
+            tuple(r) for r in spark.read.parquet(str(outdir / "corpus")).collect()
+        }
+        packs = {
+            tuple(r) for r in spark.read.parquet(str(outdir / "packs")).collect()
+        }
+        outs.append((corpus, packs, rep))
+    assert outs[0][0] == outs[1][0], "corpus rows differ between runs"
+    assert outs[0][1] == outs[1][1], "pack geometry differs between runs"
+    assert outs[0][2] == outs[1][2], "reports differ between runs"
