@@ -2802,3 +2802,323 @@ def text_perplexity2(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ppl2"),
     )
+
+
+# --- corpus-level sketches: source overlap + Bloom membership ---------------
+
+_SRCSIM_PERMS = 64
+
+
+def _srcsim_oracle() -> str:
+    h = _PORTABLE_HASH_SQL.format(col="w")
+    mins = ",\n             ".join(
+        f"min(({a} * h + {b}) % {HASH_PRIME}) AS m{j}"
+        for j, (a, b) in ((j, _perm_coeffs(j)) for j in range(_SRCSIM_PERMS))
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(_SRCSIM_PERMS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    words AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source,
+               unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                           i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) END) AS w
+        FROM tok
+      )
+    ),
+    hashed AS (SELECT DISTINCT source, {h} % {HASH_PRIME} AS h FROM words),
+    sig AS (SELECT source,
+             {mins}
+            FROM hashed GROUP BY source),
+    sizes AS (SELECT source, count(*) AS n FROM hashed GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS c
+      FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT x.source AS src_a, y.source AS src_b,
+             x.n AS n_a, y.n AS n_b, coalesce(i.c, 0) AS n_common
+      FROM sizes x JOIN sizes y ON x.source < y.source
+      LEFT JOIN inter i ON i.src_a = x.source AND i.src_b = y.source
+    )
+    SELECT p.src_a, p.src_b,
+           CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+           CAST(p.n_common AS BIGINT) AS n_common,
+           CAST((1000 * p.n_common) // (p.n_a + p.n_b - p.n_common) AS BIGINT)
+             AS exact_milli,
+           CAST((1000 * ({matches})) // {_SRCSIM_PERMS} AS BIGINT) AS est_milli
+    FROM pairs p
+    JOIN sig a ON a.source = p.src_a
+    JOIN sig b ON b.source = p.src_b
+    """
+
+
+@register(
+    "agg-srcsim",
+    oracle=_srcsim_oracle(),
+    doc="Source-overlap estimation: one 64-permutation MinHash signature "
+    "PER SOURCE over its distinct word-3-gram shingle hashes, then the "
+    "full pairwise estimated-Jaccard matrix next to the exact value — "
+    "the corpus-card question ('how much does CommonCrawl-A overlap "
+    "Refined-B?') answered without pairwise document comparison. The "
+    "signature exploits MinHash's union rule: min over a source's doc "
+    "hashes IS the signature of the union of its docs, so one map-side-"
+    "combinable groupBy(source) builds every signature in a shuffle of "
+    "num_sources rows. The exact intersection (inverted-index self-join "
+    "on the shingle hash) is the audit path, emitted here so the gate "
+    "can pin the estimate bit-for-bit next to the truth; at 100 TB only "
+    "the signature path runs (cost: one shingle scan), pairs stay "
+    "O(sources^2) rows. Integer milli-Jaccard via DIV on both engines — "
+    "no float in the hash gate. Generalizes the reference's "
+    "library-overlap question (dupes/dedup.py:127-171) from file "
+    "checksums to corpus content.",
+)
+def agg_srcsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import portable_hash64
+    from itdb_spark.operators.dedup import word_shingles
+
+    t = Tables(spark, sf_dir)
+    hashed = (
+        t.documents.select("source", F.explode(word_shingles("text")).alias("w"))
+        .select("source", (portable_hash64(F.col("w")) % HASH_PRIME).alias("h"))
+        .distinct()
+    )
+    sig = hashed.groupBy("source").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"m{j}")
+            for j, (a, b) in ((j, _perm_coeffs(j)) for j in range(_SRCSIM_PERMS))
+        ]
+    )
+    sizes = hashed.groupBy("source").agg(F.count("*").alias("n"))
+    inter = (
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        sizes.alias("x")
+        .join(sizes.alias("y"), F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("src_a"),
+            F.col("y.source").alias("src_b"),
+            F.col("x.n").alias("n_a"),
+            F.col("y.n").alias("n_b"),
+        )
+        .join(inter, ["src_a", "src_b"], "left")
+        .withColumn("n_common", F.coalesce("c", F.lit(0)))
+        .drop("c")
+    )
+    siga = sig.select(
+        F.col("source").alias("src_a"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(_SRCSIM_PERMS)],
+    )
+    sigb = sig.select(
+        F.col("source").alias("src_b"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(_SRCSIM_PERMS)],
+    )
+    matches = None
+    for j in range(_SRCSIM_PERMS):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        pairs.join(siga, "src_a")
+        .join(sigb, "src_b")
+        .withColumn("matches", matches)
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            F.col("n_common").cast("long"),
+            F.expr("CAST((1000 * n_common) DIV (n_a + n_b - n_common) AS BIGINT)").alias(
+                "exact_milli"
+            ),
+            F.expr(f"CAST((1000 * matches) DIV {_SRCSIM_PERMS} AS BIGINT)").alias(
+                "est_milli"
+            ),
+        )
+    )
+
+
+@register(
+    "agg-bloom",
+    oracle="""
+    WITH docs AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+    probes AS (
+      SELECT doc_id + 100000 AS doc_id, source, 'near' AS kind,
+             md5(regexp_replace(text, '^[a-z]+\\s+', '')) AS fp
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, source, 'dup' AS kind, md5(text) AS fp
+      FROM documents
+    ),
+    idx AS (SELECT range AS i FROM range(0, 4)),
+    build AS (
+      SELECT d.source,
+             CAST(concat('0x', substr(md5(concat('bloom', i.i, ':', d.fp)), 1, 15))
+                  AS BIGINT) % 1024 AS pos
+      FROM docs d, idx i
+    ),
+    sketch AS (
+      SELECT source, pos // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+      FROM build GROUP BY 1, 2
+    ),
+    bitstats AS (
+      SELECT source, sum(bit_count(word)) AS bits_set FROM sketch GROUP BY 1
+    ),
+    pfan AS (
+      SELECT p.source, p.doc_id, p.kind,
+             CAST(concat('0x', substr(md5(concat('bloom', i.i, ':', p.fp)), 1, 15))
+                  AS BIGINT) % 1024 AS pos
+      FROM probes p, idx i
+    ),
+    phit AS (
+      SELECT f.source, f.doc_id, f.kind,
+             count(*) FILTER (
+               WHERE (s.word & (1::BIGINT << CAST(f.pos % 32 AS INT))) <> 0
+             ) AS nbits
+      FROM pfan f
+      JOIN sketch s ON s.source = f.source AND s.word_idx = f.pos // 32
+      GROUP BY 1, 2, 3
+    ),
+    agg AS (
+      SELECT p.source, p.kind, count(*) AS probes,
+             sum(CASE WHEN m.nbits = 4 THEN 1 ELSE 0 END) AS hits
+      FROM probes p
+      LEFT JOIN phit m
+        ON m.source = p.source AND m.doc_id = p.doc_id AND m.kind = p.kind
+      GROUP BY 1, 2
+    ),
+    ndocs AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY 1)
+    SELECT n.source,
+           CAST(n.n_docs AS BIGINT) AS n_docs,
+           CAST(b.bits_set AS BIGINT) AS bits_set,
+           CAST(max(CASE WHEN a.kind = 'dup' THEN a.hits END) AS BIGINT) AS dup_hits,
+           max(CASE WHEN a.kind = 'dup' THEN a.hits END) = n.n_docs AS all_dups_caught,
+           CAST(max(CASE WHEN a.kind = 'near' THEN a.hits END) AS BIGINT)
+             AS near_fp_hits
+    FROM ndocs n
+    JOIN bitstats b ON b.source = n.source
+    JOIN agg a ON a.source = n.source
+    GROUP BY n.source, n.n_docs, b.bits_set
+    """,
+    doc="Bloom-filter membership sketch per source — the seen-set "
+    "pre-filter an incremental 100 TB ingest keeps in front of exact "
+    "dedup (completes the sketch family: agg-cms frequency, agg-kmv / "
+    "agg-approx cardinality, Bloom membership). m=1024 bits as 32 "
+    "32-bit words (the checked-shift-safe layout on both engines), k=4 portable hashes of the doc fingerprint; the "
+    "filter is built in ONE map-side-combined groupBy(source, word) "
+    "with bit_or — executor-local partial ORs ARE the Bloom union "
+    "rule, so the same plan shape IS the distributed sketch merge. "
+    "Probes replay the derived-corpus incremental batch: the exact "
+    "duplicates must all hit (one-sided no-false-negative guarantee, "
+    "emitted as the all_dups_caught gate); the mutated near-dups hit "
+    "only by false positive, and that count is pinned bit-for-bit by "
+    "the oracle replaying the identical hash arithmetic. The probe "
+    "join touches 32 words/source — a broadcast at any corpus size; "
+    "only the fingerprint scan scales with data. Scale form of the "
+    "reference's checksum seen-set (dupes/dedup.py:127-143).",
+)
+def agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import portable_hash64
+
+    t = Tables(spark, sf_dir)
+    base = t.documents
+    docs = base.select("doc_id", "source", F.md5("text").alias("fp"))
+    probes = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "source",
+        F.lit("near").alias("kind"),
+        F.md5(F.regexp_replace("text", _MUT, "")).alias("fp"),
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            "source",
+            F.lit("dup").alias("kind"),
+            F.md5("text").alias("fp"),
+        )
+    )
+
+    def bloom_pos(i_col, fp_col):
+        return (
+            portable_hash64(
+                F.concat(F.lit("bloom"), i_col.cast("string"), F.lit(":"), fp_col)
+            )
+            % 1024
+        )
+
+    four = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+    build = docs.select("source", four, "fp").select(
+        "source", bloom_pos(F.col("i"), F.col("fp")).alias("pos")
+    )
+    sketch = (
+        build.select(
+            "source",
+            F.expr("pos DIV 32").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pos % 32 AS INT))").alias("bitval"),
+        )
+        .groupBy("source", "word_idx")
+        .agg(F.expr("bit_or(bitval)").alias("word"))
+    )
+    bitstats = sketch.groupBy("source").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("bits_set")
+    )
+    pfan = probes.select("source", "doc_id", "kind", four, "fp").select(
+        "source", "doc_id", "kind", bloom_pos(F.col("i"), F.col("fp")).alias("pos")
+    )
+    phit = (
+        pfan.alias("f")
+        .join(
+            F.broadcast(sketch.alias("s")),
+            (F.col("f.source") == F.col("s.source"))
+            & (F.col("s.word_idx") == F.expr("f.pos DIV 32")),
+        )
+        .select(
+            F.col("f.source").alias("source"),
+            "doc_id",
+            "kind",
+            (
+                F.expr("s.word & shiftleft(1L, CAST(f.pos % 32 AS INT))") != 0
+            ).cast("int").alias("hit"),
+        )
+        .groupBy("source", "doc_id", "kind")
+        .agg(F.sum("hit").alias("nbits"))
+    )
+    agg = (
+        probes.join(phit, ["source", "doc_id", "kind"], "left")
+        .groupBy("source", "kind")
+        .agg(
+            F.count("*").alias("probes"),
+            F.sum(F.when(F.col("nbits") == 4, 1).otherwise(0)).alias("hits"),
+        )
+    )
+    ndocs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        ndocs.join(bitstats, "source")
+        .join(agg, "source")
+        .groupBy("source", "n_docs", "bits_set")
+        .agg(
+            F.max(F.when(F.col("kind") == "dup", F.col("hits"))).alias("_dup"),
+            F.max(F.when(F.col("kind") == "near", F.col("hits"))).alias("_near"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long"),
+            F.col("bits_set").cast("long"),
+            F.col("_dup").cast("long").alias("dup_hits"),
+            (F.col("_dup") == F.col("n_docs")).alias("all_dups_caught"),
+            F.col("_near").cast("long").alias("near_fp_hits"),
+        )
+    )

@@ -713,3 +713,52 @@ def test_runtime_bloom_filter_join_reduction(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_srcsim_signature_partial_agg_and_bounded_bnlj(spark):
+    """agg-srcsim's 64-perm per-source signature must build via map-side
+    partial mins (one shuffle of num_sources rows — the MinHash union
+    rule IS the partial agg), and the only nested-loop join allowed is
+    the source-pair matrix: a non-equi (src < src) join of two
+    per-source AGGREGATES, bounded by source count, never the corpus."""
+    from itdb_spark.queries import load_all
+
+    df = load_all()["agg-srcsim"].spark(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "partial_min" in plan, "signature groupBy lost its map-side combine"
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj == 1, f"expected exactly the pair-matrix BNLJ, got {bnlj}"
+    # the BNLJ must sit above aggregates (per-source rows), not raw scans:
+    # its subtree may not contain a parquet scan of documents
+    seg = plan[plan.index("BroadcastNestedLoopJoin"):]
+    # the first Exchange after the BNLJ closes its build side; a Scan
+    # before any HashAggregate would mean it crossed raw data
+    first_scan = seg.find("Scan parquet")
+    first_agg = seg.find("HashAggregate")
+    assert first_agg != -1 and (first_scan == -1 or first_agg < first_scan), (
+        "pair-matrix BNLJ must consume per-source aggregates, not the corpus"
+    )
+
+
+def test_bloom_sketch_merge_shape_and_guarantees(spark):
+    """agg-bloom: the filter build must carry partial_bit_or (executor-
+    local ORs ARE the Bloom union), the probe join must broadcast the
+    32-words-per-source sketch, and the one-sided guarantee must hold in
+    the result: every exact-duplicate probe hits (no false negatives —
+    a certainty, not a bound), near-dup hits are false positives only."""
+    from itdb_spark.queries import load_all
+
+    df = load_all()["agg-bloom"].spark(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "partial_bit_or" in plan, "Bloom build lost its map-side OR combine"
+    assert "BroadcastExchange" in plan, "probe join must broadcast the sketch"
+    rows = df.collect()
+    assert rows, "no sources?"
+    for r in rows:
+        assert r.all_dups_caught, f"{r.source}: Bloom false negative (impossible)"
+        assert r.dup_hits == r.n_docs
+        # m=1024/k=4 at 25-250 docs/source keeps fill low; FPs must stay
+        # a small minority of probes or the filter is mis-sized
+        assert r.near_fp_hits <= r.n_docs // 2, (
+            f"{r.source}: {r.near_fp_hits} FPs of {r.n_docs} — fill ratio wrong"
+        )
