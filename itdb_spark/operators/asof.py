@@ -54,9 +54,12 @@ def asof_join(
 ) -> DataFrame:
     """As-of LEFT join: every left row, plus the payload columns of the
     nearest right row per key — the latest with ``right_ts <= left_ts``
-    (``backward``, default) or the earliest with ``right_ts >= left_ts``
-    (``forward``); strict excludes the equal-ts match. Nulls when no
-    right row qualifies.
+    (``backward``, default), the earliest with ``right_ts >= left_ts``
+    (``forward``), or whichever of those two is closer in absolute
+    distance (``nearest``, ties resolve backward — pandas
+    merge_asof(direction='nearest') semantics; adds a ``matched_dir``
+    column naming the winning side). strict excludes the equal-ts match
+    (backward/forward only). Nulls when no right row qualifies.
 
     Forward is the same one-exchange union-tag plan with the window
     frame flipped: first non-null right payload over
@@ -69,8 +72,10 @@ def asof_join(
     rename them before the call if they collide with left column names.
     Output columns: every left column, then the right payload columns.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if direction == "nearest" and strict:
+        raise ValueError("strict nearest is not defined (no equal-ts side to exclude)")
     keys = [on] if isinstance(on, str) else list(on)
     l_payload = [c for c in left.columns if c not in keys]
     r_payload = [c for c in right.columns if c not in keys]
@@ -86,7 +91,12 @@ def asof_join(
     # left row, a FOLLOWING frame sees ones sorting at-or-after — so the
     # side assignment inverts with the direction.
     backward = direction == "backward"
-    if backward:
+    if direction == "nearest":
+        # right rows sort before left at equal ts: the PRECEDING frame
+        # (backward candidate) sees exact matches, so a distance-0 tie
+        # always resolves to the backward side below.
+        r_side, l_side = 0, 1
+    elif backward:
         r_side, l_side = (2, 1) if strict else (0, 1)
     else:
         r_side, l_side = (0, 1) if strict else (2, 1)
@@ -105,6 +115,43 @@ def asof_join(
         F.struct(*r_payload).alias("_r"),
     )
     base = Window.partitionBy(*keys).orderBy("_ts", "_side")
+    if direction == "nearest":
+        # BOTH frames over the one sorted partition — same single
+        # exchange + sort as one direction (two Window nodes share the
+        # required distribution/ordering, Catalyst inserts no second
+        # Exchange); the nearer candidate wins, distance ties go
+        # backward (pandas merge_asof direction='nearest' semantics).
+        wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carried = tagged_l.unionByName(tagged_r).select(
+            *keys,
+            "_side",
+            "_ts",
+            "_l",
+            F.last("_r", ignorenulls=True).over(wb).alias("_rb"),
+            F.first("_r", ignorenulls=True).over(wf).alias("_rf"),
+        )
+        # distances on a double view of the ts (exact for micro-precision
+        # timestamps: |micros| < 2^52, so the cast is lossless and the
+        # comparison is the integer comparison)
+        t0 = F.col("_ts").cast("double")
+        db = F.abs(t0 - F.col("_rb").getField(right_ts).cast("double"))
+        df_ = F.abs(F.col("_rf").getField(right_ts).cast("double") - t0)
+        pick_f = F.col("_rb").isNull() | (
+            F.col("_rf").isNotNull() & (df_ < db)
+        )
+        chosen = F.when(pick_f, F.col("_rf")).otherwise(F.col("_rb"))
+        matched = (
+            F.when(chosen.isNull(), F.lit(None).cast("string"))
+            .when(pick_f, F.lit("forward"))
+            .otherwise(F.lit("backward"))
+        )
+        return carried.where(F.col("_side") == l_side).select(
+            *keys,
+            *[F.col(f"_l.{c}").alias(c) for c in l_payload],
+            *[chosen.getField(c).alias(c) for c in r_payload],
+            matched.alias("matched_dir"),
+        )
     if backward:
         w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         carry = F.last("_r", ignorenulls=True).over(w)

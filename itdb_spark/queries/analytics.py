@@ -866,3 +866,69 @@ def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(wv), 6).alias("cume"),
         F.ntile(10).over(wt).cast("long").alias("decile"),
     )
+
+
+@register(
+    "fn-sample-pps",
+    oracle="""
+    WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+    c AS (
+      SELECT doc_id, w,
+             CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cb
+      FROM d
+    ),
+    t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d)
+    SELECT doc_id, w, cb,
+           CAST(
+             (CASE WHEN 200 * (cb + w) <= tw THEN 0
+                   ELSE LEAST(100, (200 * (cb + w) + tw - 1) // (2 * tw)) END)
+             - (CASE WHEN 200 * cb <= tw THEN 0
+                     ELSE LEAST(100, (200 * cb + tw - 1) // (2 * tw)) END)
+           AS BIGINT) AS n_hits
+    FROM c, t
+    WHERE (CASE WHEN 200 * (cb + w) <= tw THEN 0
+                ELSE LEAST(100, (200 * (cb + w) + tw - 1) // (2 * tw)) END)
+          - (CASE WHEN 200 * cb <= tw THEN 0
+                  ELSE LEAST(100, (200 * cb + tw - 1) // (2 * tw)) END) >= 1
+    """,
+    doc="Systematic probability-proportional-to-size (PPS) sampling: k=100 "
+    "evenly spaced offsets over the cumulative weight line (midpoint rule "
+    "o_j = (2j+1)·W/(2k)); a document is drawn with multiplicity = how "
+    "many offsets land in its [cum_before, cum_before + w) interval, so "
+    "inclusion probability is exactly proportional to weight (n_chars "
+    "here; token count or quality in deployment) and hit counts telescope "
+    "to exactly k. ALL-INTEGER arithmetic — no RNG, no float pow: unlike "
+    "Efraimidis-Spirakis u^(1/w) keys, the selection is bit-reproducible "
+    "across engines and immune to float-tie flips, which is what lets "
+    "the hash gate pin it. The cumulative line comes from the two-phase "
+    "ranged_cumsum (per-bucket window + broadcast bucket offsets — NO "
+    "single-partition exchange); the total weight is one scalar agg "
+    "broadcast back. The weighted companion to fn-sample's Bernoulli "
+    "hash-split and fn-stratified's per-group quotas.",
+)
+def fn_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.plans.library import ranged_cumsum
+
+    k2, k = 200, 100  # 2k, k
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", F.col("n_chars").cast("long").alias("w"))
+    cum = ranged_cumsum(
+        docs, ["doc_id"], "w", out_col="cb", bucket=F.floor(F.col("doc_id") / 100)
+    ).select("doc_id", "w", F.col("cb").cast("long").alias("cb"))
+    tot = docs.agg(F.sum("w").cast("long").alias("tw"))
+
+    def f_at(x: str) -> str:
+        return (
+            f"CASE WHEN {k2} * ({x}) <= tw THEN 0 "
+            f"ELSE LEAST({k}, ({k2} * ({x}) + tw - 1) DIV (2 * tw)) END"
+        )
+
+    n_hits = f"CAST(({f_at('cb + w')}) - ({f_at('cb')}) AS BIGINT)"
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("n_hits", F.expr(n_hits))
+        .where(F.col("n_hits") >= 1)
+        .select("doc_id", "w", "cb", "n_hits")
+    )

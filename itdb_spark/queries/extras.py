@@ -598,3 +598,72 @@ def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_id",
         F.unix_timestamp("error_ts").alias("error_epoch"),
     )
+
+
+@register(
+    "join-nearest",
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type <> 'error'),
+    r AS (SELECT user_id, ts AS error_ts, max(event_id) AS error_id
+          FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+    b AS (SELECT l.event_id, l.user_id, l.ts,
+                 r.error_id AS b_id, r.error_ts AS b_ts
+          FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND l.ts >= r.error_ts),
+    f AS (SELECT l.event_id, r.error_id AS f_id, r.error_ts AS f_ts
+          FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND l.ts <= r.error_ts),
+    j AS (
+      SELECT b.event_id, b.user_id, b.ts, b.b_id, b.b_ts, f.f_id, f.f_ts,
+             (b.b_ts IS NULL OR (f.f_ts IS NOT NULL AND
+                (epoch_us(f.f_ts) - epoch_us(b.ts))
+              < (epoch_us(b.ts) - epoch_us(b.b_ts)))) AS pick_f
+      FROM b JOIN f USING (event_id)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN pick_f THEN f_id ELSE b_id END AS error_id,
+           CAST(floor(epoch(CASE WHEN pick_f THEN f_ts ELSE b_ts END))
+                AS BIGINT) AS error_epoch,
+           CASE WHEN (CASE WHEN pick_f THEN f_id ELSE b_id END) IS NULL
+                THEN NULL
+                WHEN pick_f THEN 'forward' ELSE 'backward' END AS matched_dir
+    FROM j
+    """,
+    doc="NEAREST as-of join (merge_asof direction='nearest'): every "
+    "non-error event joined to the error of the same user CLOSEST in "
+    "absolute time, either side; distance ties resolve backward. "
+    "Completes the as-of family (join-asof2 backward, join-asof-fwd "
+    "forward). Implementation is STILL one exchange: both window frames "
+    "(last-ignorenulls preceding, first-ignorenulls following) share "
+    "the single per-user sorted partition — Catalyst inserts no second "
+    "Exchange for the second frame — and the winner is a row-local "
+    "comparison. The oracle composes DuckDB's native backward AND "
+    "forward ASOF joins with the same tie rule — two independent as-of "
+    "implementations agreeing on every choice, including the "
+    "matched_dir label.",
+)
+def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.asof import asof_join
+
+    t = Tables(spark, sf_dir)
+    left = t.events.where(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        t.events.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("error_id"))
+        .select("user_id", F.col("ts").alias("error_ts"), "error_id")
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="error_ts",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "error_id",
+        F.unix_timestamp("error_ts").alias("error_epoch"),
+        "matched_dir",
+    )

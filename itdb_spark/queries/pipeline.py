@@ -2951,9 +2951,7 @@ def agg_srcsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg-bloom",
-    oracle="""
+_BLOOM_ORACLE = """
     WITH docs AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
     probes AS (
       SELECT doc_id + 100000 AS doc_id, source, 'near' AS kind,
@@ -3013,31 +3011,32 @@ def agg_srcsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN bitstats b ON b.source = n.source
     JOIN agg a ON a.source = n.source
     GROUP BY n.source, n.n_docs, b.bits_set
-    """,
-    doc="Bloom-filter membership sketch per source — the seen-set "
-    "pre-filter an incremental 100 TB ingest keeps in front of exact "
-    "dedup (completes the sketch family: agg-cms frequency, agg-kmv / "
-    "agg-approx cardinality, Bloom membership). m=1024 bits as 32 "
-    "32-bit words (the checked-shift-safe layout on both engines), k=4 portable hashes of the doc fingerprint; the "
-    "filter is built in ONE map-side-combined groupBy(source, word) "
-    "with bit_or — executor-local partial ORs ARE the Bloom union "
-    "rule, so the same plan shape IS the distributed sketch merge. "
-    "Probes replay the derived-corpus incremental batch: the exact "
-    "duplicates must all hit (one-sided no-false-negative guarantee, "
-    "emitted as the all_dups_caught gate); the mutated near-dups hit "
-    "only by false positive, and that count is pinned bit-for-bit by "
-    "the oracle replaying the identical hash arithmetic. The probe "
-    "join touches 32 words/source — a broadcast at any corpus size; "
-    "only the fingerprint scan scales with data. Scale form of the "
-    "reference's checksum seen-set (dupes/dedup.py:127-143).",
-)
-def agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _bloom_pos(i_col, fp_col):
+    """Bloom bit position k_i(fp) in [0, 1024): portable hash of the
+    salted fingerprint — identical arithmetic on both engines."""
     from itdb_spark.functions.core import portable_hash64
 
-    t = Tables(spark, sf_dir)
-    base = t.documents
-    docs = base.select("doc_id", "source", F.md5("text").alias("fp"))
-    probes = base.select(
+    return (
+        portable_hash64(
+            F.concat(F.lit("bloom"), i_col.cast("string"), F.lit(":"), fp_col)
+        )
+        % 1024
+    )
+
+
+def _bloom_four():
+    # built lazily — Column construction needs an active SparkSession
+    return F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+
+
+def _bloom_probes(base: DataFrame) -> DataFrame:
+    """The derived-corpus incremental batch as membership probes:
+    exact duplicates (+200000, must hit — no false negatives) and
+    mutated near-dups (+100000, hit only by false positive)."""
+    return base.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         "source",
         F.lit("near").alias("kind"),
@@ -3051,19 +3050,18 @@ def agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def bloom_pos(i_col, fp_col):
-        return (
-            portable_hash64(
-                F.concat(F.lit("bloom"), i_col.cast("string"), F.lit(":"), fp_col)
-            )
-            % 1024
-        )
 
-    four = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
-    build = docs.select("source", four, "fp").select(
-        "source", bloom_pos(F.col("i"), F.col("fp")).alias("pos")
+def _bloom_sketch(docs: DataFrame) -> DataFrame:
+    """(source, word_idx, word): the per-source 1024-bit filter as 32
+    32-bit words via ONE map-side-combined groupBy — partial bit_or IS
+    the Bloom union rule, which is also why the identical aggregation
+    runs unchanged as a complete-mode STREAMING query
+    (stream-bloom-live): micro-batch partial ORs fold into the running
+    words exactly like executor-local partials fold in batch."""
+    build = docs.select("source", _bloom_four(), "fp").select(
+        "source", _bloom_pos(F.col("i"), F.col("fp")).alias("pos")
     )
-    sketch = (
+    return (
         build.select(
             "source",
             F.expr("pos DIV 32").alias("word_idx"),
@@ -3072,11 +3070,17 @@ def agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "word_idx")
         .agg(F.expr("bit_or(bitval)").alias("word"))
     )
+
+
+def _bloom_report(docs: DataFrame, probes: DataFrame, sketch: DataFrame) -> DataFrame:
+    """Probe the filter and assemble the per-source report. The sketch is
+    32 words/source — broadcast at any corpus size; only the probe scan
+    scales."""
     bitstats = sketch.groupBy("source").agg(
         F.sum(F.bit_count("word")).cast("long").alias("bits_set")
     )
-    pfan = probes.select("source", "doc_id", "kind", four, "fp").select(
-        "source", "doc_id", "kind", bloom_pos(F.col("i"), F.col("fp")).alias("pos")
+    pfan = probes.select("source", "doc_id", "kind", _bloom_four(), "fp").select(
+        "source", "doc_id", "kind", _bloom_pos(F.col("i"), F.col("fp")).alias("pos")
     )
     phit = (
         pfan.alias("f")
@@ -3122,3 +3126,169 @@ def agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_near").cast("long").alias("near_fp_hits"),
         )
     )
+
+
+@register(
+    "agg-bloom",
+    oracle=_BLOOM_ORACLE,
+    doc="Bloom-filter membership sketch per source — the seen-set "
+    "pre-filter an incremental 100 TB ingest keeps in front of exact "
+    "dedup (completes the sketch family: agg-cms frequency, agg-kmv / "
+    "agg-approx cardinality, Bloom membership). m=1024 bits as 32 "
+    "32-bit words (the checked-shift-safe layout on both engines), k=4 portable hashes of the doc fingerprint; the "
+    "filter is built in ONE map-side-combined groupBy(source, word) "
+    "with bit_or — executor-local partial ORs ARE the Bloom union "
+    "rule, so the same plan shape IS the distributed sketch merge. "
+    "Probes replay the derived-corpus incremental batch: the exact "
+    "duplicates must all hit (one-sided no-false-negative guarantee, "
+    "emitted as the all_dups_caught gate); the mutated near-dups hit "
+    "only by false positive, and that count is pinned bit-for-bit by "
+    "the oracle replaying the identical hash arithmetic. The probe "
+    "join touches 32 words/source — a broadcast at any corpus size; "
+    "only the fingerprint scan scales with data. Scale form of the "
+    "reference's checksum seen-set (dupes/dedup.py:127-143).",
+)
+def agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = Tables(spark, sf_dir).documents
+    docs = base.select("doc_id", "source", F.md5("text").alias("fp"))
+    return _bloom_report(docs, _bloom_probes(base), _bloom_sketch(docs))
+
+
+@register(
+    "pipe-dedup-eval",
+    oracle=f"""
+    WITH corpus AS ({ORACLE_CORPUS}),
+    {_SHINGLE_CTES},
+    cand AS (SELECT id1, id2 FROM ({_minhash_oracle()})),
+    planted AS (
+      SELECT doc_id AS id1, doc_id + 100000 AS id2 FROM documents
+      UNION ALL SELECT doc_id, doc_id + 200000 FROM documents
+      UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM documents
+    ),
+    evalp AS (SELECT id1, id2 FROM cand UNION SELECT id1, id2 FROM planted),
+    flags AS (
+      SELECT e.id1, e.id2,
+             CASE WHEN c.id1 IS NULL THEN 0 ELSE 1 END AS in_cand,
+             CASE WHEN p.id1 IS NULL THEN 0 ELSE 1 END AS in_planted
+      FROM evalp e
+      LEFT JOIN (SELECT DISTINCT id1, id2 FROM cand) c
+        ON c.id1 = e.id1 AND c.id2 = e.id2
+      LEFT JOIN (SELECT DISTINCT id1, id2 FROM planted) p
+        ON p.id1 = e.id1 AND p.id2 = e.id2
+    ),
+    common AS (
+      SELECT f.id1, f.id2, count(*) AS c
+      FROM evalp f
+      JOIN words a ON a.doc = f.id1
+      JOIN words b ON b.doc = f.id2 AND b.w = a.w
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc, count(*) AS sz FROM words GROUP BY doc),
+    judged AS (
+      SELECT f.in_cand, f.in_planted,
+             CASE WHEN 3 * coalesce(c.c, 0) >= x.sz + y.sz THEN 1 ELSE 0 END
+               AS is_dup
+      FROM flags f
+      JOIN sizes x ON x.doc = f.id1
+      JOIN sizes y ON y.doc = f.id2
+      LEFT JOIN common c ON c.id1 = f.id1 AND c.id2 = f.id2
+    )
+    SELECT
+      CAST(sum(in_planted * is_dup) AS BIGINT) AS n_truth,
+      CAST(sum(in_planted * is_dup * in_cand) AS BIGINT) AS n_found,
+      CAST((1000 * sum(in_planted * is_dup * in_cand))
+           // sum(in_planted * is_dup) AS BIGINT) AS recall_milli,
+      CAST(sum(in_cand) AS BIGINT) AS n_cand,
+      CAST(sum(in_cand * is_dup) AS BIGINT) AS n_cand_true,
+      CAST((1000 * sum(in_cand * is_dup)) // sum(in_cand) AS BIGINT)
+        AS precision_milli
+    FROM judged
+    """,
+    doc="LSH parameter evaluation harness: precision/recall of the "
+    "16-perm/4-band MinHash candidate generation against exact-Jaccard "
+    "ground truth at tau = 0.5, using the derived corpus's PLANTED pairs "
+    "as labels (near-dup +100000, exact +200000 — known by construction, "
+    "so no all-pairs truth join: the eval set is candidates ∪ planted, "
+    "never the quadratic closure). The tau test is integer-exact "
+    "(J >= 1/2 iff 3·|A∩B| >= |A|+|B|) and the rates are integer "
+    "milli-ratios, so the hash gate pins the measured operating point — "
+    "'measure, don't guess' applied to the dedup pipeline itself: "
+    "re-tune NUM_PERM/NUM_BANDS and this query states the new "
+    "precision/recall next to the one CORRECTNESS history recorded. "
+    "One shared shingle explode feeds candidates, sizes, and "
+    "verification (released before return); per-pair work is confined "
+    "to the eval pairs exactly like dedup-jaccard's candidate path.",
+)
+def pipe_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.dedup import shingle_frame
+
+    c = corpus(spark, sf_dir)
+    sh = shingle_frame(c, "doc_id", "text").cache()
+    cand = minhash_candidates(c, "doc_id", "text", shingles=sh).select("id1", "id2")
+    base_ids = Tables(spark, sf_dir).documents.select("doc_id")
+    planted = (
+        base_ids.select(
+            F.col("doc_id").alias("id1"), (F.col("doc_id") + 100000).alias("id2")
+        )
+        .unionByName(
+            base_ids.select(
+                F.col("doc_id").alias("id1"), (F.col("doc_id") + 200000).alias("id2")
+            )
+        )
+        .unionByName(
+            base_ids.select(
+                (F.col("doc_id") + 100000).alias("id1"),
+                (F.col("doc_id") + 200000).alias("id2"),
+            )
+        )
+    )
+    evalp = cand.unionByName(planted).distinct()
+    flags = (
+        evalp.join(cand.distinct().withColumn("in_cand", F.lit(1)), ["id1", "id2"], "left")
+        .join(planted.distinct().withColumn("in_planted", F.lit(1)), ["id1", "id2"], "left")
+        .select(
+            "id1",
+            "id2",
+            F.coalesce("in_cand", F.lit(0)).alias("in_cand"),
+            F.coalesce("in_planted", F.lit(0)).alias("in_planted"),
+        )
+    )
+    # per-doc shingle SETS as arrays: sizes AND intersections come from
+    # the same frame (the array_intersect verify shape dedup-jaccard
+    # measured 2.3x faster than the exploded join)
+    arrs = sh.groupBy("doc").agg(F.collect_list("w").alias("ws"))
+    judged = (
+        flags.join(arrs.select(F.col("doc").alias("id1"), F.col("ws").alias("ws1")), "id1")
+        .join(arrs.select(F.col("doc").alias("id2"), F.col("ws").alias("ws2")), "id2")
+        .select(
+            "in_cand",
+            "in_planted",
+            F.when(
+                3 * F.size(F.array_intersect("ws1", "ws2"))
+                >= F.size("ws1") + F.size("ws2"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_dup"),
+        )
+    )
+    out = judged.agg(
+        F.sum(F.col("in_planted") * F.col("is_dup")).cast("long").alias("n_truth"),
+        F.sum(F.col("in_planted") * F.col("is_dup") * F.col("in_cand"))
+        .cast("long")
+        .alias("n_found"),
+        F.expr(
+            "CAST((1000 * sum(in_planted * is_dup * in_cand))"
+            " DIV sum(in_planted * is_dup) AS BIGINT)"
+        ).alias("recall_milli"),
+        F.sum("in_cand").cast("long").alias("n_cand"),
+        F.sum(F.col("in_cand") * F.col("is_dup")).cast("long").alias("n_cand_true"),
+        F.expr(
+            "CAST((1000 * sum(in_cand * is_dup)) DIV sum(in_cand) AS BIGINT)"
+        ).alias("precision_milli"),
+    )
+    from itdb_spark.plans.library import materialized
+
+    out = materialized(out)
+    sh.unpersist()
+    return out

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from itdb_spark.catalog import Tables
 from itdb_spark.queries import register
+from itdb_spark.queries.pipeline import _BLOOM_ORACLE
 
 
 @register(
@@ -496,3 +497,59 @@ def stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_undercounts"),
         )
     )
+
+
+@register(
+    "stream-bloom-live",
+    oracle=_BLOOM_ORACLE,
+    doc="STREAMING Bloom seen-set maintenance — agg-bloom's per-source "
+    "filter kept live over a real documents readStream in complete "
+    "mode: each micro-batch's partial bit_or folds into the running 32 "
+    "words exactly like the batch map-side combine (the OR-monoid merge "
+    "IS the update rule — same property that streams the CMS). The gate "
+    "drives the stream to completion, then probes the SINK's words with "
+    "the derived-corpus incremental batch; the report must equal batch "
+    "agg-bloom bit-for-bit (shared oracle). State is bounded at 32 "
+    "words per source regardless of stream length — this is the filter "
+    "an incremental ingest consults before any exact-dedup shuffle.",
+)
+def stream_bloom_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from itdb_spark.queries.pipeline import (
+        _bloom_probes,
+        _bloom_report,
+        _bloom_sketch,
+    )
+
+    docs_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    words_stream = _bloom_sketch(
+        stream.select("doc_id", "source", F.md5("text").alias("fp"))
+    )
+    q = (
+        words_stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_bloom_words")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sketch = spark.table("stream_bloom_words")
+
+    base = spark.read.schema(docs_schema).parquet(f"{sf_dir}/documents.parquet")
+    docs = base.select("doc_id", "source", F.md5("text").alias("fp"))
+    return _bloom_report(docs, _bloom_probes(base), sketch)

@@ -762,3 +762,59 @@ def test_bloom_sketch_merge_shape_and_guarantees(spark):
         assert r.near_fp_hits <= r.n_docs // 2, (
             f"{r.source}: {r.near_fp_hits} FPs of {r.n_docs} — fill ratio wrong"
         )
+
+
+def test_nearest_asof_single_exchange_and_tie_semantics(spark):
+    """direction='nearest' must keep the union-tag discipline: BOTH
+    window frames share one hash exchange on the key (a second Exchange
+    would mean the two frames stopped sharing the sorted partition),
+    and distance ties — including the exact-timestamp match — resolve
+    backward, pandas merge_asof(direction='nearest') semantics."""
+    from itdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 50, "c"), (3, 10, "d")],
+        "k int, ts long, lv string",
+    )
+    right = spark.createDataFrame(
+        # k=1: ts=100 exact match AND ts=101 closer-forward to nothing;
+        #      for left ts=200: backward 101 (d=99) vs forward 299 (d=99)
+        #      — an exact distance tie, must go backward
+        # k=2: only a forward match
+        # k=3: no right rows at all
+        [(1, 100, 10), (1, 101, 11), (1, 299, 12), (2, 60, 20)],
+        "k int, rts long, rv int",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    direction="nearest")
+    plan = _physical_plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "nearest as-of must not add a second exchange"
+    )
+    rows = {r.lv: r for r in out.collect()}
+    assert rows["a"].rv == 10 and rows["a"].matched_dir == "backward"  # exact ts
+    assert rows["b"].rv == 11 and rows["b"].matched_dir == "backward"  # tie -> back
+    assert rows["c"].rv == 20 and rows["c"].matched_dir == "forward"
+    assert rows["d"].rv is None and rows["d"].matched_dir is None
+
+
+def test_pps_sample_hits_telescope_to_k(spark):
+    """fn-sample-pps: multiplicities must sum to exactly k=100 (the
+    midpoint offsets telescope through the cumulative line), inclusion
+    must be weight-monotone in aggregate, and zero-weight rows can
+    never be drawn."""
+    from itdb_spark.queries import load_all
+
+    df = load_all()["fn-sample-pps"].spark(spark, SF_DIR)
+    rows = df.collect()
+    assert sum(r.n_hits for r in rows) == 100
+    assert all(r.n_hits >= 1 for r in rows)
+    assert all(r.w > 0 for r in rows), "zero-weight row drawn"
+    # heaviest doc must be sampled at least as often as the corpus-median
+    # doc is on average: with W/k step, any doc with w >= W/50 gets >= 2
+    total_w = spark.read.parquet(f"{SF_DIR}/documents.parquet").agg(
+        F.sum("n_chars")
+    ).collect()[0][0]
+    for r in rows:
+        if r.w * 50 >= total_w:
+            assert r.n_hits >= 2
