@@ -932,3 +932,71 @@ def fn_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_hits") >= 1)
         .select("doc_id", "w", "cb", "n_hits")
     )
+
+
+@register(
+    "fn-chunk-overlap",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    geom AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= 64 THEN 1
+                  ELSE 1 + (len(t) - 64 + 48 - 1) // 48 END AS n_chunks
+      FROM tk
+    )
+    SELECT doc_id,
+           CAST(idx AS BIGINT) AS chunk_idx,
+           CAST(idx * 48 AS BIGINT) AS start,
+           CAST(least(64, n - idx * 48) AS BIGINT) AS chunk_len,
+           array_to_string(t[idx * 48 + 1 : idx * 48 + least(64, n - idx * 48)],
+                           ' ') AS chunk_text
+    FROM geom, unnest(range(0, n_chunks)) AS u(idx)
+    """,
+    doc="Overlapping chunk manifests (size 64 tokens, stride 48 — 25% "
+    "overlap): the RAG / context-window shape, complementary to "
+    "fn-pack-chunks' budget-aligned DISJOINT splits and dedup-chunks' "
+    "content-defined chunks. Chunk count is closed-form integer "
+    "geometry (1 + ceil((n-size)/stride), short docs one chunk), the "
+    "fan-out per doc is bounded by its own length, and the chunk TEXT "
+    "is emitted from a per-row array slice — no self-join, no shuffle "
+    "at all beyond the scan (the whole query is a generator expression "
+    "over each row). Raw-split token semantics shared with text-winnow "
+    "(empty doc → one ''-token chunk, engine-identical).",
+)
+def fn_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, stride = 64, 48
+    t = Tables(spark, sf_dir)
+    geom = t.documents.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n"),
+        F.when(F.size("t") <= size, F.lit(1))
+        .otherwise(1 + F.expr(f"(size(t) - {size} + {stride} - 1) DIV {stride}"))
+        .alias("n_chunks"),
+    )
+    return geom.select(
+        "doc_id",
+        "n",
+        "t",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("idx"),
+    ).select(
+        "doc_id",
+        F.col("idx").cast("long").alias("chunk_idx"),
+        (F.col("idx") * stride).cast("long").alias("start"),
+        F.least(F.lit(size), F.col("n") - F.col("idx") * stride)
+        .cast("long")
+        .alias("chunk_len"),
+        F.array_join(
+            F.slice(
+                F.col("t"),
+                F.col("idx") * stride + 1,
+                F.least(F.lit(size), F.col("n") - F.col("idx") * stride),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )

@@ -3292,3 +3292,83 @@ def pipe_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = materialized(out)
     sh.unpersist()
     return out
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    prev = "r0"
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(
+            f"""r{t} AS (
+      SELECT e.dst AS node,
+             150000 + (850 * sum({prev}.rank // e.deg)) // 1000 AS rank
+      FROM e JOIN {prev} ON {prev}.node = e.src
+      GROUP BY e.dst
+    )"""
+        )
+        prev = f"r{t}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS MATERIALIZED ({_minhash_oracle()}),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION ALL
+      SELECT id2 AS src, id1 AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+    e AS MATERIALIZED (
+      SELECT g.src, g.dst, d.deg FROM edges g JOIN deg d ON d.node = g.src),
+    r0 AS (SELECT node, 1000000 AS rank FROM deg),
+    {chain}
+    SELECT d.node AS doc, CAST(d.deg AS BIGINT) AS deg,
+           CAST({prev}.rank AS BIGINT) AS rank_ppm
+    FROM deg d JOIN {prev} ON {prev}.node = d.node
+    """
+
+
+@register(
+    "graph-pagerank",
+    oracle=_pagerank_oracle(),
+    doc="PageRank over the LSH near-duplicate graph (damping 0.85, 3 "
+    "synchronous iterations) — graph centrality as a curation signal: "
+    "high-rank nodes are the template hubs their cluster orbits, an "
+    "alternative keeper-election criterion to dedup-cluster's min-id. "
+    "ALL-INTEGER arithmetic (ranks in parts-per-million, per-edge "
+    "contribution rank DIV deg, damped sum DIV 1000), so the iteration "
+    "is bit-reproducible and the oracle replays it exactly as three "
+    "unrolled CTEs — float PageRank could never hash-gate (summation "
+    "order). Spark side is the static-unrolled join/groupBy loop over "
+    "a degree-annotated edge frame built once: per iteration one "
+    "shuffle on dst (map-side-combined sum) plus the rank join — the "
+    "Pregel message pattern as plain DataFrame ops. Undirected pair "
+    "edges mean no dangling nodes by construction. At 100 TB: "
+    "pre-partition edges on src like dedup-cluster's CC edge cache "
+    "and checkpoint every few iterations (same posture, "
+    "plans/library.truncate_lineage).",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    pairs = minhash_candidates(c, "doc_id", "text").select("id1", "id2")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    ).select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed("src", "node")
+    e = edges.join(deg, edges["src"] == deg["node"]).select("src", "dst", "deg")
+    ranks = deg.select("node", F.lit(1000000).cast("long").alias("rank"))
+    for _ in range(3):
+        ranks = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select("dst", F.expr("rank DIV deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(
+                (F.lit(150000) + F.expr("(850 * sum(contrib)) DIV 1000"))
+                .cast("long")
+                .alias("rank")
+            )
+            .withColumnRenamed("dst", "node")
+        )
+    return deg.join(ranks, "node").select(
+        F.col("node").alias("doc"),
+        F.col("deg").cast("long"),
+        F.col("rank").cast("long").alias("rank_ppm"),
+    )

@@ -581,7 +581,9 @@ def test_decontam_broadcasts_benchmark_side(spark):
 @pytest.mark.parametrize("qid", ["text-tokens", "fn-pack", "fn-pack-chunks",
                                  "text-entropy", "text-classify", "agg-cms",
                                  "agg-kmv", "dedup-span", "text-despan",
-                                 "mm-audiochunk", "pipe-profile", "mm-av-align"])
+                                 "mm-audiochunk", "pipe-profile", "mm-av-align",
+                                 "agg-srcsim", "agg-bloom", "pipe-dedup-eval",
+                                 "fn-sample-pps", "fn-chunk-overlap"])
 def test_tokens_empty_doc_oracle_parity(spark, tmp_path, qid):
     """Empty / whitespace-only documents: tokens() maps them to 0 tokens,
     DuckDB's regexp_split_to_array(trim(x)) to 1 — the silent hash-gate
