@@ -667,3 +667,104 @@ def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("error_ts").alias("error_epoch"),
         "matched_dir",
     )
+
+
+@register(
+    "pipe-expectations",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST(count(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_qty_in_1_50',
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'documents_text_nonempty',
+           CAST(sum(CASE WHEN text IS NULL OR len(trim(text)) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'events_value_nonnegative',
+           CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'embeddings_dim_consistent',
+           CAST(count(DISTINCT len(embedding)) - 1 AS BIGINT)
+    FROM embeddings
+    """,
+    doc="Data-validation expectations report — the constraint gate a "
+    "pipeline runs before training consumes a drop (Great-Expectations/"
+    "dbt-test shape): PK uniqueness, two FK referential checks (LEFT "
+    "ANTI probes — at 100 TB the dim side broadcasts or both sides "
+    "shuffle on the key like any join), domain bounds, empty-text and "
+    "negative-value counts, embedding-dimension consistency. One row "
+    "per check with the exact violation count (not a boolean — the "
+    "count IS the triage signal); the whole report is a union of "
+    "independent single-pass aggregates, each map-side combined, so "
+    "adding checks scales linearly in scans not shuffles.",
+)
+def pipe_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+
+    def row(name: str, agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    pk = t.orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n")
+    )
+    fk_cust = (
+        t.orders.join(
+            t.customer,
+            t.orders["o_custkey"] == t.customer["c_custkey"],
+            "left_anti",
+        ).agg(F.count("*").alias("n"))
+    )
+    fk_ord = (
+        t.lineitem.join(
+            t.orders,
+            t.lineitem["l_orderkey"] == t.orders["o_orderkey"],
+            "left_anti",
+        ).agg(F.count("*").alias("n"))
+    )
+    qty = t.lineitem.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("n")
+    )
+    txt = t.documents.agg(
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.length(F.trim("text")) == 0), 1
+            ).otherwise(0)
+        ).alias("n")
+    )
+    val = t.events.agg(
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n")
+    )
+    dim = t.embeddings.agg(
+        (F.countDistinct(F.size("embedding")) - 1).alias("n")
+    )
+    return (
+        row("orders_pk_unique", pk)
+        .unionByName(row("orders_fk_customer", fk_cust))
+        .unionByName(row("lineitem_fk_orders", fk_ord))
+        .unionByName(row("lineitem_qty_in_1_50", qty))
+        .unionByName(row("documents_text_nonempty", txt))
+        .unionByName(row("events_value_nonnegative", val))
+        .unionByName(row("embeddings_dim_consistent", dim))
+    )

@@ -700,7 +700,9 @@ def test_asof_join_forward(spark):
     assert strict[2] == (T(30), 300.0)  # equal-ts skipped → next one
 
     with _pytest.raises(ValueError, match="direction"):
-        asof_join(left, right, "user", "ts", "rts", direction="nearest")
+        asof_join(left, right, "user", "ts", "rts", direction="sideways")
+    with _pytest.raises(ValueError, match="strict nearest"):
+        asof_join(left, right, "user", "ts", "rts", strict=True, direction="nearest")
 
 
 def test_duplicate_spans_semantics(spark):
@@ -1025,3 +1027,50 @@ def test_kmv_sketch_merge_is_union_of_parts(spark):
         x.hv for x in h.select("hv").distinct().collect()
     )[:k]
     assert merged == global_k
+
+
+def test_nearest_asof_matches_bruteforce_random(spark):
+    """asof_join(direction='nearest') against a per-row Python brute
+    force over seeded random key/ts layouts — duplicates, equal
+    timestamps, keys missing on either side, and exact distance ties
+    all occur across the seeds (tie rule: backward wins; exact-ts
+    match IS the backward candidate at distance 0)."""
+    import random
+
+    from itdb_spark.operators.asof import asof_join
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        keys = [1, 2, 3, 4]
+        left = [
+            (k, rng.randrange(0, 40), i)
+            for i, k in enumerate(rng.choices(keys, k=25))
+        ]
+        # right unique per (key, ts) as the operator contract requires
+        right_set = {(k, rng.randrange(0, 40)) for k in rng.choices(keys[:3], k=15)}
+        right = [(k, ts, k * 1000 + ts) for k, ts in right_set]
+
+        ldf = spark.createDataFrame(left, "k int, ts long, lid int")
+        rdf = spark.createDataFrame(right, "k int, rts long, rv int")
+        got = {
+            r.lid: (r.rv, r.matched_dir)
+            for r in asof_join(
+                ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+                direction="nearest",
+            ).collect()
+        }
+
+        for k, ts, lid in left:
+            back = [(rts, rv) for (rk, rts, rv) in right if rk == k and rts <= ts]
+            fwd = [(rts, rv) for (rk, rts, rv) in right if rk == k and rts > ts]
+            b = max(back) if back else None
+            f = min(fwd) if fwd else None
+            if b is None and f is None:
+                want = (None, None)
+            elif b is None:
+                want = (f[1], "forward")
+            elif f is None or (ts - b[0]) <= (f[0] - ts):
+                want = (b[1], "backward")
+            else:
+                want = (f[1], "forward")
+            assert got[lid] == want, (seed, k, ts, got[lid], want)
