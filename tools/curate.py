@@ -8,6 +8,7 @@ correctness gate checks one by one.
         --output /tmp/curated [--budget 2048] [--quality 0.5] [--jaccard 0.5]
 
 Stages (each = operators with oracle-checked twins):
+  0. expectations — pre-flight validation counts (pipe-expectations shape)
   1. profile      — dataset card before/after (pipe-profile shape)
   2. exact dedup  — md5 fingerprint groups, keep min doc_id
   3. near dedup   — MinHash LSH candidates → Jaccard verify → connected
@@ -64,6 +65,17 @@ def main(argv: list[str] | None = None) -> dict:
     docs = spark.read.parquet(os.path.join(args.input, "documents.parquet"))
     n0 = docs.count()
     report["stages"]["input"] = {"rows": n0}
+
+    # 0. expectations pre-flight (pipe-expectations' documents checks):
+    # exact violation counts recorded BEFORE any mutation — a drop with
+    # failing expectations should be triaged, not silently curated.
+    expectations = {
+        "text_empty": docs.where(
+            F.col("text").isNull() | (F.length(F.trim("text")) == 0)
+        ).count(),
+        "doc_id_dup": n0 - docs.select("doc_id").distinct().count(),
+    }
+    report["stages"]["expectations"] = expectations
 
     def profile(df, text_col="text"):
         """per-source dataset-card summary (pipe-profile shape)."""
