@@ -1074,3 +1074,30 @@ def test_nearest_asof_matches_bruteforce_random(spark):
             else:
                 want = (f[1], "forward")
             assert got[lid] == want, (seed, k, ts, got[lid], want)
+
+
+def test_udtf_chunker_matches_expression_form(spark):
+    """The Python-UDTF extension point must reproduce fn-chunk-overlap's
+    JVM-expression chunk geometry row for row over the real corpus (the
+    registered query stays the expression form; this pins the extension
+    seat against API/codec rot)."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.operators.udtf_ext import chunk_walker
+    from itdb_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+    )
+    via_udtf = sorted(
+        (r.doc_id, r.chunk_idx, r.start, r.chunk_len)
+        for r in docs.lateralJoin(
+            chunk_walker(F.col("n").outer(), F.lit(64), F.lit(48))
+        ).collect()
+    )
+    via_expr = sorted(
+        (r.doc_id, r.chunk_idx, r.start, r.chunk_len)
+        for r in load_all()["fn-chunk-overlap"].spark(spark, SF_DIR).collect()
+    )
+    assert via_udtf == via_expr
