@@ -15,8 +15,11 @@ can pin the UDTF path against the expression path over the real
 corpus — if the extension point bit-rots (Arrow codec, UDTF API), CI
 says so, not a user's pipeline.
 
-Scale: a UDTF runs in the Python worker pool — Arrow-batched transfer,
-but still off-JVM; use it only when expressions cannot express the
+Scale: a UDTF runs in the Python worker pool — Arrow-batched here via
+``useArrow=True`` (the plain ``@udtf`` path pickles row-at-a-time:
+``spark.sql.execution.pythonUDTF.arrow.enabled`` defaults to false and
+the session factory only enables pandas-conversion Arrow), but still
+off-JVM; use it only when expressions cannot express the
 generator (the fn-chunk-overlap query itself stays the expression
 form). Fan-out is bounded by each row's own geometry, exactly like the
 expression form's explode(sequence(...)).
@@ -27,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="chunk_idx: bigint, start: bigint, chunk_len: bigint")
+@udtf(returnType="chunk_idx: bigint, start: bigint, chunk_len: bigint", useArrow=True)
 class chunk_walker:
     """(n_tokens, size, stride) -> one row per strided chunk: the
     overlap geometry 1 + ceil((n - size) / stride), short inputs one
@@ -35,7 +38,9 @@ class chunk_walker:
 
     def eval(self, n: int, size: int, stride: int):  # noqa: D102
         if n is None or n <= 0:
-            yield 0, 0, 0
+            # match the expression form exactly: NULL text -> NULL n ->
+            # sequence/explode emits NO rows (a phantom zero-chunk here
+            # would break the pinned row-identity)
             return
         s, i = 0, 0
         while True:
