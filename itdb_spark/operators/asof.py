@@ -82,6 +82,10 @@ def asof_join(
     overlap = set(l_payload) & set(r_payload)
     if overlap:
         raise ValueError(f"rename right columns colliding with left: {sorted(overlap)}")
+    if direction == "nearest" and "matched_dir" in (*l_payload, *r_payload):
+        raise ValueError(
+            "rename the matched_dir column: nearest direction appends its own"
+        )
 
     l_struct_t = left.select(F.struct(*l_payload).alias("s")).schema[0].dataType
     r_struct_t = right.select(F.struct(*r_payload).alias("s")).schema[0].dataType
@@ -131,12 +135,27 @@ def asof_join(
             F.last("_r", ignorenulls=True).over(wb).alias("_rb"),
             F.first("_r", ignorenulls=True).over(wf).alias("_rf"),
         )
-        # distances on a double view of the ts (exact for micro-precision
-        # timestamps: |micros| < 2^52, so the cast is lossless and the
-        # comparison is the integer comparison)
-        t0 = F.col("_ts").cast("double")
-        db = F.abs(t0 - F.col("_rb").getField(right_ts).cast("double"))
-        df_ = F.abs(F.col("_rf").getField(right_ts).cast("double") - t0)
+        # distances on an EXACT linearization of the ts type: timestamps
+        # compare as integer microseconds (a double cast would be
+        # micros/1e6 — seconds — which is NOT exactly representable, and
+        # a rounding wobble on an exact-distance tie would flip the
+        # documented backward preference; caught by code review, the
+        # long-typed tests couldn't see it), dates as integer days,
+        # numeric types in their native arithmetic.
+        from pyspark.sql import types as T
+
+        ts_type = dict(zip(left.columns, [f.dataType for f in left.schema]))[left_ts]
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            lin = F.unix_micros
+        elif isinstance(ts_type, T.DateType):
+            lin = F.unix_date
+        else:
+            lin = lambda c: c  # noqa: E731 — numeric: exact native compare
+        t0 = lin(F.col("_ts"))
+        # backward candidate is <= t0 and forward is > t0 by the sort
+        # order, so plain differences are the absolute distances
+        db = t0 - lin(F.col("_rb").getField(right_ts))
+        df_ = lin(F.col("_rf").getField(right_ts)) - t0
         pick_f = F.col("_rb").isNull() | (
             F.col("_rf").isNotNull() & (df_ < db)
         )

@@ -37,6 +37,11 @@ class chunk_walker:
     chunk — identical to fn-chunk-overlap's integer closed form."""
 
     def eval(self, n: int, size: int, stride: int):  # noqa: D102
+        if size <= 0 or stride <= 0:
+            # fail loudly — the expression form's geometry preconditions;
+            # a non-advancing stride would otherwise loop the Python
+            # worker forever
+            raise ValueError(f"size and stride must be positive, got {size}/{stride}")
         if n is None or n <= 0:
             # match the expression form exactly: NULL text -> NULL n ->
             # sequence/explode emits NO rows (a phantom zero-chunk here

@@ -2881,14 +2881,29 @@ def _srcsim_oracle() -> str:
     "checksums to corpus content.",
 )
 def agg_srcsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.plans.library import materialized
+
+    out, hashed = _srcsim_frames(spark, sf_dir)
+    return materialized(out, hashed)
+
+
+def _srcsim_frames(spark: SparkSession, sf_dir: str):
+    """(result, cached hashed-shingle frame) — the LAZY pipeline, split
+    out so plan gates can assert on the pre-checkpoint plan
+    (tests/test_scale_paths.py::test_srcsim_signature_partial_agg...)."""
     from itdb_spark.functions.core import portable_hash64
     from itdb_spark.operators.dedup import word_shingles
 
     t = Tables(spark, sf_dir)
+    # ONE hashed-shingle frame for all four consumers (sig, sizes, both
+    # sides of the inter self-join) — the corpus-wide explode+distinct is
+    # the dominant scan; cached here, released via materialized() below
+    # (shingle_frame's own "build it ONCE and cache" discipline)
     hashed = (
         t.documents.select("source", F.explode(word_shingles("text")).alias("w"))
         .select("source", (portable_hash64(F.col("w")) % HASH_PRIME).alias("h"))
         .distinct()
+        .cache()
     )
     sig = hashed.groupBy("source").agg(
         *[
@@ -2931,7 +2946,7 @@ def agg_srcsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_SRCSIM_PERMS):
         term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
         matches = term if matches is None else matches + term
-    return (
+    out = (
         pairs.join(siga, "src_a")
         .join(sigb, "src_b")
         .withColumn("matches", matches)
@@ -2949,6 +2964,7 @@ def agg_srcsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return out, hashed
 
 
 _BLOOM_ORACLE = """
@@ -3224,7 +3240,13 @@ def pipe_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = corpus(spark, sf_dir)
     sh = shingle_frame(c, "doc_id", "text").cache()
-    cand = minhash_candidates(c, "doc_id", "text", shingles=sh).select("id1", "id2")
+    # cached: consumed by evalp AND the flags marker join — uncached, the
+    # whole signature+banding pipeline would execute twice (code review)
+    cand = (
+        minhash_candidates(c, "doc_id", "text", shingles=sh)
+        .select("id1", "id2")
+        .cache()
+    )
     base_ids = Tables(spark, sf_dir).documents.select("doc_id")
     planted = (
         base_ids.select(
@@ -3243,9 +3265,12 @@ def pipe_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     evalp = cand.unionByName(planted).distinct()
+    # no .distinct() on the markers: minhash_candidates already emits
+    # distinct pairs (distinct_pairs=True) and planted unions three
+    # disjoint id ranges
     flags = (
-        evalp.join(cand.distinct().withColumn("in_cand", F.lit(1)), ["id1", "id2"], "left")
-        .join(planted.distinct().withColumn("in_planted", F.lit(1)), ["id1", "id2"], "left")
+        evalp.join(cand.withColumn("in_cand", F.lit(1)), ["id1", "id2"], "left")
+        .join(planted.withColumn("in_planted", F.lit(1)), ["id1", "id2"], "left")
         .select(
             "id1",
             "id2",
@@ -3289,9 +3314,7 @@ def pipe_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from itdb_spark.plans.library import materialized
 
-    out = materialized(out)
-    sh.unpersist()
-    return out
+    return materialized(out, sh, cand)
 
 
 def _pagerank_oracle(iters: int = 3) -> str:

@@ -1101,3 +1101,35 @@ def test_udtf_chunker_matches_expression_form(spark):
         for r in load_all()["fn-chunk-overlap"].spark(spark, SF_DIR).collect()
     )
     assert via_udtf == via_expr
+
+
+def test_nearest_asof_timestamp_micro_tie_resolves_backward(spark):
+    """Exact-distance ties on micro-precision TIMESTAMPS must resolve
+    backward. The original cut compared ts cast to double — SECONDS,
+    i.e. micros/1e6, which is not exactly representable — and rounding
+    wobble flipped thousands of exact ties to 'forward' (code-review
+    finding); distances now compare as integer unix_micros."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.operators.asof import asof_join
+
+    # ts values chosen so micros/1e6 rounds asymmetrically around the tie
+    rows_l = [(1, 1700000000000997, 1)]
+    rows_r = [(1, 1700000000000994, 10), (1, 1700000000001000, 20)]  # both d=3us
+    ldf = spark.createDataFrame(rows_l, "k int, us long, lid int").select(
+        "k", F.timestamp_micros("us").alias("ts"), "lid"
+    )
+    rdf = spark.createDataFrame(rows_r, "k int, us long, rv int").select(
+        "k", F.timestamp_micros("us").alias("rts"), "rv"
+    )
+    out = asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+                    direction="nearest").collect()
+    assert out[0].rv == 10 and out[0].matched_dir == "backward"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="matched_dir"):
+        asof_join(
+            ldf.withColumn("matched_dir", F.lit("x")), rdf,
+            on="k", left_ts="ts", right_ts="rts", direction="nearest",
+        )

@@ -723,10 +723,13 @@ def test_srcsim_signature_partial_agg_and_bounded_bnlj(spark):
     rule IS the partial agg), and the only nested-loop join allowed is
     the source-pair matrix: a non-equi (src < src) join of two
     per-source AGGREGATES, bounded by source count, never the corpus."""
-    from itdb_spark.queries import load_all
+    from itdb_spark.queries.pipeline import _srcsim_frames
 
-    df = load_all()["agg-srcsim"].spark(spark, SF_DIR)
-    plan = _physical_plan(df)
+    df, hashed = _srcsim_frames(spark, SF_DIR)
+    try:
+        plan = _physical_plan(df)
+    finally:
+        hashed.unpersist()
     assert "partial_min" in plan, "signature groupBy lost its map-side combine"
     bnlj = plan.count("BroadcastNestedLoopJoin")
     assert bnlj == 1, f"expected exactly the pair-matrix BNLJ, got {bnlj}"
