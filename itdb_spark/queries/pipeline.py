@@ -3403,3 +3403,100 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").cast("long"),
         F.col("rank").cast("long").alias("rank_ppm"),
     )
+
+
+@register(
+    "sim-maxsim",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    sub AS (
+      SELECT vec_id, CAST(r.range AS BIGINT) AS i,
+             vec[CAST(r.range AS BIGINT) * 16 + 1 : CAST(r.range AS BIGINT) * 16 + 16] AS sv
+      FROM v, range(0, 4) r
+    ),
+    n AS (SELECT vec_id, i, sv, sqrt(list_dot_product(sv, sv)) AS nrm FROM sub),
+    q AS (SELECT vec_id AS query_id, i AS qi, sv AS qsv, nrm AS qn
+          FROM n WHERE vec_id < 5),
+    d AS (SELECT vec_id AS neighbor_id, sv AS nsv, nrm AS nn FROM n),
+    cell AS (
+      SELECT query_id, neighbor_id, qi,
+             max(list_dot_product(qsv, nsv) / (qn * nn)) AS m
+      FROM q, d WHERE neighbor_id != query_id
+      GROUP BY 1, 2, 3
+    ),
+    score AS (
+      SELECT query_id, neighbor_id, sum(m) / 4 AS s FROM cell GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, round(s, 6) AS maxsim FROM (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id)
+               AS rn
+      FROM score
+    ) WHERE rn <= 10
+    """,
+    doc="Late-interaction retrieval (the ColBERT MaxSim operator): each "
+    "64-dim embedding decomposed into 4 x 16-dim sub-vectors (the "
+    "multi-vector document/query representation), score = mean over "
+    "query sub-vectors of the max cosine against any document "
+    "sub-vector, exact top-10 per query. Pure higher-order expressions "
+    "— zip_with/aggregate dot products, JVM-side, no UDF (deliberately "
+    "NOT the einsum pandas path: sequential fold order matches "
+    "DuckDB's list_dot_product, tightening float parity) — and the "
+    "MaxSim lattice is two map-side-combined groupBys over the "
+    "sub-pair expansion (16 sub-pairs per query x doc), with the "
+    "query side broadcast exactly like sim-knn-brute. The scale route "
+    "reuses the ANN family: LSH/IVF candidate generation first, "
+    "MaxSim re-scoring only the candidates.",
+)
+def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    dot = "aggregate(zip_with(qsv, nsv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    self_dot = "aggregate(zip_with(sv, sv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    sub = (
+        t.embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+        )
+        .select(
+            "vec_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"), "vec"
+        )
+        .select(
+            "vec_id",
+            "i",
+            F.slice("vec", F.col("i") * 16 + 1, F.lit(16)).alias("sv"),
+        )
+        .withColumn("nrm", F.sqrt(F.expr(self_dot)))
+    )
+    q = sub.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("i").alias("qi"),
+        F.col("sv").alias("qsv"),
+        F.col("nrm").alias("qn"),
+    )
+    d = sub.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sv").alias("nsv"),
+        F.col("nrm").alias("nn"),
+    )
+    cell = (
+        d.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qi",
+            (F.expr(dot) / (F.col("qn") * F.col("nn"))).alias("c"),
+        )
+        .groupBy("query_id", "neighbor_id", "qi")
+        .agg(F.max("c").alias("m"))
+    )
+    score = cell.groupBy("query_id", "neighbor_id").agg(
+        (F.sum("m") / 4).alias("s")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    return (
+        score.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", F.round("s", 6).alias("maxsim"))
+    )
