@@ -122,3 +122,72 @@ def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("custkey", "orderkey", "price_cents")
     )
+
+
+@register(
+    "win-ewma",
+    oracle="""
+    WITH cents AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    lasts AS (
+      SELECT event_id, user_id,
+             list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS xs
+      FROM cents
+    ),
+    folded AS (
+      SELECT event_id, user_id,
+             list_sum(list_transform(range(1, len(xs) + 1),
+               p -> xs[p] * CAST(power(3, len(xs) - p) AS BIGINT)
+                          * CAST(power(4, 7 - (len(xs) - p)) AS BIGINT))) AS num,
+             list_sum(list_transform(range(1, len(xs) + 1),
+               p -> CAST(power(3, len(xs) - p) AS BIGINT)
+                  * CAST(power(4, 7 - (len(xs) - p)) AS BIGINT))) AS den
+      FROM lasts
+    )
+    SELECT event_id, user_id,
+           CAST((1000 * num) // den AS BIGINT) AS ewma_milli
+    FROM folded
+    """,
+    doc="Integer-exact truncated EWMA per user (alpha = 1/4 over the "
+    "last 8 events): the monitoring/fraud smoother, with the repo's "
+    "no-float discipline — recursive y_t = x/4 + 3y/4 truncated to an "
+    "8-term window gives EXACT integer weights 3^i * 4^(7-i) over "
+    "integer cents, emitted as milli-units via integer DIV, so an "
+    "inherently order-recursive time-series operator hash-gates "
+    "bit-for-bit (a float recurrence never could — summation error "
+    "accumulates with stream length). One exchange: the per-user "
+    "ordered frame collects the trailing 8 values and a per-row array "
+    "fold does the rest — same cost shape as win-lag, state bounded "
+    "by the window length at any scale.",
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    lasts = t.events.select(
+        "event_id",
+        "user_id",
+        F.collect_list(F.round(F.col("value") * 100).cast("long")).over(w).alias("xs"),
+    )
+    num = (
+        "aggregate(zip_with(xs, sequence(1, size(xs)), (x, p) -> "
+        "x * CAST(pow(3, size(xs) - p) AS BIGINT)"
+        " * CAST(pow(4, 7 - (size(xs) - p)) AS BIGINT)), 0L, (a, v) -> a + v)"
+    )
+    den = (
+        "aggregate(transform(sequence(1, size(xs)), p -> "
+        "CAST(pow(3, size(xs) - p) AS BIGINT)"
+        " * CAST(pow(4, 7 - (size(xs) - p)) AS BIGINT)), 0L, (a, v) -> a + v)"
+    )
+    return lasts.select(
+        "event_id",
+        "user_id",
+        F.expr(f"CAST((1000 * ({num})) DIV ({den}) AS BIGINT)").alias("ewma_milli"),
+    )
