@@ -18,17 +18,23 @@ from pyspark.sql import functions as F
 from itdb_spark.functions.core import portable_hash64
 
 
+def dot_col(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns with the deterministic
+    LEFT-TO-RIGHT fold — the one float-parity-critical summation order
+    (DuckDB's list_dot_product folds the same way); every expression-side
+    dot in the repo must route here so a change to the fold discipline
+    has one home."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns; deterministic
     left-to-right summation so the SQL oracle reproduces it exactly.
     JVM-side but interpreted (higher-order functions skip codegen) — use
     ``dot_pandas`` on the hot pair-scoring path."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
 
 
 _UDF_CACHE: dict = {}

@@ -3451,9 +3451,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from itdb_spark.operators.similarity import dot_col
+
     t = Tables(spark, sf_dir)
-    dot = "aggregate(zip_with(qsv, nsv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
-    self_dot = "aggregate(zip_with(sv, sv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
     sub = (
         t.embeddings.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("vec")
@@ -3466,7 +3466,7 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             F.slice("vec", F.col("i") * 16 + 1, F.lit(16)).alias("sv"),
         )
-        .withColumn("nrm", F.sqrt(F.expr(self_dot)))
+        .withColumn("nrm", F.sqrt(dot_col(F.col("sv"), F.col("sv"))))
     )
     q = sub.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
@@ -3486,7 +3486,7 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "qi",
-            (F.expr(dot) / (F.col("qn") * F.col("nn"))).alias("c"),
+            (dot_col(F.col("qsv"), F.col("nsv")) / (F.col("qn") * F.col("nn"))).alias("c"),
         )
         .groupBy("query_id", "neighbor_id", "qi")
         .agg(F.max("c").alias("m"))

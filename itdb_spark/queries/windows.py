@@ -130,7 +130,7 @@ def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cents AS (
       SELECT event_id, user_id, ts,
              CAST(round(value * 100) AS BIGINT) AS c
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     lasts AS (
       SELECT event_id, user_id,
@@ -141,11 +141,10 @@ def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded AS (
       SELECT event_id, user_id,
              list_sum(list_transform(range(1, len(xs) + 1),
-               p -> xs[p] * CAST(power(3, len(xs) - p) AS BIGINT)
-                          * CAST(power(4, 7 - (len(xs) - p)) AS BIGINT))) AS num,
-             list_sum(list_transform(range(1, len(xs) + 1),
-               p -> CAST(power(3, len(xs) - p) AS BIGINT)
-                  * CAST(power(4, 7 - (len(xs) - p)) AS BIGINT))) AS den
+               p -> xs[p] * ([16384, 12288, 9216, 6912, 5184, 3888, 2916,
+                              2187])[len(xs) - p + 1])) AS num,
+             ([16384, 28672, 37888, 44800, 49984, 53872, 56788,
+               58975])[len(xs)] AS den
       FROM lasts
     )
     SELECT event_id, user_id,
@@ -171,20 +170,24 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-7, Window.currentRow)
     )
-    lasts = t.events.select(
+    lasts = t.events.where(F.col("value").isNotNull()).select(
         "event_id",
         "user_id",
         F.collect_list(F.round(F.col("value") * 100).cast("long")).over(w).alias("xs"),
     )
+    # INTEGER LITERAL weights, not pow(): libm pow is only 1-ulp-exact
+    # and Spark CASTs doubles by truncation while DuckDB rounds, so one
+    # inexact pow(3, k) would diverge the hash gate (code review);
+    # W[i+1] = 3^i * 4^(7-i), D[s] = prefix sum = the denominator for a
+    # size-s window — and den needs no per-element fold at all
     num = (
         "aggregate(zip_with(xs, sequence(1, size(xs)), (x, p) -> "
-        "x * CAST(pow(3, size(xs) - p) AS BIGINT)"
-        " * CAST(pow(4, 7 - (size(xs) - p)) AS BIGINT)), 0L, (a, v) -> a + v)"
+        "x * element_at(array(16384L, 12288L, 9216L, 6912L, 5184L, 3888L, "
+        "2916L, 2187L), size(xs) - p + 1)), 0L, (a, v) -> a + v)"
     )
     den = (
-        "aggregate(transform(sequence(1, size(xs)), p -> "
-        "CAST(pow(3, size(xs) - p) AS BIGINT)"
-        " * CAST(pow(4, 7 - (size(xs) - p)) AS BIGINT)), 0L, (a, v) -> a + v)"
+        "element_at(array(16384L, 28672L, 37888L, 44800L, 49984L, 53872L, "
+        "56788L, 58975L), size(xs))"
     )
     return lasts.select(
         "event_id",
