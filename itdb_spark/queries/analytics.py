@@ -1000,3 +1000,88 @@ def fn_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("chunk_text"),
     )
+
+
+@register(
+    "agg-linreg",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS BIGINT) AS y
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM d GROUP BY source
+    )
+    SELECT source, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+    FROM m
+    """,
+    doc="Per-source OLS regression + Pearson r of token count on "
+    "n_chars — the drift/sanity statistic a dataset card carries — via "
+    "the EXACT-MOMENTS discipline: the five sufficient statistics "
+    "(Σx, Σy, Σx², Σy², Σxy) are INTEGER sums (one map-side-combined "
+    "groupBy; exact in any aggregation order, unlike a float corr() "
+    "whose summation order differs between engines), and only the "
+    "closed-form division/sqrt at the end touches floats — identical "
+    "doubles from identical integers, so the gate pins the statistics "
+    "bit-for-bit where built-in corr()/regr_slope() could not. "
+    "Sufficient statistics ARE the distributed-merge form: partial "
+    "moment vectors add, which is also how this runs over 100 TB or "
+    "as a streaming aggregate.",
+)
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = F.when(
+        F.length(F.trim("text")) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    d = t.documents.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        toks.cast("long").alias("y"),
+    )
+    m = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov.cast("double") / varx.cast("double")
+    return m.select(
+        "source",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept"),
+        F.round(
+            cov.cast("double")
+            / F.sqrt(varx.cast("double") * vary.cast("double")),
+            6,
+        ).alias("r"),
+    )

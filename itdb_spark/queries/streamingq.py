@@ -553,3 +553,68 @@ def stream_bloom_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spark.read.schema(docs_schema).parquet(f"{sf_dir}/documents.parquet")
     docs = base.select("doc_id", "source", F.md5("text").alias("fp"))
     return _bloom_report(docs, _bloom_probes(base), sketch)
+
+
+@register(
+    "stream-ewma-live",
+    oracle="""
+    WITH cents AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT user_id, c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_seen
+      FROM cents
+    ),
+    lastw AS (
+      SELECT user_id, CAST(max(n_seen) AS BIGINT) AS n_seen,
+             list(c ORDER BY rn DESC) AS xs
+      FROM ranked WHERE rn <= 8 GROUP BY user_id
+    )
+    SELECT user_id, n_seen,
+           CAST((1000 * list_sum(list_transform(range(1, len(xs) + 1),
+                 p -> xs[p] * ([16384, 12288, 9216, 6912, 5184, 3888, 2916,
+                                2187])[len(xs) - p + 1])))
+                // ([16384, 28672, 37888, 44800, 49984, 53872, 56788,
+                    58975])[len(xs)] AS BIGINT) AS ewma_milli
+    FROM lastw
+    """,
+    doc="STREAMING truncated EWMA — win-ewma's stateful twin on a real "
+    "readStream via applyInPandasWithState: per-user state is the "
+    "last-8 cents deque plus a monotone emission counter (bounded by "
+    "active keys, independent of history). The gate drives the stream "
+    "to completion and takes max_by(ewma_milli, n_seen) per user — the "
+    "final state — which must equal the batch recurrence on the last "
+    "window bit-for-bit (shared integer-literal weights; the oracle "
+    "recomputes it from the trailing 8 events per user).",
+)
+def stream_ewma_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.streaming.events import EVENTS_SCHEMA
+    from itdb_spark.streaming.stateful import ewma_stream
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    out = ewma_stream(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_ewma_live_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        """SELECT user_id, max(n_seen) AS n_seen,
+                  max_by(ewma_milli, n_seen) AS ewma_milli
+           FROM stream_ewma_live_sink GROUP BY user_id"""
+    )

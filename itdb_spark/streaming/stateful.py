@@ -276,3 +276,75 @@ def funnel_stream_tws(events_stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --- streaming EWMA (win-ewma's stateful twin) -------------------------------
+
+# W[i] = 3^i * 4^(7-i), D[s] = sum(W[:s]) — INTEGER literals, the same
+# exactness discipline as the batch query (libm pow + double casts would
+# not be engine-portable; see win-ewma)
+_EWMA_W = (16384, 12288, 9216, 6912, 5184, 3888, 2916, 2187)
+_EWMA_D = (16384, 28672, 37888, 44800, 49984, 53872, 56788, 58975)
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_seen", T.LongType(), False),
+        T.StructField("ewma_milli", T.LongType(), False),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("xs", T.ArrayType(T.LongType()), False),
+        T.StructField("n_seen", T.LongType(), False),
+    ]
+)
+
+
+def _ewma_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    (user_id,) = key
+    if state.exists:
+        stored, n_seen = state.get
+        xs = list(stored)
+    else:
+        xs, n_seen = [], 0
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts", "event_id"]
+    )
+    for r in batch.itertuples(index=False):
+        xs.append(int(round(float(r.value) * 100)))
+        n_seen += 1
+    xs = xs[-8:]
+    state.update((xs, n_seen))
+    s = len(xs)
+    num = sum(x * _EWMA_W[s - 1 - p] for p, x in enumerate(xs))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_seen": [n_seen],
+            "ewma_milli": [1000 * num // _EWMA_D[s - 1]],
+        }
+    )
+
+
+def ewma_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming truncated EWMA (alpha=1/4, trailing 8): per-user state
+    is the last-8 cents deque + a monotone emission counter — bounded by
+    active keys regardless of stream length. The batch form (win-ewma)
+    recomputes each row's window exactly; the stream carries it. NULL
+    values are filtered BEFORE the keyed grouping so state only advances
+    on real observations (the batch twin filters identically) and every
+    emission strictly increases n_seen — which is what lets the gate
+    take max_by(ewma_milli, n_seen) as the final answer per key."""
+    return (
+        events_stream.where(events_stream["value"].isNotNull())
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_update,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -314,3 +314,60 @@ def test_funnel_tws_equivalence_or_gated(spark, tmp_path):
     assert drive(funnel_stream_tws(stream), "tws_funnel_sink") == drive(
         funnel_stream(stream), "aip_funnel_sink"
     )
+
+
+def test_stream_ewma_carries_window_across_batches(spark, tmp_path):
+    """EWMA state carry: 6 values in micro-batch 1 + 4 in batch 2 must
+    yield the EWMA of the LAST 8 across the batch boundary (values 3..10
+    in cents), not of either batch alone — and n_seen counts all 10, so
+    max_by picks the final emission. NULL values must not advance state."""
+    import datetime as dt
+    import time as _time
+
+    from itdb_spark.catalog import EVENTS_RAW_SCHEMA
+    from itdb_spark.streaming.stateful import _EWMA_D, _EWMA_W, ewma_stream
+
+    d = str(tmp_path / "ewma_stream")
+    T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    mins = lambda m: T0 + dt.timedelta(minutes=m)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _time.sleep(1.1)
+
+    write_batch(
+        [(i, mins(i), 9, "view", float(i) / 100, "{}") for i in range(1, 7)]
+        + [(99, mins(50), 9, "view", None, "{}")]  # NULL: no state advance
+    )
+    write_batch(
+        [(i, mins(i), 9, "view", float(i) / 100, "{}") for i in range(7, 11)]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    q = (
+        ewma_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_carry_test_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    row = spark.sql(
+        """SELECT user_id, max(n_seen) n_seen,
+                  max_by(ewma_milli, n_seen) ewma_milli
+           FROM ewma_carry_test_sink GROUP BY user_id"""
+    ).collect()[0]
+    xs = list(range(3, 11))  # last 8 cents values across both batches
+    want = 1000 * sum(x * _EWMA_W[len(xs) - 1 - p] for p, x in enumerate(xs)) // _EWMA_D[7]
+    assert row.user_id == 9
+    assert row.n_seen == 10
+    assert row.ewma_milli == want
