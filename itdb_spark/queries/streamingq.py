@@ -618,3 +618,101 @@ def stream_ewma_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                   max_by(ewma_milli, n_seen) AS ewma_milli
            FROM stream_ewma_live_sink GROUP BY user_id"""
     )
+
+
+@register(
+    "stream-linreg-live",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS BIGINT) AS y
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM d GROUP BY source
+    )
+    SELECT source, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+    FROM m
+    """,
+    doc="STREAMING regression — agg-linreg's exact integer moments ARE "
+    "a complete-mode streaming aggregate (micro-batch partial moment "
+    "vectors add; the merge IS the update rule, same property that "
+    "streams the CMS and the Bloom filter): the five sufficient "
+    "statistics accumulate live over a real documents readStream, the "
+    "closed-form slope/r is computed from the SINK's integers "
+    "batch-side, and the result must equal batch agg-linreg "
+    "bit-for-bit. State bounded at 6 integers per source.",
+)
+def stream_linreg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    docs_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    toks = F.when(
+        F.length(F.trim("text")) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    moments = (
+        stream.select(
+            "source",
+            F.col("n_chars").cast("long").alias("x"),
+            toks.cast("long").alias("y"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    q = (
+        moments.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_linreg_moments")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    m = spark.table("stream_linreg_moments")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "source",
+        "n",
+        F.round(cov.cast("double") / varx.cast("double"), 6).alias("slope"),
+        F.round(
+            cov.cast("double") / F.sqrt(varx.cast("double") * vary.cast("double")),
+            6,
+        ).alias("r"),
+    )
