@@ -1085,3 +1085,143 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r"),
     )
+
+
+@register(
+    "agg-chi2",
+    oracle="""
+    WITH o AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+      FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT source, sum(obs) AS r FROM o GROUP BY 1),
+    ct AS (SELECT lang, sum(obs) AS c FROM o GROUP BY 1),
+    tot AS (SELECT sum(obs) AS n FROM o),
+    cells AS (
+      SELECT o.source, o.lang, o.obs,
+             CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(tot.n AS DOUBLE)
+               AS exp
+      FROM o JOIN rt USING (source) JOIN ct USING (lang), tot
+    ),
+    folded AS (
+      SELECT list_sum(list_transform(
+               list((obs, exp) ORDER BY source, lang),
+               t -> (CAST(t[1] AS DOUBLE) - t[2]) * (CAST(t[1] AS DOUBLE) - t[2])
+                    / t[2])) AS chi2,
+             count(*) AS cells
+      FROM cells
+    )
+    SELECT CAST((SELECT count(DISTINCT source) FROM documents) AS BIGINT)
+             AS n_sources,
+           CAST((SELECT count(DISTINCT lang) FROM documents) AS BIGINT) AS n_langs,
+           CAST(cells AS BIGINT) AS n_cells,
+           round(chi2, 6) AS chi2
+    FROM folded
+    """,
+    doc="Chi-square independence test of source x lang — the "
+    "contamination/imbalance diagnostic for a corpus card: observed "
+    "cell counts are exact integers from one map-side-combined "
+    "groupBy; expected counts are doubles computed from exact integer "
+    "marginals (identical on both engines); and the one genuinely "
+    "order-sensitive float reduction — the sum over cells — folds in "
+    "DETERMINISTIC (source, lang)-sorted order on both sides "
+    "(text-entropy's discipline), so the statistic hash-gates. The "
+    "contingency table is |sources| x |langs| rows — driver-scale at "
+    "any corpus size; everything upstream is the counts shuffle.",
+)
+def agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    o = t.documents.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("obs")
+    )
+    rt = o.groupBy("source").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("lang").agg(F.sum("obs").alias("c"))
+    tot = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        o.join(rt, "source")
+        .join(ct, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "obs",
+            (
+                F.col("r").cast("double")
+                * F.col("c").cast("double")
+                / F.col("n").cast("double")
+            ).alias("exp"),
+        )
+    )
+    folded = cells.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "lang", "obs", "exp"))),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + (t.getField("obs").cast("double") - t.getField("exp")) ** 2
+            / t.getField("exp"),
+        ).alias("chi2"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    dims = t.documents.agg(
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    return dims.crossJoin(folded).select(
+        "n_sources", "n_langs", "n_cells", F.round("chi2", 6).alias("chi2")
+    )
+
+
+@register(
+    "agg-gini",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+      FROM documents
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS t,
+             CAST(sum(rn * x) AS BIGINT) AS s
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n,
+           CAST((1000 * (2 * s - (n + 1) * t)) // (n * t) AS BIGINT)
+             AS gini_milli
+    FROM agg
+    """,
+    doc="Gini coefficient of document length per source — the "
+    "concentration diagnostic next to agg-chi2's independence test "
+    "(a source where a few giant documents carry most tokens trains "
+    "differently from a uniform one): G = (2*sum(i*x_(i)) - (n+1)*sum(x)) "
+    "/ (n*sum(x)) over rank-sorted lengths, ENTIRELY in integers "
+    "(rank-weighted sums are exact; one DIV at the end emits "
+    "milli-units) — rank ties don't perturb the sum since equal x "
+    "swap freely between adjacent ranks. One per-source window for "
+    "ranks (partitioned sort, no global order) + one map-side-combined "
+    "groupBy.",
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = t.documents.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("t"),
+        F.sum(F.col("rn") * F.col("x")).cast("long").alias("s"),
+    )
+    return agg.select(
+        "source",
+        "n",
+        F.expr("CAST((1000 * (2 * s - (n + 1) * t)) DIV (n * t) AS BIGINT)").alias(
+            "gini_milli"
+        ),
+    )
