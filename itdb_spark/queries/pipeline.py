@@ -3500,3 +3500,104 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("query_id", "neighbor_id", F.round("s", 6).alias("maxsim"))
     )
+
+
+@register(
+    "graph-triangles",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED ({_minhash_oracle()}),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT id1 AS node FROM pairs UNION ALL SELECT id2 FROM pairs
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e2.id1 = e1.id2
+      JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT agg.n_nodes,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           CAST((3000 * tri.n_triangles) // agg.n_wedges AS BIGINT)
+             AS clustering_milli
+    FROM agg, tri
+    """,
+    doc="Triangle count + global clustering coefficient over the LSH "
+    "near-dup graph — the third graph algorithm (after dedup-cluster's "
+    "CC and graph-pagerank): triangle density separates template "
+    "clusters (cliques -> clustering ~1) from chain-shaped spurious "
+    "collisions, a dedup-quality signal. The Spark side uses DEGREE "
+    "ORIENTATION (orient each edge toward the higher-(degree, id) "
+    "endpoint, count wedge-closing edges): every triangle counted "
+    "exactly once and per-node wedge work drops from deg^2 to "
+    "out-deg^2 <= O(sqrt(m)) — the standard bound that makes "
+    "triangle counting feasible on power-law graphs at scale. The "
+    "oracle counts the same triangles from the UNORIENTED a<b<c form "
+    "(ids in pairs are already ordered) — two different counting "
+    "strategies agreeing is the point. All integers; clustering "
+    "coefficient = 3*triangles/wedges in milli via DIV.",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.plans.library import truncate_lineage
+
+    c = corpus(spark, sf_dir)
+    pairs = truncate_lineage(
+        minhash_candidates(c, "doc_id", "text").select("id1", "id2"), eager=True
+    )
+    both = pairs.unionByName(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    )
+    deg = both.groupBy(F.col("id1").alias("node")).agg(F.count("*").alias("d"))
+    # orient: node -> neighbor iff (d, id) of neighbor is larger
+    dn = deg.select(F.col("node").alias("id1"), F.col("d").alias("d1"))
+    dm = deg.select(F.col("node").alias("id2"), F.col("d").alias("d2"))
+    oriented = (
+        both.join(dn, "id1")
+        .join(dm, "id2")
+        .where(
+            (F.col("d1") < F.col("d2"))
+            | ((F.col("d1") == F.col("d2")) & (F.col("id1") < F.col("id2")))
+        )
+        .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    wedges = (
+        oriented.alias("a")
+        .join(oriented.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(
+            F.col("a.src").alias("x"),
+            F.col("a.dst").alias("y"),
+            F.col("b.dst").alias("z"),
+        )
+    )
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("z")
+    ).unionByName(
+        oriented.select(F.col("dst").alias("x"), F.col("src").alias("z"))
+    )
+    tri = wedges.join(closing, ["x", "z"]).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    agg = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.expr("CAST(sum(d * (d - 1)) DIV 2 AS BIGINT)").alias("n_wedges"),
+    )
+    edges = pairs.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        agg.crossJoin(edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.expr(
+                "CAST((3000 * n_triangles) DIV n_wedges AS BIGINT)"
+            ).alias("clustering_milli"),
+        )
+    )
