@@ -1225,3 +1225,87 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_milli"
         ),
     )
+
+
+@register(
+    "agg-abtest",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+      WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM cents GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN event_type = 'view' THEN n END) AS na,
+        max(CASE WHEN event_type = 'view' THEN s END) AS sa,
+        max(CASE WHEN event_type = 'view' THEN ss END) AS ssa,
+        max(CASE WHEN event_type = 'click' THEN n END) AS nb,
+        max(CASE WHEN event_type = 'click' THEN s END) AS sb,
+        max(CASE WHEN event_type = 'click' THEN ss END) AS ssb
+      FROM m
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / 100, 6)
+             AS mean_diff,
+           round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                 / sqrt(
+                     (CAST(na AS DOUBLE) * ssa - CAST(sa AS DOUBLE) * sa)
+                       / (CAST(na AS DOUBLE) * na * (na - 1))
+                     + (CAST(nb AS DOUBLE) * ssb - CAST(sb AS DOUBLE) * sb)
+                       / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 6) AS t_welch
+    FROM w
+    """,
+    doc="Welch's t statistic between the view and click cohorts' event "
+    "values — the A/B-experiment primitive, by the exact-moments "
+    "discipline (agg-linreg): per-cohort n / sum / sum-of-squares are "
+    "exact integer-cents sums from ONE map-side-combined groupBy, and "
+    "the closed-form mean difference and t statistic are computed from "
+    "those integers at the end — identical doubles cross-engine, so a "
+    "classically float-fragile statistic hash-gates. Two rows of "
+    "moments regardless of event count; this is also the mergeable / "
+    "streamable form (partial moments add).",
+)
+def agg_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cents = t.events.where(
+        F.col("event_type").isin("view", "click") & F.col("value").isNotNull()
+    ).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    m = cents.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("event_type") == "view", F.col("ss"))).alias("ssa"),
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("event_type") == "click", F.col("ss"))).alias("ssb"),
+    )
+    mean_a = F.col("sa").cast("double") / F.col("na")
+    mean_b = F.col("sb").cast("double") / F.col("nb")
+    var_a = (
+        F.col("na").cast("double") * F.col("ssa")
+        - F.col("sa").cast("double") * F.col("sa")
+    ) / (F.col("na").cast("double") * F.col("na") * (F.col("na") - 1))
+    var_b = (
+        F.col("nb").cast("double") * F.col("ssb")
+        - F.col("sb").cast("double") * F.col("sb")
+    ) / (F.col("nb").cast("double") * F.col("nb") * (F.col("nb") - 1))
+    return w.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round((mean_a - mean_b) / 100, 6).alias("mean_diff"),
+        F.round((mean_a - mean_b) / F.sqrt(var_a + var_b), 6).alias("t_welch"),
+    )

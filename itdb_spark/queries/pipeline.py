@@ -3601,3 +3601,70 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_milli"),
         )
     )
+
+
+@register(
+    "pipe-split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({_minhash_oracle()})),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+    corpus AS ({ORACLE_CORPUS}),
+    labeled AS (
+      SELECT c.doc_id, coalesce(m.component, c.doc_id) AS label
+      FROM corpus c LEFT JOIN comp m ON m.node = c.doc_id
+    )
+    SELECT doc_id, label,
+           CASE WHEN CAST(concat('0x', substr(md5(
+                  concat('split42:', CAST(label AS VARCHAR))), 1, 15)) AS BIGINT)
+                  % 100 < 10
+                THEN 'eval' ELSE 'train' END AS split
+    FROM labeled
+    """,
+    doc="Leakage-safe train/eval split: the holdout decision hashes the "
+    "NEAR-DUP CLUSTER label (connected component over the LSH pairs; "
+    "singletons label themselves), not the document id — so every "
+    "member of a near-duplicate cluster lands in the SAME split and an "
+    "eval document can never have a training-set twin, the leakage "
+    "mode a plain fn-sample hash-split cannot prevent (and the reason "
+    "decontamination alone is insufficient when the corpus itself "
+    "contains near-dups). Same deterministic portable-hash split "
+    "discipline as fn-sample; oracle = recursive-CTE transitive "
+    "closure + the identical hash. Cost = one CC run over candidate "
+    "pairs; the split itself adds zero shuffles beyond the label join.",
+)
+def pipe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import portable_hash64
+    from itdb_spark.operators.clustering import connected_components
+
+    c = corpus(spark, sf_dir)
+    pairs = minhash_candidates(c, "doc_id", "text").select("id1", "id2")
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    labeled = (
+        c.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("label", F.coalesce("component", "doc_id"))
+    )
+    return labeled.select(
+        "doc_id",
+        "label",
+        F.when(
+            portable_hash64(
+                F.concat(F.lit("split42:"), F.col("label").cast("string"))
+            )
+            % 100
+            < 10,
+            F.lit("eval"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

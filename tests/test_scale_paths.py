@@ -823,3 +823,21 @@ def test_pps_sample_hits_telescope_to_k(spark):
     for r in rows:
         if r.w * 50 >= total_w:
             assert r.n_hits >= 2
+
+
+def test_split_never_separates_near_dups(spark):
+    """pipe-split's guarantee: every LSH candidate pair lands in ONE
+    split (the leakage mode a per-doc hash split cannot prevent), and
+    both splits are non-empty at this SF."""
+    from itdb_spark.queries import load_all
+    from itdb_spark.queries.pipeline import corpus, minhash_candidates
+
+    out = {r.doc_id: r.split for r in
+           load_all()["pipe-split"].spark(spark, SF_DIR).collect()}
+    pairs = minhash_candidates(
+        corpus(spark, SF_DIR), "doc_id", "text"
+    ).collect()
+    assert pairs, "no candidate pairs at this SF?"
+    for p in pairs:
+        assert out[p.id1] == out[p.id2], (p.id1, p.id2)
+    assert {"train", "eval"} == set(out.values())
