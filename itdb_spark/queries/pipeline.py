@@ -3668,3 +3668,139 @@ def pipe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+@register(
+    "text-collocations",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(t) AS w FROM tk
+      ) GROUP BY w
+    ),
+    bi AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM tk, unnest(range(1, len(t))) AS u(i)
+      ) GROUP BY w1, w2
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+    SELECT w1, w2, c12,
+           round(ln(CAST(c12 AS DOUBLE) * n
+                    / (CAST(a.c AS DOUBLE) * b.c)), 6) AS pmi
+    FROM bi
+    JOIN uni a ON a.w = w1
+    JOIN uni b ON b.w = w2, tot
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    doc="Collocation mining (word2phrase / NLTK bigram-PMI): top-50 "
+    "bigrams by pointwise mutual information with a min-count floor — "
+    "the phrase-detection pass that decides 'new york' should be one "
+    "token before BPE training. Counts are exact integers from two "
+    "map-side-combined groupBys (bigram key is near-unique — skew-free); "
+    "PMI is one ln() per surviving bigram computed from exact integers "
+    "(identical doubles cross-engine), and the top-k carries the full "
+    "(pmi, w1, w2) tie-break. The unigram join-back broadcasts at any "
+    "corpus size the vocabulary is bounded.",
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    tk = t.documents.where(F.length(F.trim("text")) > 0).select(
+        F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    uni = (
+        tk.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bi = (
+        tk.select(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            ).alias("bs")
+        )
+        .select(F.explode("bs").alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .where(F.col("c12") >= 5)
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    a = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    b = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    return (
+        bi.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n")
+                    / (F.col("ca").cast("double") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
+
+
+@register(
+    "pipe-langid-eval",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS truth,
+             CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks,
+                         x -> list_contains({_STOPWORD_LIST_SQL}, x)))
+                       AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) >= 0.05
+                  THEN 'en' ELSE 'other' END AS predicted
+      FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT truth, predicted, CAST(count(*) AS BIGINT) AS n,
+           CAST((1000 * count(*)) //
+                (SELECT count(*) FROM pred p2 WHERE p2.truth = pred.truth)
+                AS BIGINT) AS row_milli
+    FROM pred GROUP BY truth, predicted
+    """,
+    doc="Language-ID evaluation: confusion matrix of text-langid's "
+    "stopword-ratio heuristic against the labeled lang column "
+    "(en vs other), with integer milli recall per truth row — the "
+    "classifier-quality harness beside pipe-dedup-eval's LSH "
+    "operating point: heuristics that gate a 100 TB corpus need their "
+    "error rates measured and pinned, not assumed. All counts integer; "
+    "one groupBy over per-row classification.",
+)
+def pipe_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ratio = stopword_ratio(F.col("text"))
+    pred = t.documents.select(
+        F.when(F.col("lang") == "en", F.lit("en")).otherwise(F.lit("other")).alias("truth"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("predicted"),
+    )
+    cm = pred.groupBy("truth", "predicted").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    row_tot = pred.groupBy("truth").agg(F.count("*").alias("rt"))
+    return (
+        cm.join(row_tot, "truth")
+        .select(
+            "truth",
+            "predicted",
+            "n",
+            F.expr("CAST((1000 * n) DIV rt AS BIGINT)").alias("row_milli"),
+        )
+    )
