@@ -3804,3 +3804,126 @@ def pipe_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((1000 * n) DIV rt AS BIGINT)").alias("row_milli"),
         )
     )
+
+
+@register(
+    "pipe-drift",
+    oracle="""
+    WITH v1 AS (
+      SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    v2 AS (
+      SELECT source, unnest(regexp_split_to_array(trim(lower(
+               regexp_replace(text, '^[a-z]+\\s+', ''))), '\\s+')) AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    c1 AS (SELECT source, w, CAST(count(*) AS BIGINT) AS a FROM v1 GROUP BY 1, 2),
+    c2 AS (SELECT source, w, CAST(count(*) AS BIGINT) AS b FROM v2 GROUP BY 1, 2),
+    vocab AS (
+      SELECT source, w FROM c1 UNION SELECT source, w FROM c2
+    ),
+    j AS (
+      SELECT v.source, v.w, coalesce(c1.a, 0) AS a, coalesce(c2.b, 0) AS b
+      FROM vocab v
+      LEFT JOIN c1 ON c1.source = v.source AND c1.w = v.w
+      LEFT JOIN c2 ON c2.source = v.source AND c2.w = v.w
+    ),
+    tot AS (
+      SELECT source, CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS vs
+      FROM j GROUP BY source
+    ),
+    folded AS (
+      SELECT j.source,
+             CAST(sum(abs((j.a + 1) * (t.n2 + t.vs) - (j.b + 1) * (t.n1 + t.vs)))
+                  AS BIGINT) AS tv_num,
+             list_sum(list_transform(
+               list(((j.a + 1, j.b + 1)) ORDER BY j.w),
+               e -> (CAST(e[1] AS DOUBLE) / (t.n1 + t.vs))
+                    * ln((CAST(e[1] AS DOUBLE) / (t.n1 + t.vs))
+                         / (CAST(e[2] AS DOUBLE) / (t.n2 + t.vs))))) AS kl
+      FROM j JOIN tot t USING (source)
+      GROUP BY j.source, t.n1, t.n2, t.vs
+    )
+    SELECT f.source, t.n1, t.n2, t.vs AS vocab,
+           CAST((500 * f.tv_num) // ((t.n1 + t.vs) * (t.n2 + t.vs)) AS BIGINT)
+             AS tv_milli,
+           round(f.kl, 6) AS kl
+    FROM folded f JOIN tot t USING (source)
+    """,
+    doc="Corpus drift report between a version and its successor (here: "
+    "the derived first-token-dropped mutation — in deployment, "
+    "yesterday's drop vs today's): per-source add-one-smoothed token "
+    "distributions compared by TOTAL VARIATION — computed over the "
+    "COMMON DENOMINATOR so the distance is an exact integer until one "
+    "final DIV to milli — and KL divergence, whose one order-sensitive "
+    "float sum folds in vocabulary-sorted order on both engines "
+    "(agg-chi2's discipline). The moment a retrain is triggered by "
+    "'the data changed', this is the query that says by how much and "
+    "where. Counts are two map-side-combined groupBys; the per-source "
+    "fold arrays are vocabulary-bounded.",
+)
+def pipe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    nonempty = t.documents.where(F.length(F.trim("text")) > 0)
+    v1 = nonempty.select(
+        "source", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+    )
+    v2 = nonempty.select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.lower(F.regexp_replace("text", _MUT, ""))), r"\s+")
+        ).alias("w"),
+    )
+    c1 = v1.groupBy("source", "w").agg(F.count("*").cast("long").alias("a"))
+    c2 = v2.groupBy("source", "w").agg(F.count("*").cast("long").alias("b"))
+    vocab = c1.select("source", "w").union(c2.select("source", "w")).distinct()
+    j = (
+        vocab.join(c1, ["source", "w"], "left")
+        .join(c2, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+    )
+    tot = j.groupBy("source").agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
+        F.count("*").cast("long").alias("vs"),
+    )
+    jt = j.join(tot, "source")
+    folded = jt.groupBy("source", "n1", "n2", "vs").agg(
+        F.sum(
+            F.abs(
+                (F.col("a") + 1) * (F.col("n2") + F.col("vs"))
+                - (F.col("b") + 1) * (F.col("n1") + F.col("vs"))
+            )
+        )
+        .cast("long")
+        .alias("tv_num"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("w", (F.col("a") + 1).alias("a1"), (F.col("b") + 1).alias("b1")))
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc
+            + (e.getField("a1").cast("double") / (F.col("n1") + F.col("vs")))
+            * F.log(
+                (e.getField("a1").cast("double") / (F.col("n1") + F.col("vs")))
+                / (e.getField("b1").cast("double") / (F.col("n2") + F.col("vs")))
+            ),
+        ).alias("kl"),
+    )
+    return folded.select(
+        "source",
+        "n1",
+        "n2",
+        F.col("vs").alias("vocab"),
+        F.expr(
+            "CAST((500 * tv_num) DIV ((n1 + vs) * (n2 + vs)) AS BIGINT)"
+        ).alias("tv_milli"),
+        F.round("kl", 6).alias("kl"),
+    )
