@@ -1309,3 +1309,77 @@ def agg_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mean_a - mean_b) / 100, 6).alias("mean_diff"),
         F.round((mean_a - mean_b) / F.sqrt(var_a + var_b), 6).alias("t_welch"),
     )
+
+
+def _rendezvous_sql(n_shards: int, alias: str) -> str:
+    cands = ", ".join(
+        f"(CAST(concat('0x', substr(md5(concat('rv', {s}, ':', "
+        f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT), {s})"
+        for s in range(n_shards)
+    )
+    return (
+        f"list_transform(list_sort([{cands}]), x -> x[2])"
+        f"[{n_shards}] AS {alias}"
+    )
+
+
+@register(
+    "fn-rendezvous",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             {_rendezvous_sql(5, "shard5")},
+             {_rendezvous_sql(6, "shard6")}
+      FROM documents
+    )
+    SELECT CAST(shard6 AS BIGINT) AS shard6,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN shard5 <> shard6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS moved
+    FROM assigned GROUP BY shard6
+    """,
+    doc="Rendezvous (highest-random-weight) shard assignment — the "
+    "layout-stability primitive for incremental pipelines: each doc "
+    "goes to argmax over shards of hash(shard, key), so growing 5 -> 6 "
+    "shards moves ONLY the docs the new shard now wins (~1/6 in "
+    "expectation) instead of rehashing ~5/6 of the corpus like mod-N "
+    "bucketing. Emitted per NEW shard with the exact moved count — "
+    "the minimal-disruption property as data, gate-pinned (a scale "
+    "test asserts the moved fraction sits near 1/6 and that every "
+    "move lands on the new shard). Pure per-row expressions, "
+    "map-side-combined final count; portable hash so the oracle "
+    "replays every argmax bit-for-bit.",
+)
+def fn_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import portable_hash64
+
+    t = Tables(spark, sf_dir)
+
+    def shard(n: int):
+        weights = F.array(
+            *[
+                F.struct(
+                    portable_hash64(
+                        F.concat(
+                            F.lit("rv"),
+                            F.lit(s).cast("string"),
+                            F.lit(":"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ).alias("h"),
+                    F.lit(s).alias("s"),
+                )
+                for s in range(n)
+            ]
+        )
+        return F.element_at(F.array_sort(weights), n).getField("s")
+
+    assigned = t.documents.select(
+        "doc_id", shard(5).alias("shard5"), shard(6).alias("shard6")
+    )
+    return assigned.groupBy("shard6").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("shard5") != F.col("shard6"), 1).otherwise(0))
+        .cast("long")
+        .alias("moved"),
+    ).select(F.col("shard6").cast("long"), "n_docs", "moved")

@@ -841,3 +841,23 @@ def test_split_never_separates_near_dups(spark):
     for p in pairs:
         assert out[p.id1] == out[p.id2], (p.id1, p.id2)
     assert {"train", "eval"} == set(out.values())
+
+
+def test_rendezvous_minimal_movement(spark):
+    """The reason rendezvous hashing exists: growing 5 -> 6 shards moves
+    only the keys the NEW shard wins — every moved doc must land on
+    shard 6's id (5), and the moved fraction must sit near 1/6 (binomial
+    tolerance), where mod-N bucketing would move ~5/6."""
+    from itdb_spark.queries import load_all
+
+    rows = load_all()["fn-rendezvous"].spark(spark, SF_DIR).collect()
+    total = sum(r.n_docs for r in rows)
+    moved = {r.shard6: r.moved for r in rows}
+    # every move is INTO the new shard: old shards keep their keepers
+    for s, m in moved.items():
+        if s != 5:
+            assert m == 0, f"shard {s} gained moved docs — not minimal"
+    n_on_new = next(r.n_docs for r in rows if r.shard6 == 5)
+    assert moved[5] == n_on_new, "every doc on the new shard must be a moved doc"
+    frac = moved[5] / total
+    assert 1 / 6 - 0.05 < frac < 1 / 6 + 0.05, f"moved {frac:.3f}, want ~1/6"
