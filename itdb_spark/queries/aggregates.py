@@ -309,3 +309,65 @@ def agg_ckgroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cnt") > 1)
     )
+
+
+@register(
+    "agg-histeq",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             o_orderkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT c,
+             CAST(row_number() OVER (ORDER BY c, o_orderkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM cents
+    ),
+    bucketed AS (
+      SELECT c, ((rn - 1) * 10) // n AS bucket FROM ranked
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(c) AS BIGINT) AS lo_cents,
+           CAST(max(c) AS BIGINT) AS hi_cents,
+           CAST(count(DISTINCT c) AS BIGINT) AS ndv
+    FROM bucketed GROUP BY bucket
+    """,
+    doc="Equi-depth histogram of order totals (10 buckets) — the "
+    "ANALYZE-statistics shape a cost-based optimizer keeps per column "
+    "(Spark's own CBO stores exactly this): bucket boundaries at exact "
+    "rank deciles with a full (value, key) tie-break, per-bucket row "
+    "count, bounds, and NDV, all in integer cents. The rank window is "
+    "a global sort at test SF; the 100 TB form is the "
+    "ranged_row_number two-phase plan (bucket on a value prefix, "
+    "per-bucket ranks + broadcast offsets) or a single "
+    "percentile_approx pass for approximate boundaries — both "
+    "documented in SCALE.md; the exact form here is the correctness "
+    "baseline those approximate.",
+)
+def agg_histeq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    cents = t.orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        "o_orderkey",
+    )
+    n = cents.agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("c", "o_orderkey")
+    ranked = cents.select(
+        "c", F.row_number().over(w).cast("long").alias("rn")
+    ).crossJoin(F.broadcast(n))
+    return (
+        ranked.select("c", F.expr("((rn - 1) * 10) DIV n").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("c").cast("long").alias("lo_cents"),
+            F.max("c").cast("long").alias("hi_cents"),
+            F.countDistinct("c").cast("long").alias("ndv"),
+        )
+        .select(F.col("bucket").cast("long"), "n_rows", "lo_cents", "hi_cents", "ndv")
+    )
