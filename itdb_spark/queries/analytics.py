@@ -1156,8 +1156,11 @@ def agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("source", "lang", "obs", "exp"))),
             F.lit(0.0),
+            # (o-e)*(o-e), not **2: Math.pow is 1-ulp-approximate while
+            # the oracle's explicit multiply is correctly rounded
             lambda acc, t: acc
-            + (t.getField("obs").cast("double") - t.getField("exp")) ** 2
+            + (t.getField("obs").cast("double") - t.getField("exp"))
+            * (t.getField("obs").cast("double") - t.getField("exp"))
             / t.getField("exp"),
         ).alias("chi2"),
         F.count("*").cast("long").alias("n_cells"),

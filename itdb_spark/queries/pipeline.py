@@ -3576,11 +3576,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.dst").alias("z"),
         )
     )
-    closing = oriented.select(
-        F.col("src").alias("x"), F.col("dst").alias("z")
-    ).unionByName(
-        oriented.select(F.col("dst").alias("x"), F.col("src").alias("z"))
-    )
+    # the orientation is a strict total order on (degree, id), so the
+    # closing edge of a wedge x->y->z can only be oriented x->z — no
+    # reversed union needed (review: the reversed half was provably dead)
+    closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
     tri = wedges.join(closing, ["x", "z"]).agg(
         F.count("*").cast("long").alias("n_triangles")
     )
@@ -3647,7 +3646,11 @@ def pipe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.operators.clustering import connected_components
 
     c = corpus(spark, sf_dir)
-    pairs = minhash_candidates(c, "doc_id", "text").select("id1", "id2")
+    # duplicate-insensitive consumer (CC min-label) — skip the pair-level
+    # distinct shuffle, the dedup-cluster/pipe-curate convention
+    pairs = minhash_candidates(
+        c, "doc_id", "text", distinct_pairs=False
+    ).select("id1", "id2")
     comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
     labeled = (
         c.select("doc_id")

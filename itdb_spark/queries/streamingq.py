@@ -14,6 +14,23 @@ from itdb_spark.queries import register
 from itdb_spark.queries.pipeline import _BLOOM_ORACLE
 
 
+def _docs_schema():
+    """Pinned documents reader schema for the streaming twins — ONE home
+    (three byte-identical locals predated it; a future column change
+    edits here and catalog.py only). Built lazily: StructType is cheap
+    but keeping the factory form matches the module's no-module-level-
+    Column rule."""
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+
+
 @register(
     "stream-window",
     oracle="""
@@ -432,13 +449,7 @@ def stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from itdb_spark.functions.core import portable_hash64
 
-    docs_schema = T.StructType([
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ])
+    docs_schema = _docs_schema()
     stream = (
         spark.readStream.format("parquet")
         .schema(docs_schema)
@@ -522,13 +533,7 @@ def stream_bloom_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bloom_sketch,
     )
 
-    docs_schema = T.StructType([
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ])
+    docs_schema = _docs_schema()
     stream = (
         spark.readStream.format("parquet")
         .schema(docs_schema)
@@ -661,13 +666,7 @@ def stream_ewma_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_linreg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
-    docs_schema = T.StructType([
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ])
+    docs_schema = _docs_schema()
     stream = (
         spark.readStream.format("parquet")
         .schema(docs_schema)

@@ -9,6 +9,7 @@ processing-time timeout — bounded by active keys, not history length."""
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable
 
 import pandas as pd
@@ -313,7 +314,11 @@ def _ewma_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         ["ts", "event_id"]
     )
     for r in batch.itertuples(index=False):
-        xs.append(int(round(float(r.value) * 100)))
+        # HALF-AWAY-FROM-ZERO on the double, matching Spark's F.round and
+        # DuckDB's round (Python round() is banker's: round(12.5) == 12,
+        # which would diverge the gate on the first half-cent value)
+        x = float(r.value) * 100
+        xs.append(int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5)))
         n_seen += 1
     xs = xs[-8:]
     state.update((xs, n_seen))

@@ -342,7 +342,10 @@ def test_stream_ewma_carries_window_across_batches(spark, tmp_path):
         + [(99, mins(50), 9, "view", None, "{}")]  # NULL: no state advance
     )
     write_batch(
-        [(i, mins(i), 9, "view", float(i) / 100, "{}") for i in range(7, 11)]
+        [(i, mins(i), 9, "view", float(i) / 100, "{}") for i in range(7, 10)]
+        # 0.125 -> 12.5 half-cents: HALF-UP gives 13 (Python's banker's
+        # round() gave 12 — the divergence the review caught)
+        + [(10, mins(10), 9, "view", 0.125, "{}")]
     )
     stream = (
         spark.readStream.format("parquet")
@@ -366,7 +369,7 @@ def test_stream_ewma_carries_window_across_batches(spark, tmp_path):
                   max_by(ewma_milli, n_seen) ewma_milli
            FROM ewma_carry_test_sink GROUP BY user_id"""
     ).collect()[0]
-    xs = list(range(3, 11))  # last 8 cents values across both batches
+    xs = list(range(3, 10)) + [13]  # last 8 cents; 13 = HALF-UP(12.5)
     want = 1000 * sum(x * _EWMA_W[len(xs) - 1 - p] for p, x in enumerate(xs)) // _EWMA_D[7]
     assert row.user_id == 9
     assert row.n_seen == 10
