@@ -3930,3 +3930,63 @@ def pipe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tv_milli"),
         F.round("kl", 6).alias("kl"),
     )
+
+
+@register(
+    "sim-bm25",
+    oracle="""
+    WITH base AS (SELECT doc_id, lower(trim(text)) AS lt FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lt, '\\s+')) AS w
+      FROM base WHERE len(lt) > 0
+    ),
+    tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (
+      SELECT doc_id, CAST(CASE WHEN len(lt) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(lt, '\\s+')) END AS BIGINT) AS dl
+      FROM base
+    ),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+    q AS (SELECT DISTINCT doc_id AS query_id, w FROM toks WHERE doc_id < 3),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+               * 1000000.0) AS BIGINT) AS c
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN df ON tf.w = df.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      WHERE tf.doc_id != q.query_id
+    ),
+    sc AS (
+      SELECT query_id, doc_id AS neighbor_id, CAST(sum(c) AS BIGINT) AS score_micros
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, score_micros FROM (
+      SELECT query_id, neighbor_id, score_micros,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micros DESC, neighbor_id) AS rn
+      FROM sc
+    ) WHERE rn <= 10
+    """,
+    doc="Okapi BM25 lexical top-k (operators/retrieval.py): the 3 lowest "
+    "doc_ids' distinct terms rank every other document; k1=1.2, b=0.75, "
+    "Lucene +1 idf smoothing. The lexical counterpart of sim-knn-brute — "
+    "benchmark decontamination and retrieval-based filtering run exactly "
+    "this shape with eval queries as the query set. Query terms "
+    "broadcast; tf join df UNHINTED (at 100 TB the vocabulary is "
+    "corpus-sized — AQE's size-based choice is the scale-correct one, "
+    "the text-tfidf precedent); per-term contributions rounded to BIGINT "
+    "micro-units BEFORE the per-(query,doc) sum so the aggregate is "
+    "exact integer arithmetic and partial-agg order cannot perturb the "
+    "hash; top-k via WindowGroupLimit with a full tie-break.",
+)
+def sim_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.retrieval import bm25_topk
+
+    t = Tables(spark, sf_dir)
+    queries = t.documents.select("doc_id").where(F.col("doc_id") < 3)
+    return bm25_topk(t.documents, queries, "doc_id", "text", k=10)

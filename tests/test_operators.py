@@ -1133,3 +1133,44 @@ def test_nearest_asof_timestamp_micro_tie_resolves_backward(spark):
             ldf.withColumn("matched_dir", F.lit("x")), rdf,
             on="k", left_ts="ts", right_ts="rts", direction="nearest",
         )
+
+
+def test_bm25_ranks_term_overlap_and_saturates_tf(spark):
+    """BM25 semantics on a hand-checkable corpus: (1) a doc sharing more
+    of the query's terms outranks one sharing fewer; (2) self is excluded;
+    (3) tf saturation — repeating a matched term lifts the score by LESS
+    than the first occurrence did (k1 saturation), unlike raw tf·idf;
+    (4) a term appearing in every doc (df = N) contributes least."""
+    from itdb_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (0, "apple banana cherry"),          # query doc
+        (1, "apple banana cherry date"),     # shares all 3 query terms
+        (2, "apple banana fig grape"),       # shares 2
+        (3, "apple kiwi lemon mango"),       # shares 1
+        (4, "kiwi lemon mango nut"),         # shares 0 -> absent from results
+        (5, "apple apple apple apple"),      # tf saturation probe
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = bm25_topk(docs, docs.where("doc_id = 0").select("doc_id"), k=10)
+    got = {r.neighbor_id: r.score_micros for r in out.collect()}
+    assert 0 not in got, "query doc must be excluded from its own results"
+    assert 4 not in got, "zero-overlap doc must not appear"
+    assert got[1] > got[2] > got[3], "more shared terms must rank higher"
+    # tf saturation: 4x 'apple' scores less than 4x the single-occurrence
+    # contribution (doc 3's score is exactly one 'apple' contribution at
+    # the same dl=4).
+    assert got[5] > got[3], "higher tf must still score higher"
+    assert got[5] < 4 * got[3], "k1 must saturate repeated-term gains"
+
+
+def test_bm25_topk_truncates_with_deterministic_ties(spark):
+    """k cut honors (score desc, neighbor_id asc): 5 identical docs tie
+    exactly; with k=3 the keepers are the 3 lowest neighbor ids."""
+    from itdb_spark.operators.retrieval import bm25_topk
+
+    rows = [(0, "red blue green")] + [(i, "red blue yellow") for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = bm25_topk(docs, docs.where("doc_id = 0").select("doc_id"), k=3)
+    got = sorted(r.neighbor_id for r in out.collect())
+    assert got == [1, 2, 3]

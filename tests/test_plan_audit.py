@@ -94,3 +94,34 @@ def test_classifier_weights_broadcast(spark):
     assert "Range" in bcast.split("Scan parquet")[0], (
         "broadcast build side must be the Range-backed weight table"
     )
+
+
+def test_bm25_query_terms_broadcast_corpus_never_build_side(spark):
+    """sim-bm25's scale contract: the query-term side broadcasts (tiny
+    against a 100 TB corpus), the full corpus tf table is never a
+    broadcast build side, and no single-partition exchange appears
+    anywhere (the per-query window partitions by query_id)."""
+    from tests.conftest import SF_DIR
+
+    from itdb_spark.queries import load_all
+    from tools.audit_plans import audit
+
+    df = load_all()["sim-bm25"].spark(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    a = audit(plan)
+    # Exactly ONE single-partition exchange is expected and scale-safe:
+    # the one-row (N, avgdl) global aggregate, which partial-aggregates
+    # each partition to one row before the merge and then broadcasts.
+    assert a["single_partition_exchanges"] == 1, plan
+    assert "partial_avg(dl" in plan.split("Exchange SinglePartition")[1], (
+        "the only SinglePartition exchange must be the one-row stats aggregate"
+    )
+    # The only nested-loop join is the cross join against that ONE-ROW
+    # broadcast aggregate (build side is literally a single row at any
+    # corpus size) — any other BNLJ would be a real regression.
+    assert a["nested_loop_joins"] == 1, plan
+    assert "partial_avg(dl" in plan.split("BroadcastNestedLoopJoin")[1], (
+        "the only BNLJ build side must be the one-row stats aggregate"
+    )
+    assert "BroadcastHashJoin" in plan
