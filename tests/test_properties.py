@@ -623,3 +623,54 @@ def test_despan_reconciles_with_span_stats_random(spark):
             assert clean[i].n_tokens + clean[i].n_removed == n_ws
 
     check()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_bm25_matches_python_reference(spark, texts):
+    """bm25_topk ≡ an independent pure-Python BM25 with the same
+    micro-unit rounding, over random tiny-vocabulary corpora (small
+    alphabet forces term collisions, ties, df=N stopwords, and empty
+    docs). Checks scores AND the (score desc, id asc) top-k cut."""
+    from itdb_spark.operators.retrieval import BM25_B, BM25_K1, bm25_topk
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    n = len(docs)
+    toks = {i: t.split() if t.strip() else [] for i, t in docs}
+    dl = {i: len(ws) for i, ws in toks.items()}
+    avgdl = sum(dl.values()) / n
+    df: dict[str, int] = {}
+    for ws in toks.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    qid = 0
+    expected: dict[int, int] = {}
+    for i, ws in toks.items():
+        if i == qid:
+            continue
+        s = 0
+        for w in set(toks[qid]):
+            tf = ws.count(w)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+            tfc = (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[i] / avgdl)
+            )
+            # round-half-up to micro-units, like F.round on positives
+            s += math.floor(idf * tfc * 1e6 + 0.5)
+        if s or set(toks[qid]) & set(ws):
+            expected[i] = s
+    k = 3
+    order = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    frame = spark.createDataFrame(docs, "doc_id int, text string")
+    out = bm25_topk(frame, frame.where(f"doc_id = {qid}").select("doc_id"), k=k)
+    got = [(r.neighbor_id, r.score_micros) for r in out.collect()]
+    got.sort(key=lambda kv: (-kv[1], kv[0]))
+    assert got == order
