@@ -3937,17 +3937,20 @@ def pipe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (SELECT doc_id, lower(trim(text)) AS lt FROM documents),
     toks AS (
-      SELECT doc_id, unnest(regexp_split_to_array(lt, '\\s+')) AS w
-      FROM base WHERE len(lt) > 0
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lt, '\\s+')) AS w
+        FROM base WHERE len(lt) > 0
+      ) WHERE w != ''
     ),
     tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
     dl AS (
-      SELECT doc_id, CAST(CASE WHEN len(lt) = 0 THEN 0
-                          ELSE len(regexp_split_to_array(lt, '\\s+')) END AS BIGINT) AS dl
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lt, '\\s+'),
+                                  x -> x != '')) AS BIGINT) AS dl
       FROM base
     ),
     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-    df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
     q AS (SELECT DISTINCT doc_id AS query_id, w FROM toks WHERE doc_id < 3),
     contrib AS (
       SELECT q.query_id, tf.doc_id,
@@ -3976,10 +3979,13 @@ def pipe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_ids' distinct terms rank every other document; k1=1.2, b=0.75, "
     "Lucene +1 idf smoothing. The lexical counterpart of sim-knn-brute — "
     "benchmark decontamination and retrieval-based filtering run exactly "
-    "this shape with eval queries as the query set. Query terms "
-    "broadcast; tf join df UNHINTED (at 100 TB the vocabulary is "
-    "corpus-sized — AQE's size-based choice is the scale-correct one, "
-    "the text-tfidf precedent); per-term contributions rounded to BIGINT "
+    "this shape with eval queries as the query set. The corpus is "
+    "exploded ONCE (plan-pinned); dl is a per-row expression, query "
+    "terms tokenize only the query docs and broadcast in two roles — "
+    "the distinct term set semi-prunes tf, the (query, term) pairs "
+    "attach query ids — and df is a count window over the pruned term "
+    "key (no vocabulary-wide aggregate or join; the shuffle carries "
+    "only query-term postings); per-term contributions rounded to BIGINT "
     "micro-units BEFORE the per-(query,doc) sum so the aggregate is "
     "exact integer arithmetic and partial-agg order cannot perturb the "
     "hash; top-k via WindowGroupLimit with a full tie-break.",

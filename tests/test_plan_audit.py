@@ -97,10 +97,15 @@ def test_classifier_weights_broadcast(spark):
 
 
 def test_bm25_query_terms_broadcast_corpus_never_build_side(spark):
-    """sim-bm25's scale contract: the query-term side broadcasts (tiny
-    against a 100 TB corpus), the full corpus tf table is never a
-    broadcast build side, and no single-partition exchange appears
-    anywhere (the per-query window partitions by query_id)."""
+    """sim-bm25's plan contract: a broadcast hash join exists (the
+    query-term side), the ONLY single-partition exchange is the one-row
+    (N, avgdl) global aggregate, and the ONLY nested-loop join is that
+    aggregate's one-row broadcast cross join. The tf ⋈ df join is
+    deliberately left to AQE (at test SF it may broadcast either side;
+    at 100 TB size-based planning keeps both shuffled) — so no
+    assertion constrains it; the enforced invariant is that nothing
+    UNBOUNDED feeds a BNLJ and no global sort/single-partition shuffle
+    sneaks into the corpus path."""
     from tests.conftest import SF_DIR
 
     from itdb_spark.queries import load_all
@@ -125,3 +130,8 @@ def test_bm25_query_terms_broadcast_corpus_never_build_side(spark):
         "the only BNLJ build side must be the one-row stats aggregate"
     )
     assert "BroadcastHashJoin" in plan
+    # The CORPUS is exploded exactly once (the tf pipeline); the other
+    # two explodes tokenize only the query docs (doc_id-filtered scans).
+    # A fourth explode means a corpus-wide re-tokenization crept back in
+    # (df or qterms no longer share/prune — the round-5 review finding).
+    assert plan.count("Generate explode") == 3, plan

@@ -628,7 +628,9 @@ def test_despan_reconciles_with_span_stats_random(spark):
 @settings(max_examples=15, deadline=None)
 @given(
     st.lists(
-        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12).map(" ".join),
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e", "\t", "\n"]), min_size=0, max_size=12).map(
+            " ".join
+        ),
         min_size=2,
         max_size=12,
     )
@@ -636,8 +638,11 @@ def test_despan_reconciles_with_span_stats_random(spark):
 def test_bm25_matches_python_reference(spark, texts):
     """bm25_topk ≡ an independent pure-Python BM25 with the same
     micro-unit rounding, over random tiny-vocabulary corpora (small
-    alphabet forces term collisions, ties, df=N stopwords, and empty
-    docs). Checks scores AND the (score desc, id asc) top-k cut."""
+    alphabet forces term collisions, ties, df=N stopwords, empty docs,
+    and — via the tab/newline 'words' — leading/trailing/mid-text
+    non-space whitespace, which must yield NO empty tokens: Python's
+    str.split() drops them and the engine must agree). Checks scores
+    AND the (score desc, id asc) top-k cut."""
     from itdb_spark.operators.retrieval import BM25_B, BM25_K1, bm25_topk
 
     docs = [(i, t) for i, t in enumerate(texts)]
