@@ -30,6 +30,23 @@ def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS
     )
 
 
+# The en/other decision threshold of the language-ID heuristic. Single
+# source of truth: text-langid reports this classifier and
+# pipe-langid-eval measures it — both Spark sides call langid_predict and
+# both oracles interpolate this constant, so tuning it cannot drift the
+# evaluation harness away from the classifier it claims to measure.
+LANGID_THRESHOLD = 0.05
+
+
+def langid_predict(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """'en'/'other' prediction of the stopword-ratio language-ID
+    heuristic — the one shared definition of the classifier."""
+    return (
+        F.when(stopword_ratio(text, stopwords) >= LANGID_THRESHOLD, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite document-quality score: mean word length in a sane band,
     low non-alpha ratio, non-trivial length. Deterministic arithmetic only."""

@@ -1358,6 +1358,13 @@ def fn_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
 
+    # shard(5) and shard(6) spell out 11 md5 calls in the expression tree
+    # (the five shard-0..4 hashes appear in both), but whole-stage
+    # codegen's subexpression elimination computes each DISTINCT hash
+    # once — a same-session A/B against a shared-sorted-array form that
+    # guarantees 6 tree-level hashes measured identical (sf0.1, noop
+    # sink, alternating: 0.91 vs 0.94 s per 5 runs), so the simpler
+    # per-n form stays.
     def shard(n: int):
         weights = F.array(
             *[

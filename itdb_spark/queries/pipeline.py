@@ -16,7 +16,14 @@ from pyspark.sql import functions as F
 
 from itdb_spark.catalog import Tables
 from itdb_spark.functions.core import HASH_PRIME
-from itdb_spark.functions.text import EN_STOPWORDS, quality_score, stopword_ratio, tokens
+from itdb_spark.functions.text import (
+    EN_STOPWORDS,
+    LANGID_THRESHOLD,
+    langid_predict,
+    quality_score,
+    stopword_ratio,
+    tokens,
+)
 from itdb_spark.operators.dedup import (
     NUM_BANDS,
     NUM_PERM,
@@ -498,6 +505,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOPWORD_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 
+# Oracle twin of functions/text.py::langid_predict over a `toks` array
+# column — interpolates the SAME LANGID_THRESHOLD constant the Spark
+# side uses, so text-langid and pipe-langid-eval cannot drift apart.
+_LANGID_PRED_SQL = f"""CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains({_STOPWORD_LIST_SQL}, x)))
+                   AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) >= {LANGID_THRESHOLD}
+         THEN 'en' ELSE 'other' END"""
+
 
 @register(
     "text-tokens",
@@ -532,28 +547,20 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text-langid",
     oracle=f"""
-    SELECT doc_id, lang,
-           CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END AS predicted
-    FROM (
-      SELECT doc_id, lang,
-             CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE CAST(len(list_filter(toks, x -> list_contains({_STOPWORD_LIST_SQL}, x)))
-                       AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS ratio
-      FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
-            FROM documents)
-    )
+    SELECT doc_id, lang, {_LANGID_PRED_SQL} AS predicted
+    FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents)
     """,
     doc="Language-ID n-gram/marker heuristic: fraction of tokens in an "
-    "English marker set → en/other. A real model is per-language n-gram "
-    "profiles; the operator shape (token-ratio classify) is identical.",
+    "English marker set → en/other (functions/text.py::langid_predict — "
+    "the ONE definition pipe-langid-eval also measures). A real model is "
+    "per-language n-gram profiles; the operator shape (token-ratio "
+    "classify) is identical.",
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    ratio = stopword_ratio(F.col("text"))
     return t.documents.select(
-        "doc_id",
-        "lang",
-        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("predicted"),
+        "doc_id", "lang", langid_predict(F.col("text")).alias("predicted")
     )
 
 
@@ -3765,11 +3772,7 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pred AS (
       SELECT doc_id,
              CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS truth,
-             CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE CAST(len(list_filter(toks,
-                         x -> list_contains({_STOPWORD_LIST_SQL}, x)))
-                       AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) >= 0.05
-                  THEN 'en' ELSE 'other' END AS predicted
+             {_LANGID_PRED_SQL} AS predicted
       FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
             FROM documents)
     )
@@ -3789,10 +3792,9 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipe_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    ratio = stopword_ratio(F.col("text"))
     pred = t.documents.select(
         F.when(F.col("lang") == "en", F.lit("en")).otherwise(F.lit("other")).alias("truth"),
-        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("predicted"),
+        langid_predict(F.col("text")).alias("predicted"),
     )
     cm = pred.groupBy("truth", "predicted").agg(
         F.count("*").cast("long").alias("n")

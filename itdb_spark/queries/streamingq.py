@@ -445,7 +445,6 @@ def stream_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketching an unbounded stream.",
 )
 def stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import types as T
 
     from itdb_spark.functions.core import portable_hash64
 
@@ -525,7 +524,6 @@ def stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an incremental ingest consults before any exact-dedup shuffle.",
 )
 def stream_bloom_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import types as T
 
     from itdb_spark.queries.pipeline import (
         _bloom_probes,
@@ -664,7 +662,6 @@ def stream_ewma_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-for-bit. State bounded at 6 integers per source.",
 )
 def stream_linreg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import types as T
 
     docs_schema = _docs_schema()
     stream = (

@@ -9,8 +9,8 @@ processing-time timeout — bounded by active keys, not history length."""
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterable
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -303,6 +303,17 @@ EWMA_STATE_SCHEMA = T.StructType(
 )
 
 
+def cents_half_up(value: float) -> int:
+    """value → integer cents, HALF-AWAY-FROM-ZERO on the EXACT double —
+    bit-for-bit Spark F.round (BigDecimal HALF_UP) and DuckDB round.
+    Python round() is banker's (round(12.5) == 12 — diverges on the
+    first half-cent), and floor(x + 0.5) rounds in the ADDITION:
+    0.49999999999999994 + 0.5 == 1.0, yielding 1 where both engines
+    yield 0. Decimal(double) is exact, so HALF_UP on it is the engines'
+    semantics at every boundary."""
+    return int(Decimal(value * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
 def _ewma_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     (user_id,) = key
     if state.exists:
@@ -314,11 +325,7 @@ def _ewma_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         ["ts", "event_id"]
     )
     for r in batch.itertuples(index=False):
-        # HALF-AWAY-FROM-ZERO on the double, matching Spark's F.round and
-        # DuckDB's round (Python round() is banker's: round(12.5) == 12,
-        # which would diverge the gate on the first half-cent value)
-        x = float(r.value) * 100
-        xs.append(int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5)))
+        xs.append(cents_half_up(float(r.value)))
         n_seen += 1
     xs = xs[-8:]
     state.update((xs, n_seen))

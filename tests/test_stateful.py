@@ -374,3 +374,24 @@ def test_stream_ewma_carries_window_across_batches(spark, tmp_path):
     assert row.user_id == 9
     assert row.n_seen == 10
     assert row.ewma_milli == want
+
+
+def test_cents_half_up_matches_engine_round_at_boundaries(spark):
+    """cents_half_up must agree with Spark F.round on the exact doubles
+    where naive floor(x+0.5) diverges: 0.49999999999999994 rounds DOWN
+    (the double is strictly below one half; adding 0.5 would round UP in
+    the addition), plus the plain half-cent and negative boundaries."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.streaming.stateful import cents_half_up
+
+    values = [
+        0.004999999999999999,  # *100 -> 0.49999999999999994, the trap
+        0.005, 0.015, 0.025, -0.005, -0.015, 2.675, -2.675, 0.0, 1.0,
+    ]
+    df = spark.createDataFrame([(v,) for v in values], "value double")
+    engine = [
+        r.c for r in df.select(F.round(F.col("value") * 100).cast("long").alias("c")).collect()
+    ]
+    ours = [cents_half_up(v) for v in values]
+    assert ours == engine, list(zip(values, ours, engine))
