@@ -92,3 +92,36 @@ def test_star_schema_join_keys(spark):
         .count()
     )
     assert dangling_r == 0
+
+
+def test_degenerate_documents_keep_oracle_parity(spark):
+    """The empty/whitespace/single-token edge corpus (tools/edge_corpus.py)
+    must hash-match Spark vs DuckDB for the queries most sensitive to
+    token-count semantics — the ADVICE-r4 failure class (tokens() maps
+    empty text to 0 where a naive regexp_split oracle says 1, silently
+    shifting every downstream cumsum the day testdata regenerates with
+    an empty doc). Full-registry edge sweep: 185/185 (round 5)."""
+    import duckdb
+
+    from itdb_spark.catalog import TESTDATA_TABLES
+    from itdb_spark.queries import load_all
+    from tools.check_oracle import check_one
+    from tools.edge_corpus import build_edge_dir
+
+    dst = build_edge_dir("/root/testdata/sf0.001", "/tmp/itdb_spark_edge_test")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{dst}/{t}.parquet')"
+        )
+    registry = load_all()
+    sensitive = [
+        "fn-pack", "fn-pack-chunks", "text-tokens", "text-winnow",
+        "pipe-mixture", "sim-bm25", "text-langid", "text-repetition",
+    ]
+    failures = []
+    for qid in sensitive:
+        status, msg = check_one(qid, registry[qid], spark, con, dst)
+        if status != "PASS":
+            failures.append(msg)
+    assert not failures, "\n".join(failures)

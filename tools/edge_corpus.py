@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Degenerate-document robustness audit.
+
+TESTDATA.md's tables regenerate between rounds, and today's generation
+happens to contain no empty or whitespace-only documents — so any query
+whose Spark side and DuckDB oracle disagree ONLY on degenerate text
+(ADVICE r4's fn-pack finding was exactly this class) passes the gate
+right up until a regen silently breaks it. This tool makes that failure
+mode testable NOW: it derives an sf dir from a real one with five
+adversarial documents appended —
+
+  900001  ''            (empty)
+  900002  '   '         (spaces only — trim-sensitive)
+  900003  '\\t\\n '       (non-space whitespace — split()-empty-token bait)
+  900004  'word'        (single token — shingle/k-gram floors)
+  900005  '\\tlead trail\\n' (boundary whitespace around real tokens)
+
+— and runs the standard oracle differential over it. Usage:
+
+    python tools/edge_corpus.py [src_sf_dir] [query-id ...]
+
+Run with no query ids for the full registry (the round-5 baseline:
+185/185 pass on the edge corpus at sf0.001).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+
+import duckdb
+
+EDGE_DOCS = [
+    (900001, "", "en", "src0", 0),
+    (900002, "   ", "en", "src0", 3),
+    (900003, "\t\n ", "en", "src1", 3),
+    (900004, "word", "en", "src1", 4),
+    (900005, "\tlead trail\n", "de", "src2", 12),
+]
+
+
+def build_edge_dir(src: str, dst: str) -> str:
+    """Copy every table from src; rebuild documents.parquet with the
+    degenerate rows appended. Deterministic — same src → same dst."""
+    os.makedirs(dst, exist_ok=True)
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        if os.path.basename(f) != "documents.parquet":
+            shutil.copy(f, dst)
+    con = duckdb.connect()
+    values = ", ".join(
+        "(%d, %s, '%s', '%s', %d)"
+        % (i, "'" + t.replace("\t", "' || CHR(9) || '").replace("\n", "' || CHR(10) || '") + "'", la, so, n)
+        for i, t, la, so, n in EDGE_DOCS
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/documents.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES {values}) t(doc_id, text, lang, source, n_chars)
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return dst
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dst = os.path.join("/tmp", "itdb_spark_edge_" + os.path.basename(os.path.normpath(src)))
+    build_edge_dir(src, dst)
+    print(f"edge corpus at {dst}; running oracle differential ...")
+    os.execv(sys.executable, [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "check_oracle.py"), dst] + sys.argv[2:])
+
+
+if __name__ == "__main__":
+    main()
