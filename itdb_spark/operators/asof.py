@@ -35,6 +35,14 @@ flips the side order so equal-ts right rows are excluded
 (allow_exact_matches=False). Right rows must be unique per (key, ts) —
 pre-aggregate duplicates (the registered query takes max(event_id)); with
 duplicates the carried row is the union's nondeterministic tie order.
+
+NULL semantics (SQL-join-compatible, so the DuckDB ASOF oracle agrees):
+right rows with a NULL timestamp or NULL key are dropped up front — a
+NULL key never equals anything and a NULL timestamp has no position on
+the axis; left rows always survive (left-join), and a NULL-ts or
+NULL-key left row matches nothing (NULL-keyed left rows share a window
+partition with each other, but that partition contains no right rows
+after the filter).
 """
 
 from __future__ import annotations
@@ -90,6 +98,20 @@ def asof_join(
     l_struct_t = left.select(F.struct(*l_payload).alias("s")).schema[0].dataType
     r_struct_t = right.select(F.struct(*r_payload).alias("s")).schema[0].dataType
 
+    # A right row with a NULL timestamp or NULL key can never be a
+    # DEFINED match: SQL equality joins (the DuckDB ASOF oracle) never
+    # match NULL keys, and a NULL timestamp has no position on the time
+    # axis — without this filter a nulls-first NULL-ts row becomes the
+    # backward candidate whose NULL distance makes nearest's comparison
+    # null-propagate and silently beat a real finite-distance match
+    # (caught by review, confirmed by execution). Left rows with NULL
+    # keys keep left-join semantics: their partition simply contains no
+    # right rows.
+    defined = F.col(right_ts).isNotNull()
+    for k in keys:
+        defined = defined & F.col(k).isNotNull()
+    right = right.where(defined)
+
     # Equal-ts ordering decides exact-match inclusivity relative to the
     # frame: a PRECEDING frame sees right rows sorting at-or-before the
     # left row, a FOLLOWING frame sees ones sorting at-or-after — so the
@@ -144,7 +166,7 @@ def asof_join(
         # numeric types in their native arithmetic.
         from pyspark.sql import types as T
 
-        ts_type = dict(zip(left.columns, [f.dataType for f in left.schema]))[left_ts]
+        ts_type = left.schema[left_ts].dataType
         if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
             lin = F.unix_micros
         elif isinstance(ts_type, T.DateType):
@@ -159,7 +181,11 @@ def asof_join(
         pick_f = F.col("_rb").isNull() | (
             F.col("_rf").isNotNull() & (df_ < db)
         )
-        chosen = F.when(pick_f, F.col("_rf")).otherwise(F.col("_rb"))
+        # A NULL-ts LEFT row has no defined distance to anything → no
+        # match (mirrors the right-side filter above).
+        chosen = F.when(t0.isNull(), F.lit(None).cast(r_struct_t)).otherwise(
+            F.when(pick_f, F.col("_rf")).otherwise(F.col("_rb"))
+        )
         matched = (
             F.when(chosen.isNull(), F.lit(None).cast("string"))
             .when(pick_f, F.lit("forward"))
@@ -181,7 +207,13 @@ def asof_join(
         *keys,
         "_side",
         "_l",
-        carry.alias("_r"),
+        # NULL-ts left rows match nothing in either direction: they sort
+        # nulls-first, which backward's PRECEDING frame already maps to
+        # no-candidate, but forward's FOLLOWING frame would hand them the
+        # first real right row with an undefined distance.
+        F.when(F.col("_ts").isNull(), F.lit(None).cast(r_struct_t))
+        .otherwise(carry)
+        .alias("_r"),
     )
     return carried.where(F.col("_side") == l_side).select(
         *keys,

@@ -19,7 +19,7 @@ from pyspark.sql import types as T
 
 OUTPUT_SCHEMA = T.StructType(
     [
-        T.StructField("user_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), True),
         T.StructField("n_events", T.LongType(), False),
         T.StructField("value_sum", T.DoubleType(), False),
     ]
@@ -75,7 +75,7 @@ def run_stateful_to_completion(stream_df: DataFrame, query_name: str) -> DataFra
 ASOF_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),
-        T.StructField("user_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), True),
         T.StructField("error_id", T.LongType(), True),
         T.StructField("error_epoch", T.LongType(), True),
     ]
@@ -98,7 +98,12 @@ def _asof_carry(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     batch asof_join's side ordering); error events update the carried
     (ts, id) state, every other event emits with the carried value."""
     (user_id,) = key
-    last = state.get if state.exists else None
+    # SQL-join NULL semantics (the DuckDB ASOF oracle and batch
+    # asof_join agree): a NULL key never matches — the NULL-user group's
+    # errors must not enrich its events, so the group runs with no
+    # carry and keeps no state.
+    null_key = user_id is None or pd.isna(user_id)
+    last = state.get if state.exists and not null_key else None
     batch = pd.concat(list(pdfs), ignore_index=True)
     is_err = (batch["event_type"] == "error").astype(int)
     batch = (
@@ -109,7 +114,7 @@ def _asof_carry(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     for r in batch.itertuples(index=False):
         ts_us = r.ts.value // 1000  # pandas ns → µs
         if r.event_type == "error":
-            if last is None or (ts_us, r.event_id) >= last:
+            if not null_key and (last is None or (ts_us, r.event_id) >= last):
                 last = (ts_us, r.event_id)
         else:
             out_rows.append(
@@ -144,7 +149,7 @@ def asof_enriched_stream(events_stream: DataFrame) -> DataFrame:
 
 FUNNEL_OUTPUT_SCHEMA = T.StructType(
     [
-        T.StructField("user_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), True),
         T.StructField("t_view_us", T.LongType(), True),
         T.StructField("t_click_us", T.LongType(), True),
         T.StructField("t_purchase_us", T.LongType(), True),
@@ -289,7 +294,7 @@ _EWMA_D = (16384, 28672, 37888, 44800, 49984, 53872, 56788, 58975)
 
 EWMA_OUTPUT_SCHEMA = T.StructType(
     [
-        T.StructField("user_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), True),
         T.StructField("n_seen", T.LongType(), False),
         T.StructField("ewma_milli", T.LongType(), False),
     ]

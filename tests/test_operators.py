@@ -1174,3 +1174,36 @@ def test_bm25_topk_truncates_with_deterministic_ties(spark):
     out = bm25_topk(docs, docs.where("doc_id = 0").select("doc_id"), k=3)
     got = sorted(r.neighbor_id for r in out.collect())
     assert got == [1, 2, 3]
+
+
+def test_asof_null_timestamps_and_keys_never_match(spark):
+    """NULL right timestamps / keys are undefined matches, not
+    nulls-first '-infinity' candidates: the review repro — right rows
+    (k=1, rts=NULL, rv=99) and (k=1, rts=10, rv=42) with left (k=1,
+    ts=5) — must pick the finite forward match rv=42 under nearest (the
+    NULL-distance comparison used to null-propagate and hand the win to
+    the NULL-ts row). NULL-ts and NULL-key left rows match nothing in
+    every direction; NULL-key right rows match nothing."""
+    from itdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5), (1, None), (None, 5)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, 10, 42), (None, 4, 7)], "k int, rts int, rv int"
+    )
+    near = {
+        (r.k, r.ts): (r.rv, r.matched_dir)
+        for r in asof_join(left, right, "k", "ts", "rts", direction="nearest").collect()
+    }
+    assert near[(1, 5)] == (42, "forward")
+    assert near[(1, None)] == (None, None)
+    assert near[(None, 5)] == (None, None)
+    for direction in ("backward", "forward"):
+        got = {
+            (r.k, r.ts): r.rv
+            for r in asof_join(left, right, "k", "ts", "rts", direction=direction).collect()
+        }
+        assert got[(1, None)] is None, direction
+        assert got[(None, 5)] is None, direction
+        assert got[(1, 5)] == (42 if direction == "forward" else None), direction

@@ -118,6 +118,11 @@ def test_degenerate_documents_keep_oracle_parity(spark):
     sensitive = [
         "fn-pack", "fn-pack-chunks", "text-tokens", "text-winnow",
         "pipe-mixture", "sim-bm25", "text-langid", "text-repetition",
+        # NULL-user events: SQL joins never match NULL keys but window/
+        # groupBy treat NULL as a group — and a non-nullable key schema
+        # made one NULL-key event KILL the stateful streams (round-5
+        # review; all three crashed before the fix).
+        "join-nearest", "stream-asof-live",
     ]
     failures = []
     for qid in sensitive:

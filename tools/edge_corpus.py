@@ -40,15 +40,34 @@ EDGE_DOCS = [
     (900005, "\tlead trail\n", "de", "src2", 12),
 ]
 
+# NULL-key events: SQL join equality never matches NULL but window
+# partitionBy / groupBy treat NULL as a regular group — the class of
+# divergence the join-nearest review finding exposed. One NULL-user
+# error and one NULL-user click probe every user-keyed join's NULL path.
+EDGE_EVENTS_SQL = """
+  (900001, TIMESTAMP '2024-01-01 00:05:00', NULL, 'error', 1.0, '{}'),
+  (900002, TIMESTAMP '2024-01-01 00:06:00', NULL, 'click', 2.5, '{}')
+"""
+
 
 def build_edge_dir(src: str, dst: str) -> str:
     """Copy every table from src; rebuild documents.parquet with the
     degenerate rows appended. Deterministic — same src → same dst."""
     os.makedirs(dst, exist_ok=True)
     for f in glob.glob(os.path.join(src, "*.parquet")):
-        if os.path.basename(f) != "documents.parquet":
+        if os.path.basename(f) not in ("documents.parquet", "events.parquet"):
             shutil.copy(f, dst)
     con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/events.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES {EDGE_EVENTS_SQL})
+            t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """
+    )
     values = ", ".join(
         "(%d, %s, '%s', '%s', %d)"
         % (i, "'" + t.replace("\t", "' || CHR(9) || '").replace("\n", "' || CHR(10) || '") + "'", la, so, n)
