@@ -59,8 +59,14 @@ def decode_location(location: Column | str) -> Column:
 def ms_to_hms(ms: Column | str) -> Column:
     """Milliseconds → ``h:mm:ss`` with no leading zero hours, as rendered by
     the reference (itdb2html.py:124-131). Pure integer arithmetic so the SQL
-    oracle can mirror it exactly."""
-    c = (F.col(ms) if isinstance(ms, str) else ms).cast("long")
+    oracle can mirror it exactly.
+
+    A duration is nonnegative by definition; negative input clamps to 0
+    (the reference only ever renders track times). Unclamped, Spark's
+    truncating casts and a floor-based SQL mirror disagree sign-place by
+    sign-place ('0:00:-2' vs '-1:-1:-3' — both garbage; caught by the
+    edge-corpus audit's negative value)."""
+    c = F.greatest((F.col(ms) if isinstance(ms, str) else ms).cast("long"), F.lit(0))
     secs = (c / 1000).cast("long")
     h = (secs / 3600).cast("long")
     m = ((secs % 3600) / 60).cast("long")

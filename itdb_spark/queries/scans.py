@@ -358,10 +358,13 @@ def fn_location(spark: SparkSession, sf_dir: str) -> DataFrame:
              lpad(CAST(CAST(floor(ms / 1000 % 3600 / 60) AS BIGINT) AS VARCHAR), 2, '0'), ':',
              lpad(CAST(CAST(floor(ms / 1000) AS BIGINT) % 60 AS VARCHAR), 2, '0')
            ) AS hms
-    FROM (SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS ms FROM events)
+    FROM (SELECT event_id,
+                 greatest(CAST(floor(value * 1000) AS BIGINT), 0) AS ms
+          FROM events)
     """,
     doc="Milliseconds → h:mm:ss rendering (itdb2html.py:124-131) as pure "
-    "integer column arithmetic.",
+    "integer column arithmetic; negative input clamps to 0 (durations "
+    "are nonnegative — see ms_to_hms).",
 )
 def fn_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.functions.core import ms_to_hms

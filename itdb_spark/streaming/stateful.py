@@ -308,6 +308,15 @@ EWMA_STATE_SCHEMA = T.StructType(
 )
 
 
+def trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward ZERO — Spark SQL DIV and
+    DuckDB // semantics. Python's // floors toward -infinity, so a
+    negative running sum diverges by one milli (caught by the edge
+    corpus's -2.675 purchase: Python -229715.8.. -> -114858, both
+    engines -> -114857)."""
+    return -(-a // b) if (a < 0) != (b < 0) else a // b
+
+
 def cents_half_up(value: float) -> int:
     """value → integer cents, HALF-AWAY-FROM-ZERO on the EXACT double —
     bit-for-bit Spark F.round (BigDecimal HALF_UP) and DuckDB round.
@@ -340,7 +349,7 @@ def _ewma_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         {
             "user_id": [user_id],
             "n_seen": [n_seen],
-            "ewma_milli": [1000 * num // _EWMA_D[s - 1]],
+            "ewma_milli": [trunc_div(1000 * num, _EWMA_D[s - 1])],
         }
     )
 

@@ -395,3 +395,17 @@ def test_cents_half_up_matches_engine_round_at_boundaries(spark):
     ]
     ours = [cents_half_up(v) for v in values]
     assert ours == engine, list(zip(values, ours, engine))
+
+
+def test_trunc_div_matches_engine_div(spark):
+    """trunc_div must agree with Spark SQL DIV (and DuckDB //): both
+    truncate toward zero, Python's // floors — divergence surfaces on
+    any negative running sum (the edge corpus's -2.675 purchase)."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.streaming.stateful import trunc_div
+
+    pairs = [(-229715, 2), (229715, 2), (-7, 2), (7, 2), (-1, 3), (1, -3), (-6, 3)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    engine = [r.q for r in df.select(F.expr("a DIV b").alias("q")).collect()]
+    assert [trunc_div(a, b) for a, b in pairs] == engine

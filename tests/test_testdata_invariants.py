@@ -123,6 +123,11 @@ def test_degenerate_documents_keep_oracle_parity(spark):
         # made one NULL-key event KILL the stateful streams (round-5
         # review; all three crashed before the fix).
         "join-nearest", "stream-asof-live",
+        # Boundary-value events: negative cents hit Python-floor vs
+        # SQL-truncate division (stream-ewma diverged by one milli) and
+        # negative 'durations' (fn-time rendered engine-specific
+        # garbage until the clamp). Both found by this corpus.
+        "stream-ewma-live", "fn-time",
     ]
     failures = []
     for qid in sensitive:

@@ -38,6 +38,12 @@ EDGE_DOCS = [
     (900003, "\t\n ", "en", "src1", 3),
     (900004, "word", "en", "src1", 4),
     (900005, "\tlead trail\n", "de", "src2", 12),
+    # Unicode: non-ASCII lower/length/regex semantics (code points, not
+    # bytes, on both engines — divergence here corrupts every token
+    # count), and an unsegmented CJK run (one giant 'token', the
+    # shingle/k-gram floor case in a different costume).
+    (900006, "Héllo WÖRLD déjà vu", "fr", "src0", 19),
+    (900007, "日本語のテキスト", "ja", "src2", 8),
 ]
 
 # NULL-key events: SQL join equality never matches NULL but window
@@ -46,8 +52,14 @@ EDGE_DOCS = [
 # error and one NULL-user click probe every user-keyed join's NULL path.
 EDGE_EVENTS_SQL = """
   (900001, TIMESTAMP '2024-01-01 00:05:00', NULL, 'error', 1.0, '{}'),
-  (900002, TIMESTAMP '2024-01-01 00:06:00', NULL, 'click', 2.5, '{}')
+  (900002, TIMESTAMP '2024-01-01 00:06:00', NULL, 'click', 2.5, '{}'),
+  (900003, TIMESTAMP '2024-01-01 00:07:00', 900001, 'purchase', -2.675, '{}'),
+  (900004, TIMESTAMP '2024-01-01 00:08:00', 900001, 'purchase', 0.004999999999999999, '{}')
 """
+# 900003/900004: cents-rounding boundary values — the negative half-cent
+# and the double just below one half cent (floor(x+0.5) rounds UP in the
+# addition; Spark F.round, DuckDB round, and streaming cents_half_up all
+# round DOWN). Every money-summing query must agree on these.
 
 
 def build_edge_dir(src: str, dst: str) -> str:
