@@ -123,7 +123,8 @@ def _ordered() -> dict:
     registry = load_all()
     last = _last_graded_round()
     # sorted() is stable → registry (insertion) order breaks ties within
-    # each rank bucket; rank-0 (never-graded / changed) ids lead.
+    # each rank bucket; rank -1 (definition-changed pins) leads, then
+    # rank 0 (never-graded), then stalest-graded-first.
     return dict(sorted(registry.items(), key=lambda kv: _effective_rank(kv[0], last)))
 
 

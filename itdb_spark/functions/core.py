@@ -65,8 +65,12 @@ def ms_to_hms(ms: Column | str) -> Column:
     (the reference only ever renders track times). Unclamped, Spark's
     truncating casts and a floor-based SQL mirror disagree sign-place by
     sign-place ('0:00:-2' vs '-1:-1:-3' — both garbage; caught by the
-    edge-corpus audit's negative value)."""
-    c = F.greatest((F.col(ms) if isinstance(ms, str) else ms).cast("long"), F.lit(0))
+    edge-corpus audit's negative value). The clamp is NULL-preserving:
+    an unknown duration stays NULL rather than rendering as a genuine
+    '0:00:00' (greatest() would coerce — it skips NULLs on both
+    engines)."""
+    raw = (F.col(ms) if isinstance(ms, str) else ms).cast("long")
+    c = F.when(raw < 0, F.lit(0).cast("long")).otherwise(raw)
     secs = (c / 1000).cast("long")
     h = (secs / 3600).cast("long")
     m = ((secs % 3600) / 60).cast("long")

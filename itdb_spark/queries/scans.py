@@ -353,18 +353,19 @@ def fn_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn-time",
     oracle="""
     SELECT event_id,
-           concat(
+           CASE WHEN ms IS NULL THEN NULL ELSE concat(
              CAST(CAST(floor(ms / 1000 / 3600) AS BIGINT) AS VARCHAR), ':',
              lpad(CAST(CAST(floor(ms / 1000 % 3600 / 60) AS BIGINT) AS VARCHAR), 2, '0'), ':',
              lpad(CAST(CAST(floor(ms / 1000) AS BIGINT) % 60 AS VARCHAR), 2, '0')
-           ) AS hms
+           ) END AS hms
     FROM (SELECT event_id,
-                 greatest(CAST(floor(value * 1000) AS BIGINT), 0) AS ms
-          FROM events)
+                 CASE WHEN m < 0 THEN 0 ELSE m END AS ms
+          FROM (SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS m
+                FROM events))
     """,
     doc="Milliseconds → h:mm:ss rendering (itdb2html.py:124-131) as pure "
     "integer column arithmetic; negative input clamps to 0 (durations "
-    "are nonnegative — see ms_to_hms).",
+    "are nonnegative — see ms_to_hms), NULL stays NULL on both sides.",
 )
 def fn_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.functions.core import ms_to_hms

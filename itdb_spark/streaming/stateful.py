@@ -312,8 +312,8 @@ def trunc_div(a: int, b: int) -> int:
     """Integer division truncating toward ZERO — Spark SQL DIV and
     DuckDB // semantics. Python's // floors toward -infinity, so a
     negative running sum diverges by one milli (caught by the edge
-    corpus's -2.675 purchase: Python -229715.8.. -> -114858, both
-    engines -> -114857)."""
+    corpus's -2.675 purchase: the weighted numerator divided out to
+    -229715 // 2 → Python -114858, both engines -114857)."""
     return -(-a // b) if (a < 0) != (b < 0) else a // b
 
 

@@ -6,7 +6,7 @@ happens to contain no empty or whitespace-only documents — so any query
 whose Spark side and DuckDB oracle disagree ONLY on degenerate text
 (ADVICE r4's fn-pack finding was exactly this class) passes the gate
 right up until a regen silently breaks it. This tool makes that failure
-mode testable NOW: it derives an sf dir from a real one with five
+mode testable NOW: it derives an sf dir from a real one with
 adversarial documents appended —
 
   900001  ''            (empty)
@@ -14,13 +14,20 @@ adversarial documents appended —
   900003  '\\t\\n '       (non-space whitespace — split()-empty-token bait)
   900004  'word'        (single token — shingle/k-gram floors)
   900005  '\\tlead trail\\n' (boundary whitespace around real tokens)
+  900006  unicode accents  (code-point lower/length/regex semantics)
+  900007  unsegmented CJK  (one giant token)
 
-— and runs the standard oracle differential over it. Usage:
+— plus adversarial EVENTS (EDGE_EVENTS_SQL: two NULL-user rows, the
+-2.675 / 0.004999999999999999 cents-rounding boundary values, and a
+NULL value) — and runs the standard oracle differential over it. Usage:
 
     python tools/edge_corpus.py [src_sf_dir] [query-id ...]
 
-Run with no query ids for the full registry (the round-5 baseline:
-185/185 pass on the edge corpus at sf0.001).
+Run with no query ids for the full registry (round-5 baseline: 185/185
+on the full edge corpus at sf0.001 — after it caught six real defects:
+three stateful-stream crashes on NULL keys, the nearest-as-of
+NULL-distance win, Python-floor vs SQL-truncate division, and
+fn-time's negative-duration rendering).
 """
 
 from __future__ import annotations
@@ -54,12 +61,16 @@ EDGE_EVENTS_SQL = """
   (900001, TIMESTAMP '2024-01-01 00:05:00', NULL, 'error', 1.0, '{}'),
   (900002, TIMESTAMP '2024-01-01 00:06:00', NULL, 'click', 2.5, '{}'),
   (900003, TIMESTAMP '2024-01-01 00:07:00', 900001, 'purchase', -2.675, '{}'),
-  (900004, TIMESTAMP '2024-01-01 00:08:00', 900001, 'purchase', 0.004999999999999999, '{}')
+  (900004, TIMESTAMP '2024-01-01 00:08:00', 900001, 'purchase', 0.004999999999999999, '{}'),
+  (900005, TIMESTAMP '2024-01-01 00:09:00', 900002, 'view', NULL, '{}')
 """
 # 900003/900004: cents-rounding boundary values — the negative half-cent
 # and the double just below one half cent (floor(x+0.5) rounds UP in the
 # addition; Spark F.round, DuckDB round, and streaming cents_half_up all
 # round DOWN). Every money-summing query must agree on these.
+# 900005: NULL value — Spark concat/arithmetic null-propagates where
+# DuckDB concat ignores NULL args and list() keeps NULL elements; every
+# value-consuming query must pin which behavior it means.
 
 
 def build_edge_dir(src: str, dst: str) -> str:
