@@ -33,8 +33,14 @@ def cosine_col(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns; deterministic
     left-to-right summation so the SQL oracle reproduces it exactly.
     JVM-side but interpreted (higher-order functions skip codegen) — use
-    ``dot_pandas`` on the hot pair-scoring path."""
-    return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
+    ``dot_pandas`` on the hot pair-scoring path. A ZERO (dead) vector
+    has no cosine: try_divide yields NULL — DuckDB's x/0.0 semantics and
+    what cosine_pandas's NaN becomes through Arrow — where a plain
+    division would crash the whole job under ANSI mode on the first
+    dead embedding (edge-corpus class)."""
+    return F.try_divide(
+        dot_col(a, b), F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b))
+    )
 
 
 _UDF_CACHE: dict = {}

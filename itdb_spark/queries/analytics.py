@@ -300,10 +300,14 @@ def fn_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = F.col("embedding").cast("array<double>")
     sumsq = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
     norm = F.sqrt(sumsq)
+    # try_divide: a ZERO (dead) embedding has no direction — first_norm
+    # is NULL, exactly DuckDB's x/0.0 → NULL. A plain division CRASHES
+    # the whole job under ANSI mode on the first dead embedding (caught
+    # by the edge corpus's zero vector).
     return t.embeddings.select(
         "vec_id",
         F.round(norm, 6).alias("l2"),
-        F.round(vec.getItem(0) / norm, 6).alias("first_norm"),
+        F.round(F.try_divide(vec.getItem(0), norm), 6).alias("first_norm"),
     )
 
 

@@ -3493,7 +3493,12 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "qi",
-            (dot_col(F.col("qsv"), F.col("nsv")) / (F.col("qn") * F.col("nn"))).alias("c"),
+            # try_divide: a zero sub-vector (dead embedding) has no
+            # cosine — NULL, matching DuckDB's x/0.0 → NULL; plain
+            # division crashes the job under ANSI mode (edge corpus).
+            F.try_divide(
+                dot_col(F.col("qsv"), F.col("nsv")), F.col("qn") * F.col("nn")
+            ).alias("c"),
         )
         .groupBy("query_id", "neighbor_id", "qi")
         .agg(F.max("c").alias("m"))

@@ -1207,3 +1207,30 @@ def test_asof_null_timestamps_and_keys_never_match(spark):
         assert got[(1, None)] is None, direction
         assert got[(None, 5)] is None, direction
         assert got[(1, 5)] == (42 if direction == "forward" else None), direction
+
+
+def test_zero_vector_cosine_is_null_not_crash(spark):
+    """A dead (all-zero) embedding must yield NULL cosine, not an ANSI
+    DIVIDE_BY_ZERO that kills the job — the edge-corpus class that
+    crashed fn-embed-norm and sim-maxsim. NULL matches DuckDB's x/0.0
+    and what cosine_pandas's NaN becomes through Arrow, and NULLs sort
+    last under the desc top-k ordering on both engines."""
+    from itdb_spark.operators.similarity import cosine_col
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "id int, v array<double>"
+    )
+    a = df.alias("a")
+    b = df.alias("b")
+    rows = (
+        a.crossJoin(b)
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            cosine_col(F.col("a.v"), F.col("b.v")).alias("c"),
+        )
+        .collect()
+    )
+    got = {(r.ia, r.ib): r.c for r in rows}
+    assert got[(1, 1)] == 1.0
+    assert got[(1, 2)] is None and got[(2, 2)] is None

@@ -128,6 +128,10 @@ def test_degenerate_documents_keep_oracle_parity(spark):
         # negative 'durations' (fn-time rendered engine-specific
         # garbage until the clamp). Both found by this corpus.
         "stream-ewma-live", "fn-time",
+        # Dead (all-zero) embeddings: plain cosine division crashed the
+        # job under ANSI mode (fn-embed-norm, sim-maxsim) until the
+        # try_divide fix; NULL cosine mirrors DuckDB's x/0.0.
+        "fn-embed-norm", "sim-maxsim",
     ]
     failures = []
     for qid in sensitive:

@@ -19,15 +19,19 @@ adversarial documents appended —
 
 — plus adversarial EVENTS (EDGE_EVENTS_SQL: two NULL-user rows, the
 -2.675 / 0.004999999999999999 cents-rounding boundary values, and a
-NULL value) — and runs the standard oracle differential over it. Usage:
+NULL value) and adversarial EMBEDDINGS (EDGE_EMBEDDINGS_SQL: the zero
+vector and a near-zero vector) — and runs the standard oracle
+differential over it. Usage:
 
     python tools/edge_corpus.py [src_sf_dir] [query-id ...]
 
 Run with no query ids for the full registry (round-5 baseline: 185/185
-on the full edge corpus at sf0.001 — after it caught six real defects:
-three stateful-stream crashes on NULL keys, the nearest-as-of
-NULL-distance win, Python-floor vs SQL-truncate division, and
-fn-time's negative-duration rendering).
+on the full edge corpus at sf0.001 — after it caught EIGHT real
+defects: three stateful-stream crashes on NULL keys, the
+nearest-as-of NULL-distance win, Python-floor vs SQL-truncate
+division, fn-time's negative-duration rendering, and two ANSI
+divide-by-zero job crashes on the dead embedding (fn-embed-norm,
+sim-maxsim)).
 """
 
 from __future__ import annotations
@@ -72,15 +76,37 @@ EDGE_EVENTS_SQL = """
 # DuckDB concat ignores NULL args and list() keeps NULL elements; every
 # value-consuming query must pin which behavior it means.
 
+# Degenerate embeddings: the ZERO vector (dead embedding — at corpus
+# scale some rows always embed to zero) makes every cosine 0/0, where
+# Spark produces IEEE NaN but DuckDB produces NULL (its float division
+# by zero returns NULL, not NaN/inf) — any unguarded normalization
+# diverges. The near-zero vector probes denormal/precision edges with a
+# well-defined norm.
+EDGE_EMBEDDINGS_SQL = """
+  (900001, list_transform(range(64), i -> CAST(0.0 AS FLOAT)), 0),
+  (900002, list_transform(range(64), i -> CAST(CASE WHEN i = 0 THEN 1e-20 ELSE 0.0 END AS FLOAT)), 1)
+"""
+
 
 def build_edge_dir(src: str, dst: str) -> str:
     """Copy every table from src; rebuild documents.parquet with the
     degenerate rows appended. Deterministic — same src → same dst."""
     os.makedirs(dst, exist_ok=True)
+    synth = ("documents.parquet", "events.parquet", "embeddings.parquet")
     for f in glob.glob(os.path.join(src, "*.parquet")):
-        if os.path.basename(f) not in ("documents.parquet", "events.parquet"):
+        if os.path.basename(f) not in synth:
             shutil.copy(f, dst)
     con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/embeddings.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES {EDGE_EMBEDDINGS_SQL})
+            t(vec_id, embedding, label)
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
     con.execute(
         f"""
         COPY (
