@@ -536,21 +536,23 @@ def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg-funnel",
     oracle="""
-    WITH t1 AS (
-      SELECT user_id, min(ts) AS t_view FROM events
+    WITH ev AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL
+    ), t1 AS (
+      SELECT user_id, min(ts) AS t_view FROM ev
       WHERE event_type = 'view' GROUP BY 1
     ), t2 AS (
       SELECT e.user_id, min(e.ts) AS t_click
-      FROM events e JOIN t1 USING (user_id)
+      FROM ev e JOIN t1 USING (user_id)
       WHERE e.event_type = 'click' AND e.ts > t1.t_view
       GROUP BY 1
     ), t3 AS (
       SELECT e.user_id, min(e.ts) AS t_purchase
-      FROM events e JOIN t2 USING (user_id)
+      FROM ev e JOIN t2 USING (user_id)
       WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
       GROUP BY 1
-    ), u AS (SELECT DISTINCT user_id FROM events
-           WHERE event_type IN ('view', 'click', 'purchase'))
+    ), u AS (SELECT DISTINCT user_id FROM ev)
     SELECT u.user_id, t1.t_view, t2.t_click, t3.t_purchase,
            CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
                      WHEN t2.user_id IS NOT NULL THEN 2
@@ -569,13 +571,19 @@ def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-row filter/element_at folds, bounded by each user's own event "
     "count (a bot user with millions of events is the skew case — cap "
     "or pre-filter by event_type IN (...) as here, which also prunes "
-    "the collected array). The oracle takes the chained-join form — a "
-    "genuinely different plan computing the same answer.",
+    "the collected array). NULL-ts events are defined OUT of the funnel "
+    "(an unordered event can't anchor a sequence) by an identical "
+    "pre-filter on both sides — without it the three forms three-way "
+    "diverge on a NULL-ts 'view' (oracle stage 1 via the grouped-NULL "
+    "min, batch Spark stage 0, streaming sentinel-chains). The oracle "
+    "takes the chained-join form — a genuinely different plan computing "
+    "the same answer.",
 )
 def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     ev = t.events.where(
         F.col("event_type").isin("view", "click", "purchase")
+        & F.col("ts").isNotNull()
     ).select("user_id", "ts", "event_type")
     g = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("a")
@@ -601,10 +609,16 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            "t_view",
-            "t_click",
-            "t_purchase",
-            F.when(F.col("t_purchase").isNotNull(), 3)
+            # NULL-key rule (same as the streaming twin and the oracle's
+            # LEFT JOIN USING, which never equality-matches NULL): the
+            # NULL-user group reports stage 0 with all-NULL timestamps —
+            # groupBy happily folds the NULL group, so guard explicitly.
+            *[
+                F.when(F.col("user_id").isNotNull(), F.col(c)).alias(c)
+                for c in ("t_view", "t_click", "t_purchase")
+            ],
+            F.when(F.col("user_id").isNull(), 0)
+            .when(F.col("t_purchase").isNotNull(), 3)
             .when(F.col("t_click").isNotNull(), 2)
             .when(F.col("t_view").isNotNull(), 1)
             .otherwise(0)
@@ -713,6 +727,7 @@ def agg_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+      WHERE ts IS NOT NULL
     ), marked AS (
       SELECT user_id, s,
              CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
@@ -744,12 +759,15 @@ def agg_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "produce per-user session stats. Everything is integer epoch "
     "seconds; equal-timestamp ties cannot flip any session boundary "
     "(gap 0 never splits), so the result is order-deterministic without "
-    "tie-break columns. One exchange on user_id serves the lag window, "
-    "the running sum, AND both aggregations (same key prefix)." ,
+    "tie-break columns. NULL-ts events are defined out (an unplaceable "
+    "event can't sit in a session; also Spark orders NULLS FIRST where "
+    "DuckDB orders NULLS LAST — the session count would depend on the "
+    "engine's NULL sort side). One exchange on user_id serves the lag "
+    "window, the running sum, AND both aggregations (same key prefix).",
 )
 def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    e = t.events.select(
+    e = t.events.where(F.col("ts").isNotNull()).select(
         "user_id", F.unix_timestamp("ts").cast("long").alias("s")
     )
     w = Window.partitionBy("user_id").orderBy("s")

@@ -323,13 +323,18 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join-asof2",
     oracle="""
-    SELECT l.event_id, l.user_id, r.error_id,
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type <> 'error'),
+    r AS (SELECT user_id, ts AS error_ts, max(event_id) AS error_id
+          FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+          GROUP BY 1, 2)
+    SELECT lnn.event_id, lnn.user_id, r.error_id,
            CAST(floor(epoch(r.error_ts)) AS BIGINT) AS error_epoch
-    FROM (SELECT event_id, user_id, ts FROM events
-          WHERE event_type <> 'error') l
-    ASOF LEFT JOIN (SELECT user_id, ts AS error_ts, max(event_id) AS error_id
-                    FROM events WHERE event_type = 'error' GROUP BY 1, 2) r
-      ON l.user_id = r.user_id AND l.ts >= r.error_ts
+    FROM (SELECT * FROM l WHERE ts IS NOT NULL) lnn
+    ASOF LEFT JOIN r
+      ON lnn.user_id = r.user_id AND lnn.ts >= r.error_ts
+    UNION ALL
+    SELECT event_id, user_id, NULL, NULL FROM l WHERE ts IS NULL
     """,
     doc="TWO-TABLE as-of join (operators/asof.py::asof_join — the "
     "merge_asof form join-asof's docstring names): every non-error event "
@@ -559,13 +564,18 @@ def join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join-asof-fwd",
     oracle="""
-    SELECT l.event_id, l.user_id, r.error_id,
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type <> 'error'),
+    r AS (SELECT user_id, ts AS error_ts, max(event_id) AS error_id
+          FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+          GROUP BY 1, 2)
+    SELECT lnn.event_id, lnn.user_id, r.error_id,
            CAST(floor(epoch(r.error_ts)) AS BIGINT) AS error_epoch
-    FROM (SELECT event_id, user_id, ts FROM events
-          WHERE event_type <> 'error') l
-    ASOF LEFT JOIN (SELECT user_id, ts AS error_ts, max(event_id) AS error_id
-                    FROM events WHERE event_type = 'error' GROUP BY 1, 2) r
-      ON l.user_id = r.user_id AND l.ts <= r.error_ts
+    FROM (SELECT * FROM l WHERE ts IS NOT NULL) lnn
+    ASOF LEFT JOIN r
+      ON lnn.user_id = r.user_id AND lnn.ts <= r.error_ts
+    UNION ALL
+    SELECT event_id, user_id, NULL, NULL FROM l WHERE ts IS NULL
     """,
     doc="FORWARD as-of join (merge_asof direction='forward'): every "
     "non-error event joined to the EARLIEST error of the same user at or "
@@ -605,15 +615,17 @@ def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH l AS (SELECT event_id, user_id, ts FROM events
                WHERE event_type <> 'error'),
+    lnn AS (SELECT * FROM l WHERE ts IS NOT NULL),
     r AS (SELECT user_id, ts AS error_ts, max(event_id) AS error_id
-          FROM events WHERE event_type = 'error' GROUP BY 1, 2),
-    b AS (SELECT l.event_id, l.user_id, l.ts,
+          FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+          GROUP BY 1, 2),
+    b AS (SELECT lnn.event_id, lnn.user_id, lnn.ts,
                  r.error_id AS b_id, r.error_ts AS b_ts
-          FROM l ASOF LEFT JOIN r
-            ON l.user_id = r.user_id AND l.ts >= r.error_ts),
-    f AS (SELECT l.event_id, r.error_id AS f_id, r.error_ts AS f_ts
-          FROM l ASOF LEFT JOIN r
-            ON l.user_id = r.user_id AND l.ts <= r.error_ts),
+          FROM lnn ASOF LEFT JOIN r
+            ON lnn.user_id = r.user_id AND lnn.ts >= r.error_ts),
+    f AS (SELECT lnn.event_id, r.error_id AS f_id, r.error_ts AS f_ts
+          FROM lnn ASOF LEFT JOIN r
+            ON lnn.user_id = r.user_id AND lnn.ts <= r.error_ts),
     j AS (
       SELECT b.event_id, b.user_id, b.ts, b.b_id, b.b_ts, f.f_id, f.f_ts,
              (b.b_ts IS NULL OR (f.f_ts IS NOT NULL AND
@@ -629,6 +641,9 @@ def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN NULL
                 WHEN pick_f THEN 'forward' ELSE 'backward' END AS matched_dir
     FROM j
+    UNION ALL
+    SELECT event_id, user_id, NULL, NULL, NULL
+    FROM l WHERE ts IS NULL
     """,
     doc="NEAREST as-of join (merge_asof direction='nearest'): every "
     "non-error event joined to the error of the same user CLOSEST in "

@@ -37,18 +37,21 @@ def _docs_schema():
     SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
            event_type, count(*) AS cnt,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     doc="Tumbling event-time window aggregation — the Structured Streaming "
     "windowed agg (with watermark) run over the same data in batch mode; "
     "the readStream twin is streaming/events.py (tested in "
-    "tests/test_streaming.py).",
+    "tests/test_streaming.py). NULL-ts events are defined out on both "
+    "sides: F.window silently drops them, so the Spark filter is "
+    "explicit and the oracle states the same rule.",
     bench=True,
 )
 def stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return (
-        t.events.groupBy(F.window("ts", "1 hour"), "event_type")
+        t.events.where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("cnt"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
@@ -66,7 +69,7 @@ _STREAM_WINDOW_ORACLE = """
     SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
            event_type, count(*) AS cnt,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -197,20 +200,22 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        FROM events
+        FROM events WHERE ts IS NOT NULL
       )
     ) GROUP BY user_id
     """,
     doc="Sessionization with a 30-minute inactivity gap: lag(ts) + gap "
     "flag + sum per user — the batch twin of stream-session-live "
-    "(applyInPandasWithState covers richer custom state at deploy time).",
+    "(applyInPandasWithState covers richer custom state at deploy time). "
+    "NULL-ts events are defined out on both sides (session_window drops "
+    "them implicitly; here and in the oracle the filter is explicit).",
     bench=True,
 )
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = 1800
-    flagged = t.events.select(
+    flagged = t.events.where(F.col("ts").isNotNull()).select(
         "user_id",
         "ts",
         F.lag("ts").over(w).alias("prev_ts"),
@@ -238,7 +243,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        FROM events
+        FROM events WHERE ts IS NOT NULL
       )
     ) GROUP BY user_id
     """,
@@ -286,13 +291,18 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream-asof-live",
     oracle="""
-    SELECT l.event_id, l.user_id, r.error_id,
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type <> 'error'),
+    r AS (SELECT user_id, ts AS error_ts, max(event_id) AS error_id
+          FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+          GROUP BY 1, 2)
+    SELECT lnn.event_id, lnn.user_id, r.error_id,
            CAST(floor(epoch(r.error_ts)) AS BIGINT) AS error_epoch
-    FROM (SELECT event_id, user_id, ts FROM events
-          WHERE event_type <> 'error') l
-    ASOF LEFT JOIN (SELECT user_id, ts AS error_ts, max(event_id) AS error_id
-                    FROM events WHERE event_type = 'error' GROUP BY 1, 2) r
-      ON l.user_id = r.user_id AND l.ts >= r.error_ts
+    FROM (SELECT * FROM l WHERE ts IS NOT NULL) lnn
+    ASOF LEFT JOIN r
+      ON lnn.user_id = r.user_id AND lnn.ts >= r.error_ts
+    UNION ALL
+    SELECT event_id, user_id, NULL, NULL FROM l WHERE ts IS NULL
     """,
     doc="STREAMING as-of enrichment — the custom stateful operator the "
     "batch union-tag window (join-asof2) cannot be on an unbounded "
@@ -331,21 +341,23 @@ def stream_asof_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream-funnel-live",
     oracle="""
-    WITH t1 AS (
-      SELECT user_id, min(ts) AS t_view FROM events
+    WITH ev AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL
+    ), t1 AS (
+      SELECT user_id, min(ts) AS t_view FROM ev
       WHERE event_type = 'view' GROUP BY 1
     ), t2 AS (
       SELECT e.user_id, min(e.ts) AS t_click
-      FROM events e JOIN t1 USING (user_id)
+      FROM ev e JOIN t1 USING (user_id)
       WHERE e.event_type = 'click' AND e.ts > t1.t_view
       GROUP BY 1
     ), t3 AS (
       SELECT e.user_id, min(e.ts) AS t_purchase
-      FROM events e JOIN t2 USING (user_id)
+      FROM ev e JOIN t2 USING (user_id)
       WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
       GROUP BY 1
-    ), u AS (SELECT DISTINCT user_id FROM events
-             WHERE event_type IN ('view', 'click', 'purchase'))
+    ), u AS (SELECT DISTINCT user_id FROM ev)
     SELECT u.user_id,
            CAST(epoch_us(t1.t_view) AS BIGINT) AS t_view_us,
            CAST(epoch_us(t2.t_click) AS BIGINT) AS t_click_us,

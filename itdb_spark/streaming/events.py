@@ -34,7 +34,11 @@ def windowed_counts_stream(
         .load(sf_dir)
     )
     return (
-        events.withWatermark("ts", watermark)
+        # NULL-ts events are defined out of time windows (F.window drops
+        # them silently; the filter makes the rule explicit, matching the
+        # batch twin and oracle)
+        events.where(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), F.col("event_type"))
         .agg(
             F.count("*").alias("cnt"),

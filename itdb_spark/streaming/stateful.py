@@ -112,6 +112,14 @@ def _asof_carry(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     )
     out_rows = []
     for r in batch.itertuples(index=False):
+        # NULL-ts rules mirror batch asof_join: a NULL-ts error (right
+        # row) is dropped — never becomes carried state (NaT's int64
+        # sentinel would otherwise masquerade as a real epoch) — and a
+        # NULL-ts event (left row) matches nothing, emitting NULLs.
+        if pd.isna(r.ts):
+            if r.event_type != "error":
+                out_rows.append((r.event_id, user_id, None, None))
+            continue
         ts_us = r.ts.value // 1000  # pandas ns → µs
         if r.event_type == "error":
             if not null_key and (last is None or (ts_us, r.event_id) >= last):
@@ -175,13 +183,23 @@ def _funnel_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     the per-batch emission is a running lower bound that converges to
     the batch answer once the user's events have all arrived in
     event-time order; ties in ts cannot chain (strict >), so
-    processing order within a timestamp is immaterial."""
+    processing order within a timestamp is immaterial.
+
+    SQL-join NULL semantics (same rule as _asof_carry): the agg-funnel
+    oracle builds stages via ``u LEFT JOIN t1 USING (user_id)``, and a
+    NULL key never equality-matches — so the NULL-user group must stay
+    at stage 0 with all-NULL timestamps no matter what events it sees."""
     (user_id,) = key
-    tv, tc, tp = state.get if state.exists else (None, None, None)
+    null_key = user_id is None or pd.isna(user_id)
+    tv, tc, tp = state.get if state.exists and not null_key else (None, None, None)
     batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
         ["ts", "event_id"]
     )
+    if null_key:
+        batch = batch.iloc[0:0]  # no stage can ever set; emit 0/NULLs below
     for r in batch.itertuples(index=False):
+        if pd.isna(r.ts):  # defense: funnel_stream pre-filters these
+            continue
         ts_us = r.ts.value // 1000
         if r.event_type == "view":
             if tv is None:
@@ -204,10 +222,13 @@ def funnel_stream(events_stream: DataFrame) -> DataFrame:
     """Streaming sequential funnel: per-user state is THREE set-once
     timestamps — bounded by active keys, independent of history; the
     batch sorted-array fold (agg-funnel) cannot run on an unbounded
-    stream, this can. Pre-filter to the funnel event types so state is
-    only created for users who enter the funnel at all."""
+    stream, this can. Pre-filter to the funnel event types AND non-NULL
+    ts (NULL-ts events are defined out of the funnel — the same filter
+    the batch query and oracle apply, so the per-user group set agrees)
+    so state is only created for users who enter the funnel at all."""
     filtered = events_stream.where(
         events_stream["event_type"].isin("view", "click", "purchase")
+        & events_stream["ts"].isNotNull()
     )
     return filtered.groupBy("user_id").applyInPandasWithState(
         _funnel_update,
@@ -246,11 +267,22 @@ def funnel_stream_tws(events_stream: DataFrame) -> DataFrame:
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            tv, tc, tp = self._st.get() if self._st.exists() else (None, None, None)
+            # NULL-key rule mirrors _funnel_update: the LEFT JOIN oracle
+            # never matches a NULL user, so this group stays at stage 0.
+            null_key = key[0] is None or pd.isna(key[0])
+            tv, tc, tp = (
+                self._st.get()
+                if self._st.exists() and not null_key
+                else (None, None, None)
+            )
             batch = pd.concat(list(rows), ignore_index=True).sort_values(
                 ["ts", "event_id"]
             )
+            if null_key:
+                batch = batch.iloc[0:0]
             for r in batch.itertuples(index=False):
+                if pd.isna(r.ts):  # defense: pre-filtered below
+                    continue
                 ts_us = r.ts.value // 1000
                 if r.event_type == "view":
                     if tv is None:
@@ -275,6 +307,7 @@ def funnel_stream_tws(events_stream: DataFrame) -> DataFrame:
 
     filtered = events_stream.where(
         events_stream["event_type"].isin("view", "click", "purchase")
+        & events_stream["ts"].isNotNull()
     )
     return filtered.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_FunnelProcessor(),

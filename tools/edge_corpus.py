@@ -66,7 +66,11 @@ EDGE_EVENTS_SQL = """
   (900002, TIMESTAMP '2024-01-01 00:06:00', NULL, 'click', 2.5, '{}'),
   (900003, TIMESTAMP '2024-01-01 00:07:00', 900001, 'purchase', -2.675, '{}'),
   (900004, TIMESTAMP '2024-01-01 00:08:00', 900001, 'purchase', 0.004999999999999999, '{}'),
-  (900005, TIMESTAMP '2024-01-01 00:09:00', 900002, 'view', NULL, '{}')
+  (900005, TIMESTAMP '2024-01-01 00:09:00', 900002, 'view', NULL, '{}'),
+  (900006, TIMESTAMP '2024-01-01 00:04:00', NULL, 'view', 1.5, '{}'),
+  (900007, NULL, 900002, 'error', 4.0, '{}'),
+  (900008, NULL, 900002, 'click', 0.5, '{}'),
+  (900009, NULL, 900003, 'view', 2.0, '{}')
 """
 # 900003/900004: cents-rounding boundary values — the negative half-cent
 # and the double just below one half cent (floor(x+0.5) rounds UP in the
@@ -75,6 +79,22 @@ EDGE_EVENTS_SQL = """
 # 900005: NULL value — Spark concat/arithmetic null-propagates where
 # DuckDB concat ignores NULL args and list() keeps NULL elements; every
 # value-consuming query must pin which behavior it means.
+# 900006: NULL-user 'view' — probes the funnel's NULL-key SET path: a
+# stateful machine that lets the NULL group set t_view reports stage 1
+# where the LEFT JOIN oracle (never equality-matches NULL) says stage 0;
+# it precedes 900002's NULL-user click so the view→click chain would
+# fire if the guard were missing. (ADVICE r5: 'error'/'click' alone
+# could never set a stage, leaving the set-path unprobed.)
+# 900007/900008: NULL-timestamp rows — the as-of NULL-ts path: a NaT
+# error must never become carried state (pandas .value yields the int64
+# sentinel, not an epoch) and a NaT non-error event must emit NULLs, on
+# both the batch window form and the streaming carry.
+# 900009: NULL-ts 'view' for a user (900003) with NO other funnel
+# events — the hardest funnel NULL-ts case: the three funnel forms
+# three-way diverged on it (oracle stage 1 via grouped-NULL min, batch
+# Spark stage 0, streaming sentinel-chains) until NULL-ts events were
+# defined out of the funnel by an identical pre-filter everywhere;
+# user 900003 must now appear in NO funnel output at all.
 
 # Degenerate embeddings: the ZERO vector (dead embedding — at corpus
 # scale some rows always embed to zero) makes every cosine 0/0, where
