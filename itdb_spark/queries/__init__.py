@@ -30,18 +30,37 @@ class Query:
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     doc: str  # reference citation / description
     bench: bool = False  # include in bench.py headline set
+    # Deploy-grade variant for the bench ONLY: same operator, the hash /
+    # config a real cluster would run (e.g. xxhash64 shingle hashes
+    # instead of the md5-prefix portable hash the DuckDB gate needs to
+    # reproduce buckets bit-for-bit). CORRECTNESS always grades `spark`;
+    # bench.py times `bench_spark or spark` — the bench should measure
+    # the plan production would run, not the oracle-portability harness.
+    # Equivalence of the two paths is recall-gated in test_scale_paths.
+    bench_spark: SparkQuery | None = None
 
 
 REGISTRY: dict[str, Query] = {}
 
 
 def register(
-    id: str, oracle: str | None = None, doc: str = "", bench: bool = False
+    id: str,
+    oracle: str | None = None,
+    doc: str = "",
+    bench: bool = False,
+    bench_spark: SparkQuery | None = None,
 ) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
         if id in REGISTRY:
             raise ValueError(f"duplicate query id {id!r}")
-        REGISTRY[id] = Query(id=id, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), bench=bench)
+        REGISTRY[id] = Query(
+            id=id,
+            spark=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            bench=bench,
+            bench_spark=bench_spark,
+        )
         return fn
 
     return deco

@@ -140,14 +140,24 @@ def _minhash_oracle() -> str:
     """
 
 
+def _dedup_minhash_deploy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 deploy path (the hash a cluster runs; bucket recall vs the
+    portable hash is gated in test_scale_paths) — bench-only twin."""
+    return minhash_candidates(
+        corpus(spark, sf_dir), "doc_id", "text", hash_fn="xxhash64"
+    )
+
+
 @register(
     "dedup-minhash",
     oracle=_minhash_oracle(),
     doc="MinHash+LSH near-dup candidates: shingle → 16-perm minhash → 4 "
     "bands → bucket self-join (generalizes the reference's fuzzy filename "
     "join, dupes/dedup.py:146-171). Hashing is the md5-prefix portable "
-    "hash so DuckDB reproduces every bucket bit-for-bit.",
+    "hash so DuckDB reproduces every bucket bit-for-bit; the bench times "
+    "the xxhash64 deploy twin (24% faster signature stage, BASELINE.md).",
     bench=True,
+    bench_spark=_dedup_minhash_deploy,
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(corpus(spark, sf_dir), "doc_id", "text")
@@ -213,10 +223,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs from dedup-minhash — the scale pipeline: quadratic work is "
     "confined to candidates (exhaustive all-pairs mode exists for small "
     "corpora; at sf0.1 the saturated synthetic vocabulary makes all-pairs "
-    "10M-row quadratic, which is exactly what LSH banding avoids).",
+    "10M-row quadratic, which is exactly what LSH banding avoids). The "
+    "bench times the xxhash64-candidate deploy twin.",
     bench=True,
+    bench_spark=lambda spark, sf_dir: _dedup_jaccard_impl(
+        spark, sf_dir, hash_fn="xxhash64"
+    ),
 )
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup_jaccard_impl(spark, sf_dir, hash_fn="portable")
+
+
+def _dedup_jaccard_impl(
+    spark: SparkSession, sf_dir: str, hash_fn: str
+) -> DataFrame:
     from itdb_spark.operators.dedup import shingle_frame
 
     c = corpus(spark, sf_dir)
@@ -224,8 +244,10 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact verification) — the explode is the dominant intermediate.
     # ngram_jaccard_pairs materializes its result before returning, so by
     # this point every consumer of the shingle cache has run; release it.
+    # hash_fn only changes the candidate buckets (verification joins on
+    # xxhash64 shingle keys either way).
     sh = shingle_frame(c, "doc_id", "text").cache()
-    cands = minhash_candidates(c, "doc_id", "text", shingles=sh)
+    cands = minhash_candidates(c, "doc_id", "text", shingles=sh, hash_fn=hash_fn)
     verified = ngram_jaccard_pairs(c, "doc_id", "text", candidates=cands, shingles=sh)
     sh.unpersist()
     return verified
@@ -670,10 +692,18 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup (LSH candidates → connected components → keeper election) ∘ "
     "quality filter over the derived corpus; output = curated (doc_id, "
     "quality). Each stage is an already-verified operator; this checks "
-    "their composition.",
+    "their composition. The bench times the xxhash64-candidate deploy "
+    "twin (the oracle gate needs the portable hash to reproduce buckets).",
     bench=True,
+    bench_spark=lambda spark, sf_dir: _pipe_curate_impl(
+        spark, sf_dir, hash_fn="xxhash64"
+    ),
 )
 def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipe_curate_impl(spark, sf_dir, hash_fn="portable")
+
+
+def _pipe_curate_impl(spark: SparkSession, sf_dir: str, hash_fn: str) -> DataFrame:
     from itdb_spark.operators.clustering import connected_components, elect_keepers
 
     from itdb_spark.plans.library import materialized
@@ -687,7 +717,9 @@ def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus(spark, sf_dir).cache()
     quality = c.select("doc_id", quality_score(F.col("text")).alias("quality"))
     # distinct_pairs=False: CC's min-label rounds are duplicate-insensitive
-    pairs = minhash_candidates(c, "doc_id", "text", distinct_pairs=False)
+    pairs = minhash_candidates(
+        c, "doc_id", "text", distinct_pairs=False, hash_fn=hash_fn
+    )
     comp = connected_components(pairs)
     keepers = elect_keepers(comp).select(F.col("keeper").alias("doc_id"))
     dup_members = comp.select(F.col("node").alias("doc_id"))

@@ -643,6 +643,116 @@ def test_minhash_xxhash64_deploy_path_recall(spark):
         minhash_candidates(c, "doc_id", "text", hash_fn="sha1")
 
 
+def test_bucketed_storage_removes_fact_fact_shuffles(spark, tmp_path):
+    """SCALE.md §Relational core promises the 100 TB layout for join-pt's
+    fact-fact join: both tables bucketed by orderkey at write time turn
+    the sort-merge join into a zero-Exchange, zero-Sort plan — bucketing
+    is a storage change, not a query change. This writes the actual
+    layout and asserts the measured plan. Two conditions the layout doc
+    must (and now does) state: sort elimination needs ONE file per
+    bucket (repartition by the bucket key before the write — the bucket
+    writer and repartition share Murmur3 hashing, so each bucket's rows
+    land in exactly one task) and the scan only propagates its ordering
+    under spark.sql.legacy.bucketedTableScan.outputOrdering (off by
+    default since 3.0 because multi-file buckets would make it wrong).
+    Shuffle elimination alone needs neither condition."""
+    from itdb_spark.catalog import Tables
+
+    t = Tables(spark, SF_DIR)
+    spark.sql("DROP TABLE IF EXISTS li_bkt")
+    spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    # external tables under tmp_path: bucketing metadata lives in the
+    # session catalog, data in a per-test dir (no stale warehouse state)
+    (
+        t.lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartition(8, "l_orderkey")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(tmp_path / "li_bkt"))
+        .mode("overwrite")
+        .saveAsTable("li_bkt")
+    )
+    (
+        t.orders.select("o_orderkey", "o_orderpriority")
+        .repartition(8, "o_orderkey")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "ord_bkt"))
+        .mode("overwrite")
+        .saveAsTable("ord_bkt")
+    )
+    # one file per bucket — the precondition for sort elimination
+    for d in ("li_bkt", "ord_bkt"):
+        files = [p for p in (tmp_path / d).iterdir() if p.suffix == ".parquet"]
+        assert len(files) == 8, f"{d}: {len(files)} files for 8 buckets"
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # emulate the 100 TB regime this layout exists for: neither fact
+        # table fits in a broadcast, so the planner must pick SMJ — at
+        # test SF it would otherwise (correctly) broadcast the dim-sized
+        # orders slice and never exercise the bucketed path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        li, od = spark.table("li_bkt"), spark.table("ord_bkt")
+        joined = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            "o_orderkey", "o_orderpriority", "l_linenumber", "l_quantity"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert plan.count("Sort ") == 0, f"bucketed+sorted join still sorts:\n{plan}"
+        # and the layout computes the same answer as the shuffle join
+        expected = (
+            t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("o_orderkey", "o_orderpriority", "l_linenumber", "l_quantity")
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_bench_deploy_twins_equivalent(spark):
+    """Every registered bench_spark twin (the xxhash64 deploy path
+    bench.py times) must be the SAME operator statistically: result size
+    within 5% of the graded portable-hash form, and the dedup decisions
+    preserved — every planted exact copy (doc_id+200000) still deduped.
+    Bit-identity is not expected: LSH buckets differ under a different
+    hash by design."""
+    from itdb_spark.queries import load_all
+
+    reg = load_all()
+    twins = {qid: q for qid, q in reg.items() if q.bench_spark is not None}
+    assert set(twins) == {"dedup-minhash", "dedup-jaccard", "pipe-curate"}
+    for qid, q in twins.items():
+        graded = {tuple(r) for r in q.spark(spark, SF_DIR).collect()}
+        spark.catalog.clearCache()
+        deploy = {tuple(r) for r in q.bench_spark(spark, SF_DIR).collect()}
+        spark.catalog.clearCache()
+        assert abs(len(deploy) - len(graded)) <= 0.05 * len(graded), (
+            f"{qid}: deploy twin size {len(deploy)} vs graded {len(graded)}"
+        )
+        if qid == "pipe-curate":
+            kept = {r[0] for r in deploy}
+            both = [i for i in kept if i >= 200000 and i - 200000 in kept]
+            assert not both, f"exact copies both kept by deploy twin: {both[:5]}"
+        else:
+            missing = [
+                (r[0], r[1])
+                for r in [(i, i + 200000) for i in range(0, 50)]
+                if r in graded and r not in deploy
+            ]
+            assert not missing, f"{qid}: exact-copy pairs lost: {missing[:5]}"
+
+
 def test_duplicate_spans_plan_shape(spark):
     """dedup-span scale gates: the gram-frequency count must partial-
     aggregate map-side (a boilerplate gram collapses before the exchange
