@@ -33,25 +33,63 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-    (user_id,) = key
-    n, s = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        s += float(pdf["value"].sum())
-    state.update((n, s))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "value_sum": [s]})
+def _make_update(ttl_ms: int):
+    """Build the per-key update closure. ttl_ms rides INSIDE the closure
+    (pickled by value to every python worker — a module global would
+    reset to its default when the worker re-imports this module)."""
+
+    def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if ttl_ms and state.hasTimedOut:
+            # TTL expiry: drop the key's state entirely — the 100 TB
+            # eviction posture (SCALE.md §Stateful streaming). A key
+            # seen again later restarts from zero, exactly like a key
+            # never seen — correct for running totals whose consumers
+            # window by activity, and the price of bounding state by
+            # ACTIVE keys rather than all keys ever seen.
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "value_sum": [s]}
+        )
+
+    return _update
 
 
-def running_user_totals(events_stream: DataFrame) -> DataFrame:
+# the default no-TTL machine (named so tests/docs can reference it)
+_update = _make_update(0)
+
+
+def running_user_totals(
+    events_stream: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """events stream → per-user running (count, value_sum). ``update``
-    output mode: one row per touched key per batch."""
+    output mode: one row per touched key per batch.
+
+    ``ttl_ms`` is the state-eviction posture for unbounded key domains:
+    with it set, a key idle for ttl_ms of processing time is dropped
+    from the state store (ProcessingTimeTimeout + state.remove()), so
+    state size tracks ACTIVE keys instead of growing with every key ever
+    seen — at 100 TB event volume the distinct-user domain is ~10⁹ and
+    never-evicting state is a slow OOM. Default None keeps NoTimeout:
+    exact lifetime totals, right for bounded key domains."""
     return events_stream.groupBy("user_id").applyInPandasWithState(
-        _update,
+        _make_update(int(ttl_ms) if ttl_ms else 0),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
