@@ -55,6 +55,23 @@ EDGE_DOCS = [
     # shingle/k-gram floor case in a different costume).
     (900006, "Héllo WÖRLD déjà vu", "fr", "src0", 19),
     (900007, "日本語のテキスト", "ja", "src2", 8),
+    # Round-6 classes (VERDICT r5 #6) aimed at the sketch / BPE /
+    # repetition families:
+    # 900008 — heavy hitter: one token at 50× the background rate. CMS
+    # cells saturate on it (the top-k compare must survive the
+    # over-estimate), KMV sees tiny distinct-count, repetition scoring
+    # maxes, and BPE's pair counts are dominated by a single pair.
+    (900008, ("tok " * 50).strip(), "en", "src0", 199),
+    # 900009 — combining marks: 'é' precomposed (U+00E9) AND decomposed
+    # (e + U+0301) in one doc. Both engines must agree code-point-wise
+    # (length 4 vs 5, distinct 'words' even though they RENDER equal) —
+    # any NFC-normalizing path diverges. The BPE vocab gets a word whose
+    # first merge pair is (e, U+0301).
+    (900009, "café café éclair", "fr", "src1", 18),
+    # 900010 — unsegmented single-char run: BPE's merge fixpoint does
+    # maximal doubling (a+a → aa, aa+aa → aaaa ...), the shingle floor
+    # gets a 1-word doc, and entropy is exactly zero.
+    (900010, "a" * 32, "en", "src2", 32),
 ]
 
 # NULL-key events: SQL join equality never matches NULL but window
