@@ -2216,6 +2216,52 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text-normalize",
+    oracle="""
+    SELECT doc_id, nfc_normalize(text) AS text_nfc,
+           CAST(CASE WHEN text <> nfc_normalize(text) THEN 1 ELSE 0 END
+                AS INT) AS changed
+    FROM documents
+    """,
+    doc="Unicode NFC normalization over the corpus — the curation step "
+    "the combining-mark edge probe (edge_corpus.py doc 900009) exists "
+    "for: 'café' precomposed (U+00E9) and decomposed (e + U+0301) are "
+    "DIFFERENT code-point sequences that render identically, so every "
+    "downstream exact-dedup fingerprint, shingle hash, BPE vocab entry "
+    "and groupBy key treats visually-equal text as distinct until the "
+    "corpus is normalized once at ingest. Spark has no JVM-side NFC "
+    "(SPARK-46839 added UTF8_BINARY collations, not normalization), so "
+    "this is one of the engine's few sanctioned Python touchpoints: an "
+    "Arrow-vectorized pandas UDF over pandas' own .str.normalize — a "
+    "stateless per-row map with NO shuffle, embarrassingly parallel at "
+    "any scale, and run exactly once per document lifetime. The oracle "
+    "is DuckDB's independent nfc_normalize — two ICU-grade "
+    "implementations agreeing byte-for-byte on every doc, including the "
+    "planted mixed-form edge doc.",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    t = Tables(spark, sf_dir)
+    normalized = t.documents.select(
+        "doc_id", "text", _nfc(F.col("text")).alias("text_nfc")
+    )
+    # one ArrowEvalPython pass: the changed flag derives from the UDF's
+    # output column, not a second UDF call (plan-asserted in
+    # test_plan_audit.py::test_text_normalize_single_python_pass)
+    return normalized.select(
+        "doc_id",
+        "text_nfc",
+        F.when(F.col("text") != F.col("text_nfc"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("changed"),
+    )
+
+
+@register(
     "agg-cms",
     oracle="""
     WITH toks AS (

@@ -135,3 +135,20 @@ def test_bm25_query_terms_broadcast_corpus_never_build_side(spark):
     # A fourth explode means a corpus-wide re-tokenization crept back in
     # (df or qterms no longer share/prune — the round-5 review finding).
     assert plan.count("Generate explode") == 3, plan
+
+
+def test_text_normalize_single_python_pass(spark):
+    """text-normalize is a sanctioned Python touchpoint (Spark has no
+    JVM NFC) — the plan must contain exactly ONE ArrowEvalPython node
+    evaluating ONE UDF call (the changed flag derives from the UDF's
+    output column, never a second normalization pass), no shuffle, and
+    a scan pruned to the two consumed columns."""
+    from itdb_spark.queries import load_all
+
+    df = load_all()["text-normalize"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    arrow_line = next(l for l in plan.splitlines() if "ArrowEvalPython" in l)
+    assert arrow_line.count("_nfc") == 1, arrow_line
+    assert "Exchange" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
