@@ -184,3 +184,76 @@ def test_no_event_gap_on_session_boundary(spark):
         new_batch = sec_diff > 1800
         diverging = pairs.where(new_live != new_batch).count()
         assert diverging == 0, f"{sf}: {diverging} pairs in the session-boundary divergence zone"
+
+
+def test_rocksdb_state_store_live(spark, tmp_path):
+    """The RocksDB posture must also RUN here, not just load: a real
+    applyInPandasWithState query executes under the rocksdb_state_conf
+    provider and its progress reports RocksDB custom metrics (proof the
+    provider engaged rather than silently falling back to the HDFS-backed
+    default), with the same answer as the default provider. Provider
+    class is captured per-query at start, so setting/restoring the
+    session conf around the run is safe for the sequential suite."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from itdb_spark.streaming.events import rocksdb_state_conf
+    from itdb_spark.streaming.stateful import running_user_totals
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "src"
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 5.0)], schema
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    conf = rocksdb_state_conf()
+    saved = {}
+    for k in conf:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = (
+            running_user_totals(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("rocksdb_live_sink")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            op = json.loads(q.lastProgress.json)["stateOperators"][0]
+            rocks_metrics = {
+                k for k in op.get("customMetrics", {}) if k.startswith("rocksdb")
+            }
+            assert rocks_metrics, f"no RocksDB metrics — provider fell back: {op}"
+            assert op["numRowsTotal"] == 2, op
+        finally:
+            q.stop()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    rows = {
+        r.user_id: (r.n_events, r.value_sum)
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events, max(value_sum) AS value_sum "
+            "FROM rocksdb_live_sink GROUP BY user_id"
+        ).collect()
+    }
+    assert rows == {1: (2, 3.0), 2: (1, 5.0)}
