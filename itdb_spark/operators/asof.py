@@ -59,6 +59,7 @@ def asof_join(
     right_ts: str,
     strict: bool = False,
     direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """As-of LEFT join: every left row, plus the payload columns of the
     nearest right row per key — the latest with ``right_ts <= left_ts``
@@ -75,6 +76,15 @@ def asof_join(
     [UNBOUNDED PRECEDING, CURRENT ROW], and the equal-ts side order
     inverted (a following frame includes the current row, so inclusive
     forward needs right rows sorting AFTER the left row at equal ts).
+
+    ``tolerance`` (pandas merge_asof parity) caps the match distance in
+    the EXACT linearized units of the timestamp type — integer
+    microseconds for timestamps, days for dates, native arithmetic for
+    numerics. A candidate farther than tolerance is ineligible (NULLs if
+    nothing closer qualifies); for ``nearest`` the eligibility filter
+    applies per side BEFORE the nearer-wins comparison, so a nearer but
+    out-of-tolerance side loses to a farther in-tolerance one — pandas'
+    rule. NULL distances are ineligible by construction.
 
     All non-key right columns (including ``right_ts``) are carried;
     rename them before the call if they collide with left column names.
@@ -140,6 +150,22 @@ def asof_join(
         F.lit(None).cast(l_struct_t).alias("_l"),
         F.struct(*r_payload).alias("_r"),
     )
+    # EXACT linearization of the ts type for distance arithmetic
+    # (nearest's comparison and tolerance's cap): timestamps as integer
+    # microseconds (a double cast would be micros/1e6 — seconds — which
+    # is NOT exactly representable, and a rounding wobble on an
+    # exact-distance tie would flip the documented backward preference),
+    # dates as integer days, numerics native.
+    from pyspark.sql import types as T
+
+    ts_type = left.schema[left_ts].dataType
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        lin = F.unix_micros
+    elif isinstance(ts_type, T.DateType):
+        lin = F.unix_date
+    else:
+        lin = lambda c: c  # noqa: E731 — numeric: exact native compare
+
     base = Window.partitionBy(*keys).orderBy("_ts", "_side")
     if direction == "nearest":
         # BOTH frames over the one sorted partition — same single
@@ -157,34 +183,25 @@ def asof_join(
             F.last("_r", ignorenulls=True).over(wb).alias("_rb"),
             F.first("_r", ignorenulls=True).over(wf).alias("_rf"),
         )
-        # distances on an EXACT linearization of the ts type: timestamps
-        # compare as integer microseconds (a double cast would be
-        # micros/1e6 — seconds — which is NOT exactly representable, and
-        # a rounding wobble on an exact-distance tie would flip the
-        # documented backward preference; caught by code review, the
-        # long-typed tests couldn't see it), dates as integer days,
-        # numeric types in their native arithmetic.
-        from pyspark.sql import types as T
-
-        ts_type = left.schema[left_ts].dataType
-        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
-            lin = F.unix_micros
-        elif isinstance(ts_type, T.DateType):
-            lin = F.unix_date
-        else:
-            lin = lambda c: c  # noqa: E731 — numeric: exact native compare
         t0 = lin(F.col("_ts"))
         # backward candidate is <= t0 and forward is > t0 by the sort
         # order, so plain differences are the absolute distances
         db = t0 - lin(F.col("_rb").getField(right_ts))
         df_ = lin(F.col("_rf").getField(right_ts)) - t0
-        pick_f = F.col("_rb").isNull() | (
-            F.col("_rf").isNotNull() & (df_ < db)
-        )
+        if tolerance is not None:
+            # out-of-tolerance distance → NULL → that side ineligible
+            db = F.when(db <= F.lit(tolerance), db)
+            df_ = F.when(df_ <= F.lit(tolerance), df_)
+        # eligibility is distance-definedness: a NULL candidate (or one
+        # capped out by tolerance) has a NULL distance
+        rb_ok, rf_ok = db.isNotNull(), df_.isNotNull()
+        pick_f = (~rb_ok & rf_ok) | (rb_ok & rf_ok & (df_ < db))
         # A NULL-ts LEFT row has no defined distance to anything → no
         # match (mirrors the right-side filter above).
-        chosen = F.when(t0.isNull(), F.lit(None).cast(r_struct_t)).otherwise(
-            F.when(pick_f, F.col("_rf")).otherwise(F.col("_rb"))
+        chosen = (
+            F.when(t0.isNull() | (~rb_ok & ~rf_ok), F.lit(None).cast(r_struct_t))
+            .when(pick_f, F.col("_rf"))
+            .otherwise(F.col("_rb"))
         )
         matched = (
             F.when(chosen.isNull(), F.lit(None).cast("string"))
@@ -206,6 +223,7 @@ def asof_join(
     carried = tagged_l.unionByName(tagged_r).select(
         *keys,
         "_side",
+        "_ts",
         "_l",
         # NULL-ts left rows match nothing in either direction: they sort
         # nulls-first, which backward's PRECEDING frame already maps to
@@ -215,6 +233,13 @@ def asof_join(
         .otherwise(carry)
         .alias("_r"),
     )
+    if tolerance is not None:
+        t0 = lin(F.col("_ts"))
+        rts = lin(F.col("_r").getField(right_ts))
+        dist = (t0 - rts) if backward else (rts - t0)
+        carried = carried.withColumn(
+            "_r", F.when(dist <= F.lit(tolerance), F.col("_r"))
+        )
     return carried.where(F.col("_side") == l_side).select(
         *keys,
         *[F.col(f"_l.{c}").alias(c) for c in l_payload],

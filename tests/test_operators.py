@@ -1234,3 +1234,48 @@ def test_zero_vector_cosine_is_null_not_crash(spark):
     got = {(r.ia, r.ib): r.c for r in rows}
     assert got[(1, 1)] == 1.0
     assert got[(1, 2)] is None and got[(2, 2)] is None
+
+
+def test_asof_join_tolerance_matches_pandas_merge_asof(spark):
+    """asof_join(tolerance=...) ≡ pandas.merge_asof(tolerance=...) — the
+    authoritative reference for the semantics — across all three
+    directions on a fixed adversarial layout: exact-tie distances,
+    matches exactly AT the tolerance bound (inclusive), a nearer but
+    out-of-tolerance side losing to a farther in-tolerance one, and
+    keys with no eligible rows at all. Integer 'timestamps' so every
+    distance is exact."""
+    import pandas as pd
+
+    from itdb_spark.operators.asof import asof_join
+
+    lrows = [(i, k, t) for i, (k, t) in enumerate(
+        [("u", 0), ("u", 7), ("u", 10), ("u", 15), ("u", 21), ("v", 5), ("w", 3)]
+    )]
+    rrows = [("u", 4, 40.0), ("u", 12, 120.0), ("u", 30, 300.0), ("v", 100, 990.0)]
+    left = spark.createDataFrame(lrows, "event_id long, user string, ts long")
+    right = spark.createDataFrame(rrows, "user string, rts long, price double")
+    lpd = pd.DataFrame(lrows, columns=["event_id", "user", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["user", "rts", "price"]).sort_values("rts")
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (0, 2, 3, 5, 8, 100, None):
+            got = {
+                r.event_id: (r.rts, r.price)
+                for r in asof_join(
+                    left, right, "user", "ts", "rts",
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            ref = pd.merge_asof(
+                lpd, rpd, left_on="ts", right_on="rts", by="user",
+                direction=direction,
+                tolerance=tol if tol is not None else None,
+            )
+            want = {
+                int(r.event_id): (
+                    None if pd.isna(r.rts) else int(r.rts),
+                    None if pd.isna(r.price) else float(r.price),
+                )
+                for r in ref.itertuples(index=False)
+            }
+            assert got == want, (direction, tol, got, want)
