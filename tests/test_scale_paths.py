@@ -971,3 +971,49 @@ def test_rendezvous_minimal_movement(spark):
     assert moved[5] == n_on_new, "every doc on the new shard must be a moved doc"
     frac = moved[5] / total
     assert 1 / 6 - 0.05 < frac < 1 / 6 + 0.05, f"moved {frac:.3f}, want ~1/6"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """SCALE.md's skew posture names two tools: manual salting
+    (skew_safe_join, tested above) and AQE's runtime skew-join split.
+    This measures the second: a join where one key owns ~95% of the left
+    rows, thresholds tuned so the hot partition qualifies, must show
+    'skew=true' on the SortMergeJoin in the FINAL adaptive plan — AQE
+    split the oversized partition into parallel sub-joins at runtime —
+    while returning exactly the same row count as the logical join."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        left = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id % 20 = 0 THEN id ELSE 1 END AS k",
+            "id AS payload",
+        )
+        right = spark.range(0, 200_000).selectExpr("id AS k", "id * 10 AS rv")
+        joined = left.join(right, "k")
+        # execute THIS frame (count() would build a different plan object
+        # whose AQE result we can't inspect afterwards)
+        n = len(joined.collect())
+        assert n == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, (
+            f"AQE did not split the hot partition:\n{plan[:2000]}"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

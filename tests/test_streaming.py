@@ -321,3 +321,78 @@ def test_stateful_query_recovers_state_from_checkpoint(spark, tmp_path):
     # emit — and user 1 continues from the RECOVERED (2, 3.0)
     got = {r.user_id: (r.n_events, r.value_sum) for r in rows}
     assert got == {1: (3, 7.0)}, rows
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """SCALE.md §Streaming claims 'late data beyond the watermark drops
+    deterministically' — measure it. Batch 1 carries an event that
+    advances the watermark well past the first window; batch 2 delivers
+    one late event inside that expired window plus one on-time event.
+    The state-operator metrics must count exactly one row dropped by the
+    watermark, and the expired window's aggregate must NOT include the
+    late row."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    src = tmp_path / "src"
+    os.makedirs(src)
+    rows1 = [(1, t(0, 10), 1, "view", 1.0, "{}"), (2, t(5), 1, "view", 1.0, "{}")]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    from pyspark.sql import functions as F
+
+    stream_df = (
+        spark.readStream.schema(schema)
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "cnt")
+    )
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_drop_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark advances to 04:00 post-batch
+        rows2 = [
+            (3, t(0, 20), 1, "view", 1.0, "{}"),  # LATE: window 00 expired
+            (4, t(5, 10), 1, "view", 1.0, "{}"),  # on time
+        ]
+        spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+            str(src / "b2.parquet")
+        )
+        q.processAllAvailable()
+        dropped = sum(
+            json.loads(p.json)["stateOperators"][0]["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+        )
+        assert dropped == 1, [p.json for p in q.recentProgress]
+    finally:
+        q.stop()
+    got = {
+        r.ws: r.cnt
+        for r in spark.sql(
+            "SELECT ws, max(cnt) AS cnt FROM late_drop_sink GROUP BY ws"
+        ).collect()
+    }
+    assert got[t(0)] == 1, got  # late row NOT counted into the expired window
+    assert got[t(5)] == 2, got
