@@ -78,3 +78,48 @@ def test_materialized_releases_caches(spark):
     assert {(r.k, r.cnt) for r in out.collect()} == {
         (i, 143 if i < 6 else 142) for i in range(7)
     }
+
+
+def test_schema_evolution_read_postures(spark, tmp_path):
+    """A 100 TB lake accretes files written under EVOLVING schemas (a
+    column added mid-year). Two read postures, both pinned here:
+    (1) mergeSchema=true unions the per-file schemas — old files
+    backfill the new column with NULLs (footer-merge cost is per-file,
+    pay it in exploratory reads); (2) the production posture this repo
+    uses everywhere (catalog.py's pinned reader schemas): an EXPLICIT
+    schema makes the read stable regardless of which files carry the
+    column — new columns simply don't exist until the pinned schema
+    says so, and a missing column reads as NULL rather than failing."""
+    from pyspark.sql import types as T
+
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    new = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    old.write.parquet(str(tmp_path / "d" / "f1.parquet"))
+    new.write.parquet(str(tmp_path / "d" / "f2.parquet"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "d" / "*")
+    )
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+    pinned = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    stable = spark.read.schema(pinned).parquet(str(tmp_path / "d" / "*"))
+    rows = {r.id: (r.name, r.score) for r in stable.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # and pinning the OLD schema over new files is equally stable: the
+    # added column is invisible, nothing fails
+    old_pin = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    back = spark.read.schema(old_pin).parquet(str(tmp_path / "d" / "*"))
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
