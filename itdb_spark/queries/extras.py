@@ -715,6 +715,11 @@ def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
     FROM events
     UNION ALL
+    SELECT 'events_value_finite',
+           CAST(sum(CASE WHEN isnan(value) OR isinf(value)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
     SELECT 'embeddings_dim_consistent',
            CAST(count(DISTINCT len(embedding)) - 1 AS BIGINT)
     FROM embeddings
@@ -771,6 +776,18 @@ def pipe_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = t.events.agg(
         F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n")
     )
+    # finiteness gate for every downstream money path: BOTH engines
+    # fail loud (CAST_OVERFLOW / Conversion Error) if a NaN or ±inf
+    # double reaches the integer-cents cast — by design (silent NULLing
+    # would hide corruption). This check is what a pipeline runs BEFORE
+    # those aggregates; see SCALE.md §Ingest.
+    fin = t.events.agg(
+        F.sum(
+            F.when(
+                F.isnan("value") | (F.abs("value") == F.lit(float("inf"))), 1
+            ).otherwise(0)
+        ).alias("n")
+    )
     dim = t.embeddings.agg(
         (F.countDistinct(F.size("embedding")) - 1).alias("n")
     )
@@ -781,6 +798,7 @@ def pipe_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("lineitem_qty_in_1_50", qty))
         .unionByName(row("documents_text_nonempty", txt))
         .unionByName(row("events_value_nonnegative", val))
+        .unionByName(row("events_value_finite", fin))
         .unionByName(row("embeddings_dim_consistent", dim))
     )
 

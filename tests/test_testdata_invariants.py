@@ -139,3 +139,27 @@ def test_degenerate_documents_keep_oracle_parity(spark):
         if status != "PASS":
             failures.append(msg)
     assert not failures, "\n".join(failures)
+
+
+def test_money_path_fails_loud_on_nonfinite(spark):
+    """The engine's garbage-double posture, pinned: a NaN or ±inf value
+    reaching the integer-cents cast fails LOUD on BOTH engines (Spark
+    CAST_OVERFLOW, DuckDB Conversion Error) rather than silently
+    absorbing corrupted rows — validation belongs at ingest
+    (pipe-expectations' events_value_finite check), not as NULL-ification
+    inside every money aggregate. If either engine changes behavior this
+    test forces the posture to be re-decided, on purpose."""
+    import duckdb
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(float("nan"),), (float("inf"),)], "v double")
+    with _pytest.raises(Exception, match="CAST_OVERFLOW|overflow"):
+        df.select(F.round(F.col("v") * 100).cast("long").alias("c")).collect()
+
+    con = duckdb.connect()
+    for lit in ("'NaN'", "'inf'"):
+        with _pytest.raises(duckdb.ConversionException):
+            con.execute(
+                f"SELECT CAST(round(CAST({lit} AS DOUBLE) * 100) AS BIGINT)"
+            )
