@@ -1,0 +1,272 @@
+"""Product quantization (PQ) — the memory-compression ANN tier next to
+hyperplane-LSH (operators/similarity.py) and IVF (operators/ivf.py).
+
+Why it exists at 100 TB: 10⁹ embeddings × 64 float64 dims ≈ 0.5 TB of
+vector payload that brute/LSH/IVF all eventually read. PQ splits each
+vector into ``m`` subvectors, k-means-quantizes each subspace to ``k``
+codes, and stores only the m code ids — 64 dims × 8 B → 8 × 1 B here, a
+**64× compression** — while search runs against the codes via
+asymmetric distance computation (ADC): the query stays exact, each
+corpus vector's contribution is looked up from a per-query
+(m × k) inner-product table. Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011 (public).
+
+Spark-first shape:
+
+* **Training** runs ALL m subspaces in one Lloyd's loop: vectors explode
+  once into (id, sub, svec) rows, assignment is a broadcast join against
+  the m·k centroid rows (m·k is tiny by construction), the update is one
+  groupBy per iteration — the same one-broadcast-one-groupBy round as
+  IVF's coarse quantizer, lineage-truncated per round.
+* **Encoding** is the final assignment grouped back to one
+  ``codes array<int>`` of length m per vector.
+* **Search (ADC)** never explodes the corpus: the per-query table is
+  built distributively (queries × centroids broadcast join → one nested
+  ``array<array<double>>`` per query), broadcast back, and each corpus
+  row's approximate dot product is a HOF fold of m ``element_at``
+  lookups over its code array — one corpus scan, zero shuffles before
+  the per-query top-k window (WindowGroupLimit prunes before the
+  exchange like every other top-k in this package).
+
+Cosine semantics: inputs are L2-normalized up front (``_normalize``), so
+dot product IS cosine and the ADC sum approximates it directly.
+
+Determinism (the property every gate in this repo leans on): initial
+codes per subspace are the k subvectors with the smallest portable hash
+of the owning id; assignment ties break by code id — same discipline as
+IVF, so a DuckDB oracle can unroll the iterations if/when the query
+registers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from itdb_spark.functions.core import portable_hash64
+from itdb_spark.plans.library import truncate_lineage
+
+
+def _normalize(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec) with vec L2-normalized (dot ≡ cosine afterwards); zero
+    vectors (dead embeddings — they exist in every real corpus) keep a
+    NULL vec via try_divide and drop out of training and search."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(v, lambda x: F.try_divide(x, norm)).alias("vec"),
+    ).where(F.col("vec")[0].isNotNull())
+
+
+def _subvectors(norm: DataFrame, m: int, sub_dim: int) -> DataFrame:
+    """(id, sub, svec): one row per subspace — the ONE explode in the
+    training path (never used at search time)."""
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.slice("vec", s * sub_dim + 1, sub_dim).alias("svec"),
+        )
+        for s in range(m)
+    ])
+    return norm.select("id", F.explode(subs).alias("x")).select(
+        "id", F.col("x.sub").alias("sub"), F.col("x.svec").alias("svec")
+    )
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _assign(subvecs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(id, sub, svec, code): nearest centroid per subspace by L2
+    (broadcast join over the m·k centroid rows); ties break by code."""
+    scored = subvecs.join(F.broadcast(codebooks), "sub").select(
+        "id", "sub", "svec", "code", _l2sq(F.col("svec"), F.col("cvec")).alias("d")
+    )
+    w = Window.partitionBy("id", "sub").orderBy("d", "code")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "sub", "svec", "code")
+    )
+
+
+def train_pq(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Codebooks (sub, code, cvec): k centroids per subspace, trained by
+    Lloyd's over all m subspaces in one loop."""
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub_dim = dim // m
+    subvecs = _subvectors(_normalize(vectors, id_col, vec_col), m, sub_dim)
+    # deterministic init: per subspace, the k subvectors with smallest
+    # hashed owning id, code = rank
+    wi = Window.partitionBy("sub").orderBy("h", "id")
+    init = (
+        subvecs.withColumn("h", portable_hash64(F.col("id").cast("string")))
+        .withColumn("rn", F.row_number().over(wi))
+        .where(F.col("rn") <= k)
+        .select("sub", (F.col("rn") - 1).cast("int").alias("code"),
+                F.col("svec").alias("cvec"))
+    )
+    codebooks = truncate_lineage(init, eager=True)
+    for _ in range(iters):
+        assigned = _assign(subvecs, codebooks)
+        means = (
+            assigned.select("sub", "code", F.posexplode("svec").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
+            .select(
+                "sub", "code",
+                F.transform("pm", lambda s: s.getField("mean")).alias("cvec"),
+            )
+        )
+        codebooks = truncate_lineage(means, eager=True)
+    return codebooks
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): the stored index — m small ints per
+    vector in place of the float payload. At scale this is the ONLY
+    per-vector state search reads."""
+    m = codebooks.agg(F.countDistinct("sub").alias("m")).first()["m"]
+    dim = len(vectors.select(vec_col).first()[0])
+    subvecs = _subvectors(_normalize(vectors, id_col, vec_col), m, dim // m)
+    return (
+        _assign(subvecs, codebooks)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
+        .select(
+            "id", F.transform("sc", lambda s: s.getField("code")).alias("codes")
+        )
+    )
+
+
+def pq_search(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 10,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, adc_score) — approximate cosine
+    per (query, vector) as a HOF fold of m table lookups over the code
+    array. One corpus scan; the only exchange is the per-query top-k
+    window (WindowGroupLimit pre-prunes)."""
+    # per-query (m × k) inner-product table, built distributively then
+    # broadcast: tbl[sub][code] = dot(q_sub, centroid)
+    m = codebooks.agg(F.countDistinct("sub").alias("m")).first()["m"]
+    dim = len(queries.select(vec_col).first()[0])
+    qsubs = _subvectors(_normalize(queries, id_col, vec_col), m, dim // m)
+    ip = qsubs.join(F.broadcast(codebooks), "sub").select(
+        F.col("id").alias("query_id"), "sub", "code",
+        F.aggregate(
+            F.zip_with("svec", "cvec", lambda x, y: x * y),
+            F.lit(0.0), lambda a, x: a + x,
+        ).alias("ip"),
+    )
+    qtables = (
+        ip.groupBy("query_id", "sub")
+        .agg(F.array_sort(F.collect_list(F.struct("code", "ip"))).alias("ci"))
+        .select(
+            "query_id", "sub",
+            F.transform("ci", lambda s: s.getField("ip")).alias("row"),
+        )
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "row"))).alias("sr"))
+        .select(
+            "query_id",
+            F.transform("sr", lambda s: s.getField("row")).alias("tbl"),
+        )
+    )
+    scored = encoded.crossJoin(F.broadcast(qtables)).where(
+        F.col("id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda c, s: F.element_at(
+                        F.element_at("tbl", (s + 1).cast("int")),
+                        (c + 1).cast("int"),
+                    ),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", "adc_score")
+    )
+
+
+def pq_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 10,
+) -> DataFrame:
+    """Stage 2 of the production pipeline: exact cosine over the PQ
+    candidate set only — |candidates| distance computations instead of
+    corpus-wide, with PQ's measured operating point (m=16, k=16 on the
+    synthetic 64-dim corpus: 32× compression, 0.96 candidate-recall@50,
+    see test_pq_candidate_recall) deciding how many candidates stage 1
+    passes through. (query_id, neighbor_id, cosine)."""
+    from itdb_spark.operators.similarity import cosine_pandas
+
+    nvec = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nvec"),
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    exact = (
+        candidates.select("query_id", "neighbor_id")
+        .join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_pandas(F.col("qvec"), F.col("nvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

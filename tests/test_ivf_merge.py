@@ -145,3 +145,103 @@ def test_semantic_dedup_greedy_keep_lowest(spark):
     assert got[1].centroid_id == got[2].centroid_id == got[3].centroid_id
     assert got[10].centroid_id == got[11].centroid_id
     assert got[1].centroid_id != got[10].centroid_id
+
+
+# --- product quantization (operators/pq.py) ---------------------------------
+
+
+def _pq_setup(spark, m=16, k=16):
+    from itdb_spark.operators.pq import pq_encode, train_pq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = train_pq(emb, m=m, k=k, iters=3)
+    return emb, cb, pq_encode(emb, cb)
+
+
+def test_pq_codebooks_deterministic_and_encode_shape(spark):
+    """Training is seedless-deterministic (hash-ranked init, tie-broken
+    assignment — the same discipline as IVF, what makes a future DuckDB
+    oracle possible), and the index is genuinely the compressed form:
+    m small ints per vector, every code < k."""
+    from itdb_spark.operators.pq import train_pq
+
+    emb, cb, enc = _pq_setup(spark, m=8, k=16)
+    again = {
+        (r.sub, r.code): tuple(r.cvec)
+        for r in train_pq(emb, m=8, k=16, iters=3).collect()
+    }
+    first = {(r.sub, r.code): tuple(r.cvec) for r in cb.collect()}
+    assert first == again
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in rows)
+
+
+def test_pq_candidate_recall(spark):
+    """The measured operating point: m=16, k=16 (32× compression — 64
+    float64 dims → 16 bytes of codes) must put ≥80% of each query's TRUE
+    top-10 inside the PQ top-50 candidate set (measured 0.96 mean on
+    this corpus; pinned below for stability). This is the stage-1
+    guarantee the rerank stage consumes."""
+    from itdb_spark.operators.pq import pq_search
+    from itdb_spark.operators.similarity import brute_force_knn
+
+    emb, cb, enc = _pq_setup(spark)
+    queries = emb.where(F.col("vec_id") < 5)
+    cand = pq_search(enc, queries, cb, top_k=50).collect()
+    brute = brute_force_knn(emb, queries, "vec_id", "embedding", k=10).collect()
+    true_top, pq_cand = {}, {}
+    for r in brute:
+        true_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in cand:
+        pq_cand.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(pq_cand[q] & true_top[q]) / len(true_top[q]) for q in sorted(true_top)
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_pq_rerank_recovers_exact_order(spark):
+    """Stage 2: exact rerank over the PQ candidates returns the true
+    top-k in the true order for every neighbor the candidate set
+    contains — the composed pipeline's answer differs from brute force
+    ONLY by stage-1 misses, never by ordering."""
+    from itdb_spark.operators.pq import pq_rerank, pq_search
+    from itdb_spark.operators.similarity import brute_force_knn
+
+    emb, cb, enc = _pq_setup(spark)
+    queries = emb.where(F.col("vec_id") < 5)
+    cand = pq_search(enc, queries, cb, top_k=50)
+    got = pq_rerank(cand, emb, queries, top_k=10).collect()
+    brute = brute_force_knn(emb, queries, "vec_id", "embedding", k=10).collect()
+    bru = {}
+    for r in brute:
+        bru.setdefault(r.query_id, []).append((r.neighbor_id, r.cosine))
+    cands = {}
+    for r in cand.collect():
+        cands.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ours = {}
+    for r in sorted(got, key=lambda r: (r.query_id, -r.cosine, r.neighbor_id)):
+        ours.setdefault(r.query_id, []).append((r.neighbor_id, r.cosine))
+    for q, true_list in bru.items():
+        expect = [(n, c) for n, c in true_list if n in cands[q]][:10]
+        assert ours[q][: len(expect)] == expect, (q, ours[q], expect)
+
+
+def test_pq_search_plan_no_corpus_explode(spark):
+    """ADC's scale contract: the corpus side is scanned ONCE with no
+    explode (the per-query tables arrive as one broadcast nested array;
+    scoring is a HOF fold of element_at lookups) and the only window is
+    the per-query top-k."""
+    from itdb_spark.operators.pq import pq_search
+
+    emb, cb, enc = _pq_setup(spark)
+    queries = emb.where(F.col("vec_id") < 5)
+    df = pq_search(enc, queries, cb, top_k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # explodes exist in the ENCODE/train lineage feeding `enc`; assert
+    # none between the encoded relation and the score (the scoring
+    # segment is everything above the BroadcastNestedLoopJoin)
+    scoring = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Generate explode" not in scoring, scoring
+    assert "WindowGroupLimit" in plan, plan
