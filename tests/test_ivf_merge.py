@@ -245,3 +245,35 @@ def test_pq_search_plan_no_corpus_explode(spark):
     scoring = plan.split("BroadcastNestedLoopJoin")[0]
     assert "Generate explode" not in scoring, scoring
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_pq_oracle_matches_spark(spark):
+    """The registration-ready DuckDB oracle (pq_oracle_sql) replays
+    train → encode → ADC search and must match the Spark pipeline
+    EXACTLY — same discipline as sim-knn-ivf's oracle: every step is
+    deterministic, float-summation ulp freedom absorbed by the round(6)
+    on the final score. Passing here means the round-7 sim-knn-pq
+    registry entry is a naming exercise."""
+    import duckdb
+
+    from itdb_spark.operators.pq import pq_oracle_sql, pq_search
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _, cb, enc = _pq_setup(spark)  # m=16, k=16, iters=3
+    queries = emb.where(F.col("vec_id") < 5)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.adc_score)
+        for r in pq_search(enc, queries, cb, top_k=10).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want = sorted(
+        (q, n, s)
+        for q, n, s in con.execute(
+            pq_oracle_sql(m=16, k=16, iters=3, top_k=10)
+        ).fetchall()
+    )
+    assert got == want
