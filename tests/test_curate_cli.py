@@ -95,3 +95,37 @@ def test_curate_cli_deterministic(spark, tmp_path):
     assert outs[0][0] == outs[1][0], "corpus rows differ between runs"
     assert outs[0][1] == outs[1][1], "pack geometry differs between runs"
     assert outs[0][2] == outs[1][2], "reports differ between runs"
+
+
+def test_curate_nfc_stage_merges_visually_equal_dupes(spark, tmp_path):
+    """The normalize stage must make pre/de-composed forms of the same
+    rendered text collide in the exact-dedup fingerprint: two docs whose
+    bytes differ only by NFC form survive as ONE doc, and the report
+    attributes the NFC rewrite and the resulting dedup separately."""
+    composed = "café " + " ".join(f"w{i}" for i in range(40))
+    decomposed = "café " + " ".join(f"w{i}" for i in range(40))
+    assert composed != decomposed  # different code points...
+    rows = [
+        (1, composed, "fr", "web", 200),
+        (2, decomposed, "fr", "web", 201),  # ...same rendered text
+        (3, " ".join(f"solo{i}" for i in range(40)), "en", "web", 250),
+    ]
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(indir / "documents.parquet"))
+
+    import tools.curate as curate
+
+    report = curate.main(
+        ["--input", str(indir), "--output", str(outdir), "--quality", "0.0"]
+    )
+    st = report["stages"]
+    assert st["normalize"] == {"rows": 3, "changed": 1}  # doc 2 rewritten
+    assert st["exact_dedup"]["removed"] == 1             # then deduped vs doc 1
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(str(outdir / "corpus")).select("doc_id").collect()
+    }
+    assert 2 not in kept and 1 in kept and 3 in kept

@@ -10,6 +10,9 @@ correctness gate checks one by one.
 Stages (each = operators with oracle-checked twins):
   0. expectations — pre-flight validation counts (pipe-expectations shape)
   1. profile      — dataset card before/after (pipe-profile shape)
+  1.5 normalize   — Unicode NFC (text-normalize shape; visually-equal
+                    pre/de-composed text must collide in every
+                    fingerprint below)
   2. exact dedup  — md5 fingerprint groups, keep min doc_id
   3. near dedup   — MinHash LSH candidates → Jaccard verify → connected
                     components → keep component minimum
@@ -90,6 +93,23 @@ def main(argv: list[str] | None = None) -> dict:
         }
 
     report["profile_before"] = profile(docs)
+
+    # 1.5 Unicode NFC normalization BEFORE any fingerprinting: pre- and
+    # de-composed forms of the same rendered text are different byte
+    # sequences, so an unnormalized corpus leaks visually-identical
+    # duplicates straight past the md5 and shingle stages (the
+    # text-normalize query's rationale). One Arrow pass, no shuffle.
+    @F.pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    normalized = docs.withColumn("text_nfc", _nfc(F.col("text")))
+    n_changed = normalized.where(F.col("text") != F.col("text_nfc")).count()
+    docs = normalized.select(
+        "doc_id", F.col("text_nfc").alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    report["stages"]["normalize"] = {"rows": n0, "changed": n_changed}
 
     # 2. exact dedup: drop every member of a fingerprint group except min
     groups = exact_dup_groups(docs, "doc_id", "text")
