@@ -277,3 +277,34 @@ def test_pq_oracle_matches_spark(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_ivfpq_composed_recall(spark):
+    """IVF·PQ — coarse cells prune the search, PQ codes stand in for the
+    float payload, exact rerank recovers order: the composed pipeline's
+    top-10 must hit ≥60% of brute force's true top-10 (cell pruning AND
+    code quantization both lose a little; defaults n_probe=5/cands=100
+    measured 0.76 mean here — the recall-vs-budget curve is in the
+    operator docstring), and
+    every returned cosine must be EXACT (the rerank stage guarantee:
+    scores come from true vectors, never from codes)."""
+    from itdb_spark.operators.pq import ivfpq_search
+    from itdb_spark.operators.similarity import brute_force_knn
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    got = ivfpq_search(emb, queries, top_k=10).collect()
+    brute = brute_force_knn(emb, queries, "vec_id", "embedding", k=10).collect()
+    true_top, true_cos = {}, {}
+    for r in brute:
+        true_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+        true_cos[(r.query_id, r.neighbor_id)] = r.cosine
+    ours = {}
+    for r in got:
+        ours.setdefault(r.query_id, set()).add(r.neighbor_id)
+        if (r.query_id, r.neighbor_id) in true_cos:
+            assert r.cosine == true_cos[(r.query_id, r.neighbor_id)], r
+    recalls = [
+        len(ours[q] & true_top[q]) / len(true_top[q]) for q in sorted(true_top)
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
