@@ -66,6 +66,23 @@ def quality_score(text: Column | str) -> Column:
     return F.round(0.4 * len_ok + 0.3 * wlen_ok + 0.3 * (1.0 - non_alpha_ratio), 6)
 
 
+def nfc_normalize(text: Column | str) -> Column:
+    """Unicode NFC normalization — the ONE place the UDF lives, shared by
+    the graded text-normalize query (queries/pipeline.py) and the curate
+    CLI (tools/curate.py) so the curation binary and the oracle-checked
+    query can never silently diverge on normalization form or NULL
+    handling. Arrow-batched pandas UDF (Spark has no JVM-side NFC);
+    pandas ``str.normalize`` propagates NULLs as NULLs."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _nfc(c)
+
+
 def char_ngrams(text_col: str, n: int = 3) -> Column:
     """Distinct character n-gram shingles of the lowercased text →
     array<string>, via ``transform(sequence(...))`` — JVM-side, no UDF.

@@ -94,6 +94,12 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     if direction == "nearest" and strict:
         raise ValueError("strict nearest is not defined (no equal-ts side to exclude)")
+    if tolerance is not None and tolerance < 0:
+        # pandas merge_asof parity: a negative tolerance is always a
+        # caller bug (it silently unmatches every row — dist <= tolerance
+        # is false for all non-negative distances), so fail loud like
+        # pandas does instead of returning an all-NULL payload.
+        raise ValueError(f"tolerance must be non-negative, got {tolerance}")
     keys = [on] if isinstance(on, str) else list(on)
     l_payload = [c for c in left.columns if c not in keys]
     r_payload = [c for c in right.columns if c not in keys]

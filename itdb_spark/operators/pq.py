@@ -82,6 +82,76 @@ def _l2sq(a, b):
     )
 
 
+def _probe_dim(vectors: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first non-NULL vector — one job,
+    called once per public entry point (composed pipelines pass ``dim``
+    through instead of re-probing). Fails with a real message on an
+    empty frame or all-NULL column instead of a TypeError."""
+    row = (
+        vectors.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    if row is None:
+        raise ValueError(
+            f"cannot infer embedding dim: no non-NULL {vec_col!r} rows"
+        )
+    return row["d"]
+
+
+def _query_adc_tables(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    dim: int,
+) -> DataFrame:
+    """(query_id, tbl map<int, map<int, double>>): tbl[sub][code] =
+    dot(q_sub, centroid) — the per-query ADC lookup table, built
+    distributively (queries × the tiny m·k centroid set) then broadcast
+    by the caller. Keyed by CODE, not position: Lloyd's keeps every code
+    id live (empty clusters retain their previous centroid, below), but
+    the map lookup stays correct for ANY codebook — including a merged
+    or externally-trained one with holes in the id space — where a
+    positional ``element_at(row, code+1)`` would silently shift every
+    lookup past a gap (caught by code review)."""
+    qsubs = _subvectors(_normalize(queries, id_col, vec_col), m, dim // m)
+    ip = qsubs.join(F.broadcast(codebooks), "sub").select(
+        F.col("id").alias("query_id"), "sub", "code",
+        F.aggregate(
+            F.zip_with("svec", "cvec", lambda x, y: x * y),
+            F.lit(0.0), lambda a, x: a + x,
+        ).alias("ip"),
+    )
+    return (
+        ip.groupBy("query_id", "sub")
+        .agg(F.map_from_entries(F.collect_list(F.struct("code", "ip"))).alias("row"))
+        .groupBy("query_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("sub", "row"))).alias("tbl"))
+    )
+
+
+def _adc_score(m: int):
+    """Approximate cosine of one corpus row: fold of m code-keyed lookups
+    into the broadcast ``tbl`` — shared by pq_search and ivfpq_search so
+    the scoring expression cannot drift between the two."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, s: F.element_at(
+                    F.element_at("tbl", s.cast("int")), c.cast("int")
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    ).alias("adc_score")
+
+
 def _assign(subvecs: DataFrame, codebooks: DataFrame) -> DataFrame:
     """(id, sub, svec, code): nearest centroid per subspace by L2
     (broadcast join over the m·k centroid rows); ties break by code."""
@@ -103,10 +173,15 @@ def train_pq(
     m: int = 8,
     k: int = 16,
     iters: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Codebooks (sub, code, cvec): k centroids per subspace, trained by
-    Lloyd's over all m subspaces in one loop."""
-    dim = len(vectors.select(vec_col).first()[0])
+    Lloyd's over all m subspaces in one loop. Every code id stays live:
+    a cluster that loses all members in an update keeps its previous
+    centroid (standard empty-cluster handling), so the codebook always
+    has exactly k contiguous codes per subspace."""
+    if dim is None:
+        dim = _probe_dim(vectors, vec_col)
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub_dim = dim // m
@@ -135,7 +210,15 @@ def train_pq(
                 F.transform("pm", lambda s: s.getField("mean")).alias("cvec"),
             )
         )
-        codebooks = truncate_lineage(means, eager=True)
+        # empty-cluster retention: codes absent from `means` (no members
+        # this round — e.g. duplicate vectors collapsing onto one
+        # centroid) keep their previous centroid instead of vanishing,
+        # so code ids never go non-contiguous (code review: a dropped
+        # code shifted every positional ADC lookup above it)
+        retained = codebooks.join(
+            means.select("sub", "code"), ["sub", "code"], "left_anti"
+        )
+        codebooks = truncate_lineage(means.unionByName(retained), eager=True)
     return codebooks
 
 
@@ -144,12 +227,14 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, codes array<int>): the stored index — m small ints per
     vector in place of the float payload. At scale this is the ONLY
     per-vector state search reads."""
     m = codebooks.agg(F.countDistinct("sub").alias("m")).first()["m"]
-    dim = len(vectors.select(vec_col).first()[0])
+    if dim is None:
+        dim = _probe_dim(vectors, vec_col)
     subvecs = _subvectors(_normalize(vectors, id_col, vec_col), m, dim // m)
     return (
         _assign(subvecs, codebooks)
@@ -168,57 +253,22 @@ def pq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     top_k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """ADC top-k: (query_id, neighbor_id, adc_score) — approximate cosine
-    per (query, vector) as a HOF fold of m table lookups over the code
-    array. One corpus scan; the only exchange is the per-query top-k
-    window (WindowGroupLimit pre-prunes)."""
-    # per-query (m × k) inner-product table, built distributively then
-    # broadcast: tbl[sub][code] = dot(q_sub, centroid)
+    per (query, vector) as a HOF fold of m code-keyed table lookups over
+    the code array. One corpus scan; the only exchange is the per-query
+    top-k window (WindowGroupLimit pre-prunes)."""
     m = codebooks.agg(F.countDistinct("sub").alias("m")).first()["m"]
-    dim = len(queries.select(vec_col).first()[0])
-    qsubs = _subvectors(_normalize(queries, id_col, vec_col), m, dim // m)
-    ip = qsubs.join(F.broadcast(codebooks), "sub").select(
-        F.col("id").alias("query_id"), "sub", "code",
-        F.aggregate(
-            F.zip_with("svec", "cvec", lambda x, y: x * y),
-            F.lit(0.0), lambda a, x: a + x,
-        ).alias("ip"),
-    )
-    qtables = (
-        ip.groupBy("query_id", "sub")
-        .agg(F.array_sort(F.collect_list(F.struct("code", "ip"))).alias("ci"))
-        .select(
-            "query_id", "sub",
-            F.transform("ci", lambda s: s.getField("ip")).alias("row"),
-        )
-        .groupBy("query_id")
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "row"))).alias("sr"))
-        .select(
-            "query_id",
-            F.transform("sr", lambda s: s.getField("row")).alias("tbl"),
-        )
-    )
+    if dim is None:
+        dim = _probe_dim(queries, vec_col)
+    qtables = _query_adc_tables(queries, codebooks, id_col, vec_col, m, dim)
     scored = encoded.crossJoin(F.broadcast(qtables)).where(
         F.col("id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda c, s: F.element_at(
-                        F.element_at("tbl", (s + 1).cast("int")),
-                        (c + 1).cast("int"),
-                    ),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-            6,
-        ).alias("adc_score"),
+        _adc_score(m),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_score"), F.asc("neighbor_id")
@@ -319,11 +369,19 @@ def pq_oracle_sql(
                    row_number() OVER (PARTITION BY s.vec_id, s.sub
                        ORDER BY {l2}, c.code) AS rn
             FROM sv s JOIN {prev} c ON c.sub = s.sub) WHERE rn = 1)""")
-        ctes.append(f"""cb{it} AS (
+        # empty-cluster retention mirrors train_pq: a code with no
+        # members this round keeps its previous centroid
+        ctes.append(f"""nm{it} AS (
             SELECT sub, code, list(mean ORDER BY pos) AS cvec FROM (
               SELECT sub, code, r.i AS pos, avg(svec[r.i + 1]) AS mean
               FROM a{it}, range(0, {sd}) r(i) GROUP BY 1, 2, 3)
             GROUP BY 1, 2)""")
+        ctes.append(f"""cb{it} AS (
+            SELECT sub, code, cvec FROM nm{it}
+            UNION ALL
+            SELECT p.sub, p.code, p.cvec FROM {prev} p
+            WHERE NOT EXISTS (SELECT 1 FROM nm{it} n
+                              WHERE n.sub = p.sub AND n.code = p.code))""")
         prev = f"cb{it}"
     ctes.append(f"""af AS (SELECT vec_id, sub, code FROM (
         SELECT s.vec_id, s.sub, c.code,
@@ -386,9 +444,10 @@ def ivfpq_search(
     from itdb_spark.operators.ivf import build_ivf_index
     from itdb_spark.operators.similarity import cosine_pandas
 
+    dim = _probe_dim(vectors, vec_col)
     assignments, centroids = build_ivf_index(vectors, id_col, vec_col, k=n_cells)
-    codebooks = train_pq(vectors, id_col, vec_col, m=m, k=k)
-    encoded = pq_encode(vectors, codebooks, id_col, vec_col)
+    codebooks = train_pq(vectors, id_col, vec_col, m=m, k=k, dim=dim)
+    encoded = pq_encode(vectors, codebooks, id_col, vec_col, dim=dim)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -414,49 +473,18 @@ def ivfpq_search(
         .select("query_id", "id")
     )
     in_cells = encoded.join(members, "id")
-    # ADC within the probed cells only, reusing pq_search's scoring by
+    # ADC within the probed cells only — reusing pq_search's scoring by
     # filtering its full-corpus result is NOT equivalent (top-k would be
-    # computed pre-filter) — score here directly
-    dim = len(queries.select(vec_col).first()[0])
-    qsubs = _subvectors(_normalize(queries, id_col, vec_col), m, dim // m)
-    ip = qsubs.join(F.broadcast(codebooks), "sub").select(
-        F.col("id").alias("query_id"), "sub", "code",
-        F.aggregate(
-            F.zip_with("svec", "cvec", lambda x, y: x * y),
-            F.lit(0.0), lambda a, x: a + x,
-        ).alias("ip"),
-    )
-    qtables = (
-        ip.groupBy("query_id", "sub")
-        .agg(F.array_sort(F.collect_list(F.struct("code", "ip"))).alias("ci"))
-        .select("query_id", "sub",
-                F.transform("ci", lambda s: s.getField("ip")).alias("row"))
-        .groupBy("query_id")
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "row"))).alias("sr"))
-        .select("query_id",
-                F.transform("sr", lambda s: s.getField("row")).alias("tbl"))
-    )
+    # computed pre-filter), but the table build and score expression ARE
+    # shared (_query_adc_tables/_adc_score) so a fix lands in one place
+    qtables = _query_adc_tables(queries, codebooks, id_col, vec_col, m, dim)
     scored = (
         in_cells.join(F.broadcast(qtables), "query_id")
         .where(F.col("id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("codes"),
-                        F.sequence(F.lit(0), F.lit(m - 1)),
-                        lambda c, s: F.element_at(
-                            F.element_at("tbl", (s + 1).cast("int")),
-                            (c + 1).cast("int"),
-                        ),
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ),
-                6,
-            ).alias("adc_score"),
+            _adc_score(m),
         )
     )
     wc = Window.partitionBy("query_id").orderBy(

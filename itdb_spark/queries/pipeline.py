@@ -2240,13 +2240,11 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "planted mixed-form edge doc.",
 )
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    @F.pandas_udf("string")
-    def _nfc(s):
-        return s.str.normalize("NFC")
+    from itdb_spark.functions.text import nfc_normalize
 
     t = Tables(spark, sf_dir)
     normalized = t.documents.select(
-        "doc_id", "text", _nfc(F.col("text")).alias("text_nfc")
+        "doc_id", "text", nfc_normalize(F.col("text")).alias("text_nfc")
     )
     # one ArrowEvalPython pass: the changed flag derives from the UDF's
     # output column, not a second UDF call (plan-asserted in

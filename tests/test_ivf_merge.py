@@ -308,3 +308,46 @@ def test_ivfpq_composed_recall(spark):
         len(ours[q] & true_top[q]) / len(true_top[q]) for q in sorted(true_top)
     ]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_pq_duplicate_embeddings_keep_codebook_dense(spark):
+    """Regression (code review, round 6): duplicate embeddings — the very
+    case dedup-embedding exists for — can empty a cluster mid-Lloyd's
+    (two identical init centroids tie on every point; the (d, code)
+    tie-break starves the larger code). train_pq must retain the starved
+    code's previous centroid (k codes per subspace, always) and ADC must
+    look codes up BY KEY, so no vector's score can silently shift or go
+    NULL. Before the fix the positional element_at(row, code+1) lookup
+    read the NEXT code's inner product past the gap and NULLed the top
+    code."""
+    from itdb_spark.operators.pq import pq_encode, pq_search, train_pq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(40)
+    base = emb.where(F.col("vec_id") == 0).select("embedding")
+    # 24 exact copies of vector 0 under fresh ids: enough for several to
+    # land in the k-smallest-hash init set of every subspace
+    dupes = (
+        spark.range(1_000_000, 1_000_024)
+        .select(F.col("id").cast("long").alias("vec_id"))
+        .crossJoin(F.broadcast(base))
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dupes)
+    m, k = 8, 16
+    cb = train_pq(corpus, m=m, k=k, iters=3)
+    per_sub = {
+        r.sub: r.n
+        for r in cb.groupBy("sub").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_sub == {s: k for s in range(m)}, per_sub
+    enc = pq_encode(corpus, cb)
+    queries = corpus.where(F.col("vec_id") < 3)
+    scored = pq_search(enc, queries, cb, top_k=corpus.count())
+    rows = scored.collect()
+    assert rows and all(r.adc_score is not None for r in rows)
+    # every non-query corpus vector is ranked for every query — nothing
+    # silently dropped by a NULL fold
+    n_corpus = corpus.count()
+    per_query = {}
+    for r in rows:
+        per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
+    assert all(v == n_corpus - 1 for v in per_query.values()), per_query

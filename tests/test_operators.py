@@ -1279,3 +1279,23 @@ def test_asof_join_tolerance_matches_pandas_merge_asof(spark):
                 for r in ref.itertuples(index=False)
             }
             assert got == want, (direction, tol, got, want)
+
+
+def test_asof_join_negative_tolerance_raises(spark):
+    """pandas merge_asof parity (code review, round 6): a negative
+    tolerance silently unmatched every row (dist <= tolerance never
+    holds); it must fail loud like pandas instead."""
+    import pytest
+
+    from itdb_spark.operators.asof import asof_join
+
+    left = spark.range(1).select(
+        F.lit(1).alias("k"), F.col("id").cast("long").alias("lts")
+    )
+    right = spark.range(1).select(
+        F.lit(1).alias("k"), F.col("id").cast("long").alias("rts"),
+        F.lit("x").alias("payload"),
+    )
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                  tolerance=-1)

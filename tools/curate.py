@@ -98,12 +98,14 @@ def main(argv: list[str] | None = None) -> dict:
     # de-composed forms of the same rendered text are different byte
     # sequences, so an unnormalized corpus leaks visually-identical
     # duplicates straight past the md5 and shingle stages (the
-    # text-normalize query's rationale). One Arrow pass, no shuffle.
-    @F.pandas_udf("string")
-    def _nfc(s):
-        return s.str.normalize("NFC")
+    # text-normalize query's rationale). The UDF is the SAME one the
+    # graded text-normalize query runs (functions/text.py); the frame is
+    # cached so the Arrow pass runs once, not once per downstream
+    # consumer (the changed-count, the dup-group build, and the
+    # dup-member join would otherwise each replay it).
+    from itdb_spark.functions.text import nfc_normalize
 
-    normalized = docs.withColumn("text_nfc", _nfc(F.col("text")))
+    normalized = docs.withColumn("text_nfc", nfc_normalize(F.col("text"))).cache()
     n_changed = normalized.where(F.col("text") != F.col("text_nfc")).count()
     docs = normalized.select(
         "doc_id", F.col("text_nfc").alias("text"),
@@ -121,6 +123,7 @@ def main(argv: list[str] | None = None) -> dict:
     )
     docs1 = docs.join(dup_members, "doc_id", "left_anti").cache()
     n1 = docs1.count()
+    normalized.unpersist()  # docs1 is materialized; the NFC pass is done
     report["stages"]["exact_dedup"] = {"rows": n1, "removed": n0 - n1}
 
     # 3. near dedup: LSH -> verify -> CC -> keep component min
