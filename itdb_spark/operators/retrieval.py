@@ -151,3 +151,183 @@ def bm25_topk(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "score_micros")
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k_rrf: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    over N ranked lists: rrf(d) = Σ_systems 1/(k + rank_s(d)), the
+    standard hybrid-retrieval combiner (lexical BM25 + dense ANN in every
+    RAG stack). Inputs are (query_id, neighbor_id, rank) frames with
+    1-based ranks; a document absent from a system contributes nothing
+    from that system.
+
+    Scale shape: each input is already a bounded per-query top-N list
+    (|queries|·N rows, never corpus-sized), so fusion is one unionByName
+    plus ONE map-side-combined groupBy — no join back to the corpus.
+    Contributions are exact integer floor-divisions in micro-units
+    (1000000 div (k + rank)), so the sum is associative BIGINT arithmetic
+    and the result hash cannot depend on partial-aggregation order — and
+    a DuckDB oracle reproduces it bit-for-bit with `//`.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked input")
+    allr = ranked[0].select("query_id", "neighbor_id", "rank")
+    for nxt in ranked[1:]:
+        allr = allr.unionByName(nxt.select("query_id", "neighbor_id", "rank"))
+    fused = (
+        allr.select(
+            "query_id", "neighbor_id",
+            F.expr(f"1000000 div ({k_rrf} + rank)").cast("long").alias("c"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("c").cast("long").alias("rrf_micros"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micros"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", "rrf_micros")
+    )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    depth: int = 20,
+    k_rrf: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 over the text corpus + exact cosine over the
+    parallel embedding table (ids aligned), fused by RRF. The lexical
+    rank orders by exact BIGINT score_micros; the dense rank orders by
+    the 6-dp-rounded cosine — both fully tie-broken by neighbor id, so
+    ranks (and therefore the fused scores) are engine-independent.
+
+    At 100 TB the two stage-1 lists come from the registered scale paths
+    (BM25's pruned-postings plan, IVF/LSH instead of brute force); the
+    fusion stage is rank-only and never touches the corpus again.
+    """
+    from itdb_spark.operators.similarity import brute_force_knn
+
+    lex = bm25_topk(docs, query_ids, id_col, text_col, k=depth)
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micros"), F.asc("neighbor_id")
+    )
+    lex_ranked = lex.select(
+        "query_id", "neighbor_id", F.row_number().over(wl).alias("rank")
+    )
+    qvecs = embeddings.join(
+        F.broadcast(query_ids.select(F.col(id_col).alias(vec_id_col))),
+        vec_id_col,
+    )
+    dense = brute_force_knn(embeddings, qvecs, vec_id_col, vec_col, k=depth)
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    dense_ranked = dense.select(
+        "query_id", "neighbor_id", F.row_number().over(wd).alias("rank")
+    )
+    return rrf_fuse([lex_ranked, dense_ranked], k_rrf=k_rrf, top_k=top_k)
+
+
+def hybrid_rrf_oracle_sql(
+    n_queries: int = 3,
+    depth: int = 20,
+    k_rrf: int = 60,
+    top_k: int = 10,
+) -> str:
+    """DuckDB twin of hybrid_rrf over the documents + embeddings tables —
+    registration-ready for a round-7 sim-hybrid-rrf registry entry
+    (deferred: this round's 50-slot grading window is exactly full).
+    Lexical CTEs mirror sim-bm25's oracle (integer micro-unit BM25,
+    Lucene idf); dense CTEs mirror _KNN_ORACLE (membership by raw
+    cosine, rank by the 6-dp round); fusion is exact integer `//`."""
+    return f"""
+    WITH base AS (SELECT doc_id, lower(trim(text)) AS lt FROM documents),
+    toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lt, '\\s+')) AS w
+        FROM base WHERE len(lt) > 0
+      ) WHERE w != ''
+    ),
+    tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lt, '\\s+'),
+                                  x -> x != '')) AS BIGINT) AS dl
+      FROM base
+    ),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    q AS (SELECT DISTINCT doc_id AS query_id, w FROM toks
+          WHERE doc_id < {n_queries}),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+               * 1000000.0) AS BIGINT) AS c
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN df ON tf.w = df.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      WHERE tf.doc_id != q.query_id
+    ),
+    lex_sc AS (
+      SELECT query_id, doc_id AS neighbor_id,
+             CAST(sum(c) AS BIGINT) AS score_micros
+      FROM contrib GROUP BY 1, 2
+    ),
+    lex_rank AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_micros DESC, neighbor_id) AS rank
+      FROM lex_sc
+      QUALIFY rank <= {depth}
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, vec AS qvec FROM v
+           WHERE vec_id < {n_queries}),
+    dense_sc AS (
+      SELECT qv.query_id, v.vec_id AS neighbor_id,
+             list_dot_product(qv.qvec, v.vec)
+               / (sqrt(list_dot_product(qv.qvec, qv.qvec))
+                  * sqrt(list_dot_product(v.vec, v.vec))) AS cos_raw
+      FROM v, qv WHERE v.vec_id != qv.query_id
+    ),
+    dense_top AS (
+      SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine FROM (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id) AS rn
+        FROM dense_sc) WHERE rn <= {depth}
+    ),
+    dense_rank AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM dense_top
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             CAST(sum(1000000 // ({k_rrf} + rank)) AS BIGINT) AS rrf_micros
+      FROM (SELECT * FROM lex_rank UNION ALL SELECT * FROM dense_rank)
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rrf_micros FROM (
+      SELECT query_id, neighbor_id, rrf_micros,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_micros DESC, neighbor_id) AS rn
+      FROM fused) WHERE rn <= {top_k}
+    """

@@ -1299,3 +1299,62 @@ def test_asof_join_negative_tolerance_raises(spark):
     with pytest.raises(ValueError, match="tolerance"):
         asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
                   tolerance=-1)
+
+
+def test_rrf_fuse_combines_ranked_lists(spark):
+    """RRF semantics on a hand-computable case: a doc ranked 1 by both
+    systems beats a doc ranked 1 by only one; contributions are exact
+    integer floor divisions (1000000 div (60 + rank)); absence from a
+    system contributes nothing."""
+    from itdb_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    dense = spark.createDataFrame(
+        [(0, 10, 1), (0, 13, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {
+        r.neighbor_id: r.rrf_micros
+        for r in rrf_fuse([lex, dense], k_rrf=60, top_k=10).collect()
+    }
+    assert got == {
+        10: 1000000 // 61 * 2,   # rank 1 in both systems
+        11: 1000000 // 62,
+        12: 1000000 // 63,
+        13: 1000000 // 62,
+    }
+
+
+def test_hybrid_rrf_matches_duckdb_oracle(spark):
+    """End-to-end differential for the round-7 sim-hybrid-rrf entry:
+    BM25 + dense cosine fused by RRF must match the DuckDB twin
+    bit-for-bit (integer micro-unit fusion; lexical ranks exact BIGINT,
+    dense ranks on the proven 6-dp cosine)."""
+    import duckdb
+
+    from itdb_spark.catalog import Tables
+    from itdb_spark.operators.retrieval import hybrid_rrf, hybrid_rrf_oracle_sql
+    from tests.conftest import SF_DIR
+
+    t = Tables(spark, SF_DIR)
+    queries = t.documents.select("doc_id").where(F.col("doc_id") < 3)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rrf_micros)
+        for r in hybrid_rrf(t.documents, t.embeddings, queries).collect()
+    )
+    con = duckdb.connect()
+    for name in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    want = sorted(
+        (q, n, s) for q, n, s in con.execute(hybrid_rrf_oracle_sql()).fetchall()
+    )
+    assert got == want
+    # fused lists actually draw from BOTH systems: some fused doc must
+    # carry a two-system score (> the max single-system contribution)
+    assert any(s > 1000000 // 61 for _, _, s in got)
