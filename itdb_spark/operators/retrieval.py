@@ -331,3 +331,199 @@ def hybrid_rrf_oracle_sql(
                  ORDER BY rrf_micros DESC, neighbor_id) AS rn
       FROM fused) WHERE rn <= {top_k}
     """
+
+
+# DCG position weights in integer micro-units: W[i-1] = round(1e6 /
+# log2(i + 1)). Computed ONCE here and embedded as literals into both
+# the Spark plan and the generated DuckDB oracle, so the two engines
+# cannot disagree even at the libm level — the whole eval is then exact
+# BIGINT arithmetic end to end.
+import math as _math
+
+DCG_W_MICROS: tuple[int, ...] = tuple(
+    int(_math.floor(1_000_000 / _math.log2(i + 1) + 0.5)) for i in range(1, 21)
+)
+
+
+def retrieval_eval(
+    predicted: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval quality of a ranked run against a relevant set:
+    (query_id, n_hits, mrr_micros, ndcg_micros) — the metrics a pipeline
+    team watches when tuning an ANN operating point (recall = n_hits/k,
+    MRR = 1/rank of the first relevant hit, binary-relevance NDCG@k).
+
+    ``predicted`` is (query_id, neighbor_id, rank) with 1-based ranks
+    (ranks > k are ignored); ``truth`` is (query_id, neighbor_id) — the
+    ground-truth relevant set (e.g. brute-force top-k). Queries present
+    in ``truth`` but with NO predictions still emit a row of zeros (an
+    ANN whose buckets miss a query entirely must show up as 0, not
+    vanish).
+
+    Exactness: MRR is 1000000 div rank; DCG uses the precomputed
+    DCG_W_MICROS integer weights; NDCG is dcg·1000000 div idcg — all
+    associative BIGINT arithmetic, hash-stable under any partial-agg
+    order, bit-reproducible by the DuckDB twin."""
+    weights = DCG_W_MICROS[:k]
+    idcg = sum(weights)
+    warr = F.array(*[F.lit(w).cast("long") for w in weights])
+    marked = predicted.where(F.col("rank") <= k).join(
+        truth.select("query_id", "neighbor_id", F.lit(1).alias("rel")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per_q = marked.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("rel"), F.lit(0))).cast("long").alias("n_hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum(
+            F.when(F.col("rel") == 1, F.element_at(warr, F.col("rank")))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("dcg"),
+    )
+    qids = truth.select("query_id").distinct()
+    return qids.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce(F.expr("1000000 div first_rel"), F.lit(0))
+        .cast("long").alias("mrr_micros"),
+        F.coalesce(F.expr(f"dcg * 1000000 div {idcg}"), F.lit(0))
+        .cast("long").alias("ndcg_micros"),
+    )
+
+
+def eval_lsh_retrieval(
+    spark,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """Measured operating point of the LSH ANN as a QUERY: per-query
+    n_hits / MRR / NDCG@k of lsh_knn against brute-force ground truth —
+    the retrieval twin of pipe-dedup-eval (which measures the LSH dedup
+    recall/precision point). Registration-ready for a round-7
+    eval-retrieval registry entry with eval_lsh_retrieval_oracle_sql as
+    its DuckDB twin.
+
+    Both stage-1 runs select membership on raw cosine (the proven
+    cross-engine discipline of sim-knn-lsh/_KNN_ORACLE); the predicted
+    rank orders by the 6-dp-rounded cosine with a full neighbor-id
+    tie-break, so ranks — and every metric — are engine-independent."""
+    from itdb_spark.operators.similarity import brute_force_knn, lsh_knn
+
+    queries = vectors.where(F.col(id_col) < n_queries)
+    truth = brute_force_knn(vectors, queries, id_col, vec_col, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    pred = lsh_knn(spark, vectors, queries, id_col, vec_col, k=k, dim=dim)
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    pred_ranked = pred.select(
+        "query_id", "neighbor_id", F.row_number().over(wp).alias("rank")
+    )
+    return retrieval_eval(pred_ranked, truth, k=k)
+
+
+def eval_lsh_retrieval_oracle_sql(n_queries: int = 5, k: int = 10) -> str:
+    """DuckDB twin of eval_lsh_retrieval: replays the LSH chain (the
+    sim-knn-lsh oracle's plane/signature/bucket CTEs), the brute-force
+    truth (_KNN_ORACLE shape), and the integer-micro metric arithmetic
+    with the SAME DCG_W_MICROS literals the Spark plan embeds."""
+    weights = DCG_W_MICROS[:k]
+    idcg = sum(weights)
+    wvals = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(weights))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    planes AS (
+      SELECT i // 512 AS t, (i // 64) % 8 AS p, i % 64 AS d,
+             CASE WHEN CAST(concat('0x', substr(md5(
+                    concat(CAST(i // 512 AS VARCHAR), '_',
+                           CAST((i // 64) % 8 AS VARCHAR), '_',
+                           CAST(i % 64 AS VARCHAR))
+                  ), 1, 15)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+      FROM range(0, 1024) r(i)
+    ),
+    dots AS (
+      SELECT vec_id, t, p, sum(vec[d + 1] * sign) AS dot
+      FROM v CROSS JOIN planes GROUP BY 1, 2, 3
+    ),
+    sig AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN dot > 0 THEN CAST(1 << p AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS signature
+      FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT sq.vec_id AS query_id, sv.vec_id AS neighbor_id
+      FROM sig sq JOIN sig sv ON sq.t = sv.t AND sq.signature = sv.signature
+      WHERE sq.vec_id < {n_queries} AND sv.vec_id != sq.vec_id
+    ),
+    lsh_scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))) AS cos_raw
+      FROM cand c
+      JOIN v a ON a.vec_id = c.query_id
+      JOIN v b ON b.vec_id = c.neighbor_id
+    ),
+    pred_top AS (
+      SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine FROM (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id) AS rn
+        FROM lsh_scored) WHERE rn <= {k}
+    ),
+    pred AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pred_top
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v
+          WHERE vec_id < {n_queries}),
+    brute_scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_dot_product(q.qvec, v.vec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(v.vec, v.vec))) AS cos_raw
+      FROM v, q WHERE v.vec_id != q.query_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id) AS rn
+        FROM brute_scored) WHERE rn <= {k}
+    ),
+    w(rank, micros) AS (VALUES {wvals}),
+    marked AS (
+      SELECT p.query_id, p.rank,
+             CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM pred p
+      LEFT JOIN truth t
+        ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+      WHERE p.rank <= {k}
+    ),
+    per_q AS (
+      SELECT m.query_id,
+             CAST(sum(m.rel) AS BIGINT) AS n_hits,
+             min(CASE WHEN m.rel = 1 THEN m.rank END) AS first_rel,
+             CAST(sum(CASE WHEN m.rel = 1 THEN w.micros ELSE 0 END)
+                  AS BIGINT) AS dcg
+      FROM marked m JOIN w ON w.rank = m.rank
+      GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(1000000 // p.first_rel, 0) AS BIGINT) AS mrr_micros,
+           CAST(coalesce(p.dcg * 1000000 // {idcg}, 0) AS BIGINT)
+             AS ndcg_micros
+    FROM (SELECT DISTINCT query_id FROM truth) q
+    LEFT JOIN per_q p ON p.query_id = q.query_id
+    """

@@ -1358,3 +1358,64 @@ def test_hybrid_rrf_matches_duckdb_oracle(spark):
     # fused lists actually draw from BOTH systems: some fused doc must
     # carry a two-system score (> the max single-system contribution)
     assert any(s > 1000000 // 61 for _, _, s in got)
+
+
+def test_retrieval_eval_hand_case(spark):
+    """Metric semantics on a hand-computable case: perfect run → full
+    hits/MRR/NDCG; first hit at rank 2 → MRR 500000; a query with no
+    predictions still emits a zero row."""
+    from itdb_spark.operators.retrieval import DCG_W_MICROS, retrieval_eval
+
+    truth = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 20), (1, 21), (2, 30), (2, 31)],
+        "query_id long, neighbor_id long",
+    )
+    pred = spark.createDataFrame(
+        # q0 perfect; q1: miss at 1, hit at 2; q2: no predictions at all
+        [(0, 10, 1), (0, 11, 2), (1, 99, 1), (1, 20, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {
+        r.query_id: (r.n_hits, r.mrr_micros, r.ndcg_micros)
+        for r in retrieval_eval(pred, truth, k=2).collect()
+    }
+    idcg = DCG_W_MICROS[0] + DCG_W_MICROS[1]
+    assert got[0] == (2, 1000000, 1000000)
+    assert got[1] == (1, 500000, DCG_W_MICROS[1] * 1000000 // idcg)
+    assert got[2] == (0, 0, 0)
+
+
+def test_eval_lsh_retrieval_matches_duckdb_oracle(spark):
+    """End-to-end differential for the round-7 eval-retrieval entry:
+    the measured LSH operating point (n_hits / MRR / NDCG per query vs
+    brute-force truth) must match the DuckDB twin bit-for-bit — every
+    metric is integer micro-unit arithmetic over engine-identical
+    ranks."""
+    import duckdb
+
+    from itdb_spark.catalog import Tables
+    from itdb_spark.operators.retrieval import (
+        eval_lsh_retrieval,
+        eval_lsh_retrieval_oracle_sql,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = Tables(spark, SF_DIR).embeddings
+    got = sorted(
+        (r.query_id, r.n_hits, r.mrr_micros, r.ndcg_micros)
+        for r in eval_lsh_retrieval(spark, emb).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        eval_lsh_retrieval_oracle_sql()
+    ).fetchall())
+    assert got == want
+    assert len(got) == 5
+    # the LSH point on this corpus is imperfect but nonzero — the eval
+    # must be able to SHOW a loss, not report vacuous perfection
+    assert any(h < 10 for _, h, _, _ in got)
+    assert any(h > 0 for _, h, _, _ in got)
