@@ -127,23 +127,40 @@ def _last_graded_round() -> dict[str, int]:
     return last
 
 
-def _effective_rank(qid: str, last: dict[str, int]) -> int:
+def _effective_rank(
+    qid: str, last: dict[str, int], defer_after: int = 0, newest: int = 0
+) -> int:
     """-1 = definition/semantics changed since the last record (or a
     flagged fresh fix) — leads even the never-graded bucket, which can
     exceed one grading window; 0 = never recorded; otherwise the round
-    last graded (stalest first)."""
+    last graded (stalest first). EXCEPTION: a never-graded entry whose
+    ``defer_after`` exceeds the newest recorded round sorts LAST
+    (rank 10**9) — it was registered mid-round and must not displace an
+    exactly-full planned window; the deferral expires by construction
+    the moment a CORRECTNESS file at or past ``defer_after`` lands, with
+    nothing to clean up (the round-boundary-red lesson of rounds 4/5)."""
     if last.get(qid, 0) <= _CHANGED_SINCE_GRADED.get(qid, -1):
         return -1
-    return last.get(qid, 0)
+    rank = last.get(qid, 0)
+    if rank == 0 and defer_after > newest:
+        return 10**9
+    return rank
 
 
 def _ordered() -> dict:
     registry = load_all()
     last = _last_graded_round()
+    newest = max(last.values(), default=0)
     # sorted() is stable → registry (insertion) order breaks ties within
     # each rank bucket; rank -1 (definition-changed pins) leads, then
-    # rank 0 (never-graded), then stalest-graded-first.
-    return dict(sorted(registry.items(), key=lambda kv: _effective_rank(kv[0], last)))
+    # rank 0 (never-graded), then stalest-graded-first, with actively
+    # deferred new registrations last.
+    return dict(
+        sorted(
+            registry.items(),
+            key=lambda kv: _effective_rank(kv[0], last, kv[1].defer_after, newest),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

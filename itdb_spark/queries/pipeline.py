@@ -4079,3 +4079,92 @@ def sim_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     queries = t.documents.select("doc_id").where(F.col("doc_id") < 3)
     return bm25_topk(t.documents, queries, "doc_id", "text", k=10)
+
+
+# --- round-7 deferred registrations -----------------------------------------
+# Registered THIS round so the entries, oracles and docs ship together
+# with their operators; defer_after=6 keeps them at the BACK of the
+# grading queue until CORRECTNESS_r06 lands (this round's 50-slot window
+# is exactly full: 12 definition pins + 20 never-graded + 18 round-2
+# refreshes), after which they front as ordinary never-graded entries.
+# Each already passes a pytest DuckDB differential today
+# (tests/test_ivf_merge.py::test_pq_oracle_matches_spark,
+# tests/test_operators.py::test_hybrid_rrf_matches_duckdb_oracle,
+# ::test_eval_lsh_retrieval_matches_duckdb_oracle).
+
+from itdb_spark.operators.pq import pq_oracle_sql as _pq_oracle_sql  # noqa: E402
+from itdb_spark.operators.retrieval import (  # noqa: E402
+    eval_lsh_retrieval_oracle_sql as _eval_oracle_sql,
+    hybrid_rrf_oracle_sql as _hybrid_oracle_sql,
+)
+
+
+@register(
+    "sim-knn-pq",
+    oracle=_pq_oracle_sql(m=16, k=16, iters=3, top_k=10, n_queries=5),
+    defer_after=6,
+    doc="Product-quantization ADC top-k (operators/pq.py; Jégou et al. "
+    "2011): m=16 subspaces × k=16 codes quantize the 64-dim corpus 32× "
+    "(16 code bytes stand in for 512 float bytes per vector); search "
+    "reads ONLY the code table — per-query inner-product tables "
+    "broadcast, each corpus row's approximate cosine is a HOF fold of m "
+    "code-keyed map lookups, one corpus scan, WindowGroupLimit top-k. "
+    "Empty Lloyd's clusters retain their previous centroid (k codes per "
+    "subspace always); the DuckDB oracle unrolls the deterministic "
+    "training (hash-ranked init, (d, code) tie-broken assignment) and "
+    "replays the same retention rule. The memory-compression tier next "
+    "to LSH (bucketing) and IVF (pruning); pq_rerank restores exact "
+    "order over the candidates in the production pipeline.",
+)
+def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.pq import pq_encode, pq_search, train_pq
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    cb = train_pq(emb, m=16, k=16, iters=3)
+    enc = pq_encode(emb, cb)
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_search(enc, queries, cb, top_k=10)
+
+
+@register(
+    "sim-hybrid-rrf",
+    oracle=_hybrid_oracle_sql(),
+    defer_after=6,
+    doc="Hybrid retrieval: BM25 lexical top-20 + exact dense cosine "
+    "top-20 over the parallel embeddings table, fused by reciprocal-"
+    "rank fusion (Cormack et al. 2009) — the standard RAG combiner. "
+    "Fusion consumes ONLY the bounded per-query lists (one union + one "
+    "map-side-combined groupBy; the corpus is never touched again) in "
+    "exact integer micro-units (1000000 div (60 + rank)) so the fused "
+    "sum is associative BIGINT arithmetic DuckDB reproduces with `//`. "
+    "Lexical ranks order by exact BIGINT score_micros; dense ranks by "
+    "the proven 6-dp cosine — both fully neighbor-id tie-broken.",
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.retrieval import hybrid_rrf
+
+    t = Tables(spark, sf_dir)
+    queries = t.documents.select("doc_id").where(F.col("doc_id") < 3)
+    return hybrid_rrf(t.documents, t.embeddings, queries)
+
+
+@register(
+    "eval-retrieval",
+    oracle=_eval_oracle_sql(),
+    defer_after=6,
+    doc="Retrieval-quality eval as a query: per-query n_hits / MRR / "
+    "NDCG@10 of the LSH ANN against brute-force ground truth — the "
+    "retrieval twin of pipe-dedup-eval's measured operating point. "
+    "Every metric is exact BIGINT micro-unit arithmetic (MRR = 1000000 "
+    "div first-relevant rank; DCG position weights are precomputed "
+    "integer literals embedded in BOTH the Spark plan and the oracle "
+    "SQL, so not even libm log2 can split the engines); queries whose "
+    "LSH buckets yield no candidates emit explicit zero rows — an ANN "
+    "miss must be visible to the eval, not vanish from it.",
+)
+def eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.retrieval import eval_lsh_retrieval
+
+    t = Tables(spark, sf_dir)
+    return eval_lsh_retrieval(spark, t.embeddings)

@@ -167,15 +167,23 @@ def test_grading_queue_orders_never_graded_first():
 
     ordered = list(entry.queries())
     assert set(ordered) == set(registry)
-    ranks = [entry._effective_rank(qid, last) for qid in ordered]
+    newest = max(last.values(), default=0)
+    ranks = [
+        entry._effective_rank(qid, last, registry[qid].defer_after, newest)
+        for qid in ordered
+    ]
     assert ranks == sorted(ranks), "queue not ordered by staleness"
     # The lead bucket is rank <= 0: never-graded ids plus pins whose
     # definition change postdates their newest grade. Derive it from
     # _effective_rank itself (not a re-implementation) so a pin
     # neutralized by a post-commit CORRECTNESS file — which the rank
     # function already ignores — cannot desynchronize test and queue.
+    # Never-graded entries with an ACTIVE defer_after sort last instead
+    # (registered mid-round; must not displace a full planned window).
     lead = [
-        qid for qid in registry if entry._effective_rank(qid, last) <= 0
+        qid
+        for qid in registry
+        if entry._effective_rank(qid, last, registry[qid].defer_after, newest) <= 0
     ]
     assert set(ordered[: len(lead)]) == set(lead), (
         "never-graded and changed-since-graded ids must lead"
@@ -702,3 +710,29 @@ def test_bm25_matches_python_reference(spark, texts):
     got = [(r.neighbor_id, r.score_micros) for r in out.collect()]
     got.sort(key=lambda kv: (-kv[1], kv[0]))
     assert got == order
+
+
+def test_defer_after_rank_semantics():
+    """A never-graded entry with an ACTIVE deferral (defer_after beyond
+    the newest recorded round) sorts last; the deferral expires by pure
+    arithmetic the moment a CORRECTNESS file at/past defer_after exists
+    (no cleanup step that could go stale at a round boundary); a GRADED
+    entry ignores defer_after entirely."""
+    import __spark_entry__ as entry
+
+    last = {"old": 2, "fresh": 5}
+    # active deferral: never graded, defer_after=6 > newest=5 → last
+    assert entry._effective_rank("new-q", last, 6, 5) == 10**9
+    # expired: newest reached 6 → ordinary never-graded front bucket
+    assert entry._effective_rank("new-q", last, 6, 6) == 0
+    # no deferral requested → never-graded front bucket
+    assert entry._effective_rank("new-q", last, 0, 5) == 0
+    # graded entries rank by staleness regardless of defer_after
+    assert entry._effective_rank("old", last, 6, 5) == 2
+    assert entry._effective_rank("fresh", last, 6, 5) == 5
+    # pins still outrank everything, deferral or not
+    entry._CHANGED_SINCE_GRADED["old"] = 5
+    try:
+        assert entry._effective_rank("old", last, 6, 5) == -1
+    finally:
+        del entry._CHANGED_SINCE_GRADED["old"]
