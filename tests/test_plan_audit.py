@@ -152,3 +152,43 @@ def test_text_normalize_single_python_pass(spark):
     assert arrow_line.count("_nfc") == 1, arrow_line
     assert "Exchange" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_retrieval_family_plans_hold_scale_properties(spark):
+    """The round-6 retrieval additions carry the same physical-plan
+    contract as the bench set: no single-partition exchanges beyond the
+    documented O(1)-row globals, and nested-loop joins ONLY where the
+    operator's exactness baseline declares one — sim-knn-pq broadcasts
+    the tiny per-query ADC tables against the code table (the PQ
+    analogue of sim-knn-brute's declared BNLJ), sim-hybrid-rrf's dense
+    stage IS brute force (declared), and eval-retrieval's truth side IS
+    brute force (declared). What this gate actually protects: the RRF
+    fusion and metric stages must never introduce a nested-loop join or
+    a corpus-sized single-partition exchange of their own."""
+    from itdb_spark.queries import load_all
+    from tools.audit_plans import audit
+
+    registry = load_all()
+    declared_bnlj = {"sim-knn-pq", "sim-hybrid-rrf", "eval-retrieval"}
+    failures = []
+    for qid in sorted(declared_bnlj):
+        df = registry[qid].spark(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        a = audit(plan)
+        # BM25/global-stat one-row aggregates are the only allowed
+        # single-partition exchanges (O(1) rows at any corpus size);
+        # bound their count rather than forbidding outright.
+        if a["single_partition_exchanges"] > 2:
+            failures.append(
+                f"{qid}: {a['single_partition_exchanges']} single-partition exchanges"
+            )
+        # every BNLJ must involve a BROADCAST side (the declared tiny
+        # relation); a non-broadcast cartesian is always a regression
+        if "CartesianProduct" in plan:
+            failures.append(f"{qid}: non-broadcast CartesianProduct")
+        if a["pushed_filters"] != a["scans"]:
+            failures.append(
+                f"{qid}: {a['scans']} scans but {a['pushed_filters']} PushedFilters"
+            )
+    assert not failures, "\n".join(failures)
