@@ -322,6 +322,84 @@ def pq_rerank(
     )
 
 
+def pq_norm_cte() -> str:
+    """``pqv`` = (vec_id, vec) L2-normalized from the embeddings table;
+    zero-norm (dead) embeddings drop out — the Spark side's try_divide →
+    NULL → filter. Prefixed ``pq`` so it composes next to the IVF
+    oracle's raw ``v`` CTE without a name clash."""
+    return """pqv AS (SELECT vec_id, list_transform(e, x -> x / norm) AS vec
+           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                     x -> x * x))) AS norm
+                 FROM embeddings)
+           WHERE norm > 0)"""
+
+
+def pq_train_ctes(m: int, k: int, iters: int, sd: int) -> tuple[list[str], str]:
+    """CTE list replaying train_pq + the corpus assignment on top of a
+    ``pqv`` CTE the caller provides (pq_norm_cte). Returns (ctes,
+    final_codebook_name); the list ends with ``pqaf`` = (vec_id, sub,
+    code) — the encoded index — plus the final codebook. Shared by
+    pq_oracle_sql and the composed IVF·PQ oracle so the training replay
+    exists in exactly one place."""
+    ctes = [
+        f"""pqsv AS (SELECT vec_id, s.i AS sub,
+                list_slice(vec, s.i * {sd} + 1, s.i * {sd} + {sd}) AS svec
+           FROM pqv, range(0, {m}) s(i))""",
+        f"""pqcb0 AS (SELECT sub, CAST(rn - 1 AS INT) AS code, svec AS cvec FROM (
+            SELECT sub, svec,
+                   row_number() OVER (PARTITION BY sub ORDER BY h, vec_id) AS rn
+            FROM (SELECT pqsv.*, CAST(concat('0x',
+                       substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                  FROM pqsv)) WHERE rn <= {k})""",
+    ]
+    l2 = (
+        f"list_sum(list_transform(range(0, {sd}), "
+        "j -> (s.svec[j + 1] - c.cvec[j + 1]) ** 2))"
+    )
+    prev = "pqcb0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""pqa{it} AS (SELECT vec_id, sub, svec, code FROM (
+            SELECT s.vec_id, s.sub, s.svec, c.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sub
+                       ORDER BY {l2}, c.code) AS rn
+            FROM pqsv s JOIN {prev} c ON c.sub = s.sub) WHERE rn = 1)""")
+        # empty-cluster retention mirrors train_pq: a code with no
+        # members this round keeps its previous centroid
+        ctes.append(f"""pqnm{it} AS (
+            SELECT sub, code, list(mean ORDER BY pos) AS cvec FROM (
+              SELECT sub, code, r.i AS pos, avg(svec[r.i + 1]) AS mean
+              FROM pqa{it}, range(0, {sd}) r(i) GROUP BY 1, 2, 3)
+            GROUP BY 1, 2)""")
+        ctes.append(f"""pqcb{it} AS (
+            SELECT sub, code, cvec FROM pqnm{it}
+            UNION ALL
+            SELECT p.sub, p.code, p.cvec FROM {prev} p
+            WHERE NOT EXISTS (SELECT 1 FROM pqnm{it} n
+                              WHERE n.sub = p.sub AND n.code = p.code))""")
+        prev = f"pqcb{it}"
+    ctes.append(f"""pqaf AS (SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                   ORDER BY {l2}, c.code) AS rn
+        FROM pqsv s JOIN {prev} c ON c.sub = s.sub) WHERE rn = 1)""")
+    return ctes, prev
+
+
+def pq_query_ip_ctes(final_cb: str, m: int, sd: int, n_queries: int) -> list[str]:
+    """``pqip`` = (query_id, sub, code, ip) — the per-query ADC lookup
+    table rows, from the query subvectors (ids < n_queries) × the final
+    codebook. Shared by pq_oracle_sql and the IVF·PQ oracle."""
+    return [
+        f"""pqqs AS (SELECT vec_id AS query_id, sub, svec FROM pqsv
+            WHERE vec_id < {n_queries})""",
+        f"""pqip AS (SELECT q.query_id, q.sub, c.code,
+                list_sum(list_transform(range(0, {sd}),
+                    j -> q.svec[j + 1] * c.cvec[j + 1])) AS ip
+            FROM pqqs q JOIN {final_cb} c ON c.sub = q.sub)""",
+    ]
+
+
 def pq_oracle_sql(
     m: int = 16,
     k: int = 16,
@@ -330,73 +408,21 @@ def pq_oracle_sql(
     top_k: int = 10,
     n_queries: int = 5,
 ) -> str:
-    """DuckDB twin of train_pq → pq_encode → pq_search, registration-ready
-    for the sim-knn-pq registry entry (deferred to the next grading
-    window; tests/test_ivf_merge.py::test_pq_oracle_matches_spark runs
-    the differential now). Same replay discipline as _ivf_oracle: every
-    Spark step is deterministic (hash-ranked init, (d, code) tie-broken
-    assignment), so the only cross-engine freedom is float summation
-    order — absorbed by the round(6) on the final ADC score exactly as
-    IVF's oracle absorbs it (empirically exact at test SFs)."""
+    """DuckDB twin of train_pq → pq_encode → pq_search (the sim-knn-pq
+    registry oracle; tests/test_ivf_merge.py::test_pq_oracle_matches_spark
+    runs the differential in CI). Same replay discipline as _ivf_oracle:
+    every Spark step is deterministic (hash-ranked init, (d, code)
+    tie-broken assignment), so the only cross-engine freedom is float
+    summation order — absorbed by the round(6) on the final ADC score
+    exactly as IVF's oracle absorbs it (empirically exact at test SFs)."""
     sd = dim // m
-    ctes = [
-        # normalize; zero-norm (dead) embeddings drop out — the Spark
-        # side's try_divide → NULL → filter
-        """v AS (SELECT vec_id, list_transform(e, x -> x / norm) AS vec
-           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-                        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                                     x -> x * x))) AS norm
-                 FROM embeddings)
-           WHERE norm > 0)""",
-        f"""sv AS (SELECT vec_id, s.i AS sub,
-                list_slice(vec, s.i * {sd} + 1, s.i * {sd} + {sd}) AS svec
-           FROM v, range(0, {m}) s(i))""",
-        f"""cb0 AS (SELECT sub, CAST(rn - 1 AS INT) AS code, svec AS cvec FROM (
-            SELECT sub, svec,
-                   row_number() OVER (PARTITION BY sub ORDER BY h, vec_id) AS rn
-            FROM (SELECT sv.*, CAST(concat('0x',
-                       substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-                  FROM sv)) WHERE rn <= {k})""",
-    ]
-    l2 = (
-        f"list_sum(list_transform(range(0, {sd}), "
-        "j -> (s.svec[j + 1] - c.cvec[j + 1]) ** 2))"
-    )
-    prev = "cb0"
-    for it in range(1, iters + 1):
-        ctes.append(f"""a{it} AS (SELECT vec_id, sub, svec, code FROM (
-            SELECT s.vec_id, s.sub, s.svec, c.code,
-                   row_number() OVER (PARTITION BY s.vec_id, s.sub
-                       ORDER BY {l2}, c.code) AS rn
-            FROM sv s JOIN {prev} c ON c.sub = s.sub) WHERE rn = 1)""")
-        # empty-cluster retention mirrors train_pq: a code with no
-        # members this round keeps its previous centroid
-        ctes.append(f"""nm{it} AS (
-            SELECT sub, code, list(mean ORDER BY pos) AS cvec FROM (
-              SELECT sub, code, r.i AS pos, avg(svec[r.i + 1]) AS mean
-              FROM a{it}, range(0, {sd}) r(i) GROUP BY 1, 2, 3)
-            GROUP BY 1, 2)""")
-        ctes.append(f"""cb{it} AS (
-            SELECT sub, code, cvec FROM nm{it}
-            UNION ALL
-            SELECT p.sub, p.code, p.cvec FROM {prev} p
-            WHERE NOT EXISTS (SELECT 1 FROM nm{it} n
-                              WHERE n.sub = p.sub AND n.code = p.code))""")
-        prev = f"cb{it}"
-    ctes.append(f"""af AS (SELECT vec_id, sub, code FROM (
-        SELECT s.vec_id, s.sub, c.code,
-               row_number() OVER (PARTITION BY s.vec_id, s.sub
-                   ORDER BY {l2}, c.code) AS rn
-        FROM sv s JOIN {prev} c ON c.sub = s.sub) WHERE rn = 1)""")
-    ctes.append(f"""qs AS (SELECT vec_id AS query_id, sub, svec FROM sv
-        WHERE vec_id < {n_queries})""")
-    ctes.append(f"""ip AS (SELECT q.query_id, q.sub, c.code,
-            list_sum(list_transform(range(0, {sd}),
-                j -> q.svec[j + 1] * c.cvec[j + 1])) AS ip
-        FROM qs q JOIN {prev} c ON c.sub = q.sub)""")
-    ctes.append("""scored AS (SELECT t.query_id, a.vec_id AS neighbor_id,
+    ctes = [pq_norm_cte()]
+    train, final_cb = pq_train_ctes(m, k, iters, sd)
+    ctes += train
+    ctes += pq_query_ip_ctes(final_cb, m, sd, n_queries)
+    ctes.append("""pqscored AS (SELECT t.query_id, a.vec_id AS neighbor_id,
             round(sum(t.ip), 6) AS adc_score
-        FROM af a JOIN ip t ON t.sub = a.sub AND t.code = a.code
+        FROM pqaf a JOIN pqip t ON t.sub = a.sub AND t.code = a.code
         WHERE a.vec_id != t.query_id
         GROUP BY 1, 2)""")
     return ("WITH " + ",\n".join(ctes) + f"""
@@ -404,7 +430,7 @@ def pq_oracle_sql(
       SELECT query_id, neighbor_id, adc_score,
              row_number() OVER (PARTITION BY query_id
                  ORDER BY adc_score DESC, neighbor_id) AS rn
-      FROM scored) WHERE rn <= {top_k}""")
+      FROM pqscored) WHERE rn <= {top_k}""")
 
 
 def ivfpq_search(

@@ -4168,3 +4168,100 @@ def eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return eval_lsh_retrieval(spark, t.embeddings)
+
+
+def _ivfpq_oracle(
+    n_queries: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 5,
+    ivf_iters: int = 4,
+    m: int = 16,
+    k: int = 16,
+    pq_iters: int = 3,
+    dim: int = 64,
+    candidates: int = 100,
+    top_k: int = 10,
+) -> str:
+    """DuckDB twin of operators/pq.py::ivfpq_search — the composed
+    100 TB ANN architecture as ONE replayable SQL statement, built from
+    the two already-proven halves: _ivf_assign_ctes (the sim-knn-ivf /
+    pipe-balance quantizer replay, raw-vector ``v``/``af`` names) and
+    pq_train_ctes/pq_query_ip_ctes (the sim-knn-pq training replay,
+    ``pq``-prefixed names so the two CTE families compose without
+    clashes). Stages mirror the Spark plan exactly: probe top-n_probe
+    cells per query (raw-cosine, centroid-id tie-break) → restrict the
+    encoded index to probed-cell members → ADC over codes only
+    (round(6) absorbs float summation order, the proven PQ discipline)
+    → top-``candidates`` by (adc, id) → exact rerank on raw vectors
+    ranked by the 6-dp cosine."""
+    from itdb_spark.operators.pq import pq_norm_cte, pq_query_ip_ctes, pq_train_ctes
+
+    sd = dim // m
+    ctes = _ivf_assign_ctes(n_cells, ivf_iters, dim)
+    final_c = f"c{ivf_iters}"
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, vec AS qvec FROM v"
+        f" WHERE vec_id < {n_queries})"
+    )
+    ctes.append(f"""probed AS (SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_cos_sql('q.qvec', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN {final_c} c) WHERE rn <= {n_probe})""")
+    ctes.append("""members AS (SELECT p.query_id, a.vec_id
+        FROM probed p JOIN af a ON a.centroid_id = p.centroid_id)""")
+    ctes.append(pq_norm_cte())
+    train, final_cb = pq_train_ctes(m, k, pq_iters, sd)
+    ctes += train
+    ctes += pq_query_ip_ctes(final_cb, m, sd, n_queries)
+    ctes.append("""adc AS (SELECT mm.query_id, a.vec_id AS neighbor_id,
+            round(sum(t.ip), 6) AS adc_score
+        FROM members mm
+        JOIN pqaf a ON a.vec_id = mm.vec_id
+        JOIN pqip t ON t.query_id = mm.query_id
+                   AND t.sub = a.sub AND t.code = a.code
+        WHERE a.vec_id != mm.query_id
+        GROUP BY 1, 2)""")
+    ctes.append(f"""cand AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_score DESC, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {candidates})""")
+    ctes.append(f"""rerank AS (SELECT c.query_id, c.neighbor_id,
+            round({_cos_sql('q.qvec', 'w.vec')}, 6) AS cosine
+        FROM cand c
+        JOIN q ON q.query_id = c.query_id
+        JOIN v w ON w.vec_id = c.neighbor_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM rerank) WHERE rn <= {top_k}""")
+
+
+@register(
+    "sim-knn-ivfpq",
+    oracle=_ivfpq_oracle(),
+    defer_after=6,
+    doc="IVF-PQ composed search (operators/pq.py::ivfpq_search; the "
+    "FAISS-IVFPQ shape, Jégou et al. 2011) — the flagship 100 TB ANN "
+    "architecture as an oracle-checked query: the IVF coarse quantizer "
+    "prunes to 5 of 8 cells per query (at scale: partition pruning on "
+    "the cell-partitioned index), PQ codes stand in for the float "
+    "payload inside probed cells (the ADC scan reads 16 bytes per "
+    "vector, not 512), and an exact rerank over the surviving 100 "
+    "candidates restores true cosine order. The DuckDB twin composes "
+    "the two already-proven training replays (_ivf_assign_ctes + "
+    "pq_train_ctes) and mirrors every stage cut: probed cells by "
+    "raw-cosine with centroid-id tie-break, candidates by the rounded "
+    "ADC score with neighbor-id tie-break, final order by the 6-dp "
+    "exact cosine.",
+)
+def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.pq import ivfpq_search
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivfpq_search(emb, queries, top_k=10)
