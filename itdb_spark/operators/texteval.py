@@ -1,0 +1,163 @@
+"""Text-pair evaluation: ROUGE-n overlap metrics over (candidate,
+reference) document pairs — the summarization/eval-harness counterpart
+of the retrieval metrics in operators/retrieval.py (Lin, "ROUGE: A
+Package for Automatic Evaluation of Summaries", ACL 2004 workshop).
+Training-data pipelines run exactly this shape for decontamination
+scoring (candidate training doc vs benchmark reference) and for
+eval-set regression tracking.
+
+Scale shape: each side's n-grams explode ONCE; both sides union into a
+single (pair, gram)-keyed groupBy (one shuffle carries only gram
+postings), and the clipped-overlap aggregation is a second bounded
+groupBy on pair_id. No join back to the corpus, no cross join anywhere.
+
+Exactness: every metric is integer micro-unit arithmetic on BIGINT
+counts — precision = 1e6·overlap div n_cand, recall = 1e6·overlap div
+n_ref, and F1 uses the count-level identity 2·overlap/(n_cand + n_ref)
+(the harmonic mean of count-ratios), so F1 is a SINGLE integer floor
+division, never a compounding of two rounded ratios. Empty sides yield
+0, not NULL/crash (division guards), and a DuckDB oracle reproduces
+every value bit-for-bit with `//`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _gram_col(text: Column, n: int) -> Column:
+    """Multiset of lowercase word n-grams as array<string> (duplicates
+    preserved — ROUGE clips on COUNTS, not distinct grams). Empty or
+    too-short texts yield an empty array."""
+    toks = F.array_remove(F.split(F.lower(F.trim(text)), r"\s+"), "")
+    if n == 1:
+        return toks
+    # adjacent n-token windows via transform over the valid start range
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def rouge_n(
+    pairs: DataFrame,
+    n: int = 1,
+    pair_col: str = "pair_id",
+    cand_col: str = "cand_text",
+    ref_col: str = "ref_text",
+) -> DataFrame:
+    """Per-pair ROUGE-n: (pair_id, n_cand, n_ref, overlap, p_micros,
+    r_micros, f1_micros). Overlap is the clipped multiset intersection
+    Σ_g min(count_cand(g), count_ref(g)) — the ROUGE definition."""
+    cand = pairs.select(
+        F.col(pair_col).alias("pair_id"),
+        F.explode_outer(_gram_col(F.col(cand_col), n)).alias("gram"),
+        F.lit(1).alias("c"),
+        F.lit(0).alias("r"),
+    )
+    ref = pairs.select(
+        F.col(pair_col).alias("pair_id"),
+        F.explode_outer(_gram_col(F.col(ref_col), n)).alias("gram"),
+        F.lit(0).alias("c"),
+        F.lit(1).alias("r"),
+    )
+    # explode_outer keeps empty-gram pairs alive as NULL-gram rows with
+    # zero contribution, so every input pair emits an output row
+    counts = (
+        cand.unionByName(ref)
+        .groupBy("pair_id", "gram")
+        .agg(
+            F.sum(F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(0))
+            .cast("long").alias("nc"),
+            F.sum(F.when(F.col("gram").isNotNull(), F.col("r")).otherwise(0))
+            .cast("long").alias("nr"),
+        )
+    )
+    per_pair = counts.groupBy("pair_id").agg(
+        F.sum("nc").cast("long").alias("n_cand"),
+        F.sum("nr").cast("long").alias("n_ref"),
+        F.sum(F.least("nc", "nr")).cast("long").alias("overlap"),
+    )
+    z = F.lit(0).cast("long")
+    return per_pair.select(
+        "pair_id",
+        "n_cand",
+        "n_ref",
+        "overlap",
+        F.when(F.col("n_cand") > 0,
+               F.expr("overlap * 1000000 div n_cand")).otherwise(z)
+        .cast("long").alias("p_micros"),
+        F.when(F.col("n_ref") > 0,
+               F.expr("overlap * 1000000 div n_ref")).otherwise(z)
+        .cast("long").alias("r_micros"),
+        F.when(F.col("n_cand") + F.col("n_ref") > 0,
+               F.expr("2 * overlap * 1000000 div (n_cand + n_ref)")).otherwise(z)
+        .cast("long").alias("f1_micros"),
+    )
+
+
+def rouge_oracle_sql(
+    n: int = 1,
+    n_pairs: int = 30,
+) -> str:
+    """DuckDB twin of rouge_n over consecutive-document pairs from the
+    documents table (candidate = doc d, reference = doc d+1, d <
+    n_pairs) — the deterministic pairing the eval-rouge registry entry
+    uses. Mirrors the multiset-clip and the integer `div` arithmetic."""
+    if n == 1:
+        grams = "toks"
+    else:
+        grams = f"""CASE WHEN len(toks) < {n} THEN []
+            ELSE list_transform(range(0, len(toks) - {n} + 1),
+                 i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))
+            END"""
+    return f"""
+    WITH pairs AS (
+      SELECT c.doc_id AS pair_id, c.text AS cand_t, r.text AS ref_t
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id < {n_pairs}
+    ),
+    sides AS (
+      SELECT pair_id, cand_t AS t, 1 AS c, 0 AS r FROM pairs
+      UNION ALL
+      SELECT pair_id, ref_t AS t, 0 AS c, 1 AS r FROM pairs
+    ),
+    toksed AS (
+      SELECT pair_id, c, r,
+             list_filter(regexp_split_to_array(lower(trim(t)), '\\s+'),
+                         x -> x != '') AS toks
+      FROM sides
+    ),
+    grams AS (
+      SELECT pair_id, c, r, unnest({grams}) AS gram FROM toksed
+    ),
+    counts AS (
+      SELECT pair_id, gram,
+             CAST(sum(c) AS BIGINT) AS nc, CAST(sum(r) AS BIGINT) AS nr
+      FROM grams GROUP BY 1, 2
+    ),
+    per_pair AS (
+      SELECT p.pair_id,
+             CAST(coalesce(sum(nc), 0) AS BIGINT) AS n_cand,
+             CAST(coalesce(sum(nr), 0) AS BIGINT) AS n_ref,
+             CAST(coalesce(sum(least(nc, nr)), 0) AS BIGINT) AS overlap
+      FROM pairs p LEFT JOIN counts ct ON ct.pair_id = p.pair_id
+      GROUP BY 1
+    )
+    SELECT pair_id, n_cand, n_ref, overlap,
+           CAST(CASE WHEN n_cand > 0
+                THEN overlap * 1000000 // n_cand ELSE 0 END AS BIGINT)
+             AS p_micros,
+           CAST(CASE WHEN n_ref > 0
+                THEN overlap * 1000000 // n_ref ELSE 0 END AS BIGINT)
+             AS r_micros,
+           CAST(CASE WHEN n_cand + n_ref > 0
+                THEN 2 * overlap * 1000000 // (n_cand + n_ref) ELSE 0 END
+                AS BIGINT) AS f1_micros
+    FROM per_pair
+    """

@@ -4265,3 +4265,34 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t.embeddings
     queries = emb.where(F.col("vec_id") < 5)
     return ivfpq_search(emb, queries, top_k=10)
+
+
+@register(
+    "eval-rouge",
+    oracle=__import__(
+        "itdb_spark.operators.texteval", fromlist=["rouge_oracle_sql"]
+    ).rouge_oracle_sql(n=1, n_pairs=30),
+    defer_after=6,
+    doc="ROUGE-1 text-pair evaluation (operators/texteval.py; Lin 2004) "
+    "over consecutive-document pairs — the summarization-eval / "
+    "decontamination-scoring shape: clipped multiset unigram overlap "
+    "with precision/recall/F1 in exact integer micro-units (F1 via the "
+    "count-level identity 2*overlap/(n_cand+n_ref) — ONE integer floor "
+    "division, never compounded rounded ratios). Each side's grams "
+    "explode once; both union into a single (pair, gram)-keyed groupBy "
+    "(one gram-postings shuffle) then a bounded per-pair aggregate — "
+    "no join back to the corpus. Empty/degenerate texts yield explicit "
+    "zero rows (explode_outer + division guards), edge-corpus-proof by "
+    "construction.",
+)
+def eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.texteval import rouge_n
+
+    t = Tables(spark, sf_dir)
+    d = t.documents
+    cand = d.select(F.col("doc_id").alias("pair_id"),
+                    F.col("text").alias("cand_text"))
+    ref = d.select((F.col("doc_id") - 1).alias("pair_id"),
+                   F.col("text").alias("ref_text"))
+    pairs = cand.where(F.col("pair_id") < 30).join(ref, "pair_id")
+    return rouge_n(pairs, n=1)

@@ -1419,3 +1419,55 @@ def test_eval_lsh_retrieval_matches_duckdb_oracle(spark):
     # must be able to SHOW a loss, not report vacuous perfection
     assert any(h < 10 for _, h, _, _ in got)
     assert any(h > 0 for _, h, _, _ in got)
+
+
+def test_rouge_n_hand_case(spark):
+    """ROUGE semantics on hand-computable pairs: clipped multiset
+    overlap, count-level F1, empty sides → explicit zeros."""
+    from itdb_spark.operators.texteval import rouge_n
+
+    pairs = spark.createDataFrame(
+        [
+            (0, "the cat sat", "the cat ran"),      # overlap 2 of 3/3
+            (1, "a a a b", "a b b"),                 # clip: min(3,1)+min(1,2)=2
+            (2, "", "some reference"),               # empty candidate
+            (3, "", ""),                             # both empty
+        ],
+        "pair_id long, cand_text string, ref_text string",
+    )
+    got = {
+        r.pair_id: (r.n_cand, r.n_ref, r.overlap, r.p_micros, r.r_micros,
+                    r.f1_micros)
+        for r in rouge_n(pairs, n=1).collect()
+    }
+    assert got[0] == (3, 3, 2, 666666, 666666, 666666)
+    assert got[1] == (4, 3, 2, 500000, 666666, 2 * 2 * 1000000 // 7)
+    assert got[2] == (0, 2, 0, 0, 0, 0)
+    assert got[3] == (0, 0, 0, 0, 0, 0)
+    # bigrams: "the cat" shared only
+    got2 = {r.pair_id: (r.n_cand, r.overlap) for r in rouge_n(pairs, n=2).collect()}
+    assert got2[0] == (2, 1)
+    assert got2[3] == (0, 0)
+
+
+def test_rouge2_matches_duckdb_oracle(spark):
+    """The generic-n path (bigrams) matches the DuckDB twin bit-for-bit
+    on the real corpus — eval-rouge registers n=1; this pins n=2."""
+    import duckdb
+
+    from itdb_spark.catalog import Tables
+    from itdb_spark.operators.texteval import rouge_n, rouge_oracle_sql
+    from tests.conftest import SF_DIR
+
+    d = Tables(spark, SF_DIR).documents
+    cand = d.select(F.col("doc_id").alias("pair_id"), F.col("text").alias("cand_text"))
+    ref = d.select((F.col("doc_id") - 1).alias("pair_id"), F.col("text").alias("ref_text"))
+    pairs = cand.where(F.col("pair_id") < 30).join(ref, "pair_id")
+    got = sorted(tuple(r) for r in rouge_n(pairs, n=2).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(rouge_oracle_sql(n=2)).fetchall())
+    assert got == want
