@@ -88,6 +88,12 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # rule (NULL-ts right rows dropped, NULL-ts left rows unmatched). All
 # answers are identical on the NULL-free testdata, but the oracle texts
 # changed → prior grades no longer certify the committed definitions.
+# (Pins are for CHANGED definitions. BRAND-NEW entries registered after
+# the round's window is planned use the opposite lever: register(...,
+# defer_after=<round>) parks them at the BACK of the queue until a
+# CORRECTNESS file at/past that round exists — see _effective_rank and
+# the Query.defer_after docs. Round 6 registered five such entries:
+# sim-knn-pq, sim-hybrid-rrf, eval-retrieval, sim-knn-ivfpq, eval-rouge.)
 _CHANGED_SINCE_GRADED: dict[str, int] = {
     "pipe-expectations": 5,  # + events_value_finite check (round 6)
     "agg-funnel": 5,
