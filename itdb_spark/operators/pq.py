@@ -174,18 +174,42 @@ def train_pq(
     k: int = 16,
     iters: int = 3,
     dim: int | None = None,
+    max_train: int | None = None,
 ) -> DataFrame:
     """Codebooks (sub, code, cvec): k centroids per subspace, trained by
     Lloyd's over all m subspaces in one loop. Every code id stays live:
     a cluster that loses all members in an update keeps its previous
     centroid (standard empty-cluster handling), so the codebook always
-    has exactly k contiguous codes per subspace."""
+    has exactly k contiguous codes per subspace.
+
+    ``max_train`` is the 100 TB lever: quantizer quality saturates with
+    a bounded training sample (FAISS trains IVF/PQ codebooks on ~10⁵-10⁶
+    vectors regardless of corpus size), so training cost should be
+    O(sample), never O(corpus) — only ENCODING touches every vector.
+    When set, training runs on the ``max_train`` vectors with the
+    smallest portable hash of their id (deterministic, seedless — the
+    same discipline as the init ranking), and the bounded sample makes
+    caching the exploded training frame across Lloyd's iterations safe
+    by construction. None trains on the full corpus (the registered
+    sim-knn-pq form, so the DuckDB oracle replays without a sample
+    CTE)."""
     if dim is None:
         dim = _probe_dim(vectors, vec_col)
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub_dim = dim // m
-    subvecs = _subvectors(_normalize(vectors, id_col, vec_col), m, sub_dim)
+    train_src = _normalize(vectors, id_col, vec_col)
+    if max_train is not None:
+        train_src = (
+            train_src.withColumn("h", portable_hash64(F.col("id").cast("string")))
+            .orderBy("h", "id")
+            .limit(max_train)
+            .drop("h")
+        )
+    subvecs = _subvectors(train_src, m, sub_dim)
+    # one materialization feeds init + every assignment round (without
+    # this, each Lloyd's iteration replays scan→normalize→explode)
+    subvecs = subvecs.cache()
     # deterministic init: per subspace, the k subvectors with smallest
     # hashed owning id, code = rank
     wi = Window.partitionBy("sub").orderBy("h", "id")
@@ -219,6 +243,7 @@ def train_pq(
             means.select("sub", "code"), ["sub", "code"], "left_anti"
         )
         codebooks = truncate_lineage(means.unionByName(retained), eager=True)
+    subvecs.unpersist()
     return codebooks
 
 

@@ -351,3 +351,35 @@ def test_pq_duplicate_embeddings_keep_codebook_dense(spark):
     for r in rows:
         per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
     assert all(v == n_corpus - 1 for v in per_query.values()), per_query
+
+
+def test_pq_sampled_training_holds_recall(spark):
+    """The 100 TB training lever: train_pq(max_train=N) trains on a
+    deterministic hash-ranked sample — codebook quality must hold (PQ
+    candidate recall within a few points of full-corpus training) and
+    the sample must be seedless-deterministic (same codebook twice)."""
+    from itdb_spark.operators.pq import pq_encode, pq_search, train_pq
+    from itdb_spark.operators.similarity import brute_force_knn
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = train_pq(emb, m=16, k=16, iters=3, max_train=200)
+    again = {
+        (r.sub, r.code): tuple(r.cvec)
+        for r in train_pq(emb, m=16, k=16, iters=3, max_train=200).collect()
+    }
+    assert {(r.sub, r.code): tuple(r.cvec) for r in cb.collect()} == again
+    # full-corpus ENCODE against the sampled codebook
+    enc = pq_encode(emb, cb)
+    assert enc.count() == emb.count()
+    queries = emb.where(F.col("vec_id") < 5)
+    cand = pq_search(enc, queries, cb, top_k=50).collect()
+    brute = brute_force_knn(emb, queries, "vec_id", "embedding", k=10).collect()
+    true_top, pq_cand = {}, {}
+    for r in brute:
+        true_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in cand:
+        pq_cand.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(pq_cand[q] & true_top[q]) / len(true_top[q]) for q in sorted(true_top)
+    ]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
