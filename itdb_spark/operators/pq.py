@@ -469,6 +469,7 @@ def ivfpq_search(
     m: int = 16,
     k: int = 16,
     candidates: int = 100,
+    max_train: int | None = None,
 ) -> DataFrame:
     """IVF·PQ — the composed 100 TB ANN architecture (FAISS IVFPQ shape,
     Jégou et al. 2011): the IVF coarse quantizer prunes the search to
@@ -497,7 +498,11 @@ def ivfpq_search(
 
     dim = _probe_dim(vectors, vec_col)
     assignments, centroids = build_ivf_index(vectors, id_col, vec_col, k=n_cells)
-    codebooks = train_pq(vectors, id_col, vec_col, m=m, k=k, dim=dim)
+    # max_train: the deploy knob — bound PQ training cost at huge corpora
+    # (None = full-corpus, the registered oracle-replayable form)
+    codebooks = train_pq(
+        vectors, id_col, vec_col, m=m, k=k, dim=dim, max_train=max_train
+    )
     encoded = pq_encode(vectors, codebooks, id_col, vec_col, dim=dim)
 
     q = queries.select(
