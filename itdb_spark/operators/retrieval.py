@@ -207,18 +207,24 @@ def hybrid_rrf(
     depth: int = 20,
     k_rrf: int = 60,
     top_k: int = 10,
+    dense_stage: str = "brute",
 ) -> DataFrame:
-    """Hybrid retrieval: BM25 over the text corpus + exact cosine over the
+    """Hybrid retrieval: BM25 over the text corpus + dense cosine over the
     parallel embedding table (ids aligned), fused by RRF. The lexical
     rank orders by exact BIGINT score_micros; the dense rank orders by
     the 6-dp-rounded cosine — both fully tie-broken by neighbor id, so
     ranks (and therefore the fused scores) are engine-independent.
 
-    At 100 TB the two stage-1 lists come from the registered scale paths
-    (BM25's pruned-postings plan, IVF/LSH instead of brute force); the
-    fusion stage is rank-only and never touches the corpus again.
+    ``dense_stage``: "brute" (default — exact, the oracle-replayable
+    registered form) or "lsh" (the deploy path: LSH-bucketed candidates
+    instead of the corpus-wide cross product — same shape as every
+    deploy twin in this package, trading a little dense recall for a
+    bounded-shuffle stage 1; fusion is identical either way). At 100 TB
+    the two stage-1 lists come from the scale paths (BM25's
+    pruned-postings plan, LSH/IVF dense); the fusion stage is rank-only
+    and never touches the corpus again.
     """
-    from itdb_spark.operators.similarity import brute_force_knn
+    from itdb_spark.operators.similarity import brute_force_knn, lsh_knn
 
     lex = bm25_topk(docs, query_ids, id_col, text_col, k=depth)
     wl = Window.partitionBy("query_id").orderBy(
@@ -231,7 +237,15 @@ def hybrid_rrf(
         F.broadcast(query_ids.select(F.col(id_col).alias(vec_id_col))),
         vec_id_col,
     )
-    dense = brute_force_knn(embeddings, qvecs, vec_id_col, vec_col, k=depth)
+    if dense_stage == "brute":
+        dense = brute_force_knn(embeddings, qvecs, vec_id_col, vec_col, k=depth)
+    elif dense_stage == "lsh":
+        dense = lsh_knn(
+            embeddings.sparkSession, embeddings, qvecs, vec_id_col, vec_col,
+            k=depth,
+        )
+    else:
+        raise ValueError(f"dense_stage must be brute|lsh, got {dense_stage!r}")
     wd = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

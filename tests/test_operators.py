@@ -1471,3 +1471,33 @@ def test_rouge2_matches_duckdb_oracle(spark):
     )
     want = sorted(tuple(r) for r in con.execute(rouge_oracle_sql(n=2)).fetchall())
     assert got == want
+
+
+def test_hybrid_rrf_lsh_deploy_path(spark):
+    """The deploy-grade dense stage (LSH buckets instead of the exact
+    cross product) produces a fused list that substantially agrees with
+    the exact form — same fusion arithmetic, stage-1 recall is the only
+    difference — and an unknown stage name fails loud."""
+    import pytest
+
+    from itdb_spark.catalog import Tables
+    from itdb_spark.operators.retrieval import hybrid_rrf
+    from tests.conftest import SF_DIR
+
+    t = Tables(spark, SF_DIR)
+    queries = t.documents.select("doc_id").where(F.col("doc_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in hybrid_rrf(t.documents, t.embeddings, queries).collect()
+    }
+    deploy = {
+        (r.query_id, r.neighbor_id)
+        for r in hybrid_rrf(
+            t.documents, t.embeddings, queries, dense_stage="lsh"
+        ).collect()
+    }
+    assert deploy, "deploy path returned nothing"
+    overlap = len(exact & deploy) / len(exact)
+    assert overlap >= 0.6, (overlap, exact - deploy)
+    with pytest.raises(ValueError, match="dense_stage"):
+        hybrid_rrf(t.documents, t.embeddings, queries, dense_stage="nope")
