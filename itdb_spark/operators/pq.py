@@ -207,9 +207,15 @@ def train_pq(
             .drop("h")
         )
     subvecs = _subvectors(train_src, m, sub_dim)
-    # one materialization feeds init + every assignment round (without
-    # this, each Lloyd's iteration replays scan→normalize→explode)
-    subvecs = subvecs.cache()
+    # With a bounded sample, one materialization feeds init + every
+    # assignment round (otherwise each Lloyd's iteration replays
+    # scan→normalize→explode). The cache is CONDITIONAL on max_train
+    # (code review): pinning an m×corpus-rows exploded frame for the
+    # full-corpus path would be exactly the memory posture the 100 TB
+    # design forbids — unbounded training keeps the replay cost model.
+    bounded = max_train is not None
+    if bounded:
+        subvecs = subvecs.cache()
     # deterministic init: per subspace, the k subvectors with smallest
     # hashed owning id, code = rank
     wi = Window.partitionBy("sub").orderBy("h", "id")
@@ -243,7 +249,8 @@ def train_pq(
             means.select("sub", "code"), ["sub", "code"], "left_anti"
         )
         codebooks = truncate_lineage(means.unionByName(retained), eager=True)
-    subvecs.unpersist()
+    if bounded:
+        subvecs.unpersist()
     return codebooks
 
 

@@ -234,6 +234,46 @@ def embedding_dup_pairs(
     )
 
 
+def lsh_candidate_ctes(n_queries: int) -> str:
+    """The hyperplane-LSH candidate replay as a DuckDB CTE block (``v`` →
+    ``cand``): plane regeneration from the portable md5 arithmetic,
+    per-table signatures, and the same-bucket candidate pairs. THE one
+    place the LSH replay lives — the sim-knn-lsh registry oracle and
+    eval-retrieval's oracle both render from it (code review: the block
+    was previously duplicated, so a plane-derivation change could
+    silently fork the graded definitions). Constants 512/64/8/1024
+    encode the registered operating point (n_tables=2, n_planes=8,
+    dim=64) exactly as the graded oracle froze them; rendered text is
+    byte-identical to the round-3-graded sim-knn-lsh oracle (asserted
+    by tests/test_operators.py::
+    test_shared_oracle_builders_preserve_graded_text)."""
+    return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    planes AS (
+      SELECT i // 512 AS t, (i // 64) % 8 AS p, i % 64 AS d,
+             CASE WHEN CAST(concat('0x', substr(md5(
+                    concat(CAST(i // 512 AS VARCHAR), '_',
+                           CAST((i // 64) % 8 AS VARCHAR), '_',
+                           CAST(i % 64 AS VARCHAR))
+                  ), 1, 15)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+      FROM range(0, 1024) r(i)
+    ),
+    dots AS (
+      SELECT vec_id, t, p, sum(vec[d + 1] * sign) AS dot
+      FROM v CROSS JOIN planes GROUP BY 1, 2, 3
+    ),
+    sig AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN dot > 0 THEN CAST(1 << p AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS signature
+      FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT sq.vec_id AS query_id, sv.vec_id AS neighbor_id
+      FROM sig sq JOIN sig sv ON sq.t = sv.t AND sq.signature = sv.signature
+      WHERE sq.vec_id < {n_queries} AND sv.vec_id != sq.vec_id
+    )"""
+
+
 def lsh_knn(
     spark: SparkSession,
     vectors: DataFrame,

@@ -35,7 +35,12 @@ from itdb_spark.operators.dedup import (
     simhash,
 )
 from itdb_spark.operators.multimodal import decode_binary_metadata
-from itdb_spark.operators.similarity import brute_force_knn, lsh_knn
+from itdb_spark.operators.retrieval import bm25_replay_ctes
+from itdb_spark.operators.similarity import (
+    brute_force_knn,
+    lsh_candidate_ctes,
+    lsh_knn,
+)
 from itdb_spark.queries import register
 
 # --- shared derived corpus ---------------------------------------------------
@@ -329,32 +334,11 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim-knn-lsh",
-    oracle="""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-    planes AS (
-      SELECT i // 512 AS t, (i // 64) % 8 AS p, i % 64 AS d,
-             CASE WHEN CAST(concat('0x', substr(md5(
-                    concat(CAST(i // 512 AS VARCHAR), '_',
-                           CAST((i // 64) % 8 AS VARCHAR), '_',
-                           CAST(i % 64 AS VARCHAR))
-                  ), 1, 15)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
-      FROM range(0, 1024) r(i)
-    ),
-    dots AS (
-      SELECT vec_id, t, p, sum(vec[d + 1] * sign) AS dot
-      FROM v CROSS JOIN planes GROUP BY 1, 2, 3
-    ),
-    sig AS (
-      SELECT vec_id, t,
-             CAST(sum(CASE WHEN dot > 0 THEN CAST(1 << p AS BIGINT) ELSE 0 END)
-                  AS BIGINT) AS signature
-      FROM dots GROUP BY 1, 2
-    ),
-    cand AS (
-      SELECT DISTINCT sq.vec_id AS query_id, sv.vec_id AS neighbor_id
-      FROM sig sq JOIN sig sv ON sq.t = sv.t AND sq.signature = sv.signature
-      WHERE sq.vec_id < 5 AND sv.vec_id != sq.vec_id
-    ),
+    # candidate chain rendered via the SHARED LSH replay
+    # (operators/similarity.py::lsh_candidate_ctes) — byte-identical to
+    # the round-3-graded literal, asserted by
+    # test_shared_oracle_builders_preserve_graded_text
+    oracle="\n    WITH " + lsh_candidate_ctes(5) + """,
     scored AS (
       SELECT c.query_id, c.neighbor_id,
              list_dot_product(a.vec, b.vec)
@@ -4017,36 +4001,10 @@ def pipe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim-bm25",
-    oracle="""
-    WITH base AS (SELECT doc_id, lower(trim(text)) AS lt FROM documents),
-    toks AS (
-      SELECT doc_id, w FROM (
-        SELECT doc_id, unnest(regexp_split_to_array(lt, '\\s+')) AS w
-        FROM base WHERE len(lt) > 0
-      ) WHERE w != ''
-    ),
-    tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
-    dl AS (
-      SELECT doc_id,
-             CAST(len(list_filter(regexp_split_to_array(lt, '\\s+'),
-                                  x -> x != '')) AS BIGINT) AS dl
-      FROM base
-    ),
-    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-    q AS (SELECT DISTINCT doc_id AS query_id, w FROM toks WHERE doc_id < 3),
-    contrib AS (
-      SELECT q.query_id, tf.doc_id,
-             CAST(round(
-               ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
-               * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
-               * 1000000.0) AS BIGINT) AS c
-      FROM tf JOIN q ON tf.w = q.w
-      JOIN df ON tf.w = df.w
-      JOIN dl ON tf.doc_id = dl.doc_id
-      CROSS JOIN stats s
-      WHERE tf.doc_id != q.query_id
-    ),
+    # rendered via the SHARED lexical replay (operators/retrieval.py::
+    # bm25_replay_ctes) — byte-identical to the round-5-graded literal,
+    # asserted by test_shared_oracle_builders_preserve_graded_text
+    oracle="\n    WITH " + bm25_replay_ctes(3) + """,
     sc AS (
       SELECT query_id, doc_id AS neighbor_id, CAST(sum(c) AS BIGINT) AS score_micros
       FROM contrib GROUP BY 1, 2
@@ -4087,10 +4045,12 @@ def sim_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grading queue until CORRECTNESS_r06 lands (this round's 50-slot window
 # is exactly full: 12 definition pins + 20 never-graded + 18 round-2
 # refreshes), after which they front as ordinary never-graded entries.
-# Each already passes a pytest DuckDB differential today
-# (tests/test_ivf_merge.py::test_pq_oracle_matches_spark,
-# tests/test_operators.py::test_hybrid_rrf_matches_duckdb_oracle,
-# ::test_eval_lsh_retrieval_matches_duckdb_oracle).
+# Each passes a pytest DuckDB differential in CI — including the two
+# registered late in the round (tests/test_ivf_merge.py::
+# test_pq_oracle_matches_spark / test_ivfpq_registered_oracle_matches_spark,
+# tests/test_operators.py::test_hybrid_rrf_matches_duckdb_oracle /
+# test_eval_lsh_retrieval_matches_duckdb_oracle /
+# test_rouge1_registered_oracle_matches_spark).
 
 from itdb_spark.operators.pq import pq_oracle_sql as _pq_oracle_sql  # noqa: E402
 from itdb_spark.operators.retrieval import (  # noqa: E402
@@ -4267,11 +4227,12 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(emb, queries, top_k=10)
 
 
+from itdb_spark.operators.texteval import rouge_oracle_sql as _rouge_oracle_sql  # noqa: E402
+
+
 @register(
     "eval-rouge",
-    oracle=__import__(
-        "itdb_spark.operators.texteval", fromlist=["rouge_oracle_sql"]
-    ).rouge_oracle_sql(n=1, n_pairs=30),
+    oracle=_rouge_oracle_sql(n=1, n_pairs=30),
     defer_after=6,
     doc="ROUGE-1 text-pair evaluation (operators/texteval.py; Lin 2004) "
     "over consecutive-document pairs — the summarization-eval / "
