@@ -4255,5 +4255,10 @@ def eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("text").alias("cand_text"))
     ref = d.select((F.col("doc_id") - 1).alias("pair_id"),
                    F.col("text").alias("ref_text"))
-    pairs = cand.where(F.col("pair_id") < 30).join(ref, "pair_id")
+    # < 30 on normal testdata; >= 900000 additionally pairs the edge
+    # corpus's consecutive planted degenerate docs (empty/whitespace/
+    # unicode/CJK), so the adversarial sweep probes ROUGE's floors
+    pairs = cand.where(
+        (F.col("pair_id") < 30) | (F.col("pair_id") >= 900000)
+    ).join(ref, "pair_id")
     return rouge_n(pairs, n=1)
