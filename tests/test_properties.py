@@ -736,3 +736,41 @@ def test_defer_after_rank_semantics():
         assert entry._effective_rank("old", last, 6, 5) == -1
     finally:
         del entry._CHANGED_SINCE_GRADED["old"]
+
+
+def test_round_boundary_simulation_no_red(monkeypatch):
+    """Simulate the driver writing CORRECTNESS_r06.json AFTER the final
+    commit (the exact event that turned the tree red at the round-4 and
+    round-5 boundaries): every query in the current front-50 window gets
+    an r6 grade. The queue must remain totally ordered, the pins must
+    all be neutralized by the NEWEST file (the tolerated state), and the
+    deferred round-6 registrations must move to the FRONT as ordinary
+    never-graded entries — all without any assertion in this suite
+    needing a cleanup commit first."""
+    import __spark_entry__ as entry
+    from itdb_spark.queries import load_all
+
+    registry = load_all()
+    real_last = entry._last_graded_round()
+    window = list(entry._ordered())[:50]
+    simulated = dict(real_last)
+    for qid in window:
+        simulated[qid] = max(simulated.get(qid, 0), 6)
+    monkeypatch.setattr(entry, "_last_graded_round", lambda: simulated)
+
+    ordered = list(entry._ordered())
+    newest = max(simulated.values())
+    assert newest == 6
+    ranks = [
+        entry._effective_rank(qid, simulated, registry[qid].defer_after, newest)
+        for qid in ordered
+    ]
+    assert ranks == sorted(ranks)
+    # every pin is neutralized: nothing ranks -1 anymore
+    assert all(r >= 0 for r in ranks)
+    # deferral expired: the round-6 registrations are ordinary
+    # never-graded entries at the front of the queue
+    deferred = [q for q, qq in registry.items() if qq.defer_after == 6]
+    assert deferred, "expected round-6 deferred registrations"
+    front = set(ordered[: len([r for r in ranks if r == 0])])
+    assert set(deferred) <= front, (deferred, front)
