@@ -94,20 +94,9 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # CORRECTNESS file at/past that round exists — see _effective_rank and
 # the Query.defer_after docs. Round 6 registered five such entries:
 # sim-knn-pq, sim-hybrid-rrf, eval-retrieval, sim-knn-ivfpq, eval-rouge.)
-_CHANGED_SINCE_GRADED: dict[str, int] = {
-    "pipe-expectations": 5,  # + events_value_finite check (round 6)
-    "agg-funnel": 5,
-    "stream-funnel-live": 5,
-    "agg-sessionize": 5,
-    "stream-session": 5,
-    "stream-session-live": 5,
-    "stream-window": 5,
-    "stream-window-live": 5,
-    "join-asof2": 5,
-    "join-asof-fwd": 5,
-    "join-nearest": 5,
-    "stream-asof-live": 5,
-}
+# Round 7: all twelve round-6 pins (the NULL-semantics definition pass)
+# were re-graded green by CORRECTNESS_r06.json and are cleared.
+_CHANGED_SINCE_GRADED: dict[str, int] = {}
 
 
 def _last_graded_round() -> dict[str, int]:

@@ -739,38 +739,83 @@ def test_defer_after_rank_semantics():
 
 
 def test_round_boundary_simulation_no_red(monkeypatch):
-    """Simulate the driver writing CORRECTNESS_r06.json AFTER the final
-    commit (the exact event that turned the tree red at the round-4 and
-    round-5 boundaries): every query in the current front-50 window gets
-    an r6 grade. The queue must remain totally ordered, the pins must
-    all be neutralized by the NEWEST file (the tolerated state), and the
-    deferred round-6 registrations must move to the FRONT as ordinary
-    never-graded entries — all without any assertion in this suite
-    needing a cleanup commit first."""
+    """Simulate the driver writing the NEXT round's CORRECTNESS file
+    AFTER the final commit (the exact event that turned the tree red at
+    the round-4/5/6 boundaries): every query in the current front-50
+    window gets a grade at round ``newest_real + 1``. The queue must
+    remain totally ordered, every pin must be neutralized by that
+    boundary file, and deferral expiry must hold relative to the
+    simulated round — all without any assertion in this suite needing a
+    cleanup commit first. Crucially, the simulated round is DERIVED from
+    the committed history, never a literal (the round-6 red: a
+    hard-coded ``6`` went stale the moment CORRECTNESS_r06.json
+    landed)."""
     import __spark_entry__ as entry
     from itdb_spark.queries import load_all
 
     registry = load_all()
     real_last = entry._last_graded_round()
+    sim_round = max(real_last.values(), default=0) + 1
     window = list(entry._ordered())[:50]
     simulated = dict(real_last)
     for qid in window:
-        simulated[qid] = max(simulated.get(qid, 0), 6)
+        simulated[qid] = max(simulated.get(qid, 0), sim_round)
     monkeypatch.setattr(entry, "_last_graded_round", lambda: simulated)
 
     ordered = list(entry._ordered())
     newest = max(simulated.values())
-    assert newest == 6
+    assert newest == sim_round
     ranks = [
         entry._effective_rank(qid, simulated, registry[qid].defer_after, newest)
         for qid in ordered
     ]
     assert ranks == sorted(ranks)
-    # every pin is neutralized: nothing ranks -1 anymore
+    # every pin is neutralized: pins rank -1 so they always occupy the
+    # window's front; grading the window at sim_round > stale_as_of
+    # clears them by arithmetic
     assert all(r >= 0 for r in ranks)
-    # deferral expired: the round-6 registrations are ordinary
-    # never-graded entries at the front of the queue
-    deferred = [q for q, qq in registry.items() if qq.defer_after == 6]
-    assert deferred, "expected round-6 deferred registrations"
-    front = set(ordered[: len([r for r in ranks if r == 0])])
-    assert set(deferred) <= front, (deferred, front)
+    # deferral semantics relative to the SIMULATED boundary, not a
+    # hard-coded round: an entry still deferred past sim_round and
+    # ungraded sorts last; everything else holds an ordinary rank
+    for qid, q in registry.items():
+        r = entry._effective_rank(qid, simulated, q.defer_after, newest)
+        if q.defer_after > sim_round and simulated.get(qid, 0) == 0:
+            assert r == 10**9, (qid, q.defer_after, sim_round)
+        else:
+            assert r < 10**9, (qid, q.defer_after, sim_round)
+
+
+def test_round_boundary_simulation_survives_future_round(tmp_path, monkeypatch):
+    """Boundary-invariance proof (round-6 VERDICT item #1): rebuild the
+    grading history in a temp dir, add a synthetic far-future
+    CORRECTNESS_r99.json covering the current front window, and re-run
+    the full ordering contract against it. If any queue gate were
+    calendar-bound to the current round number, this test would fail the
+    way the real boundary did in rounds 4, 5 and 6."""
+    import glob
+    import json
+    import shutil
+
+    import __spark_entry__ as entry
+    from itdb_spark.queries import load_all
+
+    registry = load_all()
+    window = list(entry._ordered())[:50]
+    for p in glob.glob(os.path.join(entry._REPO_DIR, "CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path / os.path.basename(p))
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
+        json.dumps({q: {"rows": True} for q in window})
+    )
+    monkeypatch.setattr(entry, "_REPO_DIR", str(tmp_path))
+
+    last = entry._last_graded_round()
+    assert max(last.values()) == 99
+    ordered = list(entry._ordered())
+    ranks = [
+        entry._effective_rank(q, last, registry[q].defer_after, 99) for q in ordered
+    ]
+    assert ranks == sorted(ranks)
+    assert all(r >= 0 for r in ranks), "a pin survived a far-future boundary"
+    # every deferral committed to the tree has expired by r99: nothing
+    # may still sort last
+    assert all(r < 10**9 for r in ranks), "a deferral survived a far-future boundary"
