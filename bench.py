@@ -51,6 +51,7 @@ def main() -> None:
     # round-4 narrative. Treat sub-second absolute values with per-query
     # ratios in view, not in isolation.
     timings: dict[str, float] = {}
+    paths: dict[str, str] = {}
     for qid in bench_ids:
         # isolate queries: cached frames from prior queries/runs otherwise
         # accumulate in executor storage and perturb later timings
@@ -59,6 +60,11 @@ def main() -> None:
         # instead of the DuckDB-portable md5 prefix): the bench measures
         # the plan a cluster would run; CORRECTNESS still grades .spark
         q = registry[qid].bench_spark or registry[qid].spark
+        # record WHICH path this timing measured so numbers stay
+        # comparable across rounds (the r6 switchover: dedup-minhash /
+        # dedup-jaccard / pipe-curate moved from the graded md5-portable
+        # form to the xxhash64 deploy twin — round-6 ADVICE)
+        paths[qid] = "deploy" if registry[qid].bench_spark else "graded"
         run_action(q(spark, SF_DIR))
         best = float("inf")
         for _ in range(3):
@@ -73,6 +79,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "paths": paths,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

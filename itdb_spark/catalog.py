@@ -30,6 +30,14 @@ TESTDATA_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Id floor separating normal testdata from the adversarial docs/events/
+# embeddings that tools/edge_corpus.py plants (it derives its planted ids
+# from this constant; eval-rouge's pairing predicate and the
+# testdata-invariants gate consume it). Single-sourced so real testdata
+# can never silently cross into the diagnostic range (round-6 ADVICE):
+# tests/test_testdata_invariants.py asserts every sf dir stays below it.
+EDGE_ID_FLOOR = 900000
+
 
 # Explicit reader schema for the events table — shared by the batch scan
 # and every readStream (streaming requires one anyway). ts is

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from itdb_spark.catalog import EDGE_ID_FLOOR
+
 
 def _gram_col(text: Column, n: int) -> Column:
     """Multiset of lowercase word n-grams as array<string> (duplicates
@@ -107,10 +109,12 @@ def rouge_oracle_sql(
 ) -> str:
     """DuckDB twin of rouge_n over consecutive-document pairs from the
     documents table (candidate = doc d, reference = doc d+1, d <
-    n_pairs, PLUS any consecutive pairs among ids >= 900000 — the edge
-    corpus's planted degenerate docs are consecutive up there, so the
-    adversarial sweep genuinely exercises ROUGE's empty/whitespace/
-    unicode/CJK paths while normal testdata is unaffected) — the
+    n_pairs, PLUS any consecutive pairs among ids >= EDGE_ID_FLOOR —
+    the edge corpus's planted degenerate docs are consecutive up there,
+    so the adversarial sweep genuinely exercises ROUGE's empty/
+    whitespace/unicode/CJK paths while normal testdata is unaffected;
+    the floor is the shared itdb_spark.catalog.EDGE_ID_FLOOR constant,
+    and the invariants gate keeps real testdata below it) — the
     deterministic pairing the eval-rouge registry entry uses. Mirrors
     the multiset-clip and the integer `div` arithmetic."""
     if n == 1:
@@ -124,7 +128,7 @@ def rouge_oracle_sql(
     WITH pairs AS (
       SELECT c.doc_id AS pair_id, c.text AS cand_t, r.text AS ref_t
       FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
-      WHERE c.doc_id < {n_pairs} OR c.doc_id >= 900000
+      WHERE c.doc_id < {n_pairs} OR c.doc_id >= {EDGE_ID_FLOOR}
     ),
     sides AS (
       SELECT pair_id, cand_t AS t, 1 AS c, 0 AS r FROM pairs

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from itdb_spark.catalog import Tables
+from itdb_spark.catalog import EDGE_ID_FLOOR, Tables
 from itdb_spark.functions.core import HASH_PRIME
 from itdb_spark.functions.text import (
     EN_STOPWORDS,
@@ -4255,10 +4255,13 @@ def eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("text").alias("cand_text"))
     ref = d.select((F.col("doc_id") - 1).alias("pair_id"),
                    F.col("text").alias("ref_text"))
-    # < 30 on normal testdata; >= 900000 additionally pairs the edge
-    # corpus's consecutive planted degenerate docs (empty/whitespace/
-    # unicode/CJK), so the adversarial sweep probes ROUGE's floors
+    # < 30 on normal testdata; >= EDGE_ID_FLOOR additionally pairs the
+    # edge corpus's consecutive planted degenerate docs (empty/
+    # whitespace/unicode/CJK), so the adversarial sweep probes ROUGE's
+    # floors. The floor is the shared catalog constant — the invariants
+    # gate keeps real testdata ids below it, so this predicate can
+    # never silently pair unintended real docs (round-6 ADVICE).
     pairs = cand.where(
-        (F.col("pair_id") < 30) | (F.col("pair_id") >= 900000)
+        (F.col("pair_id") < 30) | (F.col("pair_id") >= EDGE_ID_FLOOR)
     ).join(ref, "pair_id")
     return rouge_n(pairs, n=1)

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from tests.conftest import SF_DIR
 
@@ -277,6 +277,39 @@ def test_pq_oracle_matches_spark(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_pq_assignment_margin(spark):
+    """The cross-engine exactness of the PQ differential rests on an
+    EMPIRICAL assumption the round-6 ADVICE flagged as unchecked: the
+    assignment step orders candidates by unrounded double L2, so a
+    ulp-level summation difference between Spark and DuckDB could flip
+    a code on a near-tie and cascade through every Lloyd's iteration.
+    This asserts the assumption: on the actual testdata, every (id, sub)
+    winner beats the runner-up by a margin orders of magnitude above
+    double-summation noise (sub_dim=4 terms ⇒ error ≲ 1e-15 relative) —
+    or ties EXACTLY at 0.0 (duplicate centroids from empty-cluster
+    retention: both engines then compute identical per-centroid values
+    and the code tie-break is engine-independent). A failure here means
+    the data has grown an unlucky near-tie and the differential's
+    exactness is luck, not arithmetic — tighten the discipline then."""
+    from itdb_spark.operators.pq import _l2sq, _normalize, _subvectors
+
+    emb, cb, _ = _pq_setup(spark)  # m=16, k=16: the registered shape
+    subvecs = _subvectors(_normalize(emb, "vec_id", "embedding"), 16, 4)
+    d = subvecs.join(F.broadcast(cb), "sub").select(
+        "id", "sub", _l2sq(F.col("svec"), F.col("cvec")).alias("d")
+    )
+    w = Window.partitionBy("id", "sub").orderBy("d")
+    margins = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("id", "sub")
+        .agg((F.max("d") - F.min("d")).alias("margin"))
+        .agg(F.min(F.when(F.col("margin") > 0.0, F.col("margin"))).alias("m"))
+        .collect()[0]
+    )
+    assert margins.m is None or margins.m > 1e-9, margins.m
 
 
 def test_ivfpq_composed_recall(spark):

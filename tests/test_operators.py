@@ -1501,10 +1501,56 @@ def test_hybrid_rrf_lsh_deploy_path(spark):
     # measured 0.60 on the current testdata generation; the gate sits at
     # 0.4 because testdata REGENERATES between rounds and LSH stage-1
     # recall moves with it — the gate guards "substantial agreement",
-    # not the exact operating point (pipe-dedup-eval measures that)
+    # not the exact operating point. The REAL dense-stage regression
+    # detector is test_lsh_dense_stage_recall_synthetic below: at
+    # sf0.001 the fused list is BM25-dominated (LSH buckets hold <10
+    # candidates), so no fused-list threshold can catch a plane bug.
     assert overlap >= 0.4, (overlap, exact - deploy)
     with pytest.raises(ValueError, match="dense_stage"):
         hybrid_rrf(t.documents, t.embeddings, queries, dense_stage="nope")
+
+
+def test_lsh_dense_stage_recall_synthetic(spark):
+    """Regeneration-stable stage-1 recall gate for the hyperplane-LSH
+    dense stage (the sim-hybrid-rrf deploy path and sim-knn-lsh). The
+    testdata-based fused-overlap gate above moves with every testdata
+    regeneration, so a plane-derivation bug (hashing a dim prefix,
+    mis-decomposed (table, plane, pos) range, sign flip) could hide
+    inside its slack. This data is synthesized IN-TEST from a fixed
+    seed: 8 tight clusters (intra-cluster cosine ≈ 0.998) whose members
+    lie on the same side of almost every random hyperplane, so LSH must
+    recover nearly all brute-force neighbors — recall measured 0.9875
+    on the fixed seed (deterministic); gated at 0.8 so nothing but
+    genuine plane damage fails it (halved recall fails loud)."""
+    import numpy as np
+
+    from itdb_spark.operators.similarity import brute_force_knn, lsh_knn
+
+    rng = np.random.default_rng(42)
+    dim, n_clusters, per_cluster, k = 64, 8, 25, 10
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(n_clusters):
+        noise = 0.01 * rng.normal(size=(per_cluster, dim))
+        for m, vec in enumerate(centers[c] + noise):
+            rows.append((c * per_cluster + m, [float(x) for x in vec]))
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    qids = [c * per_cluster for c in range(n_clusters)]  # one per cluster
+    qvecs = vecs.where(F.col("vec_id").isin(qids))
+    brute = brute_force_knn(vecs, qvecs, k=k)
+    lsh = lsh_knn(spark, vecs, qvecs, k=k, dim=dim)
+    want = {}
+    for r in brute.collect():
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in lsh.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(want) == set(qids)
+    hits = sum(len(want[q] & got.get(q, set())) for q in want)
+    total = sum(len(want[q]) for q in want)
+    recall = hits / total
+    assert recall >= 0.8, (recall, {q: sorted(want[q] - got.get(q, set())) for q in want})
 
 
 def test_rouge1_registered_oracle_matches_spark(spark):

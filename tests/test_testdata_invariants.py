@@ -163,3 +163,34 @@ def test_money_path_fails_loud_on_nonfinite(spark):
             con.execute(
                 f"SELECT CAST(round(CAST({lit} AS DOUBLE) * 100) AS BIGINT)"
             )
+
+
+def test_all_sf_dirs_below_edge_id_floor():
+    """Every id in every driver-generated sf dir stays below the shared
+    EDGE_ID_FLOOR (itdb_spark.catalog) — the diagnostic range
+    tools/edge_corpus.py plants into. eval-rouge's pairing predicate
+    treats ids >= the floor as edge-corpus pairs, so a regen that
+    crossed the floor would silently pair unintended real docs
+    (round-6 ADVICE). DuckDB scan: cheap enough to sweep ALL sf dirs,
+    not just the pytest SF."""
+    import glob
+    import os
+
+    import duckdb
+
+    from itdb_spark.catalog import EDGE_ID_FLOOR
+
+    id_cols = {"documents": "doc_id", "embeddings": "vec_id", "events": "event_id"}
+    con = duckdb.connect()
+    checked = 0
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        for table, col in id_cols.items():
+            path = os.path.join(sf_dir, f"{table}.parquet")
+            if not os.path.exists(path):
+                continue
+            mx = con.execute(
+                f"SELECT max({col}) FROM read_parquet('{path}')"
+            ).fetchone()[0]
+            assert mx is not None and mx < EDGE_ID_FLOOR, (sf_dir, table, mx)
+            checked += 1
+    assert checked >= 3, "no testdata found to check"

@@ -43,6 +43,8 @@ import sys
 
 import duckdb
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 EDGE_DOCS = [
     (900001, "", "en", "src0", 0),
     (900002, "   ", "en", "src0", 3),
@@ -73,6 +75,16 @@ EDGE_DOCS = [
     # gets a 1-word doc, and entropy is exactly zero.
     (900010, "a" * 32, "en", "src2", 32),
 ]
+
+# Every planted id must sit at/above the shared catalog floor — the
+# eval-rouge pairing predicate and the testdata-invariants gate key on
+# the SAME constant, so the diagnostic range cannot drift apart from
+# the predicate that consumes it (round-6 ADVICE).
+from itdb_spark.catalog import EDGE_ID_FLOOR  # noqa: E402
+
+assert all(d[0] >= EDGE_ID_FLOOR for d in EDGE_DOCS), (
+    "edge doc ids must be >= EDGE_ID_FLOOR"
+)
 
 # NULL-key events: SQL join equality never matches NULL but window
 # partitionBy / groupBy treat NULL as a regular group — the class of
