@@ -51,18 +51,41 @@ def build_ivf_index(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 4,
+    max_train: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (assignments, centroids): assignments = (id, vec,
     centroid_id); centroids = (centroid_id, cvec). At scale, write
     ``assignments.write.partitionBy("centroid_id")`` — queries then read
-    only probed partitions (partition pruning does the cell selection)."""
+    only probed partitions (partition pruning does the cell selection).
+
+    ``max_train`` is the same 100 TB lever train_pq carries (pq.py):
+    coarse-quantizer quality saturates with a bounded sample (FAISS
+    trains IVF cells on ~10⁵-10⁶ vectors regardless of corpus size), so
+    when set, Lloyd's iterations run over the ``max_train`` vectors with
+    the smallest portable id hash — deterministic, seedless, cacheable
+    by construction — and only the FINAL assignment touches the full
+    corpus. None (the registered sim-knn-ivf / sim-knn-ivfpq form)
+    trains on everything so the DuckDB oracle replays without a sample
+    CTE."""
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
     )
+    train_v = v
+    bounded = max_train is not None
+    if bounded:
+        # bounded, deterministic training sample — one materialization
+        # feeds init + every assignment round (conditional cache, same
+        # posture as train_pq: never pin a corpus-sized frame)
+        train_v = (
+            v.withColumn("h", portable_hash64(F.col(id_col).cast("string")))
+            .orderBy("h", id_col)
+            .limit(max_train)
+            .drop("h")
+        ).cache()
     # seedless deterministic init: k vectors with smallest hashed id;
     # coalesce(1) so monotonically_increasing_id yields stable 0..k-1
     init = (
-        v.withColumn("h", portable_hash64(F.col(id_col).cast("string")))
+        train_v.withColumn("h", portable_hash64(F.col(id_col).cast("string")))
         .orderBy("h", id_col)
         .limit(k)
         .coalesce(1)
@@ -74,7 +97,7 @@ def build_ivf_index(
     # centroid chain otherwise recomputes from round 0 on block loss).
     centroids = truncate_lineage(init, eager=True)
     for _ in range(iters):
-        assigned = _assign(v, centroids, id_col)
+        assigned = _assign(train_v, centroids, id_col)
         # new centroid = per-dimension mean of members (posexplode → groupBy)
         comps = assigned.select(
             "centroid_id", F.posexplode("vec").alias("pos", "val")
@@ -91,6 +114,8 @@ def build_ivf_index(
         )
         centroids = truncate_lineage(means, eager=True)
     assignments = truncate_lineage(_assign(v, centroids, id_col), eager=True)
+    if bounded:
+        train_v.unpersist()
     return assignments, centroids
 
 

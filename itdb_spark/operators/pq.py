@@ -465,6 +465,109 @@ def pq_oracle_sql(
       FROM pqscored) WHERE rn <= {top_k}""")
 
 
+def _train_ivfpq_driver(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    m: int,
+    k: int,
+    max_train: int,
+    dim: int,
+    ivf_iters: int = 4,
+    pq_iters: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """FAISS-shaped deploy training: collect the bounded hash-ranked
+    sample ONCE to the driver, run both Lloyd's loops in numpy, and
+    return (centroids, codebooks) as small broadcastable DataFrames.
+
+    At 100 TB this is the industry pattern (train the quantizer on a
+    bounded sample driver-side, broadcast the index; only encoding and
+    search stay distributed): the distributed Lloyd's loop pays
+    ~(ivf_iters + pq_iters) full job rounds of scheduling latency to
+    iterate over a sample that by construction fits one machine. The
+    collect is bounded by ``max_train`` — REQUIRED, never corpus-sized —
+    so this is not a driver-side-loop antipattern but the deliberate
+    small-side materialization the manifest-DF sinks also use.
+
+    Replicates the distributed algorithms exactly: same smallest-hash
+    init (ids hash-ranked by the same md5-prefix portable hash), same
+    assignment rules (IVF: cosine desc / centroid-id asc; PQ: L2 asc /
+    code asc — numpy argmax/argmin break ties on the first index, which
+    IS the lowest id), same mean updates, same IVF empty-cell drop and
+    PQ empty-cluster retention. float64 throughout, so results differ
+    from the distributed trainer only in final-ulp summation order —
+    absorbed by the same margins the DuckDB differential relies on
+    (test_pq_assignment_margin). One documented divergence: the sample
+    here is drawn before the zero-vector drop, while train_pq samples
+    after normalization — identical whenever the sample window contains
+    no zero vectors (real testdata has none; dead embeddings are an
+    edge-corpus plant)."""
+    import numpy as np
+
+    spark = vectors.sparkSession
+    rows = (
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .withColumn("h", portable_hash64(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(max_train)
+        .collect()
+    )
+    X = np.asarray([r.vec for r in rows], dtype=np.float64)
+
+    # IVF coarse quantizer: cosine assignment, per-dimension mean update,
+    # empty cells drop (mirrors ivf.build_ivf_index)
+    cents = X[:n_cells].copy()
+    cent_ids = list(range(n_cells))
+    xn = np.linalg.norm(X, axis=1)
+    for _ in range(ivf_iters):
+        cn = np.linalg.norm(cents, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = (X @ cents.T) / (xn[:, None] * cn[None, :])
+        assign = np.argmax(sims, axis=1)
+        keep_c, keep_i = [], []
+        for ci in range(len(cents)):
+            members = X[assign == ci]
+            if len(members):
+                keep_c.append(members.mean(axis=0))
+                keep_i.append(cent_ids[ci])
+        cents, cent_ids = np.asarray(keep_c), keep_i
+    centroids = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in zip(cent_ids, cents)],
+        "centroid_id long, cvec array<double>",
+    )
+
+    # PQ codebooks: normalized subvectors, L2 assignment, empty-cluster
+    # retention (mirrors train_pq)
+    nz = xn > 0.0
+    Xn = X[nz] / xn[nz][:, None]
+    sub_dim = dim // m
+    S = Xn.reshape(len(Xn), m, sub_dim)
+    books = np.stack([S[:k, s, :].copy() for s in range(m)])  # (m, k, sub)
+    for _ in range(pq_iters):
+        new_books = books.copy()  # retention: empty codes keep centroids
+        for s in range(m):
+            d = ((S[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)
+            for code in range(k):
+                mem = S[a == code, s, :]
+                if len(mem):
+                    new_books[s, code] = mem.mean(axis=0)
+        books = new_books
+    codebooks = spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s, c]])
+            for s in range(m)
+            for c in range(k)
+        ],
+        "sub int, code int, cvec array<double>",
+    )
+    return centroids, codebooks
+
+
 def ivfpq_search(
     vectors: DataFrame,
     queries: DataFrame,
@@ -477,6 +580,7 @@ def ivfpq_search(
     k: int = 16,
     candidates: int = 100,
     max_train: int | None = None,
+    train_backend: str = "spark",
 ) -> DataFrame:
     """IVF·PQ — the composed 100 TB ANN architecture (FAISS IVFPQ shape,
     Jégou et al. 2011): the IVF coarse quantizer prunes the search to
@@ -504,12 +608,35 @@ def ivfpq_search(
     from itdb_spark.operators.similarity import cosine_pandas
 
     dim = _probe_dim(vectors, vec_col)
-    assignments, centroids = build_ivf_index(vectors, id_col, vec_col, k=n_cells)
-    # max_train: the deploy knob — bound PQ training cost at huge corpora
-    # (None = full-corpus, the registered oracle-replayable form)
-    codebooks = train_pq(
-        vectors, id_col, vec_col, m=m, k=k, dim=dim, max_train=max_train
-    )
+    # max_train: the deploy knob — bound BOTH training loops (IVF coarse
+    # quantizer and PQ codebooks) at huge corpora; None = full-corpus,
+    # the registered oracle-replayable form. Encoding and the final cell
+    # assignment still touch every vector — only TRAINING is sampled.
+    # train_backend="driver" (requires max_train) additionally runs both
+    # Lloyd's loops in numpy over the one collected sample — the FAISS
+    # deployment shape; "spark" keeps the distributed loops.
+    if train_backend not in ("spark", "driver"):
+        raise ValueError(f"train_backend must be spark|driver, got {train_backend!r}")
+    if train_backend == "driver":
+        if max_train is None:
+            raise ValueError("train_backend='driver' requires max_train (the "
+                             "collected sample must be bounded)")
+        from itdb_spark.operators.ivf import _assign as _ivf_assign
+
+        centroids, codebooks = _train_ivfpq_driver(
+            vectors, id_col, vec_col, n_cells, m, k, max_train, dim
+        )
+        v = vectors.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+        )
+        assignments = _ivf_assign(v, centroids, id_col)
+    else:
+        assignments, centroids = build_ivf_index(
+            vectors, id_col, vec_col, k=n_cells, max_train=max_train
+        )
+        codebooks = train_pq(
+            vectors, id_col, vec_col, m=m, k=k, dim=dim, max_train=max_train
+        )
     encoded = pq_encode(vectors, codebooks, id_col, vec_col, dim=dim)
 
     q = queries.select(

@@ -4200,10 +4200,34 @@ def _ivfpq_oracle(
       FROM rerank) WHERE rn <= {top_k}""")
 
 
+def _sim_knn_ivfpq_deploy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy twin for the bench ONLY (round-6 VERDICT #4): identical
+    composed IVF-PQ search but with the ``max_train`` lever engaged —
+    IVF cells and PQ codebooks train on the 1024 smallest-hash vectors
+    instead of the full corpus, the bound a 100 TB cluster would run
+    (training cost O(sample); encoding and the final cell assignment
+    still touch every vector), and training runs driver-side in numpy
+    over the one collected sample (train_backend="driver" — the FAISS
+    deployment shape; bit-identical to the distributed trainer,
+    test_ivfpq_train_backends_bit_identical). CORRECTNESS still grades
+    the full-corpus form whose DuckDB oracle replays without a sample
+    CTE; twin honesty is gated by test_bench_deploy_twins_equivalent."""
+    from itdb_spark.operators.pq import ivfpq_search
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivfpq_search(
+        emb, queries, top_k=10, max_train=1024, train_backend="driver"
+    )
+
+
 @register(
     "sim-knn-ivfpq",
     oracle=_ivfpq_oracle(),
     defer_after=6,
+    bench=True,
+    bench_spark=_sim_knn_ivfpq_deploy,
     doc="IVF-PQ composed search (operators/pq.py::ivfpq_search; the "
     "FAISS-IVFPQ shape, Jégou et al. 2011) — the flagship 100 TB ANN "
     "architecture as an oracle-checked query: the IVF coarse quantizer "

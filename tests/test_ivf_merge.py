@@ -312,6 +312,43 @@ def test_pq_assignment_margin(spark):
     assert margins.m is None or margins.m > 1e-9, margins.m
 
 
+def test_ivfpq_train_backends_bit_identical(spark):
+    """train_backend="driver" (numpy Lloyd's over the one collected
+    bounded sample — the FAISS deployment shape the bench twin runs)
+    must reproduce the distributed trainer BIT-FOR-BIT at the same
+    max_train: same hash-ranked init, same tie-breaks (numpy argmax/
+    argmin take the first index = lowest id), same mean updates, same
+    empty-cell/-cluster handling; final-ulp summation freedom is
+    absorbed by the assignment margins (test_pq_assignment_margin).
+    Also pins the guards: driver training REQUIRES a bounded sample,
+    and an unknown backend fails loud."""
+    import pytest
+
+    from itdb_spark.operators.pq import ivfpq_search
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    a = sorted(
+        tuple(r)
+        for r in ivfpq_search(
+            emb, queries, top_k=10, max_train=256, train_backend="spark"
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    b = sorted(
+        tuple(r)
+        for r in ivfpq_search(
+            emb, queries, top_k=10, max_train=256, train_backend="driver"
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    assert a == b
+    with pytest.raises(ValueError, match="max_train"):
+        ivfpq_search(emb, queries, train_backend="driver")
+    with pytest.raises(ValueError, match="train_backend"):
+        ivfpq_search(emb, queries, train_backend="numpy")
+
+
 def test_ivfpq_composed_recall(spark):
     """IVF·PQ — coarse cells prune the search, PQ codes stand in for the
     float payload, exact rerank recovers order: the composed pipeline's
