@@ -128,3 +128,172 @@ def bpe_segment(word: str, merges: tuple[str, ...] = BPE_MERGES) -> list[str]:
             break
         syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
     return syms
+
+
+def learn_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 12,
+    min_count: int = 2,
+) -> DataFrame:
+    """BPE merge-table TRAINING (Sennrich et al. 2016) — the learning
+    half of the tokenizer loop whose application half is bpe_segment /
+    fn-bpe: iteratively count corpus-wide adjacent symbol pairs
+    (weighted by word frequency), merge the most frequent pair
+    everywhere, repeat. Returns (rank, left_sym, right_sym, merged,
+    pair_count) — the merge table bpe_segment consumes.
+
+    Scale shape (the same discipline as Lloyd's in ivf.py/pq.py): the
+    corpus is touched ONCE (word-count groupBy); every iteration after
+    that is vocabulary-scale — one map-side-combined groupBy over
+    exploded adjacent pairs (the only shuffle, keyed by pair), a 1-row
+    argmax collect (the driver-side decision every iterative trainer
+    makes), and a narrow fold projection applying the merge. State
+    lineage is truncated per iteration. ``n_merges`` bounds the loop;
+    training cost is O(n_merges · |vocab|), never O(corpus).
+
+    Determinism / oracle parity: ties in pair count break by the pair
+    string ascending (binary UTF-8 compare — identical in Spark and
+    DuckDB); counts are BIGINT; training stops when no pair reaches
+    ``min_count``. Symbols are Unicode code points (list(word) — the
+    bpe_segment convention). The merge substitution is a left-to-right
+    non-overlapping array fold; the DuckDB oracle replays it as a
+    sentinel-delimited string replace() (also left-to-right
+    non-overlapping), so both engines merge identical occurrences —
+    words containing the sentinel code points (U+0001/U+0002) are
+    filtered from the vocabulary on BOTH sides to make the encoding
+    injective."""
+    spark = docs.sparkSession
+    from itdb_spark.plans.library import truncate_lineage
+
+    toks = (
+        docs.where(F.length(F.trim(text_col)) > 0)
+        .select(F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("w"))
+        .where(
+            (F.length("w") >= 1)
+            & ~F.col("w").contains("\x01")
+            & ~F.col("w").contains("\x02")
+        )
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    state = truncate_lineage(
+        vocab.select("c", chars.alias("syms")), eager=True
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            state.where(F.size("syms") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> concat(syms[i], ' ', syms[i + 1]))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("c").cast("long").alias("cnt"))
+            .where(F.col("cnt") >= min_count)
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("p")).limit(1).collect()
+        if not best:
+            break
+        p, cnt = best[0].p, int(best[0].cnt)
+        left, right = p.split(" ")
+        merges.append((rank, left, right, left + right, cnt))
+        merged_lit = F.lit(left + right)
+        new_syms = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged_lit)
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        state = truncate_lineage(
+            state.select("c", new_syms.alias("syms")), eager=True
+        )
+    schema = (
+        "rank long, left_sym string, right_sym string, "
+        "merged string, pair_count long"
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def bpe_train_oracle_sql(n_merges: int = 12, min_count: int = 2) -> str:
+    """DuckDB twin of learn_bpe: the merge fixpoint UNROLLED into
+    ``n_merges`` chained CTE levels (the proven pattern — the sim-knn-ivf
+    oracle unrolls Lloyd's the same way; a RECURSIVE CTE cannot
+    aggregate over its own recursion table, which pair counting needs).
+    Each level re-derives pair counts from the sentinel-delimited word
+    strings, picks the argmax (count desc, pair asc — the same
+    tie-break), and applies the merge via non-overlapping left-to-right
+    replace(); a level whose best pair misses ``min_count`` passes the
+    state through unchanged, so early exhaustion yields fewer rows on
+    both engines identically. Every level is AS MATERIALIZED: each
+    words_k is referenced twice (pair counting + the next level), so
+    DuckDB's default CTE inlining would re-evaluate the chain
+    exponentially (2^n_merges over the base scan — measured: the
+    un-materialized form did not finish)."""
+    parts = [
+        """toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks
+      WHERE len(w) >= 1 AND NOT contains(w, chr(1)) AND NOT contains(w, chr(2))
+      GROUP BY w
+    ),
+    words_0 AS MATERIALIZED (
+      SELECT c,
+             chr(1) || array_to_string(
+               list_transform(range(1, len(w) + 1), i -> w[i]),
+               chr(2) || chr(1)) || chr(2) AS s
+      FROM vocab
+    )"""
+    ]
+    for k in range(n_merges):
+        parts.append(f"""pairs_{k} AS MATERIALIZED (
+      SELECT p, CAST(sum(c) AS BIGINT) AS cnt FROM (
+        SELECT c, unnest(list_transform(range(1, len(syms)),
+                     i -> concat(syms[i], ' ', syms[i + 1]))) AS p
+        FROM (
+          SELECT c,
+                 string_split(trim(s, chr(1) || chr(2)), chr(2) || chr(1)) AS syms
+          FROM words_{k}
+        ) WHERE len(syms) >= 2
+      ) GROUP BY p HAVING CAST(sum(c) AS BIGINT) >= {min_count}
+    ),
+    best_{k} AS MATERIALIZED (
+      SELECT p, cnt FROM pairs_{k} ORDER BY cnt DESC, p LIMIT 1
+    ),
+    words_{k + 1} AS MATERIALIZED (
+      SELECT c,
+             CASE WHEN b.p IS NULL THEN s
+                  ELSE replace(s,
+                         chr(1) || split_part(b.p, ' ', 1) || chr(2)
+                           || chr(1) || split_part(b.p, ' ', 2) || chr(2),
+                         chr(1) || replace(b.p, ' ', '') || chr(2))
+             END AS s
+      FROM words_{k} LEFT JOIN best_{k} b ON true
+    )""")
+    selects = [
+        f"""SELECT CAST({k + 1} AS BIGINT) AS rank,
+           split_part(p, ' ', 1) AS left_sym,
+           split_part(p, ' ', 2) AS right_sym,
+           replace(p, ' ', '') AS merged,
+           cnt AS pair_count
+    FROM best_{k}"""
+        for k in range(n_merges)
+    ]
+    return (
+        "\n    WITH " + ",\n    ".join(parts) + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )

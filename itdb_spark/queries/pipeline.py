@@ -2591,6 +2591,36 @@ def fn_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_subwords", F.size(F.split("segmentation", " ")).cast("long"))
 
 
+from itdb_spark.operators.packing import bpe_train_oracle_sql as _bpe_train_oracle  # noqa: E402
+
+
+@register(
+    "fn-bpe-train",
+    oracle=_bpe_train_oracle(n_merges=12, min_count=2),
+    defer_after=7,
+    doc="BPE merge-table TRAINING (operators/packing.py::learn_bpe; "
+    "Sennrich et al. 2016) — the learning half of the tokenizer loop "
+    "whose application half is fn-bpe: iteratively count corpus-wide "
+    "adjacent symbol pairs weighted by word frequency, merge the argmax "
+    "pair everywhere (count desc, pair asc tie-break — binary UTF-8 on "
+    "both engines), repeat for 12 bounded iterations or until no pair "
+    "reaches min_count=2. The corpus is touched once (word-count "
+    "groupBy); every iteration is vocabulary-scale: one map-side-"
+    "combined pair-count shuffle, a 1-row argmax collect (the same "
+    "driver decision Lloyd's makes), a narrow merge-fold projection, "
+    "lineage truncated per round. The DuckDB oracle unrolls the merge "
+    "fixpoint into 12 MATERIALIZED CTE levels (recursive CTEs cannot "
+    "aggregate over their own recursion table) and applies each merge "
+    "as a sentinel-delimited non-overlapping replace() — provably the "
+    "same occurrences the Spark fold merges.",
+)
+def fn_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.packing import learn_bpe
+
+    t = Tables(spark, sf_dir)
+    return learn_bpe(t.documents, n_merges=12, min_count=2)
+
+
 @register(
     "fn-bpe-count",
     oracle=f"""

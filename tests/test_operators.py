@@ -1597,3 +1597,63 @@ def test_shared_oracle_builders_preserve_graded_text():
     for qid, want in expected.items():
         got = hashlib.sha256(reg[qid].oracle.encode()).hexdigest()
         assert got == want, f"{qid} oracle text drifted from the graded form"
+
+
+def test_learn_bpe_matches_python_reference(spark):
+    """learn_bpe vs an independent pure-Python replay of Sennrich-style
+    training on handcrafted corpora hitting the tricky semantics: the
+    'aaa' overlap class (adjacent counts count overlaps, substitution
+    merges left-to-right non-overlapping), count ties (pair-string
+    tie-break), frequency weighting, and min_count early exhaustion."""
+    from itdb_spark.operators.packing import learn_bpe
+
+    def reference(texts, n_merges=12, min_count=2):
+        from collections import Counter
+
+        words = Counter()
+        for t in texts:
+            for w in t.strip().lower().split():
+                if w:
+                    words[w] += 1
+        vocab = {w: (list(w), c) for w, c in words.items()}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            counts = Counter()
+            for syms, c in vocab.values():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] += c
+            eligible = [(v, k) for k, v in counts.items() if v >= min_count]
+            if not eligible:
+                break
+            # argmax by (count desc, pair asc):
+            cnt, (left, right) = sorted(
+                eligible, key=lambda e: (-e[0], f"{e[1][0]} {e[1][1]}")
+            )[0]
+            merges.append((rank, left, right, left + right, cnt))
+            for w, (syms, c) in vocab.items():
+                out = []
+                for x in syms:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(x)
+                vocab[w] = (out, c)
+        return merges
+
+    corpora = [
+        # overlap class: 'aaaa' — (a,a) counts 3 per occurrence, merges 2
+        ["aaaa aaaa b", "aaaa aa"],
+        # tie class: 'ab' and 'cd' equally frequent → 'a b' < 'c d' wins
+        ["ab ab cd cd", "ab cd"],
+        # weighting: one word repeated beats many distinct words
+        ["xy xy xy xy", "pq rs tu vw"],
+        # exhaustion: all pairs unique → nothing reaches min_count
+        ["ab cd ef", "gh ij kl"],
+        # merged symbol re-enters as left of a later merge
+        ["the the the ther ther er er"],
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = sorted(tuple(r) for r in learn_bpe(docs, n_merges=6).collect())
+        want = sorted(reference(texts, n_merges=6))
+        assert got == want, (texts, got, want)
