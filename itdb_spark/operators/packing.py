@@ -130,6 +130,28 @@ def bpe_segment(word: str, merges: tuple[str, ...] = BPE_MERGES) -> list[str]:
     return syms
 
 
+def bpe_pair_counts(state: DataFrame, min_count: int = 2) -> DataFrame:
+    """Adjacent-pair counts over a (c, syms) vocabulary state — the ONE
+    shuffle inside each learn_bpe iteration, exposed for the plan gate:
+    the sum must partial-aggregate map-side (the exchange carries
+    |distinct pairs| rows, never the exploded pair stream)."""
+    return (
+        state.where(F.size("syms") >= 2)
+        .select(
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2),"
+                    " i -> concat(syms[i], ' ', syms[i + 1]))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p")
+        .agg(F.sum("c").cast("long").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+
+
 def learn_bpe(
     docs: DataFrame,
     text_col: str = "text",
@@ -182,21 +204,7 @@ def learn_bpe(
     )
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        pairs = (
-            state.where(F.size("syms") >= 2)
-            .select(
-                "c",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(syms) - 2),"
-                        " i -> concat(syms[i], ' ', syms[i + 1]))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p")
-            .agg(F.sum("c").cast("long").alias("cnt"))
-            .where(F.col("cnt") >= min_count)
-        )
+        pairs = bpe_pair_counts(state, min_count)
         best = pairs.orderBy(F.desc("cnt"), F.asc("p")).limit(1).collect()
         if not best:
             break

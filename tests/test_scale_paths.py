@@ -1061,3 +1061,22 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bpe_pair_count_partial_aggregates(spark):
+    """learn_bpe's per-iteration shuffle (the pair-count groupBy) must
+    partial-aggregate map-side: the exchange carries |distinct pairs|
+    rows, never the exploded pair stream — the SCALE.md bound for
+    fn-bpe-train."""
+    from itdb_spark.operators.packing import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    vocab = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        .groupBy("w").agg(F.count("*").cast("long").alias("c"))
+        .select("c", F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"))
+    )
+    plan = _physical_plan(bpe_pair_counts(vocab))
+    assert "partial_sum" in plan, plan
