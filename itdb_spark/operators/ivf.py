@@ -128,10 +128,23 @@ def ivf_knn(
     k: int = 5,
     n_cells: int = 8,
     n_probe: int = 2,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k per query probing only ``n_probe`` nearest cells: the scored
     candidate set is |cells probed| / |cells| of the corpus instead of all
-    of it. Returns (query_id, neighbor_id, cosine)."""
+    of it. Returns (query_id, neighbor_id, cosine).
+
+    ``allowed`` (optional) is the FILTERED-SEARCH knob — the shape every
+    production vector store exposes (search constrained by a metadata
+    predicate): a one-column frame of permitted ``id_col`` values,
+    applied as a semi-join on the candidate set INSIDE probed cells,
+    BEFORE any cosine is computed. The index stays predicate-agnostic
+    (one shared index serves every filter), the filter never touches
+    unprobed cells, and filtered-out candidates cost zero scoring work.
+    At 100 TB the semi-join is a broadcast when the allow-list is small
+    (a dim-table predicate) or a shuffle semi-join keyed on the id
+    otherwise — either way bounded by the probed-cell candidate count.
+    None = unfiltered (the registered sim-knn-ivf form, unchanged)."""
     assignments, centroids = build_ivf_index(vectors, id_col, vec_col, k=n_cells)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -151,6 +164,12 @@ def ivf_knn(
     cands = probed.join(assignments, "centroid_id").where(
         F.col("query_id") != F.col(id_col)
     )
+    if allowed is not None:
+        cands = cands.join(
+            allowed.select(F.col(allowed.columns[0]).alias(id_col)),
+            id_col,
+            "left_semi",
+        )
     scored = cands.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),

@@ -420,10 +420,13 @@ def _ivf_assign_ctes(n_cells: int = 8, iters: int = 4, dim: int = 64) -> list[st
 
 
 def _ivf_oracle(k: int = 5, n_cells: int = 8, n_probe: int = 3,
-                iters: int = 4, dim: int = 64) -> str:
+                iters: int = 4, dim: int = 64, filter_join: str = "") -> str:
     """DuckDB twin of build_ivf_index + ivf_knn (see _ivf_assign_ctes):
     probe the top-``n_probe`` cells per query, exact cosine re-rank
-    within probed cells only."""
+    within probed cells only. ``filter_join`` (default empty — renders
+    the sim-knn-ivf text byte-identically) appends a join constraining
+    the candidate set, the filtered-search form sim-knn-filtered
+    registers."""
     prev = f"c{iters}"
     ctes = _ivf_assign_ctes(n_cells, iters, dim)
     ctes.append("q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5)")
@@ -435,7 +438,7 @@ def _ivf_oracle(k: int = 5, n_cells: int = 8, n_probe: int = 3,
     ctes.append(f"""scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
                {_cos_sql('p.qvec', 'a.vec')} AS cos_raw
         FROM probed p JOIN af a
-          ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id)""")
+          ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id{filter_join})""")
     return ("WITH " + ",\n".join(ctes) + f"""
     SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine FROM (
       SELECT query_id, neighbor_id, cos_raw,
@@ -464,6 +467,40 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Tables(spark, sf_dir).embeddings
     queries = emb.where(F.col("vec_id") < 5)
     return ivf_knn(spark, emb, queries, k=5, n_cells=8, n_probe=3)
+
+
+@register(
+    "sim-knn-filtered",
+    oracle=_ivf_oracle(
+        filter_join="""
+          JOIN documents d ON d.doc_id = a.vec_id AND d.lang = 'en'"""
+    ),
+    defer_after=7,
+    doc="FILTERED similarity search (round 7) — the metadata-constrained "
+    "ANN shape every production vector store exposes (retrieve top-k "
+    "among documents WHERE lang='en'): the predicate resolves against "
+    "the documents dim table to an allow-list of ids, applied as a "
+    "LEFT SEMI join on the candidate set INSIDE probed cells, BEFORE "
+    "any cosine is computed (operators/ivf.py::ivf_knn(allowed=...)). "
+    "The IVF index stays predicate-agnostic — one shared index serves "
+    "every filter — the filter never touches unprobed cells, and "
+    "filtered-out candidates cost zero scoring work; post-filter "
+    "top-k is exact within the probed+allowed set. At 100 TB the "
+    "allow-list is a broadcast (dim-table predicate) or a shuffle "
+    "semi-join bounded by the probed candidate count. Oracle = the "
+    "proven sim-knn-ivf training replay with the same predicate join "
+    "on the scored candidates.",
+)
+def sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.ivf import ivf_knn
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    queries = emb.where(F.col("vec_id") < 5)
+    allowed = t.documents.where(F.col("lang") == "en").select("doc_id")
+    return ivf_knn(
+        spark, emb, queries, k=5, n_cells=8, n_probe=3, allowed=allowed
+    )
 
 
 @register(

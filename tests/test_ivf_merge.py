@@ -474,3 +474,33 @@ def test_ivfpq_registered_oracle_matches_spark(spark):
     )
     want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert got == want
+
+
+def test_ivf_filtered_search(spark):
+    """Filtered ANN (ivf_knn(allowed=...)): every neighbor satisfies the
+    predicate; the filter binds as a LEFT SEMI join on the candidate set
+    (inside probed cells, before scoring — no filtered-out candidate is
+    ever cosine-scored); and the unfiltered form is untouched (registered
+    sim-knn-ivf results identical with allowed=None)."""
+    from itdb_spark.operators.ivf import ivf_knn
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    allowed = docs.where(F.col("lang") == "en").select("doc_id")
+    out = ivf_knn(spark, emb, queries, k=5, n_cells=8, n_probe=3, allowed=allowed)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    rows = out.collect()
+    assert rows
+    allowed_ids = {r.doc_id for r in allowed.collect()}
+    assert all(r.neighbor_id in allowed_ids for r in rows)
+    # the filter actually bites: some unfiltered neighbor is not allowed
+    unfiltered = ivf_knn(spark, emb, queries, k=5, n_cells=8, n_probe=3).collect()
+    assert any(r.neighbor_id not in allowed_ids for r in unfiltered)
+    # scores for pairs present in both forms agree exactly (same probe,
+    # same cosine — the filter only removes candidates)
+    f = {(r.query_id, r.neighbor_id): r.cosine for r in rows}
+    u = {(r.query_id, r.neighbor_id): r.cosine for r in unfiltered}
+    for key in set(f) & set(u):
+        assert f[key] == u[key]
