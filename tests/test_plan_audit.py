@@ -14,9 +14,13 @@ from tests.conftest import SF_DIR
 from tools.audit_plans import audit
 
 # sim-knn-brute's BroadcastNestedLoopJoin is the intentional exactness
-# baseline (broadcast query side × corpus); every other plan must be free
-# of nested-loop joins.
-BNLJ_ALLOWED = {"sim-knn-brute"}
+# baseline (broadcast query side × corpus); sim-knn-ivfpq's two are the
+# declared bounded-broadcast cross joins of the composed search — the
+# k=8-row centroid table against the query side for cell ranking, and
+# the per-query ADC lookup tables (|queries| rows) — the PQ analogue of
+# the same declaration in the retrieval-family gate. Every other plan
+# must be free of nested-loop joins.
+BNLJ_ALLOWED = {"sim-knn-brute", "sim-knn-ivfpq"}
 
 # Widest column set any bench-query scan may read: these queries project
 # 1-3 columns, so a scan reading more means pruning regressed.
@@ -24,12 +28,18 @@ MAX_SCAN_COLS = 4
 
 
 def test_bench_query_plans_hold_scale_properties(spark):
+    """Audits the plan bench.py actually TIMES (the deploy twin where
+    one is registered, else the graded form). The graded forms of
+    deferred/registered twins keep their own gates — the retrieval
+    family's is test_retrieval_family_plans_hold_scale_properties,
+    which allows the full-corpus trainer's documented one-row
+    single-partition exchanges; the deploy twin must have none."""
     registry = load_all()
     bench_ids = [qid for qid, q in registry.items() if q.bench]
     assert bench_ids, "bench set is empty?"
     failures = []
     for qid in bench_ids:
-        df = registry[qid].spark(spark, SF_DIR)
+        df = (registry[qid].bench_spark or registry[qid].spark)(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         a = audit(plan)
@@ -169,7 +179,12 @@ def test_retrieval_family_plans_hold_scale_properties(spark):
     from tools.audit_plans import audit
 
     registry = load_all()
-    declared_bnlj = {"sim-knn-pq", "sim-hybrid-rrf", "eval-retrieval"}
+    # sim-knn-ivfpq's GRADED (full-corpus-trained) form moved here when
+    # the bench gate switched to auditing the deploy twin (round 7): its
+    # broadcast cell-ranking cross join and the trainer's one-row
+    # single-partition exchanges are this gate's documented allowances.
+    declared_bnlj = {"sim-knn-pq", "sim-hybrid-rrf", "eval-retrieval",
+                     "sim-knn-ivfpq"}
     failures = []
     for qid in sorted(declared_bnlj):
         df = registry[qid].spark(spark, SF_DIR)
