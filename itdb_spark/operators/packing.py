@@ -234,23 +234,8 @@ def learn_bpe(
     return spark.createDataFrame(merges, schema)
 
 
-def bpe_train_oracle_sql(n_merges: int = 12, min_count: int = 2) -> str:
-    """DuckDB twin of learn_bpe: the merge fixpoint UNROLLED into
-    ``n_merges`` chained CTE levels (the proven pattern — the sim-knn-ivf
-    oracle unrolls Lloyd's the same way; a RECURSIVE CTE cannot
-    aggregate over its own recursion table, which pair counting needs).
-    Each level re-derives pair counts from the sentinel-delimited word
-    strings, picks the argmax (count desc, pair asc — the same
-    tie-break), and applies the merge via non-overlapping left-to-right
-    replace(); a level whose best pair misses ``min_count`` passes the
-    state through unchanged, so early exhaustion yields fewer rows on
-    both engines identically. Every level is AS MATERIALIZED: each
-    words_k is referenced twice (pair counting + the next level), so
-    DuckDB's default CTE inlining would re-evaluate the chain
-    exponentially (2^n_merges over the base scan — measured: the
-    un-materialized form did not finish)."""
-    parts = [
-        """toks AS (
+_BPE_TRAIN_HEAD = [
+    """toks AS (
       SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
       FROM documents WHERE len(trim(text)) > 0
     ),
@@ -266,9 +251,11 @@ def bpe_train_oracle_sql(n_merges: int = 12, min_count: int = 2) -> str:
                chr(2) || chr(1)) || chr(2) AS s
       FROM vocab
     )"""
-    ]
-    for k in range(n_merges):
-        parts.append(f"""pairs_{k} AS MATERIALIZED (
+]
+
+
+def _bpe_train_level(k: int, min_count: int) -> str:
+    return f"""pairs_{k} AS MATERIALIZED (
       SELECT p, CAST(sum(c) AS BIGINT) AS cnt FROM (
         SELECT c, unnest(list_transform(range(1, len(syms)),
                      i -> concat(syms[i], ' ', syms[i + 1]))) AS p
@@ -291,17 +278,113 @@ def bpe_train_oracle_sql(n_merges: int = 12, min_count: int = 2) -> str:
                          chr(1) || replace(b.p, ' ', '') || chr(2))
              END AS s
       FROM words_{k} LEFT JOIN best_{k} b ON true
-    )""")
-    selects = [
-        f"""SELECT CAST({k + 1} AS BIGINT) AS rank,
+    )"""
+
+
+def _bpe_train_select(k: int) -> str:
+    return f"""SELECT CAST({k + 1} AS BIGINT) AS rank,
            split_part(p, ' ', 1) AS left_sym,
            split_part(p, ' ', 2) AS right_sym,
            replace(p, ' ', '') AS merged,
            cnt AS pair_count
     FROM best_{k}"""
-        for k in range(n_merges)
-    ]
+
+
+def _bpe_train_parts(
+    n_merges: int, min_count: int
+) -> tuple[list[str], list[str]]:
+    """(CTE parts, per-level merge SELECTs) shared by the fn-bpe-train
+    oracle and the fn-bpe-roundtrip oracle — one rendering of the
+    training replay, two graded consumers (the bm25_replay_ctes
+    discipline)."""
+    parts = _BPE_TRAIN_HEAD[:]
+    for k in range(n_merges):
+        parts.append(_bpe_train_level(k, min_count))
+    selects = [_bpe_train_select(k) for k in range(n_merges)]
+    return parts, selects
+
+
+def bpe_train_oracle_sql(n_merges: int = 12, min_count: int = 2) -> str:
+    """DuckDB twin of learn_bpe: the merge fixpoint UNROLLED into
+    ``n_merges`` chained CTE levels (the proven pattern — the sim-knn-ivf
+    oracle unrolls Lloyd's the same way; a RECURSIVE CTE cannot
+    aggregate over its own recursion table, which pair counting needs).
+    Each level re-derives pair counts from the sentinel-delimited word
+    strings, picks the argmax (count desc, pair asc — the same
+    tie-break), and applies the merge via non-overlapping left-to-right
+    replace(); a level whose best pair misses ``min_count`` passes the
+    state through unchanged, so early exhaustion yields fewer rows on
+    both engines identically. Every level is AS MATERIALIZED: each
+    words_k is referenced twice (pair counting + the next level), so
+    DuckDB's default CTE inlining would re-evaluate the chain
+    exponentially (2^n_merges over the base scan — measured: the
+    un-materialized form did not finish)."""
+    parts, selects = _bpe_train_parts(n_merges, min_count)
     return (
         "\n    WITH " + ",\n    ".join(parts) + "\n    "
         + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+def bpe_roundtrip_oracle_sql(n_merges: int = 12, min_count: int = 2) -> str:
+    """DuckDB twin of the END-TO-END tokenizer loop: replay learn_bpe's
+    training (the shared _bpe_train_parts levels), collect the learned
+    merge table into a rank-ordered list, then segment the corpus
+    vocabulary with it via the fn-bpe recursive-CTE pattern (first
+    occurrence of the lowest-rank adjacent pair per recursion level —
+    provably equal to merge-all-left-to-right) and join the counts back
+    per document. The only difference from the fn-bpe-count oracle is
+    that the merge list is the LEARNED `(SELECT m FROM ml)` instead of a
+    literal; an empty learned table (degenerate corpus) yields a NULL
+    list, every list_position returns NULL, and segmentation stays at
+    the character level — exactly bpe_segment's behavior with an empty
+    merges tuple."""
+    parts, selects = _bpe_train_parts(n_merges, min_count)
+    union = "\n        UNION ALL\n        ".join(selects)
+    # DuckDB forbids subqueries inside lambdas — the learned list joins
+    # in as a plain column (ml is one row) and the lambda captures it
+    pos = "nullif(list_position(m, concat(syms[i], ' ', syms[i+1])), 0)"
+    parts.append(f"""ml AS MATERIALIZED (
+      SELECT list(left_sym || ' ' || right_sym ORDER BY rank) AS m
+      FROM ({union})
+    )""")
+    parts.append("""atoks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    awords AS (SELECT DISTINCT w FROM atoks WHERE len(w) >= 1)""")
+    parts.append(f"""bpe AS (
+      SELECT w, list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+      FROM awords
+      UNION ALL
+      SELECT w,
+        list_concat(list_concat(
+          syms[1:bi-1],
+          [concat(syms[bi], syms[bi+1])]),
+          syms[bi+2:]) AS syms
+      FROM (
+        SELECT w, syms,
+          list_position(
+            list_transform(range(1, len(syms)), i -> {pos}),
+            list_min(list_filter(
+              list_transform(range(1, len(syms)), i -> {pos}),
+              x -> x IS NOT NULL))) AS bi
+        FROM bpe, ml
+      ) WHERE bi IS NOT NULL
+    ),
+    seg AS (
+      SELECT w, CAST(len(syms) AS BIGINT) AS n_subwords
+      FROM bpe, ml
+      WHERE len(list_filter(list_transform(range(1, len(syms)), i -> {pos}),
+            x -> x IS NOT NULL)) = 0
+    )""")
+    return (
+        "\n    WITH RECURSIVE " + ",\n    ".join(parts) + """
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(s.n_subwords) AS BIGINT) AS n_bpe_tokens
+    FROM atoks t JOIN seg s USING (w)
+    GROUP BY 1
+    """
     )

@@ -2658,6 +2658,64 @@ def fn_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe(t.documents, n_merges=12, min_count=2)
 
 
+from itdb_spark.operators.packing import bpe_roundtrip_oracle_sql as _bpe_rt_oracle  # noqa: E402
+
+
+@register(
+    "fn-bpe-roundtrip",
+    oracle=_bpe_rt_oracle(n_merges=12, min_count=2),
+    defer_after=7,
+    doc="END-TO-END tokenizer loop (round 7): learn the BPE merge table "
+    "from the corpus (fn-bpe-train's learn_bpe), then tokenize the SAME "
+    "corpus with the learned table and count per-document tokens — the "
+    "full train→apply cycle a pretraining pipeline runs, closing the "
+    "loop fn-bpe opened with a fixed table. The learned merges are a "
+    "<=12-row driver value (the trainer's output, like PQ codebooks), "
+    "so application is exactly the fn-bpe-count shape: the iterative "
+    "segmentation UDF touches each DISTINCT word once with the learned "
+    "table closed over, the corpus pays one hash join + one "
+    "map-side-combined groupBy(doc). Oracle = the shared training "
+    "replay (_bpe_train_parts) + the fn-bpe recursive segmentation "
+    "pattern parameterized by the learned list (joined as a one-row "
+    "relation — DuckDB forbids subqueries in lambdas).",
+)
+def fn_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from itdb_spark.operators.packing import bpe_segment, learn_bpe
+
+    t = Tables(spark, sf_dir)
+    learned = tuple(
+        f"{r.left_sym} {r.right_sym}"
+        for r in sorted(
+            learn_bpe(t.documents, n_merges=12, min_count=2).collect(),
+            key=lambda r: r.rank,
+        )
+    )
+
+    @pandas_udf("int")
+    def n_sub(words):  # no type hints: future-annotations stringify them
+        return words.map(lambda w: len(bpe_segment(w, learned)))
+
+    toks = (
+        t.documents.where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .where(F.length("w") >= 1)
+    )
+    vocab = toks.select("w").distinct().select("w", n_sub("w").alias("n_subwords"))
+    return (
+        toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 @register(
     "fn-bpe-count",
     oracle=f"""

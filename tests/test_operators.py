@@ -1657,3 +1657,24 @@ def test_learn_bpe_matches_python_reference(spark):
         got = sorted(tuple(r) for r in learn_bpe(docs, n_merges=6).collect())
         want = sorted(reference(texts, n_merges=6))
         assert got == want, (texts, got, want)
+
+
+def test_bpe_roundtrip_registered_oracle_matches_spark(spark):
+    """The fn-bpe-roundtrip REGISTERED form (train on the corpus, apply
+    the learned table back to it) must match its registered DuckDB
+    oracle bit-for-bit in CI — the same in-suite pin every deferred
+    registration carries until the driver grades it."""
+    import duckdb
+
+    from itdb_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    q = load_all()["fn-bpe-roundtrip"]
+    got = sorted(tuple(r) for r in q.spark(spark, SF_DIR).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
