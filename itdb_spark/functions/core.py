@@ -32,6 +32,22 @@ def portable_hash64(c: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
 
+def hash_ranked_sample(df, id_col: str, n: int):
+    """Deterministic, seedless bounded sample: the ``n`` rows with the
+    smallest portable hash of their id, tie-broken by id. THE sampling
+    discipline every bounded-training lever shares — train_pq,
+    build_ivf_index, and the driver-side IVF-PQ trainer all call this
+    one helper (code review: three hand-maintained copies could drift,
+    silently breaking the distributed-vs-driver bit-identity contract
+    the samplers anchor)."""
+    return (
+        df.withColumn("h", portable_hash64(F.col(id_col).cast("string")))
+        .orderBy("h", id_col)
+        .limit(n)
+        .drop("h")
+    )
+
+
 def decode_location(location: Column | str) -> Column:
     """``file://localhost/...%20...`` iTunes Location → plain filesystem path:
     strip the scheme, URL-decode ALL %XX escapes, and unescape ``&amp;`` —

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from itdb_spark.functions.core import portable_hash64
+from itdb_spark.functions.core import hash_ranked_sample, portable_hash64
 from itdb_spark.operators.similarity import cosine_pandas
 from itdb_spark.plans.library import truncate_lineage
 
@@ -76,12 +76,7 @@ def build_ivf_index(
         # bounded, deterministic training sample — one materialization
         # feeds init + every assignment round (conditional cache, same
         # posture as train_pq: never pin a corpus-sized frame)
-        train_v = (
-            v.withColumn("h", portable_hash64(F.col(id_col).cast("string")))
-            .orderBy("h", id_col)
-            .limit(max_train)
-            .drop("h")
-        ).cache()
+        train_v = hash_ranked_sample(v, id_col, max_train).cache()
     # seedless deterministic init: k vectors with smallest hashed id;
     # coalesce(1) so monotonically_increasing_id yields stable 0..k-1
     init = (

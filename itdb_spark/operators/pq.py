@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from itdb_spark.functions.core import portable_hash64
+from itdb_spark.functions.core import hash_ranked_sample, portable_hash64
 from itdb_spark.plans.library import truncate_lineage
 
 
@@ -200,12 +200,7 @@ def train_pq(
     sub_dim = dim // m
     train_src = _normalize(vectors, id_col, vec_col)
     if max_train is not None:
-        train_src = (
-            train_src.withColumn("h", portable_hash64(F.col("id").cast("string")))
-            .orderBy("h", "id")
-            .limit(max_train)
-            .drop("h")
-        )
+        train_src = hash_ranked_sample(train_src, "id", max_train)
     subvecs = _subvectors(train_src, m, sub_dim)
     # With a bounded sample, one materialization feeds init + every
     # assignment round (otherwise each Lloyd's iteration replays
@@ -506,16 +501,14 @@ def _train_ivfpq_driver(
     import numpy as np
 
     spark = vectors.sparkSession
-    rows = (
+    rows = hash_ranked_sample(
         vectors.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("vec"),
-        )
-        .withColumn("h", portable_hash64(F.col("id").cast("string")))
-        .orderBy("h", "id")
-        .limit(max_train)
-        .collect()
-    )
+        ),
+        "id",
+        max_train,
+    ).collect()
     X = np.asarray([r.vec for r in rows], dtype=np.float64)
 
     # IVF coarse quantizer: cosine assignment, per-dimension mean update,

@@ -1678,3 +1678,24 @@ def test_bpe_roundtrip_registered_oracle_matches_spark(spark):
     )
     want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert got == want
+
+
+def test_bpe_train_registered_oracle_matches_spark(spark):
+    """The fn-bpe-train REGISTERED form must match its registered DuckDB
+    oracle bit-for-bit in CI — including the rank and pair_count columns
+    the roundtrip oracle never consumes (code review: they were
+    otherwise unexercised until the driver grades the deferred entry)."""
+    import duckdb
+
+    from itdb_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    q = load_all()["fn-bpe-train"]
+    got = sorted(tuple(r) for r in q.spark(spark, SF_DIR).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want

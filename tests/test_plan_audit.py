@@ -28,18 +28,29 @@ MAX_SCAN_COLS = 4
 
 
 def test_bench_query_plans_hold_scale_properties(spark):
-    """Audits the plan bench.py actually TIMES (the deploy twin where
-    one is registered, else the graded form). The graded forms of
-    deferred/registered twins keep their own gates — the retrieval
-    family's is test_retrieval_family_plans_hold_scale_properties,
-    which allows the full-corpus trainer's documented one-row
-    single-partition exchanges; the deploy twin must have none."""
+    """Audits BOTH the plan bench.py actually TIMES (the deploy twin
+    where one is registered) AND each query's graded form, which
+    CORRECTNESS still grades (code review: auditing only the twin
+    silently dropped coverage of the dedup trio's md5-portable plans).
+    One exception: sim-knn-ivfpq's GRADED full-corpus-trained form is
+    audited by test_retrieval_family_plans_hold_scale_properties
+    instead, whose contract declares the trainer's one-row
+    single-partition exchanges; its deploy twin must have none and is
+    audited here."""
     registry = load_all()
     bench_ids = [qid for qid, q in registry.items() if q.bench]
     assert bench_ids, "bench set is empty?"
-    failures = []
+    forms = []
     for qid in bench_ids:
-        df = (registry[qid].bench_spark or registry[qid].spark)(spark, SF_DIR)
+        if registry[qid].bench_spark is not None:
+            forms.append((qid, registry[qid].bench_spark))
+            if qid != "sim-knn-ivfpq":  # graded form: retrieval gate
+                forms.append((qid, registry[qid].spark))
+        else:
+            forms.append((qid, registry[qid].spark))
+    failures = []
+    for qid, form in forms:
+        df = form(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         a = audit(plan)

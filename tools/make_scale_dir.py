@@ -52,6 +52,31 @@ def _max(con: duckdb.DuckDBPyConnection, src: str, table: str, col: str) -> int:
 def build(src: str, dst: str, n: int) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # Guard the construction invariants against a testdata regen (code
+    # review): a whitespace-only doc would gain a phantom '‡r' token in
+    # replicas >= 1 (regexp_split_to_array(trim(''), ..) yields ['']),
+    # and a NULL user_id + r*stride stays NULL, collapsing all N
+    # replicas into one N-times-deeper timeline — either silently
+    # breaks the 'structure replicates 1:1' claim the scaling ratios
+    # rest on. Fail loud instead.
+    n_degenerate_docs = con.execute(
+        f"SELECT count(*) FROM read_parquet('{src}/documents.parquet') "
+        f"WHERE text IS NULL OR len(trim(text)) = 0"
+    ).fetchone()[0]
+    assert n_degenerate_docs == 0, (
+        f"{n_degenerate_docs} empty/whitespace docs in {src}: the token "
+        "remap would not replicate their structure 1:1 — exclude or "
+        "handle them before scaling"
+    )
+    n_null_users = con.execute(
+        f"SELECT count(*) FROM read_parquet('{src}/events.parquet') "
+        f"WHERE user_id IS NULL"
+    ).fetchone()[0]
+    assert n_null_users == 0, (
+        f"{n_null_users} NULL-user events in {src}: key shifting keeps "
+        "them NULL, densifying one timeline N-fold instead of "
+        "replicating — exclude or handle them before scaling"
+    )
     reps = f"(SELECT unnest(range({n})) AS r) reps"
 
     def emit(table: str, select_sql: str) -> None:
