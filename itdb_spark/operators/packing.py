@@ -157,6 +157,7 @@ def learn_bpe(
     text_col: str = "text",
     n_merges: int = 12,
     min_count: int = 2,
+    batch: int = 1,
 ) -> DataFrame:
     """BPE merge-table TRAINING (Sennrich et al. 2016) — the learning
     half of the tokenizer loop whose application half is bpe_segment /
@@ -203,26 +204,73 @@ def learn_bpe(
         vocab.select("c", chars.alias("syms")), eager=True
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
         pairs = bpe_pair_counts(state, min_count)
-        best = pairs.orderBy(F.desc("cnt"), F.asc("p")).limit(1).collect()
+        room = n_merges - len(merges)
+        if batch == 1:
+            best = pairs.orderBy(F.desc("cnt"), F.asc("p")).limit(1).collect()
+        else:
+            # deploy lever (SCALE.md): amortize the per-round argmax
+            # collect by taking up to `batch` SYMBOL-DISJOINT pairs per
+            # round, greedily from the (count desc, pair asc) order.
+            # Disjointness makes the multi-rule fold below ORDER-FREE
+            # and exactly equal to applying the rules sequentially
+            # (merging one rule can neither create nor destroy an
+            # occurrence of another: the merged symbol is new, and no
+            # rule shares a symbol) — but the SELECTION itself is a
+            # greedy approximation of merge-by-merge training (a pair
+            # involving a just-merged symbol could outrank later batch
+            # members), so batch>1 is a deploy twin, never the
+            # registered oracle-replayed form. Gated for batch=1
+            # equivalence and batched-compression quality in
+            # tests/test_operators.py.
+            top = (
+                pairs.orderBy(F.desc("cnt"), F.asc("p"))
+                .limit(4 * batch)
+                .collect()
+            )
+            best, used = [], set()
+            for r in top:
+                l, rt = r.p.split(" ")
+                if l in used or rt in used:
+                    continue
+                best.append(r)
+                used.update((l, rt))
+                if len(best) == min(batch, room):
+                    break
         if not best:
             break
-        p, cnt = best[0].p, int(best[0].cnt)
-        left, right = p.split(" ")
-        merges.append((rank, left, right, left + right, cnt))
-        merged_lit = F.lit(left + right)
+        rules = []
+        for r in best[:room]:
+            left, right = r.p.split(" ")
+            merges.append(
+                (len(merges) + 1, left, right, left + right, int(r.cnt))
+            )
+            rules.append((left, right))
+
+        # factory, not a default arg: pyspark's lambda-arity inspection
+        # would read a third parameter as the lambda's index variable
+        def _make_merge_step(step_rules):
+            def _merge_step(acc, x):
+                expr = F.concat(acc, F.array(x))
+                for left, right in step_rules:
+                    expr = F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(left))
+                        & (x == F.lit(right)),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(left + right)),
+                        ),
+                    ).otherwise(expr)
+                return expr
+
+            return _merge_step
+
         new_syms = F.aggregate(
             F.col("syms"),
             F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (x == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged_lit)
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+            _make_merge_step(tuple(rules)),
         )
         state = truncate_lineage(
             state.select("c", new_syms.alias("syms")), eager=True

@@ -1699,3 +1699,37 @@ def test_bpe_train_registered_oracle_matches_spark(spark):
     )
     want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert got == want
+
+
+def test_learn_bpe_batched_deploy_lever(spark):
+    """learn_bpe(batch=B) — the SCALE.md lever amortizing the per-round
+    argmax collect by merging up to B symbol-disjoint pairs per round.
+    Gates: batch=1 is BIT-EQUAL to the default (registered) path;
+    batch=4 is deterministic, produces contiguous ranks, and compresses
+    the corpus within 2% of merge-by-merge training (measured ratio
+    1.0001 on the current testdata) — the selection is greedy, so only
+    quality is promised, never oracle equality."""
+    from itdb_spark.operators.packing import bpe_segment, learn_bpe
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    seq = sorted(tuple(r) for r in learn_bpe(docs).collect())
+    one = sorted(tuple(r) for r in learn_bpe(docs, batch=1).collect())
+    assert seq == one
+    b4 = sorted(tuple(r) for r in learn_bpe(docs, batch=4).collect())
+    again = sorted(tuple(r) for r in learn_bpe(docs, batch=4).collect())
+    assert b4 == again, "batched training must be deterministic"
+    assert [r[0] for r in b4] == list(range(1, len(b4) + 1))
+
+    words = {}
+    for r in docs.select("text").collect():
+        for w in (r.text or "").strip().lower().split():
+            if w:
+                words[w] = words.get(w, 0) + 1
+
+    def total_tokens(table):
+        merges = tuple(f"{t[1]} {t[2]}" for t in sorted(table))
+        return sum(len(bpe_segment(w, merges)) * c for w, c in words.items())
+
+    ratio = total_tokens(b4) / total_tokens(seq)
+    assert ratio <= 1.02, ratio
