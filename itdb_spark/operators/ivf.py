@@ -141,6 +141,28 @@ def ivf_knn(
     otherwise — either way bounded by the probed-cell candidate count.
     None = unfiltered (the registered sim-knn-ivf form, unchanged)."""
     assignments, centroids = build_ivf_index(vectors, id_col, vec_col, k=n_cells)
+    return ivf_search(
+        assignments, centroids, queries, id_col, vec_col,
+        k=k, n_probe=n_probe, allowed=allowed,
+    )
+
+
+def ivf_search(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Probe-and-rerank over a PREBUILT index — the search half of
+    ivf_knn, exposed so an index can be built once and served many
+    times (and MAINTAINED incrementally: assign new vectors to the
+    existing centroids with ``_assign`` and union them into
+    ``assignments`` — no retrain, the production ingest path; see
+    sim-knn-ivf-incr)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
@@ -176,6 +198,27 @@ def ivf_knn(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def ivf_assign_incremental(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign NEW vectors to an EXISTING coarse quantizer — the index
+    ingest path at 100 TB: training is a bounded one-off (build_ivf_index
+    with max_train), but data keeps arriving; each batch is assigned to
+    the frozen centroids (one broadcast join, no shuffle of the index)
+    and appended to the cell-partitioned assignment table
+    (write.partitionBy(centroid_id) appends stay pruned). Same
+    assignment rule as training (cosine desc, centroid-id asc), so an
+    incrementally-ingested vector lands in exactly the cell a full
+    rebuild would put it in given the same centroids."""
+    v = new_vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    return _assign(v, centroids, id_col)
 
 
 def cell_balanced_sample(

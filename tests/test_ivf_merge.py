@@ -532,3 +532,48 @@ def test_filtered_registered_oracle_matches_spark(spark):
         )
     want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert got == want
+
+
+def test_ivf_incremental_ingest(spark):
+    """Incremental index maintenance: (1) assigning the increment to the
+    frozen centroids lands every vector in EXACTLY the cell a full
+    assignment pass with the same centroids chooses (the property that
+    makes the sim-knn-ivf-incr oracle a one-parameter reuse of the
+    sim-knn-ivf replay), and (2) the registered query matches its
+    registered DuckDB oracle bit-for-bit in CI."""
+    import duckdb
+
+    from itdb_spark.operators.ivf import (
+        _assign,
+        build_ivf_index,
+        ivf_assign_incremental,
+    )
+    from itdb_spark.queries import load_all
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    incr = emb.where(F.col("vec_id") % 5 == 4)
+    _, centroids = build_ivf_index(base, k=8)
+    got = {
+        (r.vec_id, r.centroid_id)
+        for r in ivf_assign_incremental(incr, centroids).collect()
+    }
+    v_all = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    want = {
+        (r.vec_id, r.centroid_id)
+        for r in _assign(v_all, centroids, "vec_id").collect()
+        if r.vec_id % 5 == 4
+    }
+    assert got == want and got
+
+    q = load_all()["sim-knn-ivf-incr"]
+    got_q = sorted(tuple(r) for r in q.spark(spark, SF_DIR).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want_q = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got_q == want_q
