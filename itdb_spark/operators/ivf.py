@@ -30,18 +30,34 @@ from itdb_spark.plans.library import truncate_lineage
 
 def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     """(id, vec, centroid_id): nearest centroid by cosine (broadcast join
-    over k centroids — k rows, always broadcastable)."""
+    over k centroids — k rows, always broadcastable).
+
+    The argmax is a ``max_by`` aggregate over the (sim, -centroid_id)
+    struct — identical winner to the previous desc-sim/asc-id window
+    (including on exact sim ties and the all-NaN zero-vector row: Spark
+    orders NaN greatest in both forms), but it PARTIAL-combines
+    map-side, collapsing the k-fanned scored rows before the exchange
+    instead of shuffling and sorting them all (round-7 plan improvement,
+    output bit-identical)."""
     scored = vectors.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         "vec",
         F.col("centroid_id"),
         cosine_pandas(F.col("vec"), F.col("cvec")).alias("sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, "vec", "centroid_id")
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct("vec", "centroid_id"),
+                F.struct(F.col("sim"), (-F.col("centroid_id")).alias("nid")),
+            ).alias("w")
+        )
+        .select(
+            id_col,
+            F.col("w.vec").alias("vec"),
+            F.col("w.centroid_id").alias("centroid_id"),
+        )
     )
 
 

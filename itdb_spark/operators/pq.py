@@ -154,15 +154,29 @@ def _adc_score(m: int):
 
 def _assign(subvecs: DataFrame, codebooks: DataFrame) -> DataFrame:
     """(id, sub, svec, code): nearest centroid per subspace by L2
-    (broadcast join over the m·k centroid rows); ties break by code."""
+    (broadcast join over the m·k centroid rows); ties break by code.
+
+    The argmin is a ``min_by`` aggregate, not a window: the winner is
+    identical (min over the (d, code) struct IS orderBy d, code limit 1,
+    and the key is unique within a group — code is distinct — so min_by
+    is deterministic), but the aggregate PARTIAL-combines map-side: the
+    k-fanned scored rows collapse back to one row per (id, sub) BEFORE
+    the exchange, where the window form shuffled and sorted the full
+    scored set (round-7 plan improvement, output bit-identical)."""
     scored = subvecs.join(F.broadcast(codebooks), "sub").select(
         "id", "sub", "svec", "code", _l2sq(F.col("svec"), F.col("cvec")).alias("d")
     )
-    w = Window.partitionBy("id", "sub").orderBy("d", "code")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "sub", "svec", "code")
+        scored.groupBy("id", "sub")
+        .agg(
+            F.min_by(
+                F.struct("svec", "code"), F.struct("d", "code")
+            ).alias("w")
+        )
+        .select(
+            "id", "sub",
+            F.col("w.svec").alias("svec"), F.col("w.code").alias("code"),
+        )
     )
 
 
