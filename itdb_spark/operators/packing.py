@@ -211,19 +211,25 @@ def learn_bpe(
             best = pairs.orderBy(F.desc("cnt"), F.asc("p")).limit(1).collect()
         else:
             # deploy lever (SCALE.md): amortize the per-round argmax
-            # collect by taking up to `batch` SYMBOL-DISJOINT pairs per
+            # collect by taking up to `batch` NON-INTERACTING pairs per
             # round, greedily from the (count desc, pair asc) order.
-            # Disjointness makes the multi-rule fold below ORDER-FREE
-            # and exactly equal to applying the rules sequentially
-            # (merging one rule can neither create nor destroy an
-            # occurrence of another: the merged symbol is new, and no
-            # rule shares a symbol) — but the SELECTION itself is a
-            # greedy approximation of merge-by-merge training (a pair
-            # involving a just-merged symbol could outrank later batch
-            # members), so batch>1 is a deploy twin, never the
-            # registered oracle-replayed form. Gated for batch=1
-            # equivalence and batched-compression quality in
-            # tests/test_operators.py.
+            # Non-interaction requires the rules' INPUT SYMBOLS *and*
+            # MERGED OUTPUTS to be pairwise disjoint — a merged output
+            # is NOT automatically a new symbol (code review:
+            # ("abc","d") and ("a","bc") share no input yet the second
+            # rule's output IS the first rule's left symbol, and the
+            # one-pass fold then merges [a, bc, d] to [abcd] where
+            # sequential application yields [abc, d]). With the full
+            # {left, right, left+right} sets disjoint, merging one rule
+            # can neither create nor destroy an occurrence of another,
+            # so the multi-rule fold below is ORDER-FREE and exactly
+            # equal to applying the rules sequentially. The SELECTION
+            # itself remains a greedy approximation of merge-by-merge
+            # training (a pair involving a just-merged symbol could
+            # outrank later batch members), so batch>1 is a deploy
+            # twin, never the registered oracle-replayed form. Gated
+            # against a Python reference of these exact semantics plus
+            # compression quality in tests/test_operators.py.
             top = (
                 pairs.orderBy(F.desc("cnt"), F.asc("p"))
                 .limit(4 * batch)
@@ -232,16 +238,16 @@ def learn_bpe(
             best, used = [], set()
             for r in top:
                 l, rt = r.p.split(" ")
-                if l in used or rt in used:
+                if used & {l, rt, l + rt}:
                     continue
                 best.append(r)
-                used.update((l, rt))
+                used.update((l, rt, l + rt))
                 if len(best) == min(batch, room):
                     break
         if not best:
             break
         rules = []
-        for r in best[:room]:
+        for r in best:
             left, right = r.p.split(" ")
             merges.append(
                 (len(merges) + 1, left, right, left + right, int(r.cnt))

@@ -1701,21 +1701,90 @@ def test_bpe_train_registered_oracle_matches_spark(spark):
     assert got == want
 
 
+def _reference_batched_bpe(texts, n_merges=6, min_count=2, batch=1):
+    """Pure-Python mirror of learn_bpe's batched semantics: per round,
+    scan the top 4*batch (count desc, pair asc) candidates, greedily
+    select up to min(batch, room) rules whose {left, right, left+right}
+    sets are pairwise disjoint (inputs AND merged outputs — the code-
+    review repro: ("abc","d") + ("a","bc") share no input but the
+    second's output is the first's left, and a one-pass fold then
+    diverges from sequential application), then apply the selected
+    rules in one left-to-right pass."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                words[w] += 1
+    vocab = {w: [list(w), c] for w, c in words.items()}
+    merges = []
+    while len(merges) < n_merges:
+        counts = Counter()
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        eligible = sorted(
+            ((v, k) for k, v in counts.items() if v >= min_count),
+            key=lambda e: (-e[0], f"{e[1][0]} {e[1][1]}"),
+        )
+        room = n_merges - len(merges)
+        rules, used = [], set()
+        for cnt, (left, right) in eligible[: 4 * batch]:
+            if used & {left, right, left + right}:
+                continue
+            rules.append((left, right, cnt))
+            used.update((left, right, left + right))
+            if len(rules) == min(batch, room):
+                break
+        if not rules:
+            break
+        for left, right, cnt in rules:
+            merges.append((len(merges) + 1, left, right, left + right, cnt))
+        rule_map = {(left, right) for left, right, _ in rules}
+        for w, (syms, c) in vocab.items():
+            out = []
+            for x in syms:
+                if out and (out[-1], x) in rule_map:
+                    out[-1] = out[-1] + x
+                else:
+                    out.append(x)
+            vocab[w] = [out, c]
+    return merges
+
+
 def test_learn_bpe_batched_deploy_lever(spark):
     """learn_bpe(batch=B) — the SCALE.md lever amortizing the per-round
-    argmax collect by merging up to B symbol-disjoint pairs per round.
-    Gates: batch=1 is BIT-EQUAL to the default (registered) path;
-    batch=4 is deterministic, produces contiguous ranks, and compresses
-    the corpus within 2% of merge-by-merge training (measured ratio
-    1.0001 on the current testdata) — the selection is greedy, so only
-    quality is promised, never oracle equality."""
+    argmax collect by merging up to B non-interacting pairs per round.
+    Gates: the batched path matches an independent Python reference of
+    the exact semantics (selection window, {left, right, merged}
+    disjointness guard, one-pass fold) on adversarial mini-corpora for
+    batch 2 and 3; batch=4 on the real testdata is deterministic with
+    contiguous ranks and compresses within 2% of merge-by-merge
+    training (measured ratio 1.0001) — the selection is greedy, so only
+    quality is promised vs sequential, never oracle equality."""
     from itdb_spark.operators.packing import bpe_segment, learn_bpe
     from tests.conftest import SF_DIR
 
+    corpora = [
+        ["aaaa aaaa b", "aaaa aa"],
+        ["ab ab cd cd", "ab cd"],
+        ["the the the ther ther er er", "there there"],
+        # overlapping-symbol class: 'bc' forms, then 'a bc' / 'bc d'
+        # adjacencies compete within one round
+        ["abcd abcd abc abc abce", "bc bc bc"],
+    ]
+    for texts in corpora:
+        frame = spark.createDataFrame([(t,) for t in texts], "text string")
+        for b in (2, 3):
+            got = sorted(
+                tuple(r) for r in learn_bpe(frame, n_merges=6, batch=b).collect()
+            )
+            want = sorted(_reference_batched_bpe(texts, n_merges=6, batch=b))
+            assert got == want, (texts, b, got, want)
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     seq = sorted(tuple(r) for r in learn_bpe(docs).collect())
-    one = sorted(tuple(r) for r in learn_bpe(docs, batch=1).collect())
-    assert seq == one
     b4 = sorted(tuple(r) for r in learn_bpe(docs, batch=4).collect())
     again = sorted(tuple(r) for r in learn_bpe(docs, batch=4).collect())
     assert b4 == again, "batched training must be deterministic"
