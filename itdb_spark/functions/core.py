@@ -39,12 +39,17 @@ def hash_ranked_sample(df, id_col: str, n: int):
     build_ivf_index, and the driver-side IVF-PQ trainer all call this
     one helper (code review: three hand-maintained copies could drift,
     silently breaking the distributed-vs-driver bit-identity contract
-    the samplers anchor)."""
+    the samplers anchor). The rank column uses a collision-proof temp
+    name (ADVICE r7: a caller frame that already carried a column named
+    ``h`` would have it clobbered and then dropped)."""
+    tmp = "__hrs_h"
+    while tmp in df.columns:  # pathological but cheap to rule out
+        tmp += "_"
     return (
-        df.withColumn("h", portable_hash64(F.col(id_col).cast("string")))
-        .orderBy("h", id_col)
+        df.withColumn(tmp, portable_hash64(F.col(id_col).cast("string")))
+        .orderBy(tmp, id_col)
         .limit(n)
-        .drop("h")
+        .drop(tmp)
     )
 
 

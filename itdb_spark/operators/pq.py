@@ -507,23 +507,29 @@ def _train_ivfpq_driver(
     PQ empty-cluster retention. float64 throughout, so results differ
     from the distributed trainer only in final-ulp summation order —
     absorbed by the same margins the DuckDB differential relies on
-    (test_pq_assignment_margin). One documented divergence: the sample
-    here is drawn before the zero-vector drop, while train_pq samples
-    after normalization — identical whenever the sample window contains
-    no zero vectors (real testdata has none; dead embeddings are an
-    edge-corpus plant)."""
+    (test_pq_assignment_margin). Sampling populations mirror the
+    distributed twins EXACTLY (ADVICE r7): the IVF sample is drawn from
+    the raw vectors (build_ivf_index samples before any norm filter —
+    zero vectors go NaN-sim and land deterministically), while the PQ
+    sample is drawn from the zero-norm-filtered population (train_pq
+    samples after ``_normalize`` drops dead embeddings), so the
+    bit-identity contract holds even when dead embeddings sit inside
+    the smallest-hash window."""
     import numpy as np
 
     spark = vectors.sparkSession
-    rows = hash_ranked_sample(
-        vectors.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
-        ),
-        "id",
-        max_train,
-    ).collect()
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    rows = hash_ranked_sample(v, "id", max_train).collect()
     X = np.asarray([r.vec for r in rows], dtype=np.float64)
+    # PQ population: same bounded window over the zero-norm-filtered
+    # frame (second bounded collect — cheap, and the only way the two
+    # backends sample identical populations when dead embeddings exist)
+    sqnorm = F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x)
+    pq_rows = hash_ranked_sample(v.where(sqnorm > 0.0), "id", max_train).collect()
+    Xpq = np.asarray([r.vec for r in pq_rows], dtype=np.float64)
 
     # IVF coarse quantizer: cosine assignment, per-dimension mean update,
     # empty cells drop (mirrors ivf.build_ivf_index)
@@ -534,6 +540,15 @@ def _train_ivfpq_driver(
         cn = np.linalg.norm(cents, axis=1)
         with np.errstate(invalid="ignore", divide="ignore"):
             sims = (X @ cents.T) / (xn[:, None] * cn[None, :])
+        # NaN sims (zero vector or zero centroid) LOSE on the Spark side:
+        # cosine_pandas NaN crosses Arrow as NULL, and max_by's
+        # (sim, -cid) struct sorts a NULL field smallest — while numpy's
+        # argmax propagates NaN as the maximum. Map NaN → -inf so a dead
+        # centroid never captures live vectors; an all-NaN (dead-vector)
+        # row argmaxes to index 0 = the smallest centroid id, exactly the
+        # all-NULL tie-break max_by resolves (ADVICE r7 follow-through —
+        # caught by test_ivfpq_driver_trainer_dead_embedding_in_window).
+        sims = np.where(np.isnan(sims), -np.inf, sims)
         assign = np.argmax(sims, axis=1)
         keep_c, keep_i = [], []
         for ci in range(len(cents)):
@@ -548,18 +563,22 @@ def _train_ivfpq_driver(
     )
 
     # PQ codebooks: normalized subvectors, L2 assignment, empty-cluster
-    # retention (mirrors train_pq)
-    nz = xn > 0.0
-    Xn = X[nz] / xn[nz][:, None]
+    # retention (mirrors train_pq). ``n_codes`` can be < k when the
+    # bounded sample holds fewer than k live vectors — the distributed
+    # trainer's limit(k) yields fewer codes in exactly the same way
+    # (ADVICE r7: indexing range(k) here raised IndexError instead).
+    pq_norms = np.linalg.norm(Xpq, axis=1)
+    Xn = Xpq / pq_norms[:, None]
     sub_dim = dim // m
     S = Xn.reshape(len(Xn), m, sub_dim)
-    books = np.stack([S[:k, s, :].copy() for s in range(m)])  # (m, k, sub)
+    books = np.stack([S[:k, s, :].copy() for s in range(m)])  # (m, ≤k, sub)
+    n_codes = books.shape[1]
     for _ in range(pq_iters):
         new_books = books.copy()  # retention: empty codes keep centroids
         for s in range(m):
             d = ((S[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
             a = np.argmin(d, axis=1)
-            for code in range(k):
+            for code in range(n_codes):
                 mem = S[a == code, s, :]
                 if len(mem):
                     new_books[s, code] = mem.mean(axis=0)
@@ -568,7 +587,7 @@ def _train_ivfpq_driver(
         [
             (s, c, [float(x) for x in books[s, c]])
             for s in range(m)
-            for c in range(k)
+            for c in range(n_codes)
         ],
         "sub int, code int, cvec array<double>",
     )

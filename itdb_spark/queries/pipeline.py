@@ -429,14 +429,17 @@ def _ivf_assign_ctes(
 
 
 def _ivf_oracle(k: int = 5, n_cells: int = 8, n_probe: int = 3,
-                iters: int = 4, dim: int = 64, filter_join: str = "",
+                iters: int = 4, dim: int = 64, filter_pred: str = "",
                 train_src: str = "v") -> str:
     """DuckDB twin of build_ivf_index + ivf_knn (see _ivf_assign_ctes):
     probe the top-``n_probe`` cells per query, exact cosine re-rank
-    within probed cells only. ``filter_join`` (default empty — renders
-    the sim-knn-ivf text byte-identically) appends a join constraining
-    the candidate set, the filtered-search form sim-knn-filtered
-    registers."""
+    within probed cells only. ``filter_pred`` (default empty — renders
+    the sim-knn-ivf text byte-identically) appends an AND predicate
+    constraining the candidate set, the filtered-search form
+    sim-knn-filtered registers. A PREDICATE (IN-subquery = semi-join),
+    not a JOIN (ADVICE r7): the Spark side applies the allow-list as a
+    deduplicating LEFT SEMI join, so an inner-join oracle would only be
+    equivalent while the dim table keeps doc_id unique."""
     prev = f"c{iters}"
     ctes = _ivf_assign_ctes(n_cells, iters, dim, train_src)
     ctes.append("q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5)")
@@ -448,7 +451,7 @@ def _ivf_oracle(k: int = 5, n_cells: int = 8, n_probe: int = 3,
     ctes.append(f"""scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
                {_cos_sql('p.qvec', 'a.vec')} AS cos_raw
         FROM probed p JOIN af a
-          ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id{filter_join})""")
+          ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id{filter_pred})""")
     return ("WITH " + ",\n".join(ctes) + f"""
     SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine FROM (
       SELECT query_id, neighbor_id, cos_raw,
@@ -518,8 +521,8 @@ def sim_knn_ivf_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim-knn-filtered",
     oracle=_ivf_oracle(
-        filter_join="""
-          JOIN documents d ON d.doc_id = a.vec_id AND d.lang = 'en'"""
+        filter_pred="""
+          AND a.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"""
     ),
     defer_after=7,
     doc="FILTERED similarity search (round 7) — the metadata-constrained "

@@ -577,3 +577,78 @@ def test_ivf_incremental_ingest(spark):
     )
     want_q = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert got_q == want_q
+
+
+def test_ivfpq_driver_trainer_small_sample(spark):
+    """ADVICE r7 regression: a bounded sample smaller than k must yield
+    fewer PQ codes — exactly what the distributed trainer's limit(k)
+    init does — not raise IndexError from indexing range(k) into a
+    (m, <k, sub) codebook array. Both backends at max_train=8 < k=16
+    must still be bit-identical (the two engines sample the same 8-row
+    population and seed the same ≤8 codes)."""
+    from itdb_spark.operators.pq import ivfpq_search
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    a = sorted(
+        tuple(r)
+        for r in ivfpq_search(
+            emb, queries, top_k=5, max_train=8, train_backend="spark"
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    b = sorted(
+        tuple(r)
+        for r in ivfpq_search(
+            emb, queries, top_k=5, max_train=8, train_backend="driver"
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    assert a and a == b
+
+
+def test_ivfpq_driver_trainer_dead_embedding_in_window(spark):
+    """ADVICE r7 regression: the driver trainer's PQ sample must be drawn
+    from the zero-norm-filtered population (as train_pq does), not from
+    the raw sample with zeros dropped afterwards. Plant a dead (all-zero)
+    embedding on the id with the SMALLEST portable hash — guaranteed
+    inside every hash-ranked window — and require the two backends to
+    stay bit-identical anyway: before the fix the driver's PQ
+    population was one row short and the codebooks diverged."""
+    from itdb_spark.functions.core import portable_hash64
+    from itdb_spark.operators.pq import ivfpq_search
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    first = (
+        emb.select(
+            "vec_id", portable_hash64(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .collect()[0]
+        .vec_id
+    )
+    dim = len(emb.select("embedding").first()[0])
+    dead = F.array(*[F.lit(0.0) for _ in range(dim)])
+    planted = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == first, dead).otherwise(
+            F.col("embedding").cast("array<double>")
+        ),
+    )
+    queries = planted.where((F.col("vec_id") < 5) & (F.col("vec_id") != first))
+    a = sorted(
+        tuple(r)
+        for r in ivfpq_search(
+            planted, queries, top_k=5, max_train=64, train_backend="spark"
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    b = sorted(
+        tuple(r)
+        for r in ivfpq_search(
+            planted, queries, top_k=5, max_train=64, train_backend="driver"
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    assert a and a == b

@@ -1802,3 +1802,28 @@ def test_learn_bpe_batched_deploy_lever(spark):
 
     ratio = total_tokens(b4) / total_tokens(seq)
     assert ratio <= 1.02, ratio
+
+
+def test_hash_ranked_sample_preserves_caller_h_column(spark):
+    """ADVICE r7 regression: the shared sampling helper used a literal
+    temp column named 'h' — a caller frame already carrying 'h' had its
+    data clobbered and then dropped. The temp name is now collision-proof
+    and the caller's columns pass through untouched."""
+    from itdb_spark.functions.core import hash_ranked_sample
+
+    df = spark.createDataFrame(
+        [(i, f"payload-{i}") for i in range(20)], "id long, h string"
+    )
+    out = hash_ranked_sample(df, "id", 5)
+    rows = out.collect()
+    assert out.columns == ["id", "h"]
+    assert len(rows) == 5
+    assert all(r.h == f"payload-{r.id}" for r in rows)
+    # pathological: the fallback temp name is also taken
+    df2 = spark.createDataFrame(
+        [(i, "x", "y") for i in range(20)], "id long, __hrs_h string, __hrs_h_ string"
+    )
+    rows2 = hash_ranked_sample(df2, "id", 3).collect()
+    assert len(rows2) == 3 and all(
+        (r["__hrs_h"], r["__hrs_h_"]) == ("x", "y") for r in rows2
+    )
