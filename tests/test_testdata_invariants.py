@@ -132,6 +132,10 @@ def test_degenerate_documents_keep_oracle_parity(spark):
         # job under ANSI mode (fn-embed-norm, sim-maxsim) until the
         # try_divide fix; NULL cosine mirrors DuckDB's x/0.0.
         "fn-embed-norm", "sim-maxsim",
+        # Sentinel-bait doc 900011 (VERDICT r7 #5): words containing the
+        # BPE merge-encoding sentinels U+0001/U+0002 must be filtered
+        # from the training vocabulary identically on both engines.
+        "fn-bpe-train", "fn-bpe-roundtrip",
     ]
     failures = []
     for qid in sensitive:
@@ -194,3 +198,27 @@ def test_all_sf_dirs_below_edge_id_floor():
             assert mx is not None and mx < EDGE_ID_FLOOR, (sf_dir, table, mx)
             checked += 1
     assert checked >= 3, "no testdata found to check"
+
+
+def test_bpe_sentinel_filter_actually_exercised(spark):
+    """VERDICT r7 #5: learn_bpe filters words containing the
+    merge-encoding sentinel code points U+0001/U+0002 out of the
+    training vocabulary (packing.py) — but until edge doc 900011 no
+    corpus row contained a sentinel, so the filter's parity had never
+    been exercised adversarially. Prove (a) the edge corpus really
+    plants sentinel words, and (b) no learned merge symbol ever
+    contains a sentinel character while clean words still merge."""
+    from itdb_spark.operators.packing import learn_bpe
+    from tools.edge_corpus import build_edge_dir
+
+    dst = build_edge_dir("/root/testdata/sf0.001", "/tmp/itdb_spark_edge_test")
+    docs = spark.read.parquet(f"{dst}/documents.parquet")
+    poisoned = docs.where(
+        F.col("text").contains("\x01") | F.col("text").contains("\x02")
+    )
+    assert poisoned.count() >= 1  # the bait exists
+    merges = learn_bpe(docs, n_merges=8).collect()
+    assert merges  # clean words still train
+    for r in merges:
+        for sym in (r.left_sym, r.right_sym, r.merged):
+            assert "\x01" not in sym and "\x02" not in sym, r

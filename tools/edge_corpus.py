@@ -74,6 +74,15 @@ EDGE_DOCS = [
     # maximal doubling (a+a → aa, aa+aa → aaaa ...), the shingle floor
     # gets a 1-word doc, and entropy is exactly zero.
     (900010, "a" * 32, "en", "src2", 32),
+    # 900011 — BPE sentinel bait (VERDICT r7 #5): learn_bpe filters
+    # words containing the merge-encoding sentinel code points
+    # U+0001/U+0002 from the training vocabulary on BOTH engines
+    # (packing.py) — until this doc existed no corpus row exercised
+    # that filter, so its cross-engine parity was untested. The two
+    # poisoned words must vanish from fn-bpe-train's vocab while the
+    # clean words still train/merge; every OTHER text query must treat
+    # the sentinels as ordinary non-space characters.
+    (900011, "ab\x01cd ef\x02gh clean pair pair", "en", "src0", 27),
 ]
 
 # Every planted id must sit at/above the shared catalog floor — the
@@ -168,7 +177,18 @@ def build_edge_dir(src: str, dst: str) -> str:
     )
     values = ", ".join(
         "(%d, %s, '%s', '%s', %d)"
-        % (i, "'" + t.replace("\t", "' || CHR(9) || '").replace("\n", "' || CHR(10) || '") + "'", la, so, n)
+        % (
+            i,
+            "'"
+            + t.replace("\t", "' || CHR(9) || '")
+            .replace("\n", "' || CHR(10) || '")
+            .replace("\x01", "' || CHR(1) || '")
+            .replace("\x02", "' || CHR(2) || '")
+            + "'",
+            la,
+            so,
+            n,
+        )
         for i, t, la, so, n in EDGE_DOCS
     )
     con.execute(
