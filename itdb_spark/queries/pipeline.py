@@ -483,6 +483,43 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim-knn-ivf-persist",
+    oracle=_ivf_oracle(),
+    defer_after=8,
+    doc="PERSISTED-index similarity search (round 8, VERDICT r7 #4): at "
+    "100 TB a search request hits an index on disk, not one rebuilt "
+    "in-session — build → persist_ivf_index (assignments "
+    "write.partitionBy(centroid_id), centroids as one small file) → "
+    "re-read → ivf_search_persisted. The probed cell ids (bounded by "
+    "the CELL count, never the corpus) become a STATIC IN-filter on "
+    "the partitioned scan, so unprobed cells' files are never read — "
+    "PartitionFilters + file-set proof in tests/test_ivf_merge.py::"
+    "test_ivf_persisted_search_prunes_partitions. The detour through "
+    "parquet is bit-exact (doubles round-trip), so the oracle is the "
+    "BYTE-IDENTICAL sim-knn-ivf replay — the persisted path must "
+    "hash-match the in-session result exactly.",
+)
+def sim_knn_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from itdb_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_search_persisted,
+        persist_ivf_index,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    assignments, centroids = build_ivf_index(emb, k=8)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"itdb_spark_ivf_persist_{tag}")
+    persist_ivf_index(assignments, centroids, path)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_search_persisted(spark, path, queries, k=5, n_probe=3)
+
+
+@register(
     "sim-knn-ivf-incr",
     oracle=_ivf_oracle(
         train_src="(SELECT * FROM v WHERE vec_id % 5 != 4) v"
