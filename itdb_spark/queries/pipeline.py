@@ -4411,6 +4411,87 @@ def _ivfpq_oracle(
       FROM rerank) WHERE rn <= {top_k}""")
 
 
+def _ivfpq_res_oracle(
+    n_queries: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 5,
+    ivf_iters: int = 4,
+    m: int = 16,
+    k: int = 16,
+    pq_iters: int = 3,
+    dim: int = 64,
+    candidates: int = 100,
+    top_k: int = 10,
+) -> str:
+    """DuckDB twin of operators/pq.py::ivfpq_residual_search — the
+    _ivfpq_oracle composition with exactly the residual deltas
+    (VERDICT r7 #3): ``pqv`` rebound to the residual frame
+    (pq_residual_ctes — the proven PQ training replay then runs on
+    residuals unchanged), the query ADC table read from NORMALIZED
+    query subvectors (``pqqsv`` via pq_query_ip_ctes(qsrc=...)), and
+    each ADC score carrying the base term dot(q̂, c*) for the member's
+    cell (``pqbase``; a vector lives in exactly one cell, so max(base)
+    per (query, neighbor) is the single value). Cell SELECTION stays
+    the raw-cosine probe — identical to the raw variant's."""
+    from itdb_spark.operators.pq import (
+        pq_query_ip_ctes,
+        pq_residual_ctes,
+        pq_train_ctes,
+    )
+
+    sd = dim // m
+    ctes = _ivf_assign_ctes(n_cells, ivf_iters, dim)
+    final_c = f"c{ivf_iters}"
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, vec AS qvec FROM v"
+        f" WHERE vec_id < {n_queries})"
+    )
+    ctes.append(f"""probed AS (SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_cos_sql('q.qvec', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN {final_c} c) WHERE rn <= {n_probe})""")
+    ctes += pq_residual_ctes(dim)
+    ctes.append(f"""pqbase AS (SELECT p.query_id, p.centroid_id,
+            list_sum(list_transform(range(0, {dim}),
+                j -> qn.vec[j + 1] * cs.csvec[j + 1])) AS base
+        FROM probed p
+        JOIN pqnorm qn ON qn.vec_id = p.query_id
+        JOIN pqcs cs ON cs.centroid_id = p.centroid_id)""")
+    ctes.append("""members AS (SELECT b.query_id, a.vec_id, b.base
+        FROM pqbase b JOIN af a ON a.centroid_id = b.centroid_id)""")
+    train, final_cb = pq_train_ctes(m, k, pq_iters, sd)
+    ctes += train
+    ctes.append(f"""pqqsv AS (SELECT vec_id, s.i AS sub,
+                list_slice(vec, s.i * {sd} + 1, s.i * {sd} + {sd}) AS svec
+           FROM pqnorm, range(0, {m}) s(i))""")
+    ctes += pq_query_ip_ctes(final_cb, m, sd, n_queries, qsrc="pqqsv")
+    ctes.append("""adc AS (SELECT mm.query_id, a.vec_id AS neighbor_id,
+            round(max(mm.base) + sum(t.ip), 6) AS adc_score
+        FROM members mm
+        JOIN pqaf a ON a.vec_id = mm.vec_id
+        JOIN pqip t ON t.query_id = mm.query_id
+                   AND t.sub = a.sub AND t.code = a.code
+        WHERE a.vec_id != mm.query_id
+        GROUP BY 1, 2)""")
+    ctes.append(f"""cand AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_score DESC, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {candidates})""")
+    ctes.append(f"""rerank AS (SELECT c.query_id, c.neighbor_id,
+            round({_cos_sql('q.qvec', 'w.vec')}, 6) AS cosine
+        FROM cand c
+        JOIN q ON q.query_id = c.query_id
+        JOIN v w ON w.vec_id = c.neighbor_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM rerank) WHERE rn <= {top_k}""")
+
+
 def _sim_knn_ivfpq_deploy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deploy twin for the bench ONLY (round-6 VERDICT #4): identical
     composed IVF-PQ search but with the ``max_train`` lever engaged —
@@ -4460,6 +4541,37 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t.embeddings
     queries = emb.where(F.col("vec_id") < 5)
     return ivfpq_search(emb, queries, top_k=10)
+
+
+@register(
+    "sim-knn-ivfpq-res",
+    oracle=_ivfpq_res_oracle(),
+    defer_after=8,
+    doc="IVF-PQ with RESIDUAL encoding (round 8, VERDICT r7 #3; "
+    "operators/pq.py::ivfpq_residual_search) — the FAISS IVFPQ "
+    "DEFAULT: PQ codes quantize x̂ − c*(x) (c* = the cell's mean of "
+    "normalized members — E|r|² = 1 − |c*|² < 1, a guaranteed "
+    "variance reduction; subtracting the NORMALIZED centroid instead "
+    "INFLATED residuals and recall, caught by the gate). Recall at "
+    "identical knobs is gated not-worse-than-raw in "
+    "tests/test_ivf_merge.py::test_ivfpq_residual_recall_not_worse "
+    "(0.76 = 0.76 on this weakly clustered synthetic corpus, where "
+    "|c*| is small; the residual win grows with cluster mass — on "
+    "clustered real corpora it is FAISS's default for a reason). The "
+    "ADC identity dot(q̂, x̂) = dot(q̂, c*) + dot(q̂, r) means search "
+    "adds a per-(query, probed-cell) base dot — a |queries|×n_probe "
+    "table, zero extra corpus work. The DuckDB twin is the proven "
+    "_ivfpq_oracle composition with pqv rebound to the residual frame "
+    "(pq_residual_ctes) and the query table read from normalized "
+    "subvectors.",
+)
+def sim_knn_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.pq import ivfpq_residual_search
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivfpq_residual_search(emb, queries, top_k=10)
 
 
 from itdb_spark.operators.texteval import rouge_oracle_sql as _rouge_oracle_sql  # noqa: E402
