@@ -4574,6 +4574,39 @@ def sim_knn_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_residual_search(emb, queries, top_k=10)
 
 
+from itdb_spark.operators.sq import sq8_oracle_sql as _sq8_oracle_sql  # noqa: E402
+
+
+@register(
+    "sim-knn-sq8",
+    oracle=_sq8_oracle_sql(),
+    defer_after=8,
+    doc="SQ8 scalar-quantized similarity search (round 8; "
+    "operators/sq.py::sq8_knn — the FAISS SQ8 / Lucene int8 shape): "
+    "each normalized dimension quantizes independently to 8 bits "
+    "against per-dimension [min, max] bounds learned in ONE "
+    "aggregation pass — 8× compression with no iterative training, "
+    "the tier below PQ that production stores deploy first. The "
+    "quantizer state is two 64-float arrays: min/max-mergeable across "
+    "shards, broadcast for free, append-only ingest clamps instead of "
+    "retraining. Search never decodes: dot(q̂, x̃) = Σq̂ⱼmnⱼ + "
+    "Σcⱼ(q̂ⱼsⱼ) — a per-query scalar plus a JVM fold of the 64-byte "
+    "code array against a premultiplied array — then exact rerank "
+    "(pq_rerank). Codes are single-IEEE-op arithmetic (explicit "
+    "half-up floor(x+0.5) — Spark and DuckDB round() disagree on "
+    "ties) over min/max SELECTIONS, so both engines compute "
+    "bit-identical codes; the 6-dp rounded candidate cut absorbs "
+    "score-summation order, the proven ADC discipline.",
+)
+def sim_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.sq import sq8_knn
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    queries = emb.where(F.col("vec_id") < 5)
+    return sq8_knn(emb, queries, top_k=10)
+
+
 from itdb_spark.operators.texteval import rouge_oracle_sql as _rouge_oracle_sql  # noqa: E402
 
 

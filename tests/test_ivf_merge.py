@@ -750,3 +750,76 @@ def test_ivfpq_residual_recall_not_worse(spark):
     res = mean_recall(ivfpq_residual_search(emb, queries, top_k=10).collect())
     assert res >= raw, (res, raw)
     assert res >= 0.7, res
+
+
+# --- scalar quantization (operators/sq.py) ----------------------------------
+
+
+def test_sq8_codes_shape_and_determinism(spark):
+    """Every live vector encodes to exactly dim int codes in [0, 255];
+    encoding twice gives identical codes (min/max bounds are
+    selections, codes single-IEEE-op arithmetic — no seeds, no
+    iteration order)."""
+    from itdb_spark.operators.sq import sq8_encode, sq8_stats
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    stats = sq8_stats(emb)
+    enc = sq8_encode(emb, stats)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    assert all(
+        len(r.codes) == 64 and all(0 <= c <= 255 for c in r.codes) for r in rows
+    )
+    again = {r.id: tuple(r.codes) for r in sq8_encode(emb, stats).collect()}
+    assert {r.id: tuple(r.codes) for r in rows} == again
+
+
+def test_sq8_recall_against_brute(spark):
+    """8-bit-per-dimension quantization error is tiny relative to
+    neighbor gaps: the composed sq8_knn must recover nearly all of each
+    query's true top-10 (the candidate stage passes 100 of ~500, and
+    the rerank is exact — misses can only come from quantization
+    reordering past rank 100)."""
+    from itdb_spark.operators.similarity import brute_force_knn
+    from itdb_spark.operators.sq import sq8_knn
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    brute = brute_force_knn(emb, queries, "vec_id", "embedding", k=10).collect()
+    true_top, got = {}, {}
+    for r in brute:
+        true_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in sq8_knn(emb, queries, top_k=10).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(got.get(q, set()) & true_top[q]) / len(true_top[q])
+        for q in sorted(true_top)
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    # and every returned cosine is the EXACT cosine (rerank contract)
+    exact = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    for r in sq8_knn(emb, queries, top_k=10).collect():
+        if (r.query_id, r.neighbor_id) in exact:
+            assert r.cosine == exact[(r.query_id, r.neighbor_id)]
+
+
+def test_sq8_constant_dimension_scale_zero(spark):
+    """A constant dimension (max == min) must quantize to code 0 with
+    scale 0 — decode is the constant itself, not a division by zero —
+    and search over such a corpus still ranks correctly."""
+    from itdb_spark.operators.sq import sq8_encode, sq8_knn, sq8_stats
+
+    rows = [
+        (1, [1.0, 0.5, 0.0, 0.0]),
+        (2, [0.9, 0.6, 0.0, 0.0]),
+        (3, [-1.0, 0.4, 0.0, 0.0]),
+        (4, [0.8, 0.55, 0.0, 0.0]),
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = sq8_stats(v)
+    st = stats.collect()[0]
+    assert st.scales[2] == 0.0 and st.scales[3] == 0.0
+    enc = {r.id: r.codes for r in sq8_encode(v, stats).collect()}
+    assert all(cs[2] == 0 and cs[3] == 0 for cs in enc.values())
+    got = sq8_knn(v, v.where(F.col("vec_id") == 1), top_k=2).collect()
+    assert [r.neighbor_id for r in sorted(got, key=lambda r: -r.cosine)] == [2, 4]
