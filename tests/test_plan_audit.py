@@ -195,7 +195,15 @@ def test_retrieval_family_plans_hold_scale_properties(spark):
     # broadcast cell-ranking cross join and the trainer's one-row
     # single-partition exchanges are this gate's documented allowances.
     declared_bnlj = {"sim-knn-pq", "sim-hybrid-rrf", "eval-retrieval",
-                     "sim-knn-ivfpq"}
+                     "sim-knn-ivfpq",
+                     # round 8: persisted-index replay (one broadcast
+                     # cell-ranking cross join), residual IVF-PQ (same),
+                     # and SQ8 (three bounded broadcasts: the one-row
+                     # stats table twice, the |queries|-row lookup table
+                     # once) — every BNLJ build side is O(1)/O(queries)
+                     # at any corpus size.
+                     "sim-knn-ivf-persist", "sim-knn-ivfpq-res",
+                     "sim-knn-sq8"}
     failures = []
     for qid in sorted(declared_bnlj):
         df = registry[qid].spark(spark, SF_DIR)
