@@ -169,3 +169,187 @@ def rouge_oracle_sql(
                 AS BIGINT) AS f1_micros
     FROM per_pair
     """
+
+
+def bleu_counts(
+    pairs: DataFrame,
+    max_n: int = 4,
+    pair_col: str = "pair_id",
+    cand_col: str = "cand_text",
+    ref_col: str = "ref_text",
+) -> DataFrame:
+    """Per-pair BLEU component counts (Papineni et al., "BLEU", ACL
+    2002): for n = 1..max_n the CLIPPED n-gram match count m{n} =
+    Σ_g min(count_cand(g), count_ref(g)) and the candidate total t{n},
+    plus token lengths c_len / r_len (the brevity-penalty inputs) and
+    modified precisions p{n}_micros = 1e6·m{n} div t{n}. Everything a
+    BLEU consumer folds (geometric mean + BP = exp(min(0, 1−r/c))) is
+    a trivial driver-side op over these integers; the irrational
+    exp/log stays OUT of the relation so both engines hash-match
+    bit-for-bit — the eval-rouge integer-micros discipline.
+
+    Scale shape: each side's text tokenizes ONCE and emits all max_n
+    gram levels from that one pass (a concat of per-level transforms →
+    ONE explode), both sides union into a single (pair, n, gram)-keyed
+    groupBy — one gram-postings shuffle exactly like rouge_n, then two
+    bounded per-pair aggregations. No join back to the corpus.
+    """
+    def side(col: str, cm: int, rm: int) -> DataFrame:
+        toks = F.array_remove(
+            F.split(F.lower(F.trim(F.col(col))), r"\s+"), "")
+        def tag(n: int):
+            # single-arg lambda: a two-arg lambda would receive the
+            # ELEMENT INDEX as its second argument (F.transform's
+            # (element, index) form) and clobber the level tag
+            return lambda g: F.struct(F.lit(n).alias("n"),
+                                      g.alias("gram"))
+
+        levels = [
+            F.transform(_gram_col(F.col(col), n), tag(n))
+            for n in range(1, max_n + 1)
+        ]
+        return pairs.select(
+            F.col(pair_col).alias("pair_id"),
+            F.size(toks).alias("toks"),
+            F.explode_outer(F.concat(*levels)).alias("ng"),
+        ).select(
+            "pair_id",
+            "toks",
+            F.col("ng.n").alias("n"),
+            F.col("ng.gram").alias("gram"),
+            F.lit(cm).alias("c"),
+            F.lit(rm).alias("r"),
+        )
+
+    cand = side(cand_col, 1, 0)
+    ref = side(ref_col, 0, 1)
+    # explode_outer keeps gramless pairs alive (NULL n/gram, zero
+    # contribution) so every input pair emits an output row
+    counts = (
+        cand.unionByName(ref)
+        .groupBy("pair_id", "n", "gram")
+        .agg(
+            F.sum(F.when(F.col("gram").isNotNull(), F.col("c"))
+                  .otherwise(0)).cast("long").alias("nc"),
+            F.sum(F.when(F.col("gram").isNotNull(), F.col("r"))
+                  .otherwise(0)).cast("long").alias("nr"),
+            # token length rides the gram rows: max() of a per-pair
+            # constant; the c/r marker scopes it to the owning side
+            F.max(F.when(F.col("c") == 1, F.col("toks"))).alias("ct"),
+            F.max(F.when(F.col("r") == 1, F.col("toks"))).alias("rt"),
+        )
+    )
+    per_n = counts.groupBy("pair_id", "n").agg(
+        F.sum(F.least("nc", "nr")).cast("long").alias("m"),
+        F.sum("nc").cast("long").alias("t"),
+        F.max("ct").alias("ct"),
+        F.max("rt").alias("rt"),
+    )
+    z = F.lit(0).cast("long")
+    agg_cols = [
+        F.coalesce(F.max("ct"), z).cast("long").alias("c_len"),
+        F.coalesce(F.max("rt"), z).cast("long").alias("r_len"),
+    ]
+    for n in range(1, max_n + 1):
+        agg_cols += [
+            F.coalesce(F.sum(F.when(F.col("n") == n, F.col("m"))), z)
+            .cast("long").alias(f"m{n}"),
+            F.coalesce(F.sum(F.when(F.col("n") == n, F.col("t"))), z)
+            .cast("long").alias(f"t{n}"),
+        ]
+    out = per_n.groupBy("pair_id").agg(*agg_cols)
+    prec = [
+        F.when(F.col(f"t{n}") > 0,
+               F.expr(f"m{n} * 1000000 div t{n}")).otherwise(z)
+        .cast("long").alias(f"p{n}_micros")
+        for n in range(1, max_n + 1)
+    ]
+    return out.select("pair_id", "c_len", "r_len",
+                      *[c for n in range(1, max_n + 1)
+                        for c in (f"m{n}", f"t{n}")],
+                      *prec)
+
+
+def bleu_oracle_sql(max_n: int = 4, n_pairs: int = 30) -> str:
+    """DuckDB twin of bleu_counts over the same consecutive-document
+    pairing as rouge_oracle_sql (candidate = doc d, reference = doc
+    d+1, d < n_pairs plus the edge corpus's planted pairs at ids >=
+    EDGE_ID_FLOOR). One MATERIALIZED tokenization feeds all max_n gram
+    levels (UNION ALL branches — linear, not chained, but MATERIALIZED
+    still stops DuckDB re-tokenizing per branch); lengths come straight
+    from the token arrays, never from gram rows, so fully-empty pairs
+    keep exact zero counts through the final LEFT JOIN."""
+    def gram_branch(n: int) -> str:
+        if n == 1:
+            grams = "toks"
+        else:
+            grams = f"""CASE WHEN len(toks) < {n} THEN []
+                ELSE list_transform(range(0, len(toks) - {n} + 1),
+                     i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))
+                END"""
+        return f"""SELECT pair_id, c, r, {n} AS n,
+                   unnest({grams}) AS gram FROM toksed"""
+
+    branches = "\n      UNION ALL\n      ".join(
+        gram_branch(n) for n in range(1, max_n + 1))
+    m_cols = ",\n           ".join(
+        f"""CAST(coalesce(sum(CASE WHEN n = {n} THEN m END), 0) AS BIGINT)
+               AS m{n},
+           CAST(coalesce(sum(CASE WHEN n = {n} THEN t END), 0) AS BIGINT)
+               AS t{n}"""
+        for n in range(1, max_n + 1))
+    p_cols = ",\n           ".join(
+        f"""CAST(CASE WHEN t{n} > 0
+                THEN m{n} * 1000000 // t{n} ELSE 0 END AS BIGINT)
+               AS p{n}_micros"""
+        for n in range(1, max_n + 1))
+    return f"""
+    WITH pairs AS (
+      SELECT c.doc_id AS pair_id, c.text AS cand_t, r.text AS ref_t
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id < {n_pairs} OR c.doc_id >= {EDGE_ID_FLOOR}
+    ),
+    sides AS (
+      SELECT pair_id, cand_t AS t, 1 AS c, 0 AS r FROM pairs
+      UNION ALL
+      SELECT pair_id, ref_t AS t, 0 AS c, 1 AS r FROM pairs
+    ),
+    toksed AS MATERIALIZED (
+      SELECT pair_id, c, r,
+             list_filter(regexp_split_to_array(lower(trim(t)), '\\s+'),
+                         x -> x != '') AS toks
+      FROM sides
+    ),
+    lengths AS (
+      SELECT pair_id,
+             CAST(coalesce(max(CASE WHEN c = 1 THEN len(toks) END), 0)
+                  AS BIGINT) AS c_len,
+             CAST(coalesce(max(CASE WHEN r = 1 THEN len(toks) END), 0)
+                  AS BIGINT) AS r_len
+      FROM toksed GROUP BY 1
+    ),
+    grams AS (
+      {branches}
+    ),
+    counts AS (
+      SELECT pair_id, n, gram,
+             CAST(sum(c) AS BIGINT) AS nc, CAST(sum(r) AS BIGINT) AS nr
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    per_n AS (
+      SELECT pair_id, n,
+             CAST(sum(least(nc, nr)) AS BIGINT) AS m,
+             CAST(sum(nc) AS BIGINT) AS t
+      FROM counts GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT l.pair_id, l.c_len, l.r_len,
+           {m_cols}
+      FROM lengths l LEFT JOIN per_n pn ON pn.pair_id = l.pair_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT pair_id, c_len, r_len,
+           {", ".join(f"m{n}, t{n}" for n in range(1, max_n + 1))},
+           {p_cols}
+    FROM folded
+    """

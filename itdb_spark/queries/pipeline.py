@@ -4645,3 +4645,44 @@ def eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pair_id") < 30) | (F.col("pair_id") >= EDGE_ID_FLOOR)
     ).join(ref, "pair_id")
     return rouge_n(pairs, n=1)
+
+
+from itdb_spark.operators.texteval import bleu_oracle_sql as _bleu_oracle_sql  # noqa: E402
+
+
+@register(
+    "eval-bleu",
+    oracle=_bleu_oracle_sql(max_n=4, n_pairs=30),
+    defer_after=8,
+    doc="BLEU-4 component counts (round 8; operators/texteval.py::"
+    "bleu_counts — Papineni et al., ACL 2002) over the same "
+    "consecutive-document pairing as eval-rouge: per pair, the clipped "
+    "n-gram matches m1..m4 and candidate totals t1..t4, the "
+    "brevity-penalty length inputs c_len/r_len, and modified "
+    "precisions p{n}_micros = 1e6·m{n} div t{n} — ALL exact BIGINT "
+    "arithmetic; the irrational geometric-mean/exp fold a BLEU "
+    "consumer applies is a driver-side afterthought over these "
+    "integers, never inside the relation (the eval-rouge/eval-"
+    "retrieval integer-micros discipline). One tokenization per side "
+    "emits all four gram levels through a single explode (concat of "
+    "level-tagged transforms — NOTE F.transform's two-arg lambda form "
+    "binds the element INDEX, so level tags use one-arg closures), "
+    "then one (pair, n, gram)-keyed map-side-combined shuffle and two "
+    "bounded per-pair folds. Empty/degenerate texts keep explicit "
+    "zero-count rows (explode_outer + guards), and the edge corpus's "
+    "planted degenerate pairs at ids >= EDGE_ID_FLOOR exercise them "
+    "adversarially.",
+)
+def eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.texteval import bleu_counts
+
+    t = Tables(spark, sf_dir)
+    d = t.documents
+    cand = d.select(F.col("doc_id").alias("pair_id"),
+                    F.col("text").alias("cand_text"))
+    ref = d.select((F.col("doc_id") - 1).alias("pair_id"),
+                   F.col("text").alias("ref_text"))
+    pairs = cand.where(
+        (F.col("pair_id") < 30) | (F.col("pair_id") >= EDGE_ID_FLOOR)
+    ).join(ref, "pair_id")
+    return bleu_counts(pairs, max_n=4)

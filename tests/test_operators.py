@@ -1827,3 +1827,64 @@ def test_hash_ranked_sample_preserves_caller_h_column(spark):
     assert len(rows2) == 3 and all(
         (r["__hrs_h"], r["__hrs_h_"]) == ("x", "y") for r in rows2
     )
+
+
+def test_bleu_counts_hand_case(spark):
+    """BLEU-4 component semantics on hand-computable pairs: clipped
+    per-level matches, candidate totals, brevity-length inputs, and
+    explicit zeros for empty/degenerate sides."""
+    from itdb_spark.operators.texteval import bleu_counts
+
+    pairs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat", "the cat sat on a mat"),
+            (1, "", "x y"),
+            (2, "", ""),
+            (3, "a a a a", "a a"),
+        ],
+        "pair_id long, cand_text string, ref_text string",
+    )
+    got = {r.pair_id: r.asDict() for r in bleu_counts(pairs).collect()}
+    assert len(got) == 4
+    r0 = got[0]
+    assert (r0["c_len"], r0["r_len"]) == (6, 6)
+    # clip: "the" appears 2x in cand, 1x in ref -> min(2,1)
+    assert (r0["m1"], r0["t1"]) == (5, 6)
+    assert (r0["m2"], r0["t2"]) == (3, 5)
+    assert (r0["m3"], r0["t3"]) == (2, 4)
+    assert (r0["m4"], r0["t4"]) == (1, 3)
+    assert r0["p1_micros"] == 5 * 1000000 // 6
+    assert r0["p4_micros"] == 1 * 1000000 // 3
+    r1 = got[1]
+    assert (r1["c_len"], r1["r_len"]) == (0, 2)
+    assert all(r1[k] == 0 for k in
+               ("m1", "t1", "m4", "t4", "p1_micros", "p4_micros"))
+    r2 = got[2]
+    assert all(r2[k] == 0 for k in ("c_len", "r_len", "m1", "t1"))
+    r3 = got[3]
+    # multiset clip at every level: cand "a a"x3 vs ref "a a"x1
+    assert (r3["m1"], r3["t1"]) == (2, 4)
+    assert (r3["m2"], r3["t2"]) == (1, 3)
+    assert (r3["m3"], r3["t3"]) == (0, 2)
+    assert (r3["m4"], r3["t4"]) == (0, 1)
+
+
+def test_bleu_registered_oracle_matches_spark(spark):
+    """The eval-bleu REGISTERED form must match its registered DuckDB
+    oracle bit-for-bit in CI (the in-suite oracle pin for the
+    defer_after=8 registration)."""
+    import duckdb
+
+    from itdb_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    q = load_all()["eval-bleu"]
+    got = sorted(tuple(r) for r in q.spark(spark, SF_DIR).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert len(got) == 30
+    assert got == want
