@@ -4686,3 +4686,92 @@ def eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pair_id") < 30) | (F.col("pair_id") >= EDGE_ID_FLOOR)
     ).join(ref, "pair_id")
     return bleu_counts(pairs, max_n=4)
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
+    """Unrolled k-core peel over the LSH near-duplicate graph. Each
+    level re-derives degrees over the surviving edge set and drops
+    nodes below k; MATERIALIZED per level (DuckDB inlines plain CTEs,
+    so a chained unroll without MATERIALIZED re-evaluates earlier
+    levels exponentially — same discipline as _pagerank_oracle)."""
+    steps = []
+    prev = "e0"
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"""d{t} AS (SELECT src AS node, count(*) AS deg
+            FROM {prev} GROUP BY 1),
+    k{t} AS (SELECT node FROM d{t} WHERE deg >= {k}),
+    e{t} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM {prev} e
+      WHERE e.src IN (SELECT node FROM k{t})
+        AND e.dst IN (SELECT node FROM k{t}))"""
+        )
+        prev = f"e{t}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS MATERIALIZED ({_minhash_oracle()}),
+    e0 AS MATERIALIZED (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION ALL
+      SELECT id2 AS src, id1 AS dst FROM pairs
+    ),
+    {chain}
+    SELECT src AS doc, CAST(count(*) AS BIGINT) AS deg
+    FROM {prev} GROUP BY 1
+    """
+
+
+@register(
+    "graph-kcore",
+    oracle=_kcore_oracle(k=2, rounds=4),
+    defer_after=8,
+    doc="k-core decomposition (round 8; k=2, 4 synchronous peel rounds) "
+    "over the LSH near-duplicate graph — the third member of the graph "
+    "family (pagerank centrality, triangle counting, now subgraph "
+    "robustness): the 2-core strips isolated near-dup PAIRS and leaves "
+    "the template families whose members corroborate each other, a "
+    "cluster-robustness curation signal (Seidman 1983; k-core is the "
+    "standard degeneracy peel). Fixed-round peel, NOT a fixpoint loop: "
+    "both engines run exactly 4 rounds so parity holds by construction "
+    "even on adversarial graphs that have not converged (a test "
+    "asserts real-testdata convergence at round 4 by checking round 5 "
+    "is a no-op). Per round: one map-side-combined degree shuffle plus "
+    "two LEFT SEMI joins against the shrinking survivor set — the "
+    "survivor frame is node-sized (always ≤ the degree aggregation "
+    "output), so at 100 TB the semi joins broadcast once the peel "
+    "bites; the edge frame is materialized ONCE up front "
+    "(truncate_lineage) so no round replays LSH candidate generation. "
+    "Peel depth is bounded by graph degeneracy, small for near-dup "
+    "graphs (clusters are near-cliques).",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kcore_survivor_degrees(spark, sf_dir, k=2, rounds=4)
+
+
+def kcore_survivor_degrees(
+    spark: SparkSession, sf_dir: str, k: int, rounds: int
+) -> DataFrame:
+    """The graph-kcore body with the peel depth exposed: the
+    convergence test runs rounds and rounds+1 and asserts the extra
+    round is a no-op on real testdata."""
+    from itdb_spark.plans.library import truncate_lineage
+
+    c = corpus(spark, sf_dir)
+    pairs = minhash_candidates(c, "doc_id", "text").select("id1", "id2")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    ).select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    edges = truncate_lineage(edges, eager=True)
+    for _ in range(rounds):
+        keep = (
+            edges.groupBy("src").agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        edges = (
+            edges.join(keep, edges["src"] == keep["node"], "left_semi")
+            .join(keep, edges["dst"] == keep["node"], "left_semi")
+        )
+    return edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("deg")
+    ).select(F.col("src").alias("doc"), "deg")

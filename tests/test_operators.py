@@ -1888,3 +1888,47 @@ def test_bleu_registered_oracle_matches_spark(spark):
     want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert len(got) == 30
     assert got == want
+
+
+def test_kcore_peel_converged_at_registered_depth(spark):
+    """graph-kcore runs a FIXED 4-round peel (so the DuckDB twin can
+    unroll it exactly); this asserts the fixed depth is not a silent
+    truncation on real testdata — a 5th round removes nothing."""
+    from itdb_spark.queries.pipeline import kcore_survivor_degrees
+    from tests.conftest import SF_DIR
+
+    r4 = sorted(tuple(r) for r in
+                kcore_survivor_degrees(spark, SF_DIR, k=2, rounds=4).collect())
+    r5 = sorted(tuple(r) for r in
+                kcore_survivor_degrees(spark, SF_DIR, k=2, rounds=5).collect())
+    assert len(r4) > 0
+    assert r4 == r5
+
+
+def test_kcore_hand_graph(spark):
+    """2-core semantics on a hand graph: a triangle survives, a
+    pendant chain peels away entirely (cascading removal — node c
+    drops only after its pendant neighbor d goes)."""
+    from itdb_spark.plans.library import truncate_lineage
+
+    # triangle 1-2-3; chain 3-4-5 (4 and 5 peel, 3 stays via triangle)
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    k = 2
+    for _ in range(4):
+        keep = (
+            edges.groupBy("src").agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        edges = (
+            edges.join(keep, edges["src"] == keep["node"], "left_semi")
+            .join(keep, edges["dst"] == keep["node"], "left_semi")
+        )
+    got = {(r.src_node, r.deg) for r in
+           edges.groupBy("src").agg(F.count("*").alias("deg"))
+           .select(F.col("src").alias("src_node"), "deg").collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
