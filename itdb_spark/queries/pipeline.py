@@ -4775,3 +4775,68 @@ def kcore_survivor_degrees(
     return edges.groupBy("src").agg(
         F.count("*").cast("long").alias("deg")
     ).select(F.col("src").alias("doc"), "deg")
+
+
+@register(
+    "dedup-soft",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({_minhash_oracle()})),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+    docs AS (SELECT doc_id FROM ({ORACLE_CORPUS})),
+    labeled AS MATERIALIZED (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM docs d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    sized AS (SELECT component, count(*) AS n_members FROM labeled GROUP BY component)
+    SELECT l.doc_id, l.component, CAST(s.n_members AS BIGINT) AS n_members,
+           CAST(1000000 // s.n_members AS BIGINT) AS weight_ppm
+    FROM labeled l JOIN sized s ON l.component = s.component
+    """,
+    defer_after=8,
+    doc="Soft dedup (round 8): REWEIGHT near-duplicates instead of "
+    "dropping them — every document gets sampling weight 1/|cluster| "
+    "(integer ppm, 1000000 DIV n so cross-engine hash-exact) over the "
+    "same LSH->connected-components graph dedup-cluster decides on; "
+    "singletons (no candidate pair) keep weight 1.0. This is the "
+    "SoftDeDup training-mixture discipline (He et al. 2024): hard "
+    "removal loses the signal that a template family was FREQUENT, "
+    "reweighting preserves corpus-frequency information while "
+    "equalizing each family's total sampling mass. Plan: CC labels are "
+    "node-sized and BROADCAST onto the corpus; AQE reuses that "
+    "broadcast AND the corpus scan exchange across the size-agg and "
+    "size-join branches (ReusedExchange >= 2, asserted in "
+    "test_operators), so the two remaining `component` exchanges each "
+    "carry only two long columns — one holds the map-side partial "
+    "count, the other the (doc_id, component) pairs for the size join. "
+    "Oracle: dedup-cluster's recursive-CTE closure + a LEFT JOIN back "
+    "to all docs. The weight column is exact integer division on both "
+    "engines; weights of a component sum to ~1e6 (floor loss < n).",
+)
+def dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.clustering import connected_components
+
+    c = corpus(spark, sf_dir)
+    pairs = minhash_candidates(c, "doc_id", "text", distinct_pairs=False)
+    cc = connected_components(pairs)
+    labeled = (
+        c.select("doc_id")
+        .join(cc, c["doc_id"] == cc["node"], "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    )
+    sized = labeled.groupBy("component").agg(F.count("*").alias("n_members"))
+    return labeled.join(sized, "component").select(
+        "doc_id",
+        "component",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.expr("CAST(1000000 DIV n_members AS BIGINT)").alias("weight_ppm"),
+    )

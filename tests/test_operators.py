@@ -1932,3 +1932,40 @@ def test_kcore_hand_graph(spark):
            edges.groupBy("src").agg(F.count("*").alias("deg"))
            .select(F.col("src").alias("src_node"), "deg").collect()}
     assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_dedup_soft_weights(spark):
+    """SoftDeDup invariants: singletons weigh exactly 1e6 ppm; every
+    multi-member component's n_members agrees with dedup-cluster's
+    election over the SAME pair graph; per-component weight mass is
+    1e6 minus integer-floor loss (< n_members); and the scale shape
+    holds — AQE reuses the corpus scan exchange and the CC broadcast
+    across the size-agg and size-join branches (>= 2 ReusedExchange
+    in the final adaptive plan)."""
+    from itdb_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    df = load_all()["dedup-soft"].spark(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        n = len(members)
+        assert all(m.n_members == n for m in members)
+        assert all(m.weight_ppm == 1_000_000 // n for m in members)
+        mass = sum(m.weight_ppm for m in members)
+        assert 1_000_000 - n < mass <= 1_000_000
+    singles = [r for r in rows if r.n_members == 1]
+    assert singles and all(r.weight_ppm == 1_000_000 for r in singles)
+    # cross-check against dedup-cluster (multi-member components only:
+    # CC sees only documents that appear in a candidate pair)
+    cluster = {
+        r.component: r.n_members
+        for r in load_all()["dedup-cluster"].spark(spark, SF_DIR).collect()
+    }
+    for comp, n in cluster.items():
+        assert len(by_comp[comp]) == n
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2
