@@ -4840,3 +4840,144 @@ def dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_members").cast("long").alias("n_members"),
         F.expr("CAST(1000000 DIV n_members AS BIGINT)").alias("weight_ppm"),
     )
+
+
+# 0.709 * m^2 * 2^55 for m = 64 — the HLL alpha numerator, precomputed in
+# Python and embedded as the SAME double literal in both engines (the
+# eval-retrieval DCG-weight discipline for irrational constants).
+_HLL_ALPHA_NUM = repr(0.709 * 64 * 64 * 2**55)  # '1.0462993238608057e+20'
+
+
+def _hll_lc_case() -> str:
+    """Linear-counting correction m*ln(m/n_empty) for m=64: a pure function
+    of n_empty in 1..64, so ALL 64 integer results precompute in Python —
+    the irrational ln() never appears in either engine's plan. Rendered as
+    one CASE expression shared verbatim by the Spark plan and the oracle."""
+    import math
+
+    arms = " ".join(
+        f"WHEN {k} THEN {round(64 * math.log(64 / k))}" for k in range(1, 65)
+    )
+    # no L suffix: DuckDB rejects it — both engines CAST the CASE to BIGINT
+    return f"CAST(CASE n_empty {arms} END AS BIGINT)"
+
+
+def hll_registers(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """(key, bucket, register) HLL state over the portable 60-bit hash of
+    ``value_col`` — m=64, register = 55 - bitlength(low 54 bits). The
+    duplicate-insensitive max means this is ONE map-side-combined groupBy,
+    and two sketches over disjoint shards merge by the same max (the
+    mergeability test unions shard frames through this identical path)."""
+    from itdb_spark.functions.core import portable_hash64
+
+    b = df.select(
+        key_col, portable_hash64(F.col(value_col)).alias("hv")
+    ).select(
+        key_col,
+        F.expr("CAST(hv DIV 18014398509481984 AS BIGINT)").alias("bucket"),
+        (F.col("hv") % F.lit(18014398509481984)).alias("r"),
+    )
+    return (
+        b.select(
+            key_col,
+            "bucket",
+            F.when(F.col("r") == 0, F.lit(55))
+            .otherwise(F.lit(55) - F.length(F.expr("bin(r)")))
+            .alias("rho"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+@register(
+    "agg-hll",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ), b AS (
+      SELECT source, hv // 18014398509481984 AS bucket,
+             hv % 18014398509481984 AS r
+      FROM (SELECT source,
+                   CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS hv
+            FROM toks)
+    ), reg AS (
+      SELECT source, bucket,
+             max(CASE WHEN r = 0 THEN 55 ELSE 55 - length(bin(r)) END) AS register
+      FROM b GROUP BY source, bucket
+    ), summ AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_used,
+             CAST(sum(1::BIGINT << (55 - register)) AS BIGINT) AS z_used
+      FROM reg GROUP BY source
+    )
+    SELECT source, n_used, n_empty, z_scaled, hll_raw,
+           CASE WHEN n_empty > 0 AND hll_raw <= 160
+                THEN {_hll_lc_case()} ELSE hll_raw END AS hll_estimate
+    FROM (
+      SELECT source, n_used, CAST(64 - n_used AS BIGINT) AS n_empty,
+             CAST(z_used + (64 - n_used) * (1::BIGINT << 55) AS BIGINT) AS z_scaled,
+             CAST(round(CAST({_HLL_ALPHA_NUM} AS DOUBLE)
+                  / CAST(z_used + (64 - n_used) * (1::BIGINT << 55) AS DOUBLE))
+                  AS BIGINT) AS hll_raw
+      FROM summ
+    )
+    """,
+    defer_after=8,
+    doc="HyperLogLog register construction per source (round 8; Flajolet "
+    "et al. 2007, m=64 / p=6 over the portable 60-bit token hash: top 6 "
+    "bits pick the bucket, register = leading-zero rank of the low 54 "
+    "bits via 55 - bitlength) — the INDUSTRY-standard mergeable "
+    "cardinality sketch next to agg-kmv (KMV) and agg-approx (Spark's "
+    "built-in HLL++, error-gated only): here the register STATE and the "
+    "raw estimate alpha*m^2/Z are replayed bit-exactly by the oracle. "
+    "Crucially NO distinct and NO exact count anywhere: register max is "
+    "duplicate-insensitive, so the whole sketch is one (source, bucket) "
+    "map-side-combined groupBy whose partial maxes ARE the HLL merge "
+    "operation — the partial-aggregate tree is literally sketch union, "
+    "which is why this runs on 100 TB where agg-kmv's per-source "
+    "distinct shuffle is the bottleneck. Z kept exact in integers: "
+    "Z_scaled = sum 2^(55-M_j) + n_empty*2^55 (max 2^61, fits BIGINT); "
+    "the only float op is the final alpha*m^2*2^55/Z_scaled division "
+    "with the irrational numerator precomputed in Python and embedded "
+    "as the same double literal in both engines. The small-range "
+    "correction (linear counting m*ln(m/n_empty) when raw <= 2.5m — "
+    "the regime this low-cardinality testdata sits in, where raw HLL "
+    "is ~2x biased) needs ln(), but over m=64 buckets it is a pure "
+    "function of n_empty in 1..64: all 64 INTEGER results precompute "
+    "in Python and both engines evaluate the identical CASE lookup "
+    "(_hll_lc_case) — zero irrational ops in either plan; "
+    "hll_estimate lands within ~15% of exact here vs ~2x raw "
+    "(error-gated in tests/test_operators.py).",
+)
+def agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = (
+        t.documents.where(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+    )
+    reg = hll_registers(toks, "source", "w")
+    summ = reg.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_used"),
+        F.sum(F.expr("shiftleft(1L, 55 - register)")).cast("long").alias("z_used"),
+    )
+    z_scaled = F.col("z_used") + (F.lit(64) - F.col("n_used")) * F.lit(2**55)
+    base = summ.select(
+        "source",
+        "n_used",
+        (F.lit(64) - F.col("n_used")).cast("long").alias("n_empty"),
+        z_scaled.cast("long").alias("z_scaled"),
+        F.round(F.lit(float(_HLL_ALPHA_NUM)) / z_scaled.cast("double"))
+        .cast("long")
+        .alias("hll_raw"),
+    )
+    return base.withColumn(
+        "hll_estimate",
+        F.when(
+            (F.col("n_empty") > 0) & (F.col("hll_raw") <= 160),
+            F.expr(_hll_lc_case()),
+        ).otherwise(F.col("hll_raw")),
+    )
