@@ -4981,3 +4981,119 @@ def agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_hll_lc_case()),
         ).otherwise(F.col("hll_raw")),
     )
+
+
+@register(
+    "agg-ks",
+    oracle="""
+    WITH lens AS (
+      SELECT source, length(text) AS x FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (SELECT source, x, count(*) AS c FROM lens GROUP BY source, x),
+    dense AS (
+      SELECT s.source, g.x, coalesce(c.c, 0) AS c
+      FROM (SELECT DISTINCT source FROM cnt) s
+      CROSS JOIN (SELECT DISTINCT x FROM cnt) g
+      LEFT JOIN cnt c ON c.source = s.source AND c.x = g.x
+    ),
+    cum AS (
+      SELECT source, x,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY x
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scum
+      FROM dense
+    ),
+    tot AS (
+      SELECT source, x, scum,
+             CAST(sum(scum) OVER (PARTITION BY x) AS BIGINT) AS gcum
+      FROM cum
+    ),
+    ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM lens GROUP BY source),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM lens),
+    d AS (
+      SELECT t.source, ns.n_s, (n.n_all - ns.n_s) AS n_rest,
+             CAST(max(abs(t.scum * (n.n_all - ns.n_s)
+                          - (t.gcum - t.scum) * ns.n_s)) AS BIGINT) AS d_num
+      FROM tot t JOIN ns ON t.source = ns.source CROSS JOIN n
+      GROUP BY t.source, ns.n_s, n.n_all
+    )
+    SELECT source, n_s, n_rest, d_num,
+           CAST(1000 * d_num // (n_s * n_rest) AS BIGINT) AS ks_milli
+    FROM d WHERE n_rest > 0
+    """,
+    defer_after=8,
+    doc="Two-sample Kolmogorov-Smirnov drift statistic (round 8), each "
+    "source vs the REST of the corpus over the doc-length distribution "
+    "— the distribution-shift test beside agg-chi2 (categorical) and "
+    "pipe-drift (token TV/KL): D = max_x |F_s(x) - F_rest(x)|, kept "
+    "EXACT by clearing denominators (numerator |scum*n_rest - "
+    "rcum*n_s|, one DIV to milli at the end; valid while n^2 < 2^63). "
+    "NO global window anywhere: per-source ECDFs are cumulative sums "
+    "partitioned BY SOURCE over the densified support grid, and the "
+    "global cumulative is recovered as sum(scum) partitioned BY X — "
+    "both window families parallel across their partition keys (the "
+    "win-lag/win-seq scale discipline). The grid is |sources| x "
+    "|support| (integer lengths bound the support; continuous metrics "
+    "would bin first), so the densify cross join is dimension-sized, "
+    "never corpus-sized. Sources with no complement (n_rest = 0) drop "
+    "on both engines rather than dividing by zero.",
+)
+def agg_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    lens = t.documents.where(F.col("text").isNotNull()).select(
+        "source", F.length("text").alias("x")
+    )
+    cnt = lens.groupBy("source", "x").agg(F.count("*").alias("c"))
+    dense = (
+        cnt.select("source").distinct()
+        .crossJoin(cnt.select("x").distinct())
+        .join(cnt, ["source", "x"], "left")
+        .select("source", "x", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.select(
+        "source", "x", F.sum("c").over(w_s).cast("long").alias("scum")
+    )
+    tot = cum.select(
+        "source",
+        "x",
+        "scum",
+        F.sum("scum").over(Window.partitionBy("x")).cast("long").alias("gcum"),
+    )
+    ns = lens.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    n_all = lens.agg(F.count("*").cast("long").alias("n_all"))
+    d = (
+        tot.join(ns, "source")
+        .crossJoin(n_all)
+        .groupBy("source", "n_s", "n_all")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("scum") * (F.col("n_all") - F.col("n_s"))
+                    - (F.col("gcum") - F.col("scum")) * F.col("n_s")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_all") - F.col("n_s")).alias("n_rest"),
+            "d_num",
+        )
+    )
+    return d.where(F.col("n_rest") > 0).select(
+        "source",
+        "n_s",
+        "n_rest",
+        "d_num",
+        F.expr("CAST((1000 * d_num) DIV (n_s * n_rest) AS BIGINT)").alias(
+            "ks_milli"
+        ),
+    )

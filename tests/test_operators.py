@@ -2011,3 +2011,48 @@ def test_hll_estimate_and_mergeability(spark):
             k = (r.source, r.bucket)
             merged[k] = max(merged.get(k, 0), r.register)
     assert merged == whole
+
+
+def test_ks_matches_pure_python_reference(spark):
+    """agg-ks's cleared-denominator D numerator recomputed in exact
+    Python integers from the raw lengths — an independent third
+    implementation (neither Spark windows nor DuckDB windows) must agree
+    on every source."""
+    from itdb_spark.queries import load_all
+    from itdb_spark.queries.pipeline import Tables
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.source: (r.n_s, r.n_rest, r.d_num, r.ks_milli)
+        for r in load_all()["agg-ks"].spark(spark, SF_DIR).collect()
+    }
+    assert got
+    docs = (
+        Tables(spark, SF_DIR).documents.where(F.col("text").isNotNull())
+        .select("source", F.length("text").alias("x"))
+        .collect()
+    )
+    from collections import Counter, defaultdict
+
+    by_src: dict[str, Counter] = defaultdict(Counter)
+    for r in docs:
+        by_src[r.source][r.x] += 1
+    n_all = sum(sum(c.values()) for c in by_src.values())
+    grid = sorted({x for c in by_src.values() for x in c})
+    for src, c in by_src.items():
+        n_s = sum(c.values())
+        n_rest = n_all - n_s
+        if n_rest == 0:
+            assert src not in got
+            continue
+        scum = rcum = 0
+        d_num = 0
+        rest = Counter()
+        for o, oc in by_src.items():
+            if o != src:
+                rest.update(oc)
+        for x in grid:
+            scum += c.get(x, 0)
+            rcum += rest.get(x, 0)
+            d_num = max(d_num, abs(scum * n_rest - rcum * n_s))
+        assert got[src] == (n_s, n_rest, d_num, 1000 * d_num // (n_s * n_rest))
