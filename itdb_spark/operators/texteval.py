@@ -353,3 +353,186 @@ def bleu_oracle_sql(max_n: int = 4, n_pairs: int = 30) -> str:
            {p_cols}
     FROM folded
     """
+
+
+def _char_gram_col(text: Column, n: int) -> Column:
+    """Multiset of character n-grams over the WHITESPACE-STRIPPED
+    lowercase text (chrF operates on characters with spaces removed —
+    Popović 2015 §2). Too-short strings yield an empty array."""
+    s = F.regexp_replace(F.lower(text), r"\s+", "")
+    if n == 1:
+        # split-to-chars keeps this the cheap path
+        return F.filter(F.split(s, ""), lambda c: c != F.lit(""))
+    return F.when(
+        F.length(s) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - n + 1),
+            lambda i: s.substr(i, F.lit(n)),
+        )
+    )
+
+
+def chrf_counts(
+    pairs: DataFrame,
+    max_n: int = 6,
+    pair_col: str = "pair_id",
+    cand_col: str = "cand_text",
+    ref_col: str = "ref_text",
+) -> DataFrame:
+    """Per-(pair, n) chrF component counts (Popović, "chrF: character
+    n-gram F-score", WMT 2015): clipped character-n-gram matches m,
+    candidate total tc, reference total tr for n = 1..max_n, plus
+    integer-micro precision/recall and the chrF2 per-n F-score via the
+    count-level identity F2 = (1+2^2)PR/(2^2·P+R) = 5m/(4·tr + tc) —
+    ONE integer floor division, the rouge_n F1 discipline extended to
+    beta=2. The cross-n average a chrF consumer reports is a bounded
+    driver-side fold over these 6 rows per pair; keeping rows per n
+    (long form) rather than 20 wide columns keeps every value exact
+    and the relation mergeable.
+
+    Scale shape mirrors bleu_counts: each side's character string is
+    built once and all max_n gram levels leave through ONE explode
+    (level-tagged concat), then a single (pair, n, gram)-keyed
+    map-side-combined shuffle and a bounded per-(pair, n) fold; the
+    (pair x n) output grid is densified from the pairs frame itself so
+    degenerate texts keep explicit zero rows."""
+    def side(col: str, cm: int, rm: int) -> DataFrame:
+        def tag(n: int):
+            # single-arg closure: F.transform's two-arg form binds the
+            # element index as the second argument (see bleu_counts)
+            return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+        levels = [
+            F.transform(_char_gram_col(F.col(col), n), tag(n))
+            for n in range(1, max_n + 1)
+        ]
+        return pairs.select(
+            F.col(pair_col).alias("pair_id"),
+            F.explode_outer(F.concat(*levels)).alias("ng"),
+        ).select(
+            "pair_id",
+            F.col("ng.n").alias("n"),
+            F.col("ng.gram").alias("gram"),
+            F.lit(cm).alias("c"),
+            F.lit(rm).alias("r"),
+        )
+
+    counts = (
+        side(cand_col, 1, 0)
+        .unionByName(side(ref_col, 0, 1))
+        .where(F.col("gram").isNotNull())
+        .groupBy("pair_id", "n", "gram")
+        .agg(
+            F.sum("c").cast("long").alias("nc"),
+            F.sum("r").cast("long").alias("nr"),
+        )
+    )
+    per_n = counts.groupBy("pair_id", "n").agg(
+        F.sum(F.least("nc", "nr")).cast("long").alias("m"),
+        F.sum("nc").cast("long").alias("tc"),
+        F.sum("nr").cast("long").alias("tr"),
+    )
+    grid = pairs.select(F.col(pair_col).alias("pair_id")).crossJoin(
+        F.broadcast(
+            pairs.sparkSession.range(1, max_n + 1).select(
+                F.col("id").cast("int").alias("n")
+            )
+        )
+    )
+    z = F.lit(0).cast("long")
+    dense = grid.join(per_n, ["pair_id", "n"], "left").select(
+        "pair_id",
+        "n",
+        F.coalesce("m", z).alias("m"),
+        F.coalesce("tc", z).alias("tc"),
+        F.coalesce("tr", z).alias("tr"),
+    )
+    return dense.select(
+        "pair_id",
+        F.col("n").cast("long").alias("n"),
+        "m",
+        "tc",
+        "tr",
+        F.when(F.col("tc") > 0, F.expr("m * 1000000 div tc")).otherwise(z)
+        .cast("long").alias("p_micros"),
+        F.when(F.col("tr") > 0, F.expr("m * 1000000 div tr")).otherwise(z)
+        .cast("long").alias("r_micros"),
+        F.when(4 * F.col("tr") + F.col("tc") > 0,
+               F.expr("5 * m * 1000000 div (4 * tr + tc)")).otherwise(z)
+        .cast("long").alias("f2_micros"),
+    )
+
+
+def chrf_oracle_sql(max_n: int = 6, n_pairs: int = 30) -> str:
+    """DuckDB twin of chrf_counts over the consecutive-document pairing
+    shared with rouge/bleu (candidate = doc d, reference = doc d+1,
+    d < n_pairs plus the edge corpus's planted pairs at ids >=
+    EDGE_ID_FLOOR). One MATERIALIZED space-strip feeds all gram levels;
+    the (pair x n) grid densifies through a range() cross join so
+    degenerate texts keep zero rows. regexp_replace carries the 'g'
+    flag (DuckDB replaces first-match-only by default)."""
+    def gram_branch(n: int) -> str:
+        if n == 1:
+            grams = "list_filter(regexp_split_to_array(s, ''), x -> x != '')"
+        else:
+            grams = f"""CASE WHEN length(s) < {n} THEN []
+                ELSE list_transform(range(1, length(s) - {n} + 2),
+                     i -> substr(s, i, {n}))
+                END"""
+        return f"""SELECT pair_id, c, r, {n} AS n,
+                   unnest({grams}) AS gram FROM stripped"""
+
+    branches = "\n      UNION ALL\n      ".join(
+        gram_branch(n) for n in range(1, max_n + 1))
+    return f"""
+    WITH pairs AS (
+      SELECT c.doc_id AS pair_id, c.text AS cand_t, r.text AS ref_t
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id < {n_pairs} OR c.doc_id >= {EDGE_ID_FLOOR}
+    ),
+    sides AS (
+      SELECT pair_id, cand_t AS t, 1 AS c, 0 AS r FROM pairs
+      UNION ALL
+      SELECT pair_id, ref_t AS t, 0 AS c, 1 AS r FROM pairs
+    ),
+    stripped AS MATERIALIZED (
+      SELECT pair_id, c, r,
+             regexp_replace(lower(t), '\\s+', '', 'g') AS s
+      FROM sides
+    ),
+    grams AS (
+      {branches}
+    ),
+    counts AS (
+      SELECT pair_id, n, gram,
+             CAST(sum(c) AS BIGINT) AS nc, CAST(sum(r) AS BIGINT) AS nr
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    per_n AS (
+      SELECT pair_id, n,
+             CAST(sum(least(nc, nr)) AS BIGINT) AS m,
+             CAST(sum(nc) AS BIGINT) AS tc,
+             CAST(sum(nr) AS BIGINT) AS tr
+      FROM counts GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT g.pair_id, g.n,
+             CAST(coalesce(pn.m, 0) AS BIGINT) AS m,
+             CAST(coalesce(pn.tc, 0) AS BIGINT) AS tc,
+             CAST(coalesce(pn.tr, 0) AS BIGINT) AS tr
+      FROM (SELECT p.pair_id, CAST(n.n AS BIGINT) AS n
+            FROM pairs p CROSS JOIN
+                 (SELECT unnest(range(1, {max_n + 1})) AS n) n) g
+      LEFT JOIN per_n pn ON pn.pair_id = g.pair_id AND pn.n = g.n
+    )
+    SELECT pair_id, n, m, tc, tr,
+           CAST(CASE WHEN tc > 0 THEN m * 1000000 // tc ELSE 0 END
+                AS BIGINT) AS p_micros,
+           CAST(CASE WHEN tr > 0 THEN m * 1000000 // tr ELSE 0 END
+                AS BIGINT) AS r_micros,
+           CAST(CASE WHEN 4 * tr + tc > 0
+                THEN 5 * m * 1000000 // (4 * tr + tc) ELSE 0 END
+                AS BIGINT) AS f2_micros
+    FROM dense
+    """

@@ -5097,3 +5097,43 @@ def agg_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_milli"
         ),
     )
+
+
+from itdb_spark.operators.texteval import chrf_oracle_sql as _chrf_oracle_sql  # noqa: E402
+
+
+@register(
+    "eval-chrf",
+    oracle=_chrf_oracle_sql(max_n=6, n_pairs=30),
+    defer_after=8,
+    doc="chrF component counts (round 8; operators/texteval.py::"
+    "chrf_counts — Popović, WMT 2015) over the rouge/bleu consecutive-"
+    "document pairing: per (pair, n = 1..6), clipped CHARACTER-n-gram "
+    "matches / candidate / reference totals over the whitespace-"
+    "stripped lowercase text, plus integer-micro precision, recall, "
+    "and the per-n chrF2 via the count-level identity F2 = 5m DIV "
+    "(4*tr + tc) — one floor division, rouge_n's F1 discipline at "
+    "beta=2 (recall weighted double, the chrF default). Long form (6 "
+    "rows per pair) keeps every value exact BIGINT; the cross-n "
+    "average is the consumer's bounded fold. Character semantics "
+    "(both engines count code points; substr/length are UTF-8-aware "
+    "on both) are exercised adversarially by the edge corpus's "
+    "planted CJK / precomposed-vs-decomposed / whitespace-only pairs. "
+    "Completes the generation-eval family: eval-rouge (word overlap), "
+    "eval-bleu (word precision + BP), eval-chrf (character F, the "
+    "tokenization-free metric robust to morphology and no-whitespace "
+    "scripts).",
+)
+def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.texteval import chrf_counts
+
+    t = Tables(spark, sf_dir)
+    d = t.documents
+    cand = d.select(F.col("doc_id").alias("pair_id"),
+                    F.col("text").alias("cand_text"))
+    ref = d.select((F.col("doc_id") - 1).alias("pair_id"),
+                   F.col("text").alias("ref_text"))
+    pairs = cand.where(
+        (F.col("pair_id") < 30) | (F.col("pair_id") >= EDGE_ID_FLOOR)
+    ).join(ref, "pair_id")
+    return chrf_counts(pairs, max_n=6)

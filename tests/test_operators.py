@@ -2056,3 +2056,40 @@ def test_ks_matches_pure_python_reference(spark):
             rcum += rest.get(x, 0)
             d_num = max(d_num, abs(scum * n_rest - rcum * n_s))
         assert got[src] == (n_s, n_rest, d_num, 1000 * d_num // (n_s * n_rest))
+
+
+def test_chrf_hand_counts_and_identity(spark):
+    """chrf_counts on hand pairs: (1) identical texts score exactly
+    1e6 on p/r/f2 at every n the text supports; (2) a worked example
+    ('abab' vs 'ab') matches hand-computed clipped counts and the
+    F2 = 5m/(4tr+tc) identity; (3) an empty side yields explicit
+    zero rows at every n."""
+    from itdb_spark.operators.texteval import chrf_counts
+
+    pairs = spark.createDataFrame(
+        [(1, "Hello World", "hello  world"),  # identical after strip/lower
+         (2, "abab", "ab"),
+         (3, "", "ab")],
+        "pair_id long, cand_text string, ref_text string",
+    )
+    rows = {(r.pair_id, r.n): r for r in chrf_counts(pairs, max_n=6).collect()}
+    assert len(rows) == 18  # dense grid: 3 pairs x 6 n
+    # pair 1: "helloworld" (10 chars) — identical multisets at every n
+    for n in range(1, 7):
+        r = rows[(1, n)]
+        assert r.m == r.tc == r.tr == 10 - n + 1
+        assert (r.p_micros, r.r_micros, r.f2_micros) == (10**6,) * 3
+    # pair 2 hand-computed: n=1 m=2,tc=4,tr=2; n=2 clipped ab:min(2,1)
+    r1, r2 = rows[(2, 1)], rows[(2, 2)]
+    assert (r1.m, r1.tc, r1.tr) == (2, 4, 2)
+    assert r1.f2_micros == 5 * 2 * 10**6 // (4 * 2 + 4)
+    assert (r2.m, r2.tc, r2.tr) == (1, 3, 1)
+    assert r2.f2_micros == 5 * 1 * 10**6 // (4 * 1 + 3)
+    # n=3: cand has 2 grams (aba, bab), ref none
+    r3 = rows[(2, 3)]
+    assert (r3.m, r3.tc, r3.tr, r3.f2_micros) == (0, 2, 0, 0)
+    # pair 3: empty candidate — explicit zero matches, ref totals real
+    for n in range(1, 7):
+        r = rows[(3, n)]
+        assert r.m == 0 and r.tc == 0 and r.p_micros == 0
+    assert rows[(3, 1)].tr == 2 and rows[(3, 2)].tr == 1
