@@ -4742,22 +4742,33 @@ def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
     "bites; the edge frame is materialized ONCE up front "
     "(truncate_lineage) so no round replays LSH candidate generation. "
     "Peel depth is bounded by graph degeneracy, small for near-dup "
-    "graphs (clusters are near-cliques).",
+    "graphs (clusters are near-cliques). Benched since round 8 (the "
+    "graph family's representative — bench.py times the xxhash64 "
+    "candidate deploy twin, the dedup-minhash/jaccard convention).",
+    bench=True,
+    bench_spark=lambda spark, sf_dir: kcore_survivor_degrees(
+        spark, sf_dir, k=2, rounds=4, hash_fn="xxhash64"
+    ),
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_survivor_degrees(spark, sf_dir, k=2, rounds=4)
 
 
 def kcore_survivor_degrees(
-    spark: SparkSession, sf_dir: str, k: int, rounds: int
+    spark: SparkSession, sf_dir: str, k: int, rounds: int,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """The graph-kcore body with the peel depth exposed: the
     convergence test runs rounds and rounds+1 and asserts the extra
-    round is a no-op on real testdata."""
+    round is a no-op on real testdata. ``hash_fn`` only switches the
+    LSH candidate hash (portable md5 = graded form, xxhash64 = the
+    cheaper deploy twin bench.py times)."""
     from itdb_spark.plans.library import truncate_lineage
 
     c = corpus(spark, sf_dir)
-    pairs = minhash_candidates(c, "doc_id", "text").select("id1", "id2")
+    pairs = minhash_candidates(c, "doc_id", "text", hash_fn=hash_fn).select(
+        "id1", "id2"
+    )
     edges = pairs.unionByName(
         pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
     ).select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
@@ -4772,6 +4783,13 @@ def kcore_survivor_degrees(
             edges.join(keep, edges["src"] == keep["node"], "left_semi")
             .join(keep, edges["dst"] == keep["node"], "left_semi")
         )
+        # Iterative discipline (connected_components): truncate lineage
+        # EVERY round, not just up front — `keep` appears twice in the
+        # round's plan and itself re-derives the prior round, so without
+        # this the plan compounds ~3x per round (the first cut's plan
+        # dump showed 162 exchanges for 4 rounds = ~3^4 replays of the
+        # degree chain; at 100 TB that is dozens of redundant edge scans).
+        edges = truncate_lineage(edges, eager=True)
     return edges.groupBy("src").agg(
         F.count("*").cast("long").alias("deg")
     ).select(F.col("src").alias("doc"), "deg")
