@@ -5155,3 +5155,113 @@ def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pair_id") < 30) | (F.col("pair_id") >= EDGE_ID_FLOOR)
     ).join(ref, "pair_id")
     return chrf_counts(pairs, max_n=6)
+
+
+@register(
+    "agg-mannwhitney",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+      WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+    ),
+    cnt AS (
+      SELECT c,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1c,
+             CAST(count(*) AS BIGINT) AS ntc
+      FROM cents GROUP BY c
+    ),
+    cum AS (
+      SELECT c, n1c, ntc,
+             CAST(coalesce(sum(ntc) OVER (ORDER BY c
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cbefore
+      FROM cnt
+    ),
+    agg AS (
+      SELECT CAST(sum(n1c) AS BIGINT) AS n_a,
+             CAST(sum(ntc - n1c) AS BIGINT) AS n_b,
+             CAST(sum(n1c * (2 * cbefore + ntc + 1)) AS BIGINT) AS r2_a,
+             CAST(sum(ntc * ntc * ntc - ntc) AS BIGINT) AS tie_cubes
+      FROM cum
+    )
+    SELECT n_a, n_b, r2_a,
+           CAST(2 * n_a * n_b + n_a * (n_a + 1) - r2_a AS BIGINT) AS u2_a,
+           tie_cubes,
+           round(
+             (CAST(2 * n_a * n_b + n_a * (n_a + 1) - r2_a AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * n_b) / 2
+             / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                    * ((n_a + n_b + 1)
+                       - CAST(tie_cubes AS DOUBLE)
+                         / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))),
+             6) AS z_mw
+    FROM agg
+    """,
+    defer_after=8,
+    doc="Mann-Whitney U between the view and click cohorts' event "
+    "values (round 8) — the NONPARAMETRIC twin of agg-abtest's Welch t "
+    "(rank-sum is the robust default when values are skewed/heavy-"
+    "tailed, which event values are): rank sums kept EXACT via DOUBLED "
+    "midranks (a tie group spanning ranks [a, b] has 2*midrank = a + b "
+    "— integers, no halves), so 2*R_a folds from per-value counts as "
+    "n1c * (2*cum_before + ntc + 1) and U follows by identity. The "
+    "cumulative-before is an EXCLUSIVE prefix sum over the per-value "
+    "count frame (support-sized, integer cents bound it) computed with "
+    "ranged_cumsum — bucketed per-bucket windows + a broadcast offsets "
+    "frame, NO single-partition global window (the win-seq scale "
+    "discipline; the oracle may window plainly). Tie correction "
+    "sum(t^3 - t) stays integer; the normal-approximation z folds from "
+    "the five exact integers in one closed-form double (the agg-abtest "
+    "discipline — identical doubles cross-engine, round 6). Valid "
+    "while n^3 < 2^63 per tie group (document bound, as agg-ks).",
+)
+def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.plans.library import ranged_cumsum
+
+    t = Tables(spark, sf_dir)
+    cents = t.events.where(
+        F.col("event_type").isin("view", "click") & F.col("value").isNotNull()
+    ).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    cnt = cents.groupBy("c").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n1c"),
+        F.count("*").cast("long").alias("ntc"),
+    )
+    cum = ranged_cumsum(
+        cnt, order_cols=["c"], value="ntc", out_col="cbefore",
+        bucket=F.expr("c DIV 1000"),
+    )
+    agg = cum.agg(
+        F.sum("n1c").cast("long").alias("n_a"),
+        F.sum(F.col("ntc") - F.col("n1c")).cast("long").alias("n_b"),
+        F.sum(F.col("n1c") * (2 * F.col("cbefore") + F.col("ntc") + 1))
+        .cast("long")
+        .alias("r2_a"),
+        F.sum(F.col("ntc") * F.col("ntc") * F.col("ntc") - F.col("ntc"))
+        .cast("long")
+        .alias("tie_cubes"),
+    )
+    u2 = 2 * F.col("n_a") * F.col("n_b") + F.col("n_a") * (F.col("n_a") + 1) - F.col("r2_a")
+    n = F.col("n_a") + F.col("n_b")
+    z = (
+        (u2.cast("double") - F.col("n_a").cast("double") * F.col("n_b")) / 2
+        / F.sqrt(
+            F.col("n_a").cast("double") * F.col("n_b") / F.lit(12.0)
+            * (
+                (n + 1)
+                - F.col("tie_cubes").cast("double")
+                / (n.cast("double") * (n - 1))
+            )
+        )
+    )
+    return agg.select(
+        "n_a", "n_b", "r2_a",
+        u2.cast("long").alias("u2_a"),
+        "tie_cubes",
+        F.round(z, 6).alias("z_mw"),
+    )

@@ -2093,3 +2093,46 @@ def test_chrf_hand_counts_and_identity(spark):
         r = rows[(3, n)]
         assert r.m == 0 and r.tc == 0 and r.p_micros == 0
     assert rows[(3, 1)].tr == 2 and rows[(3, 2)].tr == 1
+
+
+def test_mannwhitney_matches_pure_python_reference(spark):
+    """agg-mannwhitney's doubled-midrank machinery recomputed in exact
+    Python integers straight from the raw cents values — an independent
+    third implementation of midranks must agree, including the tie
+    correction and the closed-form z."""
+    import math
+
+    from itdb_spark.queries import load_all
+    from itdb_spark.queries.pipeline import Tables
+    from tests.conftest import SF_DIR
+
+    row = load_all()["agg-mannwhitney"].spark(spark, SF_DIR).collect()[0]
+    ev = (
+        Tables(spark, SF_DIR).events
+        .where(F.col("event_type").isin("view", "click")
+               & F.col("value").isNotNull())
+        .select("event_type", F.round(F.col("value") * 100).cast("long").alias("c"))
+        .collect()
+    )
+    a = sorted(r.c for r in ev if r.event_type == "view")
+    b = sorted(r.c for r in ev if r.event_type == "click")
+    allv = sorted(a + b)
+    # doubled midrank of value v in the combined order: (first + last)
+    # 1-based rank positions of the tie group
+    from bisect import bisect_left, bisect_right
+
+    def mid2(v):
+        return bisect_left(allv, v) + 1 + bisect_right(allv, v)
+
+    r2_a = sum(mid2(v) for v in a)
+    n_a, n_b = len(a), len(b)
+    u2_a = 2 * n_a * n_b + n_a * (n_a + 1) - r2_a
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(allv).values())
+    assert (row.n_a, row.n_b, row.r2_a, row.u2_a, row.tie_cubes) == (
+        n_a, n_b, r2_a, u2_a, ties)
+    n = n_a + n_b
+    z = ((u2_a - n_a * n_b) / 2) / math.sqrt(
+        n_a * n_b / 12 * ((n + 1) - ties / (n * (n - 1))))
+    assert abs(row.z_mw - round(z, 6)) < 1e-9
