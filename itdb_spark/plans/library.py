@@ -294,3 +294,36 @@ def materialized(result: DataFrame, *caches: DataFrame) -> DataFrame:
     for c in caches:
         c.unpersist()
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a Hive-bucketed, bucket-sorted table on ``key``
+    — the storage-layout half of the co-located join contract SCALE.md
+    claims for the repeated big-big joins (fact tables re-joined on the
+    same key every run). Both sides written through this helper with the
+    SAME n_buckets join with ZERO Exchange — and, once
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true lets the
+    scan TRUST the sortBy metadata (off by default since SPARK-28595),
+    ZERO per-task Sort: each task zips bucket i with bucket i straight
+    off disk (both stages proven in
+    tests/test_scale_paths.py::test_bucketed_storage_removes_fact_fact_shuffles).
+    At 100 TB this converts an every-query double shuffle into a
+    once-at-ingest layout cost, the standard warehouse trade.
+
+    The pre-write repartition on the bucket key matters twice: it caps
+    output at one file per bucket (P writer tasks x B buckets would
+    otherwise emit P*B small files), and Spark only TRUSTS the sortBy
+    metadata when a bucket is a single file — multi-file buckets get a
+    defensive per-task Sort re-inserted above the scan, silently
+    forfeiting half the layout's win (caught by the plan test)."""
+    df = df.repartition(n_buckets, F.col(key))
+    w = df.write.bucketBy(n_buckets, key).sortBy(key).mode("overwrite")
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

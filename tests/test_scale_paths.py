@@ -667,24 +667,16 @@ def test_bucketed_storage_removes_fact_fact_shuffles(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS ord_bkt")
     # external tables under tmp_path: bucketing metadata lives in the
     # session catalog, data in a per-test dir (no stale warehouse state)
-    (
-        t.lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
-        .repartition(8, "l_orderkey")
-        .write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", str(tmp_path / "li_bkt"))
-        .mode("overwrite")
-        .saveAsTable("li_bkt")
-    )
-    (
-        t.orders.select("o_orderkey", "o_orderpriority")
-        .repartition(8, "o_orderkey")
-        .write.bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", str(tmp_path / "ord_bkt"))
-        .mode("overwrite")
-        .saveAsTable("ord_bkt")
-    )
+    # the single-sourced layout discipline (repartition-to-one-file-per-
+    # bucket + bucketBy + sortBy) users should write through
+    from itdb_spark.plans.library import write_bucketed
+
+    write_bucketed(
+        t.lineitem.select("l_orderkey", "l_linenumber", "l_quantity"),
+        "li_bkt", "l_orderkey", 8, path=str(tmp_path / "li_bkt"))
+    write_bucketed(
+        t.orders.select("o_orderkey", "o_orderpriority"),
+        "ord_bkt", "o_orderkey", 8, path=str(tmp_path / "ord_bkt"))
     # one file per bucket — the precondition for sort elimination
     for d in ("li_bkt", "ord_bkt"):
         files = [p for p in (tmp_path / d).iterdir() if p.suffix == ".parquet"]
