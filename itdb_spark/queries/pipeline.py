@@ -5265,3 +5265,90 @@ def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tie_cubes",
         F.round(z, 6).alias("z_mw"),
     )
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Unrolled synchronous majority label propagation in DuckDB —
+    round t's labels as a MATERIALIZED CTE (the chained-level rule:
+    inlining would re-evaluate every earlier round per reference and
+    grow 2^rounds). The argmax is a window rn=1 (oracle clarity); the
+    Spark side uses the max_by struct discipline."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs "
+        "UNION ALL SELECT id2, id1 FROM pairs)",
+        "l0 AS (SELECT DISTINCT a AS node, a AS lab FROM e)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""l{t} AS MATERIALIZED (
+      SELECT node, lab FROM (
+        SELECT e.a AS node, l.lab, count(*) AS cnt,
+               row_number() OVER (PARTITION BY e.a
+                   ORDER BY count(*) DESC, l.lab) AS rn
+        FROM e JOIN l{t - 1} l ON l.node = e.b
+        GROUP BY e.a, l.lab) WHERE rn = 1
+    )""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH pairs AS MATERIALIZED ({_minhash_oracle()}),
+    {chain}
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_member
+    FROM l{rounds} GROUP BY lab
+    """
+
+
+@register(
+    "graph-communities",
+    oracle=_lpa_oracle(rounds=3),
+    defer_after=8,
+    doc="Community detection by synchronous majority label propagation "
+    "(round 8; Raghavan et al. 2007) over the LSH near-duplicate graph "
+    "— the fifth graph algorithm (CC finds REACHABILITY components; "
+    "LPA splits a weakly bridged component into its dense cores, the "
+    "signal that separates two template families glued by one spurious "
+    "collision). FIXED 3 synchronous rounds with a full tie-break "
+    "(max count, then min label), so both engines run in lockstep even "
+    "on oscillating graphs — LPA famously may not converge, which is "
+    "exactly why the fixed-depth contract (graph-kcore's) is the "
+    "oracle-safe form. Per round: one edges-to-labels join + one "
+    "map-side-combined (node, label) count + the min_by/max_by "
+    "single-winner argmax over a UNIQUE (cnt, -lab) struct (no "
+    "partition window), then lineage truncation (the per-round "
+    "checkpoint discipline kcore's 162-exchange plan taught).",
+)
+def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lpa_communities(spark, sf_dir, rounds=3)
+
+
+def lpa_communities(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
+    """The graph-communities body with the depth exposed for tests."""
+    from itdb_spark.plans.library import truncate_lineage
+
+    c = corpus(spark, sf_dir)
+    pairs = minhash_candidates(c, "doc_id", "text").select("id1", "id2")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    ).select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    edges = truncate_lineage(edges, eager=True)
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(rounds):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("bn"), "lab"),
+                edges["b"] == F.col("bn"),
+            )
+            .groupBy("a", "lab")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            nbr.groupBy("a")
+            .agg(F.expr("max_by(lab, struct(cnt, -lab))").alias("lab"))
+            .select(F.col("a").alias("node"), "lab")
+        )
+        labels = truncate_lineage(labels, eager=True)
+    return labels.groupBy("lab").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_member"),
+    ).select(F.col("lab").alias("community"), "n_members", "min_member")

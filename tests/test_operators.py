@@ -2136,3 +2136,59 @@ def test_mannwhitney_matches_pure_python_reference(spark):
     z = ((u2_a - n_a * n_b) / 2) / math.sqrt(
         n_a * n_b / 12 * ((n + 1) - ties / (n * (n - 1))))
     assert abs(row.z_mw - round(z, 6)) < 1e-9
+
+
+def test_lpa_splits_bridged_component(spark):
+    """graph-communities vs dedup-cluster's CC on a barbell graph (two
+    triangles joined by one bridge edge): CC merges everything into one
+    component; 3-round majority LPA must keep the two dense cores in
+    DIFFERENT communities — that is the algorithm's whole value on
+    near-dup graphs (two template families glued by one spurious
+    collision). The Spark rounds are replayed by a pure-Python
+    synchronous simulation with the same (max count, min label)
+    tie-break as an independent implementation."""
+    from itdb_spark.plans.library import truncate_lineage
+
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "a long, b long",
+    )
+    edges = truncate_lineage(edges, eager=True)
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab"))
+    for _ in range(3):
+        nbr = (
+            edges.join(labels.select(F.col("node").alias("bn"), "lab"),
+                       edges["b"] == F.col("bn"))
+            .groupBy("a", "lab").agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            nbr.groupBy("a")
+            .agg(F.expr("max_by(lab, struct(cnt, -lab))").alias("lab"))
+            .select(F.col("a").alias("node"), "lab")
+        )
+        labels = truncate_lineage(labels, eager=True)
+    got = {r.node: r.lab for r in labels.collect()}
+    # independent synchronous simulation
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(list)
+    for x, y in und:
+        adj[x].append(y)
+        adj[y].append(x)
+    sim = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(sim[m] for m in nbrs)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        sim = new
+    assert got == sim
+    # each triangle is internally uniform, and the two cores carry
+    # DIFFERENT labels (1-triangle -> 1, 4-triangle -> 3 after the
+    # bridge's round-1 tie pull) — CC would have merged all six
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
