@@ -5352,3 +5352,92 @@ def lpa_communities(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
         F.count("*").cast("long").alias("n_members"),
         F.min("node").cast("long").alias("min_member"),
     ).select(F.col("lab").alias("community"), "n_members", "min_member")
+
+
+def _poisson1_thresholds() -> list[int]:
+    """Cumulative Poisson(1) CDF breakpoints scaled to the 60-bit hash
+    range, precomputed in Python as exact integers (the _hll_lc_case
+    discipline): a uniform hash u maps to weight w = #{t : u >= t}.
+    Truncated at k=11 (P(K >= 12) < 1e-13) identically on both engines."""
+    import math
+
+    cum, p, out = 0.0, math.exp(-1.0), []
+    for k in range(11):
+        cum += p
+        out.append(int(cum * (2**60)))
+        p /= k + 1
+    return out
+
+
+def _poisson_weight_sql(h: str) -> str:
+    """Branch-free Poisson(1) draw from a 60-bit hash column: sum of
+    threshold indicators — rendered identically for Spark and DuckDB."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {h} >= {t} THEN 1 ELSE 0 END)"
+        for t in _poisson1_thresholds()
+    ) + ")"
+
+
+@register(
+    "agg-bootstrap",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'view' AND value IS NOT NULL
+    ),
+    drawn AS (
+      SELECT r.r, c,
+             {_poisson_weight_sql(
+                 "CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), ':', CAST(r.r AS VARCHAR))), 1, 15)) AS BIGINT)"
+             )} AS w
+      FROM base CROSS JOIN (SELECT unnest(range(0, 16)) AS r) r
+    )
+    SELECT CAST(r AS BIGINT) AS replicate,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * c) AS BIGINT) AS sum_cents,
+           round(CAST(sum(w * c) AS DOUBLE) / sum(w) / 100, 6) AS mean_value
+    FROM drawn GROUP BY r
+    """,
+    defer_after=8,
+    doc="Poisson bootstrap over the view cohort's event values (round 8; "
+    "Chamandy et al., 'Estimating Uncertainty for Massive Data "
+    "Streams', Google TR 2012) — THE scale-native resampling: instead "
+    "of materializing 16 resampled copies, each row draws a Poisson(1) "
+    "multiplicity per replicate from the portable hash of (event_id, "
+    "replicate), so all 16 replicates fold in ONE pass / ONE map-side-"
+    "combined groupBy and replicate state merges across shards by "
+    "addition (the sketch property; at 100 TB this is how CIs are "
+    "computed at all). Deterministic end to end: the Poisson inverse "
+    "CDF is 11 precomputed integer breakpoints on the 60-bit hash "
+    "range embedded identically in both engines (_hll_lc_case "
+    "discipline), weights and moment sums stay exact BIGINT, and the "
+    "only float is the final per-replicate mean (round 6). The "
+    "replicate-mean spread IS the sampling distribution — the "
+    "consumer's percentile fold over 16 rows.",
+)
+def agg_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.events.where(
+        (F.col("event_type") == "view") & F.col("value").isNotNull()
+    ).select("event_id", F.round(F.col("value") * 100).cast("long").alias("c"))
+    drawn = base.select(
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("r"),
+        "event_id",
+    ).select(
+        "r",
+        "c",
+        F.expr(
+            _poisson_weight_sql(
+                "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), "
+                "':', CAST(r AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            )
+        ).alias("w"),
+    )
+    return drawn.groupBy("r").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.sum(F.col("w") * F.col("c")).cast("long").alias("sum_cents"),
+        F.round(
+            F.sum(F.col("w") * F.col("c")).cast("double") / F.sum("w") / 100, 6
+        ).alias("mean_value"),
+    ).select(F.col("r").cast("long").alias("replicate"), "n_eff", "sum_cents", "mean_value")

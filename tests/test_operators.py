@@ -2192,3 +2192,61 @@ def test_lpa_splits_bridged_component(spark):
     assert got[1] == got[2] == got[3]
     assert got[4] == got[5] == got[6]
     assert got[1] != got[4]
+
+
+def test_bootstrap_replicates_behave_statistically(spark):
+    """agg-bootstrap sanity: each replicate's effective n is within a
+    generous 5*sqrt(n) of the true n (Poisson(1) multiplicities sum to
+    ~n with variance n); the grand mean of replicate means tracks the
+    sample mean; and the weights are a pure function of (event_id,
+    replicate) — recomputing on two disjoint shards and ADDING the
+    moment sums reproduces the whole-corpus replicate state (the merge
+    property that makes the one-pass bootstrap valid on shards)."""
+    from itdb_spark.queries import load_all
+    from itdb_spark.queries.pipeline import Tables
+    from tests.conftest import SF_DIR
+
+    rows = load_all()["agg-bootstrap"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 16
+    base = (
+        Tables(spark, SF_DIR).events
+        .where((F.col("event_type") == "view") & F.col("value").isNotNull())
+        .select("event_id", F.round(F.col("value") * 100).cast("long").alias("c"))
+    )
+    vals = [r.c for r in base.collect()]
+    n, mean = len(vals), sum(vals) / len(vals) / 100
+    for r in rows:
+        assert abs(r.n_eff - n) <= 5 * n**0.5 + 5
+    grand = sum(r.mean_value for r in rows) / 16
+    sd = (sum((v / 100 - mean) ** 2 for v in vals) / n) ** 0.5
+    assert abs(grand - mean) <= 5 * sd / n**0.5 + 1e-6
+    # merge: shard on even/odd event_id, add moment sums per replicate
+    whole = {r.replicate: (r.n_eff, r.sum_cents) for r in rows}
+    import itdb_spark.queries.pipeline as P
+
+    def shard_moments(parity):
+        q = load_all()["agg-bootstrap"]
+        df = base.where(F.col("event_id") % 2 == parity)
+        drawn = df.select(
+            "c", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("r"),
+            "event_id",
+        ).select(
+            "r", "c",
+            F.expr(P._poisson_weight_sql(
+                "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), "
+                "':', CAST(r AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            )).alias("w"),
+        )
+        out = drawn.groupBy("r").agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.col("w") * F.col("c")).cast("long").alias("s"),
+        ).collect()
+        return {r.r: (r.n_eff, r.s) for r in out}
+
+    a, b = shard_moments(0), shard_moments(1)
+    merged = {
+        r: (a.get(r, (0, 0))[0] + b.get(r, (0, 0))[0],
+            a.get(r, (0, 0))[1] + b.get(r, (0, 0))[1])
+        for r in range(16)
+    }
+    assert merged == whole
