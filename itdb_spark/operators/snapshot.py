@@ -19,7 +19,7 @@ rebuild.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,3 +59,47 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.where(F.col("change") != "unchanged")
     return out
+
+
+def scd2_history(
+    log: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log: per
+    ``key``, collapse consecutive runs of equal ``attr`` (ordered by
+    ``ts`` with ``tiebreak`` completing the total order) into validity
+    intervals — (key, version, attr, valid_from, valid_to, is_current),
+    valid_to exclusive and NULL on the open current row. The warehouse
+    counterpart of snapshot_diff: diff classifies WHAT changed between
+    two versions, SCD2 materializes WHEN every value held.
+
+    Scale shape: two window families, both partitioned by the dimension
+    key (parallel across keys, no global window): lag to mark run heads
+    (null-safe — a NULL attr is its own run, not a perpetual change),
+    then lead + row_number over the heads only, a frame already
+    collapsed to one row per run. Rows with NULL ``ts`` are excluded —
+    an unordered change is meaningless and NULL ordering differs across
+    engines (Spark NULLS FIRST asc vs DuckDB NULLS LAST)."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    marked = (
+        log.where(F.col(ts).isNotNull())
+        .select(key, ts, tiebreak, attr,
+                F.lag(attr).over(w).alias("_prev"),
+                F.lag(F.lit(1)).over(w).alias("_has_prev"))
+    )
+    heads = marked.where(
+        F.col("_has_prev").isNull()
+        | ~F.col(attr).eqNullSafe(F.col("_prev"))
+    )
+    w2 = Window.partitionBy(key).orderBy(ts, tiebreak)
+    return heads.select(
+        key,
+        F.row_number().over(w2).alias("version"),
+        attr,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+        F.when(F.lead(ts).over(w2).isNull(), 1).otherwise(0).alias("is_current"),
+    )

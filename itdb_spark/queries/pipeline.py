@@ -5441,3 +5441,51 @@ def agg_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w") * F.col("c")).cast("double") / F.sum("w") / 100, 6
         ).alias("mean_value"),
     ).select(F.col("r").cast("long").alias("replicate"), "n_eff", "sum_cents", "mean_value")
+
+
+@register(
+    "snap-scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev,
+             lag(1) OVER w AS has_prev
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    heads AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE has_prev IS NULL OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w2 AS BIGINT) AS version,
+           event_type,
+           ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM heads
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    defer_after=8,
+    doc="SCD type-2 dimension history from the event log (round 8; "
+    "operators/snapshot.py::scd2_history — Kimball's slowly-changing-"
+    "dimension type 2, the warehouse-standard form): per user, "
+    "consecutive runs of equal event_type collapse into validity "
+    "intervals (version, valid_from, exclusive valid_to, is_current) "
+    "— snapshot_diff tells WHAT changed between two versions, SCD2 "
+    "materializes WHEN each value held, which is what a training-data "
+    "pipeline needs to reconstruct any past dimension state "
+    "(time-travel joins against fact tables). Both window families "
+    "partition by the dimension key — parallel across keys, no global "
+    "window; the second family runs over the run-head frame, already "
+    "collapsed to one row per value run. NULL-ts rows are excluded "
+    "(unordered changes are meaningless and NULL ordering differs "
+    "across engines); a NULL attribute is its own run via the "
+    "null-safe lag compare + has-prev guard (first row is always a "
+    "head even when its attr is NULL).",
+)
+def snap_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.snapshot import scd2_history
+
+    t = Tables(spark, sf_dir)
+    return scd2_history(t.events, "user_id", "event_type", "ts", "event_id")

@@ -2250,3 +2250,47 @@ def test_bootstrap_replicates_behave_statistically(spark):
         for r in range(16)
     }
     assert merged == whole
+
+
+def test_scd2_hand_history(spark):
+    """scd2_history on a hand log: runs collapse, intervals chain
+    (valid_to = next valid_from, exclusive), exactly one current row
+    per key, NULL attr forms its own run, and a NULL-ts row is
+    excluded rather than ordered engine-dependently."""
+    import datetime as dt
+
+    from itdb_spark.operators.snapshot import scd2_history
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        (1, ts(0), 10, "a"), (1, ts(1), 11, "a"), (1, ts(2), 12, "b"),
+        (1, ts(3), 13, "b"), (1, ts(4), 14, "a"),
+        (2, ts(0), 20, None), (2, ts(1), 21, None), (2, ts(2), 22, "x"),
+        (3, None, 30, "z"),  # NULL ts: dropped
+        (3, ts(5), 31, "z"),
+    ]
+    log = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = sorted(
+        (r.user_id, r.version, r.event_type, r.valid_from, r.valid_to,
+         r.is_current)
+        for r in scd2_history(log, "user_id", "event_type", "ts",
+                              "event_id").collect()
+    )
+    assert got == [
+        (1, 1, "a", ts(0), ts(2), 0),
+        (1, 2, "b", ts(2), ts(4), 0),
+        (1, 3, "a", ts(4), None, 1),
+        (2, 1, None, ts(0), ts(2), 0),
+        (2, 2, "x", ts(2), None, 1),
+        (3, 1, "z", ts(5), None, 1),
+    ]
+    # exactly one current row per key
+    per_key = {}
+    for u, *_rest, cur in got:
+        per_key[u] = per_key.get(u, 0) + cur
+    assert set(per_key.values()) == {1}
