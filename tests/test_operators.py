@@ -2294,3 +2294,24 @@ def test_scd2_hand_history(spark):
     for u, *_rest, cur in got:
         per_key[u] = per_key.get(u, 0) + cur
     assert set(per_key.values()) == {1}
+
+
+def test_timetravel_covers_every_fact_exactly_once(spark):
+    """snap-timetravel's doc claims every purchase matches exactly one
+    SCD2 interval (the intervals partition each user's timeline from
+    the first event on). Differential: the per-state purchase counts
+    must sum to the raw purchase count — no fact dropped (a gap) and
+    none double-attributed (an overlap)."""
+    from itdb_spark.queries import load_all
+    from itdb_spark.queries.pipeline import Tables
+    from tests.conftest import SF_DIR
+
+    rows = load_all()["snap-timetravel"].spark(spark, SF_DIR).collect()
+    assert rows
+    raw = (
+        Tables(spark, SF_DIR).events
+        .where((F.col("event_type") == "purchase")
+               & F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .count()
+    )
+    assert sum(r.n_purchases for r in rows) == raw
