@@ -5572,3 +5572,222 @@ def snap_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("revenue_cents"),
         F.max("version").cast("long").alias("max_version"),
     )
+
+
+def _mmr_oracle(n_cand: int = 10, k: int = 5, lam: str = "0.5") -> str:
+    """Unrolled greedy MMR in DuckDB: candidate top-n per query, then k
+    selection steps, each a MATERIALIZED CTE (chained levels — inlining
+    would re-evaluate 2^k times) picking argmax of
+    relevance - lambda * max-sim-to-selected with a full tie-break."""
+    ctes = [
+        # zero-norm (dead) embeddings drop at the source — cosine would
+        # divide by zero; the ivf/pq family's zero-vector discipline
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings "
+        "WHERE list_dot_product(vec, vec) > 0)",
+        "q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5)",
+        f"""cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id, cos_raw FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               {_cos_sql('q.qvec', 'v.vec')} AS cos_raw,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_cos_sql('q.qvec', 'v.vec')} DESC, v.vec_id) AS rn
+        FROM v, q WHERE v.vec_id != q.query_id
+      ) WHERE rn <= {n_cand}
+    )""",
+        """sel1 AS MATERIALIZED (
+      SELECT query_id, 1 AS rank, neighbor_id, cos_raw,
+             cos_raw AS score FROM (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )""",
+    ]
+    for t in range(2, k + 1):
+        prev = f"sel{t - 1}"
+        ctes.append(f"""ms{t} AS (
+      SELECT c.query_id, c.neighbor_id, c.cos_raw,
+             max({_cos_sql('a.vec', 'b.vec')}) AS maxsim
+      FROM cand c
+      JOIN {prev} s ON s.query_id = c.query_id
+      LEFT JOIN {prev} x ON x.query_id = c.query_id
+                        AND x.neighbor_id = c.neighbor_id
+      JOIN v a ON a.vec_id = c.neighbor_id
+      JOIN v b ON b.vec_id = s.neighbor_id
+      WHERE x.neighbor_id IS NULL
+      GROUP BY c.query_id, c.neighbor_id, c.cos_raw
+    )""")
+        ctes.append(f"""sel{t} AS MATERIALIZED (
+      SELECT query_id, rank, neighbor_id, cos_raw, score FROM {prev}
+      UNION ALL
+      SELECT query_id, {t} AS rank, neighbor_id, cos_raw, score FROM (
+        SELECT query_id, neighbor_id, cos_raw,
+               cos_raw - {lam} * maxsim AS score,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw - {lam} * maxsim DESC, neighbor_id) AS rn
+        FROM ms{t}
+      ) WHERE rn = 1
+    )""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           round(cos_raw, 6) AS relevance, round(score, 6) AS mmr_score
+    FROM sel{k}
+    """
+
+
+@register(
+    "sim-mmr",
+    oracle=_mmr_oracle(),
+    defer_after=8,
+    doc="Maximal Marginal Relevance rerank (round 8; Carbonell & "
+    "Goldstein, SIGIR 1998): greedy diversification of the brute top-10 "
+    "candidates — each of 5 steps selects argmax of relevance - 0.5 * "
+    "max-cosine-to-already-selected, the standard redundancy killer for "
+    "retrieval-augmented training data (near-identical passages crowd "
+    "out coverage at equal relevance budget). Both engines run the SAME "
+    "unrolled greedy: Spark iterates 5 bounded dataframe steps (join "
+    "remaining x selected -> per-candidate max-sim -> min_by/max_by "
+    "argmax over the unique (score, -id) struct; frames are "
+    "|queries| x n_cand, lineage-truncated per step), the oracle "
+    "unrolls the same steps as MATERIALIZED CTEs. Scale: reranking is "
+    "a POST-candidate stage — cost is k * |queries| * n_cand "
+    "regardless of corpus size; the corpus only feeds the candidate "
+    "top-n (swap brute for the IVF/LSH path at 100 TB). Float "
+    "determinism rides the same list-fold ordering the graded KNN "
+    "family relies on; every argmax carries the -neighbor_id "
+    "tie-break.",
+)
+def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mmr_rerank(spark, sf_dir, n_cand=10, k=5, lam=0.5)
+
+
+def mmr_rerank(
+    spark: SparkSession, sf_dir: str, n_cand: int, k: int, lam: float
+) -> DataFrame:
+    """The sim-mmr body with knobs exposed for tests."""
+    from pyspark.sql import Window
+
+    from itdb_spark.plans.library import truncate_lineage
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    dot0 = (
+        "aggregate(zip_with(nvec, nvec, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    # zero-norm (dead) embeddings drop at the source — cosine would
+    # divide by zero under ANSI; the ivf/pq family's zero-vector
+    # discipline, mirrored in the oracle's v CTE
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("nvec"),
+    ).where(F.expr(dot0) > 0)
+    q = v.where(F.col("neighbor_id") < 5).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("nvec").alias("qvec"),
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+    def cos(a: str, b: str) -> Column:
+        return F.expr(
+            f"{dot.format(a=a, b=b)} / (sqrt({dot.format(a=a, b=a)}) "
+            f"* sqrt({dot.format(a=b, b=b)}))"
+        )
+
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "nvec", cos("qvec", "nvec").alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), "neighbor_id"
+    )
+    cand = truncate_lineage(
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_cand)
+        .drop("rn"),
+        eager=True,
+    )
+    sel = (
+        cand.groupBy("query_id")
+        .agg(
+            F.expr(
+                "max_by(struct(neighbor_id, cos_raw, nvec), "
+                "struct(cos_raw, -neighbor_id))"
+            ).alias("s")
+        )
+        .select(
+            "query_id", F.lit(1).alias("rank"),
+            F.col("s.neighbor_id").alias("neighbor_id"),
+            F.col("s.cos_raw").alias("cos_raw"),
+            F.col("s.nvec").alias("nvec"),
+            F.col("s.cos_raw").alias("score"),
+        )
+    )
+    for step in range(2, k + 1):
+        sel = truncate_lineage(sel, eager=True)
+        # exclude already-selected, then max sim to the selected set
+        ms = (
+            cand.alias("c")
+            .join(
+                sel.select(
+                    F.col("query_id").alias("sq"),
+                    F.col("neighbor_id").alias("sid"),
+                    F.col("nvec").alias("svec"),
+                ),
+                F.col("c.query_id") == F.col("sq"),
+            )
+            .join(
+                sel.select(
+                    F.col("query_id").alias("xq"),
+                    F.col("neighbor_id").alias("xid"),
+                ),
+                (F.col("c.query_id") == F.col("xq"))
+                & (F.col("c.neighbor_id") == F.col("xid")),
+                "left_anti",
+            )
+            .select(
+                F.col("c.query_id").alias("query_id"),
+                F.col("c.neighbor_id").alias("neighbor_id"),
+                F.col("c.cos_raw").alias("cos_raw"),
+                F.col("c.nvec").alias("nvec"),
+                cos("nvec", "svec").alias("sim"),
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.max("sim").alias("maxsim"),
+                F.first("cos_raw").alias("cos_raw"),
+                F.first("nvec").alias("nvec"),
+            )
+        )
+        picked = (
+            ms.withColumn(
+                "score", F.col("cos_raw") - F.lit(lam) * F.col("maxsim")
+            )
+            .groupBy("query_id")
+            .agg(
+                F.expr(
+                    "max_by(struct(neighbor_id, cos_raw, nvec, score), "
+                    "struct(score, -neighbor_id))"
+                ).alias("s")
+            )
+            .select(
+                "query_id", F.lit(step).alias("rank"),
+                F.col("s.neighbor_id").alias("neighbor_id"),
+                F.col("s.cos_raw").alias("cos_raw"),
+                F.col("s.nvec").alias("nvec"),
+                F.col("s.score").alias("score"),
+            )
+        )
+        sel = sel.unionByName(picked)
+    return sel.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id",
+        F.round("cos_raw", 6).alias("relevance"),
+        F.round("score", 6).alias("mmr_score"),
+    )

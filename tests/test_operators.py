@@ -2315,3 +2315,40 @@ def test_timetravel_covers_every_fact_exactly_once(spark):
         .count()
     )
     assert sum(r.n_purchases for r in rows) == raw
+
+
+def test_mmr_diversifies_and_scores_decrease(spark):
+    """sim-mmr invariants: per query exactly ranks 1..5 over distinct
+    neighbors; rank 1 is the brute top-1 (no penalty yet); greedy
+    scores are monotone non-increasing (each step maximizes over a
+    shrunk candidate set with weakly larger penalties); and the
+    selection actually DIVERSIFIES — on this corpus every query's MMR
+    set differs from the plain relevance top-5 (checked live, then
+    pinned: if a testdata regen makes candidates orthogonal enough
+    that MMR degenerates to top-k, this should be looked at, not
+    waved through)."""
+    from collections import defaultdict
+
+    from itdb_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    mmr = load_all()["sim-mmr"].spark(spark, SF_DIR).collect()
+    brute = load_all()["sim-knn-brute"].spark(spark, SF_DIR).collect()
+    m = defaultdict(dict)
+    for r in mmr:
+        m[r.query_id][r.rank] = r
+    b = defaultdict(list)
+    for r in brute:
+        b[r.query_id].append((-r.cosine, r.neighbor_id))
+    n_diff = 0
+    for qid, ranks in m.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+        sel = [ranks[k].neighbor_id for k in sorted(ranks)]
+        assert len(set(sel)) == 5
+        top = [n for _, n in sorted(b[qid])[:5]]
+        assert sel[0] == top[0]
+        scores = [ranks[k].mmr_score for k in sorted(ranks)]
+        assert all(scores[i] >= scores[i + 1] - 1e-9
+                   for i in range(len(scores) - 1))
+        n_diff += sel != top
+    assert n_diff == len(m) == 5

@@ -275,7 +275,8 @@ def test_bench_headline_set_stable():
     """The driver times the bench=True registry subset; keep it fixed so
     BENCH_r{N} totals stay comparable across rounds. Deliberate change
     log: round 7 added sim-knn-ivfpq (round-6 VERDICT #4 — the bench
-    previously tracked no ANN-family query; totals from BENCH_r07 on
+    previously tracked no ANN-family query); round 8 added graph-kcore
+    (the graph family's representative; totals from BENCH_r08 on
     include it, and the per-query map stays comparable)."""
     from itdb_spark.queries import load_all
 
@@ -284,7 +285,7 @@ def test_bench_headline_set_stable():
         "agg-hist-genre", "agg-pl-stats", "api-sql", "join-pt",
         "dedup-exact", "dedup-minhash", "dedup-jaccard", "sim-knn-brute",
         "pipe-curate", "stream-window", "stream-session", "win-topk-group",
-        "sim-knn-ivfpq",
+        "sim-knn-ivfpq", "graph-kcore",
     }
 
 
