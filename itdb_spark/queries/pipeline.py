@@ -2636,10 +2636,13 @@ def _bpe_merges_sql() -> str:
     return "[" + ", ".join(f"'{m}'" for m in BPE_MERGES) + "]"
 
 
-@register(
-    "fn-bpe",
-    oracle=f"""
-    WITH RECURSIVE words AS (
+def _bpe_apply_ctes() -> str:
+    """words + bpe recursive-CTE chain of the GRADED fn-bpe oracle,
+    single-sourced so fn-bpe-eval replays the IDENTICAL segmentation —
+    byte-identity of fn-bpe's rendered oracle with the graded round-6
+    text is asserted by test_shared_oracle_builders_preserve_graded_text
+    (the join-asof/lsh shared-replay discipline)."""
+    return f"""words AS (
       SELECT DISTINCT w FROM (
         SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
         FROM documents WHERE len(trim(text)) > 0
@@ -2666,15 +2669,26 @@ def _bpe_merges_sql() -> str:
               x -> x IS NOT NULL))) AS bi
         FROM bpe
       ) WHERE bi IS NOT NULL
-    )
+    )"""
+
+
+def _bpe_terminal_cond() -> str:
+    """The fixpoint filter: a state with no mergeable adjacent pair."""
+    return f"""len(list_filter(list_transform(range(1, len(syms)),
+            i -> nullif(list_position({_bpe_merges_sql()},
+                               concat(syms[i], ' ', syms[i+1])), 0)),
+          x -> x IS NOT NULL)) = 0"""
+
+
+@register(
+    "fn-bpe",
+    oracle=f"""
+    WITH RECURSIVE {_bpe_apply_ctes()}
     SELECT w AS word,
            array_to_string(syms, ' ') AS segmentation,
            CAST(len(syms) AS BIGINT) AS n_subwords
     FROM bpe
-    WHERE len(list_filter(list_transform(range(1, len(syms)),
-            i -> nullif(list_position({_bpe_merges_sql()},
-                               concat(syms[i], ' ', syms[i+1])), 0)),
-          x -> x IS NOT NULL)) = 0
+    WHERE {_bpe_terminal_cond()}
     """,
     doc="BPE tokenizer APPLICATION (operators/packing.py::bpe_segment) — "
     "the subword segmentation step every LLM pipeline runs, with a fixed "
@@ -5790,4 +5804,79 @@ def mmr_rerank(
         "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id",
         F.round("cos_raw", 6).alias("relevance"),
         F.round("score", 6).alias("mmr_score"),
+    )
+
+
+@register(
+    "fn-bpe-eval",
+    oracle=f"""
+    WITH RECURSIVE {_bpe_apply_ctes()},
+    seg AS (
+      SELECT w, CAST(len(syms) AS BIGINT) AS n_subwords
+      FROM bpe
+      WHERE {_bpe_terminal_cond()}
+    ),
+    cw AS (
+      SELECT lang, w FROM (
+        SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE len(trim(text)) > 0
+      ) WHERE len(w) >= 1
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(s.n_subwords) AS BIGINT) AS n_tokens,
+           CAST(sum(len(c.w)) AS BIGINT) AS n_chars,
+           CAST(1000000 * sum(s.n_subwords) // count(*) AS BIGINT)
+             AS fertility_micros,
+           CAST(1000000 * sum(len(c.w)) // sum(s.n_subwords) AS BIGINT)
+             AS chars_per_token_micros
+    FROM cw c JOIN seg s ON s.w = c.w
+    GROUP BY lang
+    """,
+    defer_after=8,
+    doc="Tokenizer evaluation per language (round 8): fertility (tokens "
+    "per word) and compression (chars per token) of the fn-bpe merge "
+    "table over the FULL corpus word stream — the metrics a tokenizer "
+    "report leads with (high fertility on a language = it pays more "
+    "sequence length per word, the multilingual-equity number). This "
+    "query REGISTERS the scale pattern fn-bpe's doc only described: "
+    "the UDF segments the DISTINCT vocabulary once, and the corpus "
+    "joins segmentations back BY WORD — corpus-sized work is one "
+    "tokenize-split plus an equi-join against the vocab-sized "
+    "segmentation table (broadcastable: vocabularies are ~10^6 while "
+    "corpora are ~10^12), never a per-corpus-row UDF call. All "
+    "integer micros via DIV; the oracle replays the identical "
+    "segmentation through the shared _bpe_apply_ctes chain "
+    "(byte-identity of the graded fn-bpe text gate-pinned).",
+)
+def fn_bpe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from itdb_spark.operators.packing import bpe_segment
+
+    t = Tables(spark, sf_dir)
+
+    @pandas_udf("string")
+    def seg(words):  # no type hints: future-annotations stringify them
+        return words.map(lambda w: " ".join(bpe_segment(w)))
+
+    base = t.documents.where(F.length(F.trim("text")) > 0)
+    vocab = (
+        base.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        .where(F.length("w") >= 1)
+        .distinct()
+        .select("w", F.size(F.split(seg("w"), " ")).cast("long").alias("n_subwords"))
+    )
+    cw = base.select(
+        "lang", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+    ).where(F.length("w") >= 1)
+    joined = cw.join(F.broadcast(vocab), "w")
+    return joined.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_subwords").cast("long").alias("n_tokens"),
+        F.sum(F.length("w")).cast("long").alias("n_chars"),
+        F.expr("CAST(1000000 * sum(n_subwords) DIV count(*) AS BIGINT)")
+        .alias("fertility_micros"),
+        F.expr("CAST(1000000 * sum(length(w)) DIV sum(n_subwords) AS BIGINT)")
+        .alias("chars_per_token_micros"),
     )

@@ -1580,7 +1580,9 @@ def test_shared_oracle_builders_preserve_graded_text():
     The rendered registry text must stay BYTE-IDENTICAL to the literals
     the driver graded — a formatting drift here would invalidate those
     grades for no semantic reason (the repo's pin policy treats oracle
-    text changes as definition changes)."""
+    text changes as definition changes). Round 8 adds fn-bpe (graded
+    r6): its words/bpe CTE chain moved into _bpe_apply_ctes /
+    _bpe_terminal_cond, shared with fn-bpe-eval."""
     import hashlib
 
     from itdb_spark.queries import load_all
@@ -1593,6 +1595,8 @@ def test_shared_oracle_builders_preserve_graded_text():
             "b476b5956693b879f860ca2f66d9fa8dfc0e172bf671a12a5c6d590a27f65cfe",
         "sim-knn-lsh":
             "e022f2133a1f1d2544b3fcdde8176c83f6fddfb1aea4a58e3d238c5eaf36b392",
+        "fn-bpe":
+            "6f049d0ce441c7177e81c7457c19bcf0196a501b8b81112004632aa386325fc7",
     }
     for qid, want in expected.items():
         got = hashlib.sha256(reg[qid].oracle.encode()).hexdigest()
