@@ -5880,3 +5880,61 @@ def fn_bpe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(1000000 * sum(length(w)) DIV sum(n_subwords) AS BIGINT)")
         .alias("chars_per_token_micros"),
     )
+
+
+@register(
+    "agg-markov",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE ts IS NOT NULL
+    ),
+    trans AS (
+      SELECT prev AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY prev, event_type
+    ),
+    tot AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+      FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(1000000 * t.n // tt.row_total AS BIGINT) AS p_micros
+    FROM trans t JOIN tot tt ON tt.from_type = t.from_type
+    """,
+    defer_after=8,
+    doc="First-order Markov transition matrix between event types "
+    "(round 8): per user, consecutive-event pairs under the (ts, "
+    "event_id) total order -> (from, to) transition counts and "
+    "row-normalized probabilities in integer micros — the "
+    "user-journey/session-model primitive beside agg-funnel (funnel "
+    "checks ONE prescribed path; the matrix summarizes ALL observed "
+    "steps, feeding next-event baselines and anomaly screens). Plan: "
+    "the lag window partitions by user (parallel across keys, the "
+    "snap-scd2 discipline, NULL-ts rows excluded for cross-engine "
+    "order parity), then one map-side-combined (from, to) groupBy; "
+    "the row-normalizer joins a |event_types|-sized total frame — "
+    "dimension-sized, broadcastable. Output is at most "
+    "|event_types|^2 rows regardless of corpus size.",
+)
+def agg_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.where(F.col("ts").isNotNull()).select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    trans = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("n").cast("long").alias("row_total"))
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type", "to_type", "n",
+        F.expr("CAST(1000000 * n DIV row_total AS BIGINT)").alias("p_micros"),
+    )

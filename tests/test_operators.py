@@ -2356,3 +2356,32 @@ def test_mmr_diversifies_and_scores_decrease(spark):
                    for i in range(len(scores) - 1))
         n_diff += sel != top
     assert n_diff == len(m) == 5
+
+
+def test_markov_rows_normalize_and_count_transitions(spark):
+    """agg-markov invariants: per from-state, transition counts sum to
+    the state's row total and p_micros sums to 1e6 minus floor loss
+    (< #to-states); total transition count equals (events with ts) -
+    (distinct users with ts) — each user's sequence of k events yields
+    exactly k-1 transitions."""
+    from collections import defaultdict
+
+    from itdb_spark.queries import load_all
+    from itdb_spark.queries.pipeline import Tables
+    from tests.conftest import SF_DIR
+
+    rows = load_all()["agg-markov"].spark(spark, SF_DIR).collect()
+    assert rows
+    by_from = defaultdict(list)
+    for r in rows:
+        by_from[r.from_type].append(r)
+    for frm, rs in by_from.items():
+        total = sum(r.n for r in rs)
+        mass = sum(r.p_micros for r in rs)
+        assert 1_000_000 - len(rs) < mass <= 1_000_000
+        for r in rs:
+            assert r.p_micros == 1_000_000 * r.n // total
+    ev = Tables(spark, SF_DIR).events.where(F.col("ts").isNotNull())
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
