@@ -5938,3 +5938,68 @@ def agg_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type", "to_type", "n",
         F.expr("CAST(1000000 * n DIV row_total AS BIGINT)").alias("p_micros"),
     )
+
+
+@register(
+    "fn-hashfeat",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE len(trim(text)) > 0 AND doc_id < 50
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 64
+               AS bucket,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('sgn:', w)), 1, 15))
+                       AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(sgn) AS BIGINT) AS weight
+    FROM hashed GROUP BY doc_id, bucket
+    HAVING sum(sgn) != 0
+    """,
+    defer_after=8,
+    doc="Feature hashing / the hashing trick (round 8; Weinberger et "
+    "al., ICML 2009): each token maps to one of 64 feature buckets by "
+    "the portable hash with a SEPARATE sign hash ('sgn:'-salted), so "
+    "collisions cancel in expectation (the property that makes hashed "
+    "features unbiased) — the vectorization step that turns text into "
+    "fixed-dimension model input with NO vocabulary table, no fit "
+    "pass, and no driver state, which is why it is the 100 TB default "
+    "over count-vectorizers (text-classify's weight table ships a "
+    "model; this builds its input features). Long (doc, bucket, "
+    "weight) form keeps everything exact BIGINT and mergeable "
+    "(weights sum across shards); exact-zero cancellations drop on "
+    "both engines. One explode + one map-side-combined groupBy; "
+    "restricted to doc_id < 50 so the graded output stays "
+    "row-bounded (the operator itself is corpus-wide).",
+)
+def fn_hashfeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import portable_hash64
+
+    t = Tables(spark, sf_dir)
+    toks = (
+        t.documents.where(
+            (F.length(F.trim("text")) > 0) & (F.col("doc_id") < 50)
+        )
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+    )
+    hashed = toks.select(
+        "doc_id",
+        (portable_hash64(F.col("w")) % 64).alias("bucket"),
+        F.when(
+            portable_hash64(F.concat(F.lit("sgn:"), F.col("w"))) % 2 == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", F.col("bucket").cast("long").alias("bucket"))
+        .agg(F.sum("sgn").cast("long").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
