@@ -730,6 +730,7 @@ def test_bench_deploy_twins_equivalent(spark):
     twins = {qid: q for qid, q in reg.items() if q.bench_spark is not None}
     assert set(twins) == {
         "dedup-minhash", "dedup-jaccard", "pipe-curate", "sim-knn-ivfpq",
+        "graph-kcore",
     }
     for qid, q in twins.items():
         graded = {tuple(r) for r in q.spark(spark, SF_DIR).collect()}
@@ -749,6 +750,14 @@ def test_bench_deploy_twins_equivalent(spark):
             kept = {r[0] for r in deploy}
             both = [i for i in kept if i >= 200000 and i - 200000 in kept]
             assert not both, f"exact copies both kept by deploy twin: {both[:5]}"
+        elif qid == "graph-kcore":
+            # survivor SETS track closely even though bucket hashing
+            # differs: the 2-core of the near-dup graph is dominated by
+            # the planted template structure, not hash accidents
+            gd = {r[0] for r in graded}
+            dd = {r[0] for r in deploy}
+            overlap = len(gd & dd) / max(len(gd), 1)
+            assert overlap >= 0.9, f"kcore survivor overlap {overlap:.2f}"
         else:
             missing = [
                 (r[0], r[1])
