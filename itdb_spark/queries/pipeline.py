@@ -6003,3 +6003,82 @@ def fn_hashfeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").cast("long").alias("weight"))
         .where(F.col("weight") != 0)
     )
+
+
+@register(
+    "agg-anova",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM cents GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n_all,
+             CAST(sum(s) AS BIGINT) AS s_all,
+             CAST(sum(ss) AS BIGINT) AS ss_all,
+             list_sum(list_transform(
+               list(((s, n)) ORDER BY event_type),
+               e -> CAST(e[1] AS DOUBLE) * e[1] / e[2])) AS sq_group_means
+      FROM m
+    )
+    SELECT k, n_all,
+           round((sq_group_means - CAST(s_all AS DOUBLE) * s_all / n_all)
+                 / (k - 1)
+                 / ((CAST(ss_all AS DOUBLE) - sq_group_means) / (n_all - k)),
+                 6) AS f_stat
+    FROM tot
+    """,
+    defer_after=8,
+    doc="One-way ANOVA F statistic across ALL event-type cohorts' values "
+    "(round 8) — the k-group extension of agg-abtest's two-cohort "
+    "Welch t, same exact-moments discipline: per-group n / sum / "
+    "sum-of-squares are integer-cents BIGINTs from ONE map-side-"
+    "combined groupBy, SSB = sum(s_g^2/n_g) - S^2/N and SSW = SS - "
+    "sum(s_g^2/n_g) fold from those integers in the closed form at "
+    "the end (the only doubles; round 6). The one cross-row float "
+    "fold, sum over groups of s_g^2/n_g, runs in EVENT-TYPE-SORTED "
+    "order on both engines (collect-sort-fold — the pipe-drift KL "
+    "discipline), so partial-aggregation arrival order can never "
+    "perturb the ulp. Mergeable / streamable: partial moments add.",
+)
+def agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cents = t.events.where(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    m = cents.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    tot = m.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("s").cast("long").alias("s_all"),
+        F.sum("ss").cast("long").alias("ss_all"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "s", "n"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["s"].cast("double") * x["s"] / x["n"],
+        ).alias("sq_group_means"),
+    )
+    ssb = F.col("sq_group_means") - F.col("s_all").cast("double") * F.col(
+        "s_all"
+    ) / F.col("n_all")
+    ssw = F.col("ss_all").cast("double") - F.col("sq_group_means")
+    return tot.select(
+        "k",
+        "n_all",
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_all") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )
