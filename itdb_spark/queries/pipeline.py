@@ -6082,3 +6082,84 @@ def agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_all") - F.col("k"))), 6
         ).alias("f_stat"),
     )
+
+
+@register(
+    "pipe-budget",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             round(0.4 * len_ok + 0.3 * wlen_ok + 0.3 * (1.0 - non_alpha_ratio), 6)
+               AS quality,
+             n_tok
+      FROM (
+        SELECT doc_id,
+               CASE WHEN n_tok >= 5 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END AS len_ok,
+               CASE WHEN n_tok = 0 THEN 0.0
+                    WHEN CAST(total_wlen AS DOUBLE) / n_tok >= 2.0
+                         AND CAST(total_wlen AS DOUBLE) / n_tok <= 12.0 THEN 1.0
+                    ELSE 0.0 END AS wlen_ok,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[A-Za-z\\s]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS non_alpha_ratio,
+               n_tok
+        FROM (
+          SELECT doc_id, text,
+                 CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+                 CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE list_sum(list_transform(
+                             regexp_split_to_array(trim(text), '\\s+'),
+                             x -> length(x))) END AS total_wlen
+          FROM documents WHERE text IS NOT NULL
+        )
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, quality, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+                 ORDER BY quality DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM scored
+    )
+    SELECT doc_id, quality, n_tok, cum_before
+    FROM ranked WHERE cum_before < 5000
+    """,
+    defer_after=8,
+    doc="Budgeted corpus selection (round 8): greedy quality-ranked "
+    "take-until-budget — rank every document by the graded text-quality "
+    "composite (ties broken by doc_id into a total order), admit while "
+    "the EXCLUSIVE cumulative token count stays under the 5000-token "
+    "budget; the data-budget curation move (pick the best N tokens, "
+    "not the best N documents) that sits beside pipe-curate's "
+    "keep/drop and pipe-mixture's reweighting. Exclusive cumsum = "
+    "admit the document that CROSSES the budget line (the standard "
+    "knapsack-relaxation greedy). Spark side: ranged_cumsum over the "
+    "(1-quality, doc_id) order, bucketed on floor((1-quality)*10) — "
+    "order-consistent, so NO single-partition global window (the "
+    "win-seq discipline; the oracle windows plainly); quality and "
+    "token count reuse the exact graded text-quality expressions "
+    "(empty text ⇒ 0 tokens on both engines).",
+)
+def pipe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.text import quality_score, tokens
+    from itdb_spark.plans.library import ranged_cumsum
+
+    t = Tables(spark, sf_dir)
+    scored = t.documents.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    ).withColumn("inv_q", F.lit(1.0) - F.col("quality"))
+    ranked = ranged_cumsum(
+        scored,
+        order_cols=["inv_q", "doc_id"],
+        value="n_tok",
+        out_col="cum_before",
+        bucket=F.floor(F.col("inv_q") * 10),
+    )
+    return (
+        ranked.where(F.col("cum_before") < 5000)
+        .select("doc_id", "quality", "n_tok", F.col("cum_before").cast("long").alias("cum_before"))
+    )

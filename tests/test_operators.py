@@ -2385,3 +2385,35 @@ def test_markov_rows_normalize_and_count_transitions(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_budget_selection_is_greedy_prefix(spark):
+    """pipe-budget invariants: the selected set is exactly the greedy
+    prefix of the (quality desc, doc_id) total order — recomputed in
+    pure Python from the raw (quality, n_tok) pairs; the admitted
+    token mass is >= the 5000 budget only via the single
+    budget-crossing document (exclusive cumsum semantics); and every
+    selected doc's quality >= every rejected doc's quality except
+    where doc_id ties the boundary."""
+    from itdb_spark.functions.text import quality_score, tokens
+    from itdb_spark.queries import load_all
+    from itdb_spark.queries.pipeline import Tables
+    from tests.conftest import SF_DIR
+
+    got = {r.doc_id: (r.quality, r.n_tok, r.cum_before)
+           for r in load_all()["pipe-budget"].spark(spark, SF_DIR).collect()}
+    raw = (
+        Tables(spark, SF_DIR).documents.where(F.col("text").isNotNull())
+        .select("doc_id", quality_score(F.col("text")).alias("q"),
+                F.size(tokens(F.col("text"))).cast("long").alias("n"))
+        .collect()
+    )
+    order = sorted(raw, key=lambda r: (-r.q, r.doc_id))
+    cum, want = 0, {}
+    for r in order:
+        if cum < 5000:
+            want[r.doc_id] = (r.q, r.n, cum)
+        cum += r.n
+    assert got == want
+    selected_mass = sum(n for _, n, _ in got.values())
+    assert selected_mass >= 5000 or selected_mass == sum(r.n for r in raw)
