@@ -203,7 +203,14 @@ def test_retrieval_family_plans_hold_scale_properties(spark):
                      # once) — every BNLJ build side is O(1)/O(queries)
                      # at any corpus size.
                      "sim-knn-ivf-persist", "sim-knn-ivfpq-res",
-                     "sim-knn-sq8"}
+                     "sim-knn-sq8",
+                     # round 8 (statistics/eval family): agg-ks's
+                     # densify grid is |sources| x |support| (both
+                     # dimension-sized broadcasts; the one-row n_all
+                     # cross join is the usual O(1) normalizer) and
+                     # eval-chrf's (pair x n) grid broadcasts a 6-row
+                     # range frame — bounded at any corpus size.
+                     "agg-ks", "eval-chrf"}
     failures = []
     for qid in sorted(declared_bnlj):
         df = registry[qid].spark(spark, SF_DIR)
