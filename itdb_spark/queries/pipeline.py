@@ -6163,3 +6163,108 @@ def pipe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.where(F.col("cum_before") < 5000)
         .select("doc_id", "quality", "n_tok", F.col("cum_before").cast("long").alias("cum_before"))
     )
+
+
+@register(
+    "dedup-allpairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM ({ORACLE_CORPUS}) WHERE len(trim(text)) > 0
+      )
+    ),
+    docs AS (
+      SELECT doc, list(w ORDER BY w) AS ts, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY doc
+    ),
+    pairs AS (
+      SELECT a.doc AS id1, b.doc AS id2,
+             CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+             a.n + b.n AS total
+      FROM docs a JOIN docs b ON a.doc < b.doc
+    )
+    SELECT id1, id2, inter, (total - inter) AS uni,
+           CAST(1000 * inter // (total - inter) AS BIGINT) AS jac_milli
+    FROM pairs WHERE 10 * inter >= 7 * (total - inter)
+    """,
+    defer_after=8,
+    doc="EXACT set-similarity self-join at Jaccard >= 0.7 over word "
+    "token sets via PREFIX FILTERING (round 8; Bayardo/Ma/Srikant, "
+    "'Scaling Up All Pairs Similarity Search', WWW 2007) — the exact "
+    "counterpart of the MinHash family: LSH is probabilistic (recall "
+    "< 1 by design), AllPairs is LOSSLESS — any pair with J >= t must "
+    "share one of each doc's first |T| - ceil(t|T|) + 1 tokens under "
+    "a GLOBAL rarest-first (df, token) order, so candidate generation "
+    "joins only on prefix tokens (rare by construction — the frequent "
+    "tokens that would explode a naive token join are exactly the "
+    "ones the prefix excludes) and exact verification touches only "
+    "candidates. The oracle deliberately runs the NAIVE QUADRATIC "
+    "all-pairs form — two different algorithms agreeing is the "
+    "correctness argument (the graph-triangles discipline), here "
+    "additionally proving the prefix filter lossless on real data. "
+    "Threshold compare in cleared-denominator integers (10*inter >= "
+    "7*union), jac_milli by integer DIV. The ceil is integer: "
+    "ceil(7n/10) = (7n + 9) DIV 10.",
+)
+def dedup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = corpus(spark, sf_dir)
+    toks = (
+        c.where(F.length(F.trim("text")) > 0)
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .distinct()
+    )
+    df_ = toks.groupBy("w").agg(F.count("*").alias("df"))
+    ranked = (
+        toks.join(df_, "w")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("df", "w")
+            ),
+        )
+        .withColumn(
+            "nt", F.count("*").over(Window.partitionBy("doc"))
+        )
+    )
+    # prefix length |T| - ceil(0.7|T|) + 1, integer ceil
+    prefix = ranked.where(
+        F.col("rn") <= F.col("nt") - F.expr("(7 * nt + 9) DIV 10") + 1
+    ).select("doc", "w")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "w")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .distinct()
+    )
+    sets = toks.groupBy("doc").agg(
+        F.sort_array(F.collect_list("w")).alias("ts"),
+        F.count("*").cast("long").alias("n"),
+    )
+    verified = (
+        cand.join(sets.select(F.col("doc").alias("id1"),
+                              F.col("ts").alias("ts1"),
+                              F.col("n").alias("n1")), "id1")
+        .join(sets.select(F.col("doc").alias("id2"),
+                          F.col("ts").alias("ts2"),
+                          F.col("n").alias("n2")), "id2")
+        .select(
+            "id1", "id2",
+            F.size(F.array_intersect("ts1", "ts2")).cast("long").alias("inter"),
+            (F.col("n1") + F.col("n2")).alias("total"),
+        )
+    )
+    return verified.where(
+        10 * F.col("inter") >= 7 * (F.col("total") - F.col("inter"))
+    ).select(
+        "id1", "id2", "inter",
+        (F.col("total") - F.col("inter")).alias("uni"),
+        F.expr("CAST(1000 * inter DIV (total - inter) AS BIGINT)").alias("jac_milli"),
+    )

