@@ -5776,6 +5776,10 @@ def mmr_rerank(
             .groupBy("query_id", "neighbor_id")
             .agg(
                 F.max("sim").alias("maxsim"),
+                # first() here is deterministic: cos_raw/nvec are
+                # functionally dependent on the group key (the same
+                # candidate row fanned out once per selected neighbor),
+                # so every row in the group carries identical values
                 F.first("cos_raw").alias("cos_raw"),
                 F.first("nvec").alias("nvec"),
             )
