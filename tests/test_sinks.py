@@ -92,3 +92,32 @@ def test_incremental_recompute_skip(spark):
     changed = scan.join(prev, ["path", "mtime"], "left_anti")
     assert {r.path for r in unchanged.collect()} == {"/a"}
     assert {r.path for r in changed.collect()} == {"/b", "/c"}
+
+
+def test_compact_parquet_rewrites_small_files(spark, tmp_path):
+    """compact_parquet: a directory fragmented into ~200 tiny files
+    collapses to the size-derived target count with exact row parity;
+    the staging-then-rename protocol leaves no droppings; and a
+    too-large target still yields at least one file."""
+    import os
+
+    from itdb_spark.sinks.compact import compact_parquet, parquet_file_stats
+
+    p = str(tmp_path / "frag")
+    spark.range(0, 10_000).selectExpr(
+        "id", "CAST(id % 97 AS STRING) AS v"
+    ).repartition(200).write.parquet(p)
+    n0, b0 = parquet_file_stats(p)
+    assert n0 == 200
+    # pick a target that lands at 4 files for this measured size
+    stats = compact_parquet(spark, p, target_bytes=(b0 + 3) // 4)
+    assert stats["files_before"] == 200
+    assert stats["rows"] == 10_000
+    assert 1 <= stats["files_after"] <= 5
+    assert spark.read.parquet(p).count() == 10_000
+    # no staging/backup leftovers
+    assert not os.path.exists(p + ".__compact__")
+    assert not os.path.exists(p + ".__old__")
+    # degenerate target: everything in one file
+    stats2 = compact_parquet(spark, p, target_bytes=10**12)
+    assert stats2["files_after"] == 1
