@@ -6282,3 +6282,123 @@ def dedup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total") - F.col("inter")).alias("uni"),
         F.expr("CAST(1000 * inter DIV (total - inter) AS BIGINT)").alias("jac_milli"),
     )
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@register(
+    "pipe-gopher",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ws,
+             CASE WHEN len(text) = 0 THEN []
+                  ELSE string_split(text, chr(10)) END AS ls,
+             text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS wlen,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS bullets,
+             CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS BIGINT) AS ellipses,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_words,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS symbols,
+             CAST({" + ".join(f"CASE WHEN list_contains(ws, '{w}') THEN 1 ELSE 0 END" for w in _GOPHER_STOPS)}
+                  AS BIGINT) AS stop_hits
+      FROM base
+    )
+    SELECT doc_id, n_words,
+           CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_wordcount,
+           CAST(CASE WHEN 3 * n_words <= wlen AND wlen <= 10 * n_words AND n_words > 0 THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+           CAST(CASE WHEN 10 * symbols <= n_words THEN 1 ELSE 0 END AS BIGINT) AS r_symbols,
+           CAST(CASE WHEN 10 * bullets <= 9 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_bullets,
+           CAST(CASE WHEN 10 * ellipses <= 3 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
+           CAST(CASE WHEN 10 * alpha_words >= 8 * n_words THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+           CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stops,
+           CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                      AND 3 * n_words <= wlen AND wlen <= 10 * n_words
+                      AND 10 * symbols <= n_words
+                      AND 10 * bullets <= 9 * n_lines
+                      AND 10 * ellipses <= 3 * n_lines
+                      AND 10 * alpha_words >= 8 * n_words
+                      AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m
+    """,
+    defer_after=8,
+    doc="The Gopher quality-rule bundle (round 8; Rae et al. 2021, "
+    "Appendix A — the published heuristic filter most open corpora "
+    "describe their cleaning against): word-count band [50, 100k], "
+    "mean word length [3, 10], symbol-to-word ratio <= 0.1 ('#' and "
+    "'...'), bullet-line fraction <= 0.9, ellipsis-line fraction <= "
+    "0.3, alphabetic-word fraction >= 0.8, and >= 2 of the 8 canonical "
+    "stop words present. EVERY ratio threshold is a cleared-"
+    "denominator integer comparison (10*symbols <= n_words etc.) — no "
+    "division anywhere, so empty/degenerate docs take the fail branch "
+    "instead of dividing by zero, and the whole filter is pure JVM "
+    "column arithmetic (the text-quality discipline with published "
+    "thresholds). Emits per-rule bits beside the composite keep so "
+    "curation reports can attribute rejections to rules — the "
+    "provenance view pipe-curate's keep/drop lacks.",
+)
+def pipe_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.text import tokens
+
+    t = Tables(spark, sf_dir)
+    d = t.documents.where(F.col("text").isNotNull())
+    ws = tokens(F.lower(F.col("text")))
+    ls = F.when(F.length("text") == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.col("text"), "\n", -1)
+    )
+    base = d.select("doc_id", "text", ws.alias("ws"), ls.alias("ls"))
+    stop_hits = None
+    for w in _GOPHER_STOPS:
+        hit = F.when(F.array_contains("ws", w), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    m = base.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.coalesce(
+            F.aggregate("ws", F.lit(0).cast("long"), lambda a, w: a + F.length(w)),
+            F.lit(0).cast("long"),
+        ).alias("wlen"),
+        F.size("ls").cast("long").alias("n_lines"),
+        F.size(F.filter("ls", lambda l: F.trim(l).rlike(r"^[-*•]")))
+        .cast("long").alias("bullets"),
+        F.size(F.filter("ls", lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+        .cast("long").alias("ellipses"),
+        F.size(F.filter("ws", lambda w: w.rlike("[a-z]")))
+        .cast("long").alias("alpha_words"),
+        # integer DIV, not float /3 then cast: floor-vs-truncate and
+        # double-rounding edges stay out of the rule entirely
+        F.expr(
+            "CAST((length(text) - length(replace(text, '#', ''))) "
+            "+ (length(text) - length(replace(text, '...', ''))) DIV 3 "
+            "AS BIGINT)"
+        ).alias("symbols"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    r = {
+        "r_wordcount": (F.col("n_words") >= 50) & (F.col("n_words") <= 100000),
+        "r_wordlen": (3 * F.col("n_words") <= F.col("wlen"))
+        & (F.col("wlen") <= 10 * F.col("n_words")) & (F.col("n_words") > 0),
+        "r_symbols": 10 * F.col("symbols") <= F.col("n_words"),
+        "r_bullets": 10 * F.col("bullets") <= 9 * F.col("n_lines"),
+        "r_ellipsis": 10 * F.col("ellipses") <= 3 * F.col("n_lines"),
+        "r_alpha": 10 * F.col("alpha_words") >= 8 * F.col("n_words"),
+        "r_stops": F.col("stop_hits") >= 2,
+    }
+    keep = None
+    for c in r.values():
+        keep = c if keep is None else keep & c
+    return m.select(
+        "doc_id", "n_words",
+        *[F.when(c, 1).otherwise(0).cast("long").alias(k) for k, c in r.items()],
+        F.when(keep, 1).otherwise(0).cast("long").alias("keep"),
+    )
