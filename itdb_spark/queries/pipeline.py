@@ -6402,3 +6402,70 @@ def pipe_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.when(c, 1).otherwise(0).cast("long").alias(k) for k, c in r.items()],
         F.when(keep, 1).otherwise(0).cast("long").alias("keep"),
     )
+
+
+@register(
+    "agg-autocorr",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    lagged AS (
+      SELECT cnt AS x, lead(cnt) OVER (ORDER BY h) AS y FROM hourly
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM lagged WHERE y IS NOT NULL
+    )
+    SELECT n, sx, sy, sxy,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS r_lag1
+    FROM m
+    """,
+    defer_after=8,
+    doc="Lag-1 autocorrelation of the hourly event-count series (round "
+    "8) — the time-series seasonality/burstiness diagnostic beside "
+    "win-ewma (smoothing) and agg-sessionize (gaps): adjacent-hour "
+    "count pairs feed Pearson r computed from SIX exact BIGINT sums "
+    "in one closed form (the agg-linreg/abtest moment discipline; "
+    "round 6, identical doubles cross-engine). The adjacency lead() "
+    "runs over the HOURLY frame — a date-bounded dimension (|hours|), "
+    "not the corpus, so its single-ordered window is the documented "
+    "O(dimension)-row class (the ranged_cumsum offsets frame's class), "
+    "while the corpus-sized work is one map-side-combined date_trunc "
+    "groupBy. NULL-ts events excluded as everywhere.",
+)
+def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    hourly = (
+        t.events.where(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    lagged = hourly.select(
+        F.col("cnt").alias("x"),
+        F.lead("cnt").over(Window.orderBy("h")).alias("y"),
+    ).where(F.col("y").isNotNull())
+    m = lagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select("n", "sx", "sy", "sxy", F.round(num / den, 6).alias("r_lag1"))
