@@ -6469,3 +6469,72 @@ def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
     )
     return m.select("n", "sx", "sy", "sxy", F.round(num / den, 6).alias("r_lag1"))
+
+
+def _benford_case() -> str:
+    """Benford first-digit probabilities log10(1 + 1/d) as precomputed
+    integer micros (the _hll_lc_case discipline: the irrational log10
+    never appears in either engine's plan)."""
+    import math
+
+    arms = " ".join(
+        f"WHEN {d} THEN {round(1_000_000 * math.log10(1 + 1 / d))}"
+        for d in range(1, 10)
+    )
+    return f"CAST(CASE digit {arms} END AS BIGINT)"
+
+
+@register(
+    "agg-benford",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM events WHERE value IS NOT NULL AND round(value * 100) >= 1
+    ),
+    counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_d FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM counts)
+    SELECT c.digit, c.n_d,
+           CAST(1000000 * c.n_d // t.n AS BIGINT) AS obs_micros,
+           {_benford_case()} AS benford_micros,
+           CAST(abs(1000000 * c.n_d // t.n - {_benford_case()}) AS BIGINT)
+             AS dev_micros
+    FROM counts c CROSS JOIN tot t
+    """,
+    defer_after=8,
+    doc="Benford first-significant-digit audit over event values (round "
+    "8; Newcomb 1881 / Benford 1938 — THE classic fabricated-data "
+    "forensic, standard in financial data-quality suites): observed "
+    "first-digit frequencies of the integer-cents values next to the "
+    "log10(1 + 1/d) expectation, both in integer micros with the nine "
+    "irrational constants precomputed in Python and embedded "
+    "identically in both engines (the HLL linear-counting discipline). "
+    "First digit via string head of the BIGINT cents (identical "
+    "semantics cross-engine; zero/negative-cents rows excluded "
+    "explicitly). One map-side-combined digit groupBy + a one-row "
+    "total cross join; output is at most nine rows at any corpus "
+    "size, and the per-digit deviation column feeds whatever test the "
+    "consumer runs (chi-square, max-deviation MAD bands).",
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    digits = t.events.where(
+        F.col("value").isNotNull()
+        & (F.round(F.col("value") * 100) >= 1)
+    ).select(
+        F.substring(
+            F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1
+        ).cast("long").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").cast("long").alias("n_d"))
+    tot = counts.agg(F.sum("n_d").cast("long").alias("n"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_d",
+        F.expr("CAST(1000000 * n_d DIV n AS BIGINT)").alias("obs_micros"),
+        F.expr(_benford_case()).alias("benford_micros"),
+        F.expr(f"CAST(abs(1000000 * n_d DIV n - {_benford_case()}) AS BIGINT)")
+        .alias("dev_micros"),
+    )
