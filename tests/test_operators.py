@@ -2455,3 +2455,40 @@ def test_allpairs_prefix_filter_is_lossless_and_prunes(spark):
                 want[(a, b)] = 1000 * inter // uni
     assert got == want
     assert len(got) > 0
+
+
+def test_round8_late_query_invariants(spark):
+    """Invariants for the last three round-8 registrations. pipe-gopher:
+    keep is exactly the AND of the rule bits and every sub-50-word doc
+    fails r_wordcount. agg-benford: digits in 1..9, counts sum to the
+    eligible-row total, dev = |obs - benford| per row. agg-autocorr:
+    one row, |r| <= 1, n = hours - 1."""
+    from itdb_spark.queries import load_all
+    from itdb_spark.queries.pipeline import Tables
+    from tests.conftest import SF_DIR
+
+    reg = load_all()
+    g = reg["pipe-gopher"].spark(spark, SF_DIR).collect()
+    assert g
+    bits = ["r_wordcount", "r_wordlen", "r_symbols", "r_bullets",
+            "r_ellipsis", "r_alpha", "r_stops"]
+    for r in g:
+        assert r.keep == int(all(getattr(r, b) == 1 for b in bits))
+        if r.n_words < 50:
+            assert r.r_wordcount == 0
+    b = reg["agg-benford"].spark(spark, SF_DIR).collect()
+    assert b and all(1 <= r.digit <= 9 for r in b)
+    ev = Tables(spark, SF_DIR).events
+    eligible = ev.where(
+        F.col("value").isNotNull() & (F.round(F.col("value") * 100) >= 1)
+    ).count()
+    assert sum(r.n_d for r in b) == eligible
+    for r in b:
+        assert r.dev_micros == abs(r.obs_micros - r.benford_micros)
+    a = reg["agg-autocorr"].spark(spark, SF_DIR).collect()
+    assert len(a) == 1 and abs(a[0].r_lag1) <= 1.0
+    hours = (
+        ev.where(F.col("ts").isNotNull())
+        .select(F.date_trunc("hour", "ts")).distinct().count()
+    )
+    assert a[0].n == hours - 1
