@@ -2492,3 +2492,55 @@ def test_round8_late_query_invariants(spark):
         .select(F.date_trunc("hour", "ts")).distinct().count()
     )
     assert a[0].n == hours - 1
+
+
+def test_cdc_boundaries_realign_after_insertion(spark):
+    """The property content-defined chunking exists for: prepending 3
+    characters to a document REALIGNS chunk boundaries after the edit
+    (most chunk substrings identical), while fixed-size chunking loses
+    all alignment (near-zero shared chunks). Cut positions computed with
+    dedup-cdc's exact Spark expressions."""
+    import hashlib
+
+    from itdb_spark.queries.pipeline import _cdc_gear_terms
+
+    words = [hashlib.md5(str(i).encode()).hexdigest()[:5] for i in range(80)]
+    base = " ".join(words)
+    edited = "xy " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    chars = df.selectExpr(
+        "doc_id",
+        "text",
+        "transform(filter(split(text, ''), c -> c != ''), "
+        "c -> CAST(conv(substring(md5(c), 1, 15), 16, 10) AS BIGINT) % 65536) AS hs",
+        "length(text) AS n",
+    )
+    cuts = {
+        r.doc_id: (r.text, list(r.c))
+        for r in chars.selectExpr(
+            "doc_id", "text",
+            f"filter(sequence(8, n), "
+            f"i -> ({_cdc_gear_terms('hs', 'i', spark_side=True)}) % 64 = 0) AS c",
+        ).collect()
+    }
+
+    def chunks(text, cut_positions):
+        cs, prev = [], 0
+        for c in cut_positions:
+            cs.append(text[prev:c])
+            prev = c
+        cs.append(text[prev:])
+        return [c for c in cs if c]
+
+    cdc1 = set(chunks(*cuts[1]))
+    cdc2 = set(chunks(*cuts[2]))
+    cdc_shared = len(cdc1 & cdc2) / len(cdc1)
+    fixed1 = {base[i:i + 64] for i in range(0, len(base), 64)}
+    fixed2 = {edited[i:i + 64] for i in range(0, len(edited), 64)}
+    fixed_shared = len(fixed1 & fixed2) / len(fixed1)
+    assert len(cdc1) >= 3  # the hash actually cuts
+    assert cdc_shared >= 0.5, (cdc_shared, len(cdc1))
+    assert fixed_shared == 0.0
+    assert cdc_shared > fixed_shared
