@@ -6637,3 +6637,80 @@ def dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_len_milli"
         ),
     )
+
+
+@register(
+    "agg-changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    pre AS (
+      SELECT h, cnt,
+             CAST(sum(cnt) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS prefix,
+             CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS t
+      FROM hourly
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s
+      FROM hourly
+    ),
+    dev AS (
+      SELECT p.h, p.t, abs(tot.n * p.prefix - p.t * tot.s) AS d, tot.n, tot.s
+      FROM pre p CROSS JOIN tot
+    )
+    SELECT n AS n_hours, s AS total_events,
+           CAST(max(d) AS BIGINT) AS max_cusum_scaled,
+           min(h) FILTER (WHERE d = (SELECT max(d) FROM dev))
+             AS changepoint_hour
+    FROM dev GROUP BY n, s
+    """,
+    defer_after=8,
+    doc="CUSUM changepoint scan over the hourly event-count series "
+    "(round 8; Page 1954 — the classic level-shift detector, the "
+    "'did ingest volume jump and when' query beside agg-autocorr's "
+    "'is it bursty'): the textbook statistic max_t |sum_{i<=t}(c_i - "
+    "mean)| is rational in the mean, so it is kept EXACT by clearing "
+    "the denominator — S_t = n*prefix_t - t*total, all BIGINT "
+    "(|S| < n * total, far inside 2^63 for any realistic day count), "
+    "with the argmax hour tie-broken earliest. Window work runs over "
+    "the date-bounded hourly dimension frame (the agg-autocorr "
+    "class); corpus-sized work is one map-side-combined date_trunc "
+    "groupBy. The changepoint hour answers WHERE to split a corpus "
+    "whose collection pipeline changed mid-run — the provenance "
+    "question behind pipe-drift's 'how much changed'.",
+)
+def agg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    hourly = (
+        t.events.where(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    pre = hourly.select(
+        "h",
+        F.sum("cnt").over(w).cast("long").alias("prefix"),
+        F.row_number().over(Window.orderBy("h")).cast("long").alias("t"),
+    )
+    tot = hourly.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+    )
+    dev = pre.crossJoin(F.broadcast(tot)).select(
+        "h", "n", "s",
+        F.abs(F.col("n") * F.col("prefix") - F.col("t") * F.col("s")).alias("d"),
+    )
+    return dev.groupBy("n", "s").agg(
+        F.max("d").cast("long").alias("max_cusum_scaled"),
+        F.expr("min_by(h, struct(-d, h))").alias("changepoint_hour"),
+    ).select(
+        F.col("n").alias("n_hours"),
+        F.col("s").alias("total_events"),
+        "max_cusum_scaled",
+        "changepoint_hour",
+    )

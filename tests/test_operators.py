@@ -2544,3 +2544,45 @@ def test_cdc_boundaries_realign_after_insertion(spark):
     assert cdc_shared >= 0.5, (cdc_shared, len(cdc1))
     assert fixed_shared == 0.0
     assert cdc_shared > fixed_shared
+
+
+def test_changepoint_detects_planted_level_shift(spark):
+    """agg-changepoint's cleared-denominator CUSUM on a hand series
+    with a known level shift: 10 hours at rate 2 then 10 hours at
+    rate 8 — the argmax of |n*prefix_t - t*total| must land exactly
+    at the shift boundary (hour index 10), verified against a pure-
+    Python replay."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2026, 3, 1)
+    for hour in range(20):
+        rate = 2 if hour < 10 else 8
+        for _ in range(rate):
+            rows.append((eid, t0 + dt.timedelta(hours=hour, minutes=eid % 59)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    from pyspark.sql import Window
+
+    hourly = df.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").cast("long").alias("cnt"))
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    pre = hourly.select(
+        "h", F.sum("cnt").over(w).cast("long").alias("prefix"),
+        F.row_number().over(Window.orderBy("h")).cast("long").alias("t"))
+    tot = hourly.agg(F.count("*").cast("long").alias("n"),
+                     F.sum("cnt").cast("long").alias("s"))
+    dev = pre.crossJoin(F.broadcast(tot)).select(
+        "h", F.abs(F.col("n") * F.col("prefix") - F.col("t") * F.col("s")).alias("d"))
+    best = dev.orderBy(F.col("d").desc(), "h").first()
+    # python replay
+    counts = [2] * 10 + [8] * 10
+    n, s = len(counts), sum(counts)
+    prefix, scores = 0, []
+    for t_, c in enumerate(counts, 1):
+        prefix += c
+        scores.append(abs(n * prefix - t_ * s))
+    assert best.d == max(scores)
+    assert scores.index(max(scores)) + 1 == 10  # boundary hour (1-based t)
+    assert best.h == t0 + dt.timedelta(hours=9)  # 10th hour
