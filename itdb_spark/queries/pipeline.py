@@ -6780,3 +6780,90 @@ def fn_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ws").cast("long").alias("n_tokens"),
         (F.size("ws") - F.size("keep_idx")).cast("long").alias("n_dropped"),
     )
+
+
+@register(
+    "agg-zipf",
+    oracle="""
+    WITH freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE len(trim(text)) > 0
+      ) GROUP BY w
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+      FROM freq QUALIFY r <= 100
+    ),
+    logs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             list_sum(list_transform(list(ln(CAST(r AS DOUBLE)) ORDER BY r), x -> x)) AS sx,
+             list_sum(list_transform(list(ln(CAST(f AS DOUBLE)) ORDER BY r), x -> x)) AS sy,
+             list_sum(list_transform(list(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) ORDER BY r), x -> x)) AS sxx,
+             list_sum(list_transform(list(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE)) ORDER BY r), x -> x)) AS sxy
+      FROM ranked
+    )
+    SELECT n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS zipf_intercept
+    FROM logs
+    """,
+    defer_after=8,
+    doc="Zipf rank-frequency fit over the corpus vocabulary (round 8; "
+    "Zipf 1949 — THE corpus sanity statistic: natural text fits "
+    "ln f = a - s*ln r with s near 1, and a synthetic or templated "
+    "corpus announces itself by the deviation): least-squares slope/"
+    "intercept of ln(freq) on ln(rank) over the top 100 ranks with a "
+    "full (freq desc, word) tie-break. The corpus-sized work is ONE "
+    "map-side-combined word count; the global top-100 compiles to "
+    "TakeOrderedAndProject (per-partition partial top-k — plan-"
+    "asserted in tests; ranks assigned after on the 100-row frame, "
+    "since an unpartitioned rank window gets no WindowGroupLimit and "
+    "would single-partition the vocabulary) and the log-moment sums "
+    "fold over "
+    "the RANK-SORTED 100-row list on both engines (the pipe-drift "
+    "collect-sort-fold discipline — ln() itself already proved "
+    "cross-engine hash-exact in the graded KL queries). Slope and "
+    "intercept fold from five sums in one closed form, round 6.",
+)
+def agg_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    freq = (
+        t.documents.where(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    # GLOBAL top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition partial top-100 before the exchange — the scale-
+    # safe global form; a rank window with no partition key does NOT
+    # get WindowGroupLimit and would sort the whole vocabulary in one
+    # partition). Ranks are assigned AFTER, on the 100-row frame.
+    top = freq.orderBy(F.col("f").desc(), "w").limit(100)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("f").desc(), "w"))
+    ).select("r", "f")
+    # rank-sorted deterministic float fold over the bounded 100-row list
+    pairs = F.sort_array(F.collect_list(F.struct("r", "f")))
+    lnr = lambda x: F.log(x["r"].cast("double"))  # noqa: E731
+    lnf = lambda x: F.log(x["f"].cast("double"))  # noqa: E731
+    logs = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.aggregate(pairs, F.lit(0.0), lambda a, x: a + lnr(x)).alias("sx"),
+        F.aggregate(pairs, F.lit(0.0), lambda a, x: a + lnf(x)).alias("sy"),
+        F.aggregate(pairs, F.lit(0.0), lambda a, x: a + lnr(x) * lnr(x)).alias("sxx"),
+        F.aggregate(pairs, F.lit(0.0), lambda a, x: a + lnr(x) * lnf(x)).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return logs.select(
+        "n",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )

@@ -2586,3 +2586,18 @@ def test_changepoint_detects_planted_level_shift(spark):
     assert best.d == max(scores)
     assert scores.index(max(scores)) + 1 == 10  # boundary hour (1-based t)
     assert best.h == t0 + dt.timedelta(hours=9)  # 10th hour
+
+
+def test_zipf_top100_uses_take_ordered(spark):
+    """agg-zipf's global top-100 must compile to TakeOrderedAndProject
+    (per-partition partial top-k), never a single-partition rank
+    window over the whole vocabulary — the plan property its doc
+    claims."""
+    from itdb_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    df = load_all()["agg-zipf"].spark(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
