@@ -6867,3 +6867,87 @@ def agg_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+@register(
+    "pipe-provenance",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({_minhash_oracle()})),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+    q AS (
+      SELECT doc_id,
+             round(0.4 * len_ok + 0.3 * wlen_ok + 0.3 * (1.0 - non_alpha_ratio), 6)
+               AS quality
+      FROM (
+        SELECT doc_id,
+               CASE WHEN n_tok >= 5 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END AS len_ok,
+               CASE WHEN n_tok = 0 THEN 0.0
+                    WHEN CAST(total_wlen AS DOUBLE) / n_tok >= 2.0
+                         AND CAST(total_wlen AS DOUBLE) / n_tok <= 12.0 THEN 1.0
+                    ELSE 0.0 END AS wlen_ok,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[A-Za-z\\s]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS non_alpha_ratio
+        FROM (
+          SELECT doc_id, text,
+                 CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+                 CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE list_sum(list_transform(
+                             regexp_split_to_array(trim(text), '\\s+'),
+                             x -> length(x))) END AS total_wlen
+          FROM ({ORACLE_CORPUS})
+        )
+      )
+    )
+    SELECT q.doc_id,
+           CASE WHEN c.node IS NOT NULL AND c.node != c.component THEN 'near-dup'
+                WHEN q.quality < 0.5 THEN 'low-quality'
+                ELSE 'kept' END AS reason,
+           coalesce(c.component, q.doc_id) AS evidence
+    FROM q LEFT JOIN comp c ON c.node = q.doc_id
+    """,
+    defer_after=8,
+    doc="Curation provenance (round 8): the per-document 'why was this "
+    "kept or dropped' attribution view — every corpus doc labeled "
+    "near-dup (a CC non-keeper under dedup-cluster's min-label "
+    "election; evidence = the cluster it lost to), low-quality (the "
+    "graded text-quality composite under 0.5; evidence = own id), or "
+    "kept. pipe-curate DECIDES (emits survivors); this EXPLAINS — the "
+    "ops/debugging face of the same machinery, and the audit trail a "
+    "production corpus release ships (why-dropped tables are standard "
+    "data-governance deliverables). Same scale shape as dedup-soft: "
+    "node-sized CC labels broadcast onto the corpus, quality is pure "
+    "per-row arithmetic, priority CASE resolves near-dup > "
+    "low-quality > kept identically on both engines.",
+)
+def pipe_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.text import quality_score
+    from itdb_spark.operators.clustering import connected_components
+
+    c = corpus(spark, sf_dir)
+    pairs = minhash_candidates(c, "doc_id", "text", distinct_pairs=False)
+    cc = connected_components(pairs)
+    q = c.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    joined = q.join(cc, q["doc_id"] == cc["node"], "left")
+    return joined.select(
+        "doc_id",
+        F.when(
+            F.col("node").isNotNull() & (F.col("node") != F.col("component")),
+            F.lit("near-dup"),
+        )
+        .when(F.col("quality") < 0.5, F.lit("low-quality"))
+        .otherwise(F.lit("kept"))
+        .alias("reason"),
+        F.coalesce("component", "doc_id").alias("evidence"),
+    )
