@@ -500,8 +500,9 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-match the in-session result exactly.",
 )
 def sim_knn_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from itdb_spark.operators.ivf import (
@@ -512,8 +513,15 @@ def sim_knn_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Tables(spark, sf_dir).embeddings
     assignments, centroids = build_ivf_index(emb, k=8)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"itdb_spark_ivf_persist_{tag}")
+    # Per-invocation private dir (mkdtemp: unique, mode 0700) — a fixed
+    # world-predictable path under /tmp is pre-creatable/symlinkable by
+    # another local user and races concurrent sessions (round-8 ADVICE).
+    # The returned DataFrame reads this path LAZILY, so cleanup is
+    # deferred to interpreter exit rather than done before returning.
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="itdb_spark_ivf_persist_"), "index"
+    )
+    atexit.register(shutil.rmtree, os.path.dirname(path), True)
     persist_ivf_index(assignments, centroids, path)
     queries = emb.where(F.col("vec_id") < 5)
     return ivf_search_persisted(spark, path, queries, k=5, n_probe=3)
@@ -5203,14 +5211,17 @@ def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_a, n_b, r2_a,
            CAST(2 * n_a * n_b + n_a * (n_a + 1) - r2_a AS BIGINT) AS u2_a,
            tie_cubes,
-           round(
+           CASE WHEN n_a > 0 AND n_b > 0
+                 AND tie_cubes
+                     <> (n_a + n_b) * (n_a + n_b - 1) * (n_a + n_b + 1)
+           THEN round(
              (CAST(2 * n_a * n_b + n_a * (n_a + 1) - r2_a AS DOUBLE)
               - CAST(n_a AS DOUBLE) * n_b) / 2
              / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
                     * ((n_a + n_b + 1)
                        - CAST(tie_cubes AS DOUBLE)
                          / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))),
-             6) AS z_mw
+             6) END AS z_mw
     FROM agg
     """,
     defer_after=8,
@@ -5273,11 +5284,22 @@ def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Degenerate guard (round-8 ADVICE): when either cohort is empty or
+    # EVERY value across both cohorts is one tie group, the tie
+    # correction cancels (n+1) exactly — tie_cubes = n(n-1)(n+1) — and
+    # z is 0/0. NaN representation/hash differs cross-engine, so emit
+    # NULL instead, via the same INTEGER-exact condition in both the
+    # Spark body and the oracle (the agg-ks n_rest=0 discipline).
+    degenerate = (
+        (F.col("n_a") == 0)
+        | (F.col("n_b") == 0)
+        | (F.col("tie_cubes") == n * (n - 1) * (n + 1))
+    )
     return agg.select(
         "n_a", "n_b", "r2_a",
         u2.cast("long").alias("u2_a"),
         "tie_cubes",
-        F.round(z, 6).alias("z_mw"),
+        F.when(~degenerate, F.round(z, 6)).alias("z_mw"),
     )
 
 
@@ -6034,10 +6056,12 @@ def fn_hashfeat(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT k, n_all,
-           round((sq_group_means - CAST(s_all AS DOUBLE) * s_all / n_all)
+           CASE WHEN k > 1 AND n_all > k
+                 AND CAST(ss_all AS DOUBLE) - sq_group_means <> 0
+           THEN round((sq_group_means - CAST(s_all AS DOUBLE) * s_all / n_all)
                  / (k - 1)
                  / ((CAST(ss_all AS DOUBLE) - sq_group_means) / (n_all - k)),
-                 6) AS f_stat
+                 6) END AS f_stat
     FROM tot
     """,
     defer_after=8,
@@ -6079,11 +6103,24 @@ def agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_all"
     ) / F.col("n_all")
     ssw = F.col("ss_all").cast("double") - F.col("sq_group_means")
+    # Degenerate guard (round-8 ADVICE, the agg-mannwhitney twin):
+    # k=1 (one cohort) divides by k-1=0, n_all=k (singleton groups)
+    # divides by 0, and ssw=0 (every group internally constant) makes
+    # F infinite — all three emit NULL instead, with the SAME condition
+    # in the oracle. The ssw==0 comparison is cross-engine-safe because
+    # sq_group_means folds in sorted group order on both engines
+    # (bit-identical double), and ss_all is exact BIGINT.
+    ok = (F.col("k") > 1) & (F.col("n_all") > F.col("k")) & (ssw != 0)
     return tot.select(
         "k",
         "n_all",
-        F.round(
-            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_all") - F.col("k"))), 6
+        F.when(
+            ok,
+            F.round(
+                (ssb / (F.col("k") - 1))
+                / (ssw / (F.col("n_all") - F.col("k"))),
+                6,
+            ),
         ).alias("f_stat"),
     )
 
@@ -6804,9 +6841,13 @@ def fn_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-             AS zipf_intercept
+           CASE WHEN n > 1 THEN
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS zipf_slope,
+           CASE WHEN n > 1 THEN
+             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                   6)
+           END AS zipf_intercept
     FROM logs
     """,
     defer_after=8,
@@ -6860,12 +6901,16 @@ def agg_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
+    # Degenerate guard (round-8 ADVICE): with fewer than 2 ranks the
+    # least-squares denominator n*sxx - sx^2 is EXACTLY 0 (n=1 -> both
+    # terms 0) — emit NULL, same integer condition in the oracle.
+    ok = F.col("n") > 1
     return logs.select(
         "n",
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-            "zipf_intercept"
-        ),
+        F.when(ok, F.round(slope, 6)).alias("zipf_slope"),
+        F.when(
+            ok, F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        ).alias("zipf_intercept"),
     )
 
 

@@ -121,3 +121,72 @@ def test_compact_parquet_rewrites_small_files(spark, tmp_path):
     # degenerate target: everything in one file
     stats2 = compact_parquet(spark, p, target_bytes=10**12)
     assert stats2["files_after"] == 1
+
+
+def test_compact_parquet_crash_recovery_and_refusals(spark, tmp_path):
+    """compact_parquet round-8 ADVICE hardening: (a) a leftover
+    ``.__old__`` with no live table (crash between the swap renames)
+    rolls back to the original data at entry; (b) stale staging/backup
+    dirs beside a live table are cleaned, not tripped over; (c) a
+    partitioned (nested) dataset is refused instead of silently
+    flattened; (d) a corrupted rewrite is caught by the content
+    checksum even when row counts match."""
+    import os
+    import shutil
+
+    import pytest
+
+    from itdb_spark.sinks import compact as C
+
+    p = str(tmp_path / "t")
+    spark.range(0, 1_000).selectExpr("id", "id % 7 AS g").write.parquet(p)
+
+    # (a) crash between renames: path gone, backup holds the original
+    os.rename(p, p + ".__old__")
+    stats = C.compact_parquet(spark, p, target_bytes=10**12)
+    assert stats["rows"] == 1_000
+    assert spark.read.parquet(p).count() == 1_000
+    assert not os.path.exists(p + ".__old__")
+
+    # (b) stale droppings beside a LIVE table: cleaned at entry
+    os.makedirs(p + ".__compact__")
+    os.makedirs(p + ".__old__")
+    stats = C.compact_parquet(spark, p, target_bytes=10**12)
+    assert stats["rows"] == 1_000
+    assert not os.path.exists(p + ".__compact__")
+    assert not os.path.exists(p + ".__old__")
+
+    # (c) partitioned layout: refuse, do not flatten
+    part = str(tmp_path / "part")
+    spark.range(0, 100).selectExpr("id", "id % 3 AS k").write.partitionBy(
+        "k"
+    ).parquet(part)
+    with pytest.raises(ValueError, match="flat-parquet"):
+        C.compact_parquet(spark, part, target_bytes=10**12)
+
+    # (d) checksum catches same-count corruption: monkeypatch the
+    # staging write to emit the right row COUNT but different values
+    real_checksum = C._content_checksum
+    calls = {"n": 0}
+
+    def tampering_checksum(sp, path):
+        n, ck = real_checksum(sp, path)
+        calls["n"] += 1
+        if path.endswith(".__compact__"):
+            # simulate a rewrite that lost/garbled values
+            shutil.rmtree(path)
+            sp.range(0, n).selectExpr(
+                "id + 500000 AS id", "CAST(0 AS BIGINT) AS g"
+            ).write.parquet(path)
+            return real_checksum(sp, path)
+        return n, ck
+
+    C._content_checksum = tampering_checksum
+    try:
+        with pytest.raises(RuntimeError, match="parity mismatch"):
+            C.compact_parquet(spark, p, target_bytes=10**12)
+    finally:
+        C._content_checksum = real_checksum
+    # the original table survived the refused swap
+    assert spark.read.parquet(p).count() == 1_000
+    assert not os.path.exists(p + ".__compact__")

@@ -222,3 +222,73 @@ def test_bpe_sentinel_filter_actually_exercised(spark):
     for r in merges:
         for sym in (r.left_sym, r.right_sym, r.merged):
             assert "\x01" not in sym and "\x02" not in sym, r
+
+
+def test_stat_degenerate_denominators_null_both_engines(spark):
+    """Round-8 ADVICE: agg-mannwhitney (every value one tie group),
+    agg-anova (ssw = 0 / singleton-k), and agg-zipf (<2 ranks) divide
+    by an exactly-zero denominator on degenerate input; both the Spark
+    body and the oracle must emit NULL — identically, so the driver
+    hash still matches the day testdata regenerates degenerate. Build
+    a micro corpus where all three degenerate at once (every event
+    value tied at 1.00, a one-word vocabulary) and run the full
+    check_one differential on it."""
+    import duckdb
+
+    from itdb_spark.catalog import TESTDATA_TABLES
+    from itdb_spark.queries import load_all
+    from tools.check_oracle import check_one
+
+    import os
+
+    src = "/root/testdata/sf0.001"
+    dst = "/tmp/itdb_spark_degen_test"
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        if t in ("events", "documents"):
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    # every value tied at 1.00 -> mannwhitney tie correction cancels
+    # (n+1) exactly AND anova's within-group variance is exactly 0
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id, ts, user_id,
+                 CASE WHEN event_id % 2 = 0 THEN 'view' ELSE 'click' END
+                   AS event_type,
+                 1.00 AS value, props
+          FROM read_parquet('{src}/events.parquet') LIMIT 40
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    # one-word vocabulary -> zipf has a single rank (n = 1)
+    con.execute(
+        f"""
+        COPY (
+          SELECT CAST(1 AS BIGINT) AS doc_id,
+                 'hello hello hello' AS text, 'en' AS lang,
+                 'web' AS source, CAST(17 AS BIGINT) AS n_chars
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{dst}/{t}.parquet')"
+        )
+    registry = load_all()
+    for qid in ("agg-mannwhitney", "agg-anova", "agg-zipf"):
+        status, msg = check_one(qid, registry[qid], spark, con, dst)
+        assert status == "PASS", msg
+        # and the guarded statistic really IS the NULL branch here
+        row = registry[qid].spark(spark, dst).collect()[0]
+        stat_col = {
+            "agg-mannwhitney": "z_mw",
+            "agg-anova": "f_stat",
+            "agg-zipf": "zipf_slope",
+        }[qid]
+        assert row[stat_col] is None, (qid, row)
