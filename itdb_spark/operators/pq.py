@@ -40,7 +40,7 @@ registers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from itdb_spark.functions.core import hash_ranked_sample, portable_hash64
@@ -604,6 +604,35 @@ def _train_ivfpq_driver(
 
     # IVF coarse quantizer: cosine assignment, per-dimension mean update,
     # empty cells drop (mirrors ivf.build_ivf_index)
+    cent_ids, cents = _ivf_lloyd_np(X, n_cells, ivf_iters)
+    centroids = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in zip(cent_ids, cents)],
+        "centroid_id long, cvec array<double>",
+    )
+
+    # PQ codebooks: normalized subvectors, L2 assignment, empty-cluster
+    # retention (mirrors train_pq). ``n_codes`` can be < k when the
+    # bounded sample holds fewer than k live vectors — the distributed
+    # trainer's limit(k) yields fewer codes in exactly the same way
+    # (ADVICE r7: indexing range(k) here raised IndexError instead).
+    pq_norms = np.linalg.norm(Xpq, axis=1)
+    Xn = Xpq / pq_norms[:, None]
+    sub_dim = dim // m
+    books = _pq_lloyd_np(Xn.reshape(len(Xn), m, sub_dim), k, pq_iters)
+    return centroids, _codebooks_df(spark, books)
+
+
+def _ivf_lloyd_np(X, n_cells: int, ivf_iters: int = 4):
+    """numpy IVF Lloyd's over a hash-rank-ordered sample — shared by the
+    raw (_train_ivfpq_driver) and residual (ivfpq_residual_search
+    train_backend="driver") deploy trainers. Returns (cent_ids, cents).
+
+    Replicates ivf.build_ivf_index exactly: smallest-hash init (X is in
+    hash-rank order), cosine assignment with desc-sim / asc-id
+    tie-break (argmax takes the first index), per-dimension mean
+    update, empty cells drop."""
+    import numpy as np
+
     cents = X[:n_cells].copy()
     cent_ids = list(range(n_cells))
     xn = np.linalg.norm(X, axis=1)
@@ -628,20 +657,18 @@ def _train_ivfpq_driver(
                 keep_c.append(members.mean(axis=0))
                 keep_i.append(cent_ids[ci])
         cents, cent_ids = np.asarray(keep_c), keep_i
-    centroids = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in zip(cent_ids, cents)],
-        "centroid_id long, cvec array<double>",
-    )
+    return cent_ids, cents
 
-    # PQ codebooks: normalized subvectors, L2 assignment, empty-cluster
-    # retention (mirrors train_pq). ``n_codes`` can be < k when the
-    # bounded sample holds fewer than k live vectors — the distributed
-    # trainer's limit(k) yields fewer codes in exactly the same way
-    # (ADVICE r7: indexing range(k) here raised IndexError instead).
-    pq_norms = np.linalg.norm(Xpq, axis=1)
-    Xn = Xpq / pq_norms[:, None]
-    sub_dim = dim // m
-    S = Xn.reshape(len(Xn), m, sub_dim)
+
+def _pq_lloyd_np(S, k: int, pq_iters: int = 3):
+    """numpy PQ Lloyd's over (n, m, sub_dim) training subvectors in
+    hash-rank order — shared by the raw and residual deploy trainers.
+    Replicates train_pq exactly: first-k init per subspace, L2-asc /
+    code-asc assignment (argmin takes the first index), empty-cluster
+    retention. Returns the (m, n_codes, sub_dim) codebook array."""
+    import numpy as np
+
+    m = S.shape[1]
     books = np.stack([S[:k, s, :].copy() for s in range(m)])  # (m, ≤k, sub)
     n_codes = books.shape[1]
     for _ in range(pq_iters):
@@ -654,7 +681,12 @@ def _train_ivfpq_driver(
                 if len(mem):
                     new_books[s, code] = mem.mean(axis=0)
         books = new_books
-    codebooks = spark.createDataFrame(
+    return books
+
+
+def _codebooks_df(spark: SparkSession, books) -> DataFrame:
+    m, n_codes = books.shape[0], books.shape[1]
+    return spark.createDataFrame(
         [
             (s, c, [float(x) for x in books[s, c]])
             for s in range(m)
@@ -662,7 +694,6 @@ def _train_ivfpq_driver(
         ],
         "sub int, code int, cvec array<double>",
     )
-    return centroids, codebooks
 
 
 def _probe_cells_scored(
@@ -757,6 +788,224 @@ def ivf_residuals(
     )
 
 
+def build_ivfpq_res_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    m: int = 16,
+    k: int = 16,
+    max_train: int | None = None,
+    train_backend: str = "spark",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Build the residual IVF-PQ index components: (coded, centroids,
+    anchors, codebooks), where ``coded`` is the searchable payload
+    (id, centroid_id, codes) — residual PQ codes co-located with their
+    cell, the frame persist_ivfpq_res_index writes partitionBy(cell).
+
+    ``train_backend="driver"`` (requires max_train) is the same FAISS
+    deployment lever ivfpq_search grew in round 7: BOTH iterative
+    Lloyd's loops run in numpy over the one collected hash-ranked
+    sample (_ivf_lloyd_np on raw vectors for the coarse quantizer,
+    _pq_lloyd_np on the RESIDUAL sample for the codebooks — the
+    residual twist: the PQ sample is drawn from ivf_residuals, the
+    exact population train_pq(normalize=False) samples). The NON-
+    iterative stages stay distributed in both backends: corpus
+    assignment (one broadcast join), anchor means (one groupBy pass),
+    residual construction, and encoding — only training is sampled,
+    exactly the raw variant's contract. Bit-identity with the
+    distributed trainer is gated in
+    tests/test_ivf_merge.py::test_ivfpq_res_train_backends_bit_identical."""
+    from itdb_spark.operators.ivf import build_ivf_index
+
+    if train_backend not in ("spark", "driver"):
+        raise ValueError(
+            f"train_backend must be spark|driver, got {train_backend!r}"
+        )
+    if train_backend == "driver" and max_train is None:
+        raise ValueError(
+            "train_backend='driver' requires max_train (the collected "
+            "sample must be bounded)"
+        )
+    dim = _probe_dim(vectors, vec_col)
+    if train_backend == "driver":
+        import numpy as np
+
+        from itdb_spark.operators.ivf import _assign as _ivf_assign
+
+        spark = vectors.sparkSession
+        v = vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        rows = hash_ranked_sample(v, "id", max_train).collect()
+        X = np.asarray([r.vec for r in rows], dtype=np.float64)
+        cent_ids, cents = _ivf_lloyd_np(X, n_cells)
+        centroids = spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in zip(cent_ids, cents)],
+            "centroid_id long, cvec array<double>",
+        )
+        vv = vectors.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+        )
+        assignments = _ivf_assign(vv, centroids, id_col)
+    else:
+        assignments, centroids = build_ivf_index(
+            vectors, id_col, vec_col, k=n_cells, max_train=max_train
+        )
+    anchors = ivf_anchor_means(vectors, assignments, id_col, vec_col)
+    resid = ivf_residuals(vectors, assignments, anchors, id_col, vec_col)
+    if train_backend == "driver":
+        import numpy as np
+
+        # bounded sample of RESIDUALS — the same population
+        # train_pq(normalize=False, max_train) draws (residuals exist
+        # only for live members; no zero-drop — a zero residual is
+        # legitimate training data), collected in hash-rank order so
+        # _pq_lloyd_np's first-k init matches the distributed window
+        prows = hash_ranked_sample(resid, "id", max_train).collect()
+        R = np.asarray([r.vec for r in prows], dtype=np.float64)
+        books = _pq_lloyd_np(R.reshape(len(R), m, dim // m), k)
+        codebooks = _codebooks_df(vectors.sparkSession, books)
+    else:
+        codebooks = train_pq(
+            resid, "id", "vec", m=m, k=k, dim=dim,
+            max_train=max_train, normalize=False,
+        )
+    encoded = pq_encode(resid, codebooks, "id", "vec", dim=dim, normalize=False)
+    coded = encoded.join(
+        assignments.select(F.col(id_col).alias("id"), "centroid_id"), "id"
+    ).select("id", "centroid_id", "codes")
+    return coded, centroids, anchors, codebooks
+
+
+def _res_adc_stages(
+    coded: DataFrame,
+    probed: DataFrame,
+    anchors: DataFrame,
+    codebooks: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    dim: int,
+    candidates: int,
+    top_k: int,
+) -> DataFrame:
+    """Post-probe residual search shared by the in-session and persisted
+    paths: base term per (query, probed cell), ADC over the cells'
+    codes, candidate cut, exact rerank against the primary vectors."""
+    qn = _normalize(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qnvec")
+    )
+    base = (
+        probed.join(F.broadcast(anchors), "centroid_id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "centroid_id",
+            F.aggregate(
+                F.zip_with("qnvec", "csvec", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("base"),
+        )
+    )
+    members = coded.join(F.broadcast(base), "centroid_id").select(
+        "query_id", "id", "codes", "base"
+    )
+    qtables = _query_adc_tables(queries, codebooks, id_col, vec_col, m, dim)
+    scored = (
+        members.join(F.broadcast(qtables), "query_id")
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _adc_score(m, base=F.col("base")),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= candidates)
+        .select("query_id", "neighbor_id")
+    )
+    return pq_rerank(cand, vectors, queries, id_col, vec_col, top_k=top_k)
+
+
+def persist_ivfpq_res_index(
+    coded: DataFrame,
+    centroids: DataFrame,
+    anchors: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+) -> None:
+    """Write a residual IVF-PQ index in its production layout (the
+    persist_ivf_index pattern, FAISS index-reuse shape): the code table
+    partitioned by centroid_id — an ADC scan reads ONLY probed cells'
+    files, m bytes per vector, partition pruning does the cell
+    selection at any index size — and the three small frames
+    (centroids / anchors / codebooks) as single broadcastable files."""
+    coded.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/codes"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    anchors.write.mode("overwrite").parquet(f"{path}/anchors")
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfpq_res_search_persisted(
+    spark: SparkSession,
+    path: str,
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 10,
+    n_probe: int = 5,
+    m: int = 16,
+    candidates: int = 100,
+) -> DataFrame:
+    """Search an index PERSISTED by persist_ivfpq_res_index — the
+    production ANN serving path (build once, search many; FAISS index
+    reuse): probe against the small persisted centroid table, collect
+    the probed cell ids (bounded by the CELL count, never the corpus),
+    and apply them as a STATIC IN-filter on the cell-partitioned code
+    scan so unprobed cells' files are never read (PartitionFilters +
+    file-set proof in tests/test_ivf_merge.py::
+    test_ivfpq_res_persisted_search_prunes_partitions). Bit-identical
+    to the in-session search over the same components: parquet
+    round-trips doubles and int codes exactly. ``vectors`` is the
+    PRIMARY table, read only by the exact rerank over the surviving
+    candidates — the persisted index itself carries codes, never the
+    float payload."""
+    dim = _probe_dim(vectors, vec_col)
+    centroids = spark.read.parquet(f"{path}/centroids")
+    anchors = spark.read.parquet(f"{path}/anchors")
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    probed = _probe_cells_scored(
+        queries, centroids, id_col, vec_col, n_probe
+    ).select("query_id", "centroid_id")
+    cells = sorted(
+        int(r.centroid_id)
+        for r in probed.select("centroid_id").distinct().collect()
+    )
+    coded = (
+        spark.read.parquet(f"{path}/codes")
+        .where(F.col("centroid_id").isin(cells))
+        # partition-directory values read back as int; the join key and
+        # every consumer expect the trainer's long
+        .withColumn("centroid_id", F.col("centroid_id").cast("long"))
+    )
+    return _res_adc_stages(
+        coded, probed, anchors, codebooks, vectors, queries,
+        id_col, vec_col, m, dim, candidates, top_k,
+    )
+
+
 def ivfpq_residual_search(
     vectors: DataFrame,
     queries: DataFrame,
@@ -769,6 +1018,7 @@ def ivfpq_residual_search(
     k: int = 16,
     candidates: int = 100,
     max_train: int | None = None,
+    train_backend: str = "spark",
 ) -> DataFrame:
     """IVF·PQ with RESIDUAL encoding — the FAISS IVFPQ default (PQ over
     x − c(x) instead of raw vectors; Jégou et al. 2011): the residual
@@ -792,64 +1042,21 @@ def ivfpq_residual_search(
     At 100 TB the residual index costs one anchor-mean groupBy plus one
     broadcast join at build time and a per-(query, probed-cell) dot
     product at search — same scan shape, same partition pruning, same
-    m-bytes-per-vector ADC read."""
-    from itdb_spark.operators.ivf import build_ivf_index
-
+    m-bytes-per-vector ADC read. ``train_backend="driver"`` (requires
+    max_train) runs both Lloyd's loops in numpy over the one collected
+    sample — the FAISS deployment shape; see build_ivfpq_res_index."""
     dim = _probe_dim(vectors, vec_col)
-    assignments, centroids = build_ivf_index(
-        vectors, id_col, vec_col, k=n_cells, max_train=max_train
+    coded, centroids, anchors, codebooks = build_ivfpq_res_index(
+        vectors, id_col, vec_col, n_cells=n_cells, m=m, k=k,
+        max_train=max_train, train_backend=train_backend,
     )
-    anchors = ivf_anchor_means(vectors, assignments, id_col, vec_col)
-    resid = ivf_residuals(vectors, assignments, anchors, id_col, vec_col)
-    codebooks = train_pq(
-        resid, "id", "vec", m=m, k=k, dim=dim,
-        max_train=max_train, normalize=False,
+    probed = _probe_cells_scored(
+        queries, centroids, id_col, vec_col, n_probe
+    ).select("query_id", "centroid_id")
+    return _res_adc_stages(
+        coded, probed, anchors, codebooks, vectors, queries,
+        id_col, vec_col, m, dim, candidates, top_k,
     )
-    encoded = pq_encode(resid, codebooks, "id", "vec", dim=dim, normalize=False)
-    probed = _probe_cells_scored(queries, centroids, id_col, vec_col, n_probe).select(
-        "query_id", "centroid_id"
-    )
-    qn = _normalize(queries, id_col, vec_col).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("qnvec")
-    )
-    base = (
-        probed.join(F.broadcast(anchors), "centroid_id")
-        .join(F.broadcast(qn), "query_id")
-        .select(
-            "query_id",
-            "centroid_id",
-            F.aggregate(
-                F.zip_with("qnvec", "csvec", lambda a, b: a * b),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ).alias("base"),
-        )
-    )
-    members = (
-        assignments.select(F.col(id_col).alias("id"), "centroid_id")
-        .join(F.broadcast(base), "centroid_id")
-        .select("query_id", "id", "base")
-    )
-    in_cells = encoded.join(members, "id")
-    qtables = _query_adc_tables(queries, codebooks, id_col, vec_col, m, dim)
-    scored = (
-        in_cells.join(F.broadcast(qtables), "query_id")
-        .where(F.col("id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            _adc_score(m, base=F.col("base")),
-        )
-    )
-    wc = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_score"), F.asc("neighbor_id")
-    )
-    cand = (
-        scored.withColumn("rn", F.row_number().over(wc))
-        .where(F.col("rn") <= candidates)
-        .select("query_id", "neighbor_id")
-    )
-    return pq_rerank(cand, vectors, queries, id_col, vec_col, top_k=top_k)
 
 
 def ivfpq_search(

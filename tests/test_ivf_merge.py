@@ -823,3 +823,113 @@ def test_sq8_constant_dimension_scale_zero(spark):
     assert all(cs[2] == 0 and cs[3] == 0 for cs in enc.values())
     got = sq8_knn(v, v.where(F.col("vec_id") == 1), top_k=2).collect()
     assert [r.neighbor_id for r in sorted(got, key=lambda r: -r.cosine)] == [2, 4]
+
+
+def test_ivfpq_res_train_backends_bit_identical(spark):
+    """Residual twin of test_ivfpq_train_backends_bit_identical (VERDICT
+    r8 #2): train_backend="driver" — numpy Lloyd's for BOTH the coarse
+    quantizer (raw-vector sample) and the residual codebooks (sample of
+    ivf_residuals, the exact population train_pq(normalize=False)
+    draws) — must reproduce the distributed residual trainer
+    BIT-FOR-BIT at the same max_train. Guards pinned like the raw
+    variant: bounded sample required, unknown backend fails loud."""
+    import pytest
+
+    from itdb_spark.operators.pq import ivfpq_residual_search
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    a = sorted(
+        tuple(r)
+        for r in ivfpq_residual_search(
+            emb, queries, top_k=10, max_train=256, train_backend="spark"
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    b = sorted(
+        tuple(r)
+        for r in ivfpq_residual_search(
+            emb, queries, top_k=10, max_train=256, train_backend="driver"
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    assert a and a == b
+    with pytest.raises(ValueError, match="max_train"):
+        ivfpq_residual_search(emb, queries, train_backend="driver")
+    with pytest.raises(ValueError, match="train_backend"):
+        ivfpq_residual_search(emb, queries, train_backend="numpy")
+
+
+def test_ivfpq_res_persisted_search_prunes_partitions(spark, tmp_path):
+    """The persisted residual IVF-PQ index (VERDICT r8 #2 — FAISS index
+    reuse: build once, search many), proven like the plain-IVF twin:
+    (a) search over the persisted index is BIT-IDENTICAL to the
+    in-session search over the same components (parquet round-trips
+    doubles and int codes exactly), and (b) the probed-cell IN-filter
+    reaches the cell-partitioned CODE scan as PartitionFilters and
+    only probed cells' files are read — the ADC scan costs
+    |probed|/|cells| of the index at any scale."""
+    import re as _re
+
+    from itdb_spark.operators.pq import (
+        _probe_cells_scored,
+        _probe_dim,
+        _res_adc_stages,
+        build_ivfpq_res_index,
+        ivfpq_res_search_persisted,
+        persist_ivfpq_res_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    coded, centroids, anchors, codebooks = build_ivfpq_res_index(emb)
+    path = str(tmp_path / "ivfpq_res_index")
+    persist_ivfpq_res_index(coded, centroids, anchors, codebooks, path)
+
+    dim = _probe_dim(emb, "embedding")
+    probed = _probe_cells_scored(queries, centroids, "vec_id", "embedding", 5)
+    in_mem = sorted(
+        tuple(r)
+        for r in _res_adc_stages(
+            coded, probed.select("query_id", "centroid_id"), anchors,
+            codebooks, emb, queries, "vec_id", "embedding", 16, dim, 100, 10,
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    persisted = sorted(
+        tuple(r)
+        for r in ivfpq_res_search_persisted(
+            spark, path, emb, queries, top_k=10
+        ).collect()
+    )
+    assert persisted and persisted == in_mem
+
+    # pruning proof with a single query at n_probe=2 so some of the 8
+    # cells are guaranteed unprobed
+    one_q = emb.where(F.col("vec_id") == 0)
+    one_df = ivfpq_res_search_persisted(spark, path, emb, one_q, n_probe=2)
+    one_df.collect()
+    plan = one_df._jdf.queryExecution().executedPlan().toString()
+    pfs = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("centroid_id" in pf and " IN " in pf for pf in pfs), plan
+    idx = spark.read.parquet(f"{path}/codes")
+    all_cells = {
+        int(r.centroid_id)
+        for r in idx.select("centroid_id").distinct().collect()
+    }
+    probed_cells = {
+        int(r.centroid_id)
+        for r in _probe_cells_scored(one_q, centroids, "vec_id", "embedding", 2)
+        .select("centroid_id").distinct().collect()
+    }
+    assert len(probed_cells) == 2 and probed_cells < all_cells
+    pruned_read = idx.where(F.col("centroid_id").isin(sorted(probed_cells)))
+    files = {
+        r.f
+        for r in pruned_read.select(F.input_file_name().alias("f"))
+        .distinct().collect()
+    }
+    assert files
+    allowed_dirs = tuple(f"/centroid_id={c}/" for c in probed_cells)
+    for f in files:
+        assert any(a in f for a in allowed_dirs), f

@@ -730,7 +730,7 @@ def test_bench_deploy_twins_equivalent(spark):
     twins = {qid: q for qid, q in reg.items() if q.bench_spark is not None}
     assert set(twins) == {
         "dedup-minhash", "dedup-jaccard", "pipe-curate", "sim-knn-ivfpq",
-        "graph-kcore",
+        "graph-kcore", "sim-knn-ivfpq-res", "fn-bpe-train",
     }
     for qid, q in twins.items():
         graded = {tuple(r) for r in q.spark(spark, SF_DIR).collect()}
@@ -740,12 +740,23 @@ def test_bench_deploy_twins_equivalent(spark):
         assert abs(len(deploy) - len(graded)) <= 0.05 * len(graded), (
             f"{qid}: deploy twin size {len(deploy)} vs graded {len(graded)}"
         )
-        if qid == "sim-knn-ivfpq":
-            # bounded-training twin (max_train=1024): at SF_DIR the
-            # sample covers the whole 500-vector corpus, so the twin is
-            # BIT-IDENTICAL to the graded form — assert exactly; the
+        if qid in ("sim-knn-ivfpq", "sim-knn-ivfpq-res"):
+            # bounded-training twins (max_train=1024): at SF_DIR the
+            # sample covers the whole 500-vector corpus, so the twins
+            # are BIT-IDENTICAL to the graded forms — assert exactly
+            # (for -res that also covers the persisted-index detour:
+            # parquet round-trips doubles and int codes exactly); the
             # genuinely-sampled path is recall-gated below
             assert deploy == graded, "sample >= corpus must be a no-op"
+        elif qid == "fn-bpe-train":
+            # batch=8 changes merge SELECTION (symbol-disjoint batches),
+            # not semantics: same merge count, and rank 1 is the global
+            # argmax in both (a batch round takes the top pair first);
+            # full semantics/quality gates live in
+            # test_learn_bpe_batched_deploy_lever
+            top_g = next(r for r in graded if r[0] == 1)
+            top_d = next(r for r in deploy if r[0] == 1)
+            assert top_g == top_d, (top_g, top_d)
         elif qid == "pipe-curate":
             kept = {r[0] for r in deploy}
             both = [i for i in kept if i >= 200000 and i - 200000 in kept]
