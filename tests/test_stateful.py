@@ -287,7 +287,17 @@ def test_funnel_tws_equivalence_or_gated(spark, tmp_path):
     if not has_protobuf:
         with _pytest.raises(ImportError, match="protobuf"):
             funnel_stream_tws(stream)
-        return
+        # Explicit, visible skip (round-8 VERDICT #6): the container has
+        # no protobuf runtime and installing packages is out of scope
+        # for this environment, so the tws-vs-applyInPandasWithState
+        # equivalence branch below is NOT executable here — surface
+        # that in the suite output instead of silently returning green.
+        # The fail-fast contract above DID run.
+        _pytest.skip(
+            "protobuf runtime absent (no package installs in this env): "
+            "funnel_stream_tws equivalence branch not executable; "
+            "fail-fast ImportError contract verified above"
+        )
 
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
