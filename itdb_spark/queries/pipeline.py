@@ -7074,3 +7074,365 @@ def pipe_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("reason"),
         F.coalesce("component", "doc_id").alias("evidence"),
     )
+
+
+# --- round-9 wave: eval / corpus-card / readability / containment / ---------
+# --- embedding statistics (all defer_after=9: the r9 grading window ---------
+# --- fronts the 29 round-8 registrations — grading-queue discipline) --------
+
+
+@register(
+    "eval-editdist",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.doc_id AS pair_id,
+             coalesce(c.text, '') AS ct, coalesce(r.text, '') AS rt
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id < 30 OR c.doc_id >= 900000
+    )
+    SELECT pair_id,
+           CAST(levenshtein(ct, rt) AS BIGINT) AS dist,
+           CAST(greatest(strlen(ct), strlen(rt)) AS BIGINT) AS maxlen,
+           CAST(CASE WHEN greatest(strlen(ct), strlen(rt)) = 0 THEN 1000
+                ELSE (1000 * (greatest(strlen(ct), strlen(rt))
+                              - levenshtein(ct, rt)))
+                     // greatest(strlen(ct), strlen(rt)) END AS BIGINT)
+             AS sim_milli
+    FROM pairs
+    """,
+    defer_after=9,
+    doc="Character edit-distance text-pair evaluation (round 9) over the "
+    "rouge/bleu/chrf consecutive-document pairing — the Levenshtein / "
+    "CER-family metric (the WER/TER shape at character granularity): "
+    "exact distance, max length, and the normalized similarity "
+    "1000*(maxlen - dist) DIV maxlen in integer millis (both-empty "
+    "pairs define sim = 1000). BYTE-level semantics, deliberately: "
+    "DuckDB's levenshtein counts UTF-8 bytes, so the Spark side "
+    "matches it exactly by decoding the UTF-8 encoding as ISO-8859-1 "
+    "(one char per byte — a pure-expression transform, no UDF) and "
+    "both engines then agree on every input including the edge "
+    "corpus's CJK and NFC-vs-NFD planted pairs (verified: 漢字語/漢語 "
+    "= 3 on both). Byte distance is the convention a production "
+    "pipeline wants anyway (normalize FIRST — text-normalize is the "
+    "registered operator for that — then measure; code-point distance "
+    "of un-normalized text conflates encoding with content). Scale: "
+    "pure per-row expressions after the self-join on consecutive ids; "
+    "levenshtein is O(len^2) per pair, bounded by the pairing's "
+    "row cap, never by corpus size.",
+)
+def eval_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    d = t.documents
+    as_bytes = lambda c: F.decode(F.encode(c, "utf-8"), "ISO-8859-1")  # noqa: E731
+    cand = d.select(
+        F.col("doc_id").alias("pair_id"),
+        as_bytes(F.coalesce("text", F.lit(""))).alias("ct"),
+    )
+    ref = d.select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        as_bytes(F.coalesce("text", F.lit(""))).alias("rt"),
+    )
+    pairs = cand.where(
+        (F.col("pair_id") < 30) | (F.col("pair_id") >= EDGE_ID_FLOOR)
+    ).join(ref, "pair_id")
+    dist = F.levenshtein("ct", "rt")
+    maxlen = F.greatest(F.length("ct"), F.length("rt"))
+    return pairs.select(
+        "pair_id",
+        dist.cast("long").alias("dist"),
+        maxlen.cast("long").alias("maxlen"),
+        F.when(maxlen == 0, F.lit(1000))
+        .otherwise(F.expr(
+            "(1000 * (greatest(length(ct), length(rt))"
+            " - levenshtein(ct, rt)))"
+            " DIV greatest(length(ct), length(rt))"
+        ))
+        .cast("long")
+        .alias("sim_milli"),
+    )
+
+
+@register(
+    "pipe-datacard",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, coalesce(text, '') AS txt,
+             CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(coalesce(text, '')),
+                                                 '\\s+')) END AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(length(txt)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(*) - count(DISTINCT md5(txt)) AS BIGINT) AS dup_docs,
+           CAST((1000 * sum(n_tok)) // count(*) AS BIGINT)
+             AS mean_tokens_milli
+    FROM base GROUP BY source
+    """,
+    defer_after=9,
+    doc="Dataset card (round 9) — the per-source corpus summary every "
+    "dataset release ships (HuggingFace dataset cards, Datasheets for "
+    "Datasets; Gebru et al. 2021): document count, total tokens and "
+    "characters, language count, exact-duplicate count (docs minus "
+    "distinct content hashes — the dedup-exact statistic as a rate), "
+    "and mean tokens per doc in integer millis. One map-side-combined "
+    "groupBy over per-row expressions; the two count-distincts expand "
+    "per-group, never globally. All-integer outputs, NULL text "
+    "normalized to '' identically on both engines so a null doc "
+    "counts as an empty one rather than vanishing from its source's "
+    "row.",
+)
+def pipe_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    txt = F.coalesce("text", F.lit(""))
+    base = t.documents.select(
+        "source",
+        "lang",
+        txt.alias("txt"),
+        F.size(tokens(txt)).alias("n_tok"),
+    )
+    return base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.length("txt")).cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (F.count("*") - F.countDistinct(F.md5("txt")))
+        .cast("long")
+        .alias("dup_docs"),
+        F.expr("CAST((1000 * sum(n_tok)) DIV count(*) AS BIGINT)").alias(
+            "mean_tokens_milli"
+        ),
+    )
+
+
+@register(
+    "text-readability",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sent AS BIGINT) AS n_sent,
+           CAST(n_syll AS BIGINT) AS n_syll,
+           CAST(CASE WHEN n_words > 0 THEN
+                  206835 - (1015 * n_words) // greatest(1, n_sent)
+                         - (84600 * n_syll) // n_words
+                END AS BIGINT) AS flesch_milli
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_words,
+             len(regexp_extract_all(text, '[.!?]+')) AS n_sent,
+             len(regexp_extract_all(lower(text), '[aeiou]+')) AS n_syll
+      FROM documents WHERE text IS NOT NULL
+    )
+    """,
+    defer_after=9,
+    doc="Flesch reading-ease readability score (round 9; Flesch 1948 — "
+    "the quality-filter signal complementing the length/stopword "
+    "composite: near-random token soups and keyword-stuffed spam score "
+    "far off the natural-prose band): 206.835 - 1.015*(W/S) - "
+    "84.6*(Syl/W) in integer millis with each ratio floored "
+    "independently (206835 - (1015*W) DIV max(1,S) - (84600*Syl) DIV "
+    "W — deterministic cross-engine, documented fixed-point variant "
+    "of the float formula). Syllables by the standard vowel-group "
+    "heuristic (runs of [aeiou] after lowercasing; consonant-only and "
+    "non-Latin text floors to 0 groups and the formula still "
+    "evaluates), sentences by [.!?]+ runs clamped to >= 1, words by "
+    "the repo-wide whitespace tokenizer. W = 0 emits NULL. Pure "
+    "per-row regexp counting — no shuffle at all; the scan is the "
+    "whole cost at any corpus size.",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.documents.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)).alias(
+            "n_sent"
+        ),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiou]+"), 0)
+        ).alias("n_syll"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sent").cast("long").alias("n_sent"),
+        F.col("n_syll").cast("long").alias("n_syll"),
+        F.when(
+            F.col("n_words") > 0,
+            F.expr(
+                "206835 - (1015 * n_words) DIV greatest(1, n_sent)"
+                " - (84600 * n_syll) DIV n_words"
+            ),
+        )
+        .cast("long")
+        .alias("flesch_milli"),
+    )
+
+
+@register(
+    "dedup-contain",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED ({_minhash_oracle()}),
+    toks AS (
+      SELECT DISTINCT doc_id AS doc, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM ({ORACLE_CORPUS}) WHERE len(trim(text)) > 0
+      )
+    ),
+    sets AS (
+      SELECT doc, list(w ORDER BY w) AS ts, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY doc
+    ),
+    scored AS (
+      SELECT p.id1, p.id2,
+             CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+             least(a.n, b.n) AS small
+      FROM pairs p
+      JOIN sets a ON a.doc = p.id1
+      JOIN sets b ON b.doc = p.id2
+    )
+    SELECT id1, id2, inter, small,
+           CAST(1000 * inter // small AS BIGINT) AS contain_milli
+    FROM scored WHERE 10 * inter >= 8 * small
+    """,
+    defer_after=9,
+    doc="Containment-coefficient dedup (round 9; Broder 1997's "
+    "containment C(A,B) = |A∩B| / min(|A|,|B|) — the ASYMMETRIC "
+    "near-dup Jaccard structurally misses: a short document quoted "
+    "wholesale inside a long one has tiny Jaccard (union is the big "
+    "doc) but containment ~1; the quote/boilerplate-subsumption "
+    "signal pretraining curation filters on): over the SAME LSH "
+    "candidate pairs the minhash family generates (one shared "
+    "candidate stage serves jaccard, cluster, soft, AND containment "
+    "— the index-reuse discipline), compute exact token-set "
+    "intersection vs the SMALLER set, keep pairs at containment >= "
+    "0.8 in cleared-denominator integers (10*inter >= 8*small), "
+    "contain_milli by integer DIV. Candidate-bounded exact "
+    "verification — same scale shape as dedup-jaccard; the LSH "
+    "recall caveat (a contained-but-low-Jaccard pair must still "
+    "collide in a band) is the documented trade vs the quadratic "
+    "exact allpairs route.",
+)
+def dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    pairs = minhash_candidates(c, "doc_id", "text").select("id1", "id2")
+    toks = (
+        c.where(F.length(F.trim("text")) > 0)
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .distinct()
+    )
+    sets = toks.groupBy("doc").agg(
+        F.sort_array(F.collect_list("w")).alias("ts"),
+        F.count("*").cast("long").alias("n"),
+    )
+    scored = (
+        pairs.join(
+            sets.select(
+                F.col("doc").alias("id1"),
+                F.col("ts").alias("ts1"),
+                F.col("n").alias("n1"),
+            ),
+            "id1",
+        )
+        .join(
+            sets.select(
+                F.col("doc").alias("id2"),
+                F.col("ts").alias("ts2"),
+                F.col("n").alias("n2"),
+            ),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("ts1", "ts2"))
+            .cast("long")
+            .alias("inter"),
+            F.least("n1", "n2").alias("small"),
+        )
+    )
+    return scored.where(10 * F.col("inter") >= 8 * F.col("small")).select(
+        "id1",
+        "id2",
+        "inter",
+        "small",
+        F.expr("CAST(1000 * inter DIV small AS BIGINT)").alias(
+            "contain_milli"
+        ),
+    )
+
+
+@register(
+    "emb-dimstats",
+    oracle="""
+    WITH m AS (
+      SELECT s.i AS pos,
+             CAST(floor(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS micro
+      FROM embeddings, range(0, 64) s(i)
+      WHERE embedding IS NOT NULL
+    )
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(micro) AS BIGINT) AS sum_micro,
+           CAST(sum(CAST(micro * micro AS DECIMAL(38, 0)))
+                AS DECIMAL(38, 0)) AS sumsq_micro2,
+           CAST(sum(micro) // count(*) AS BIGINT) AS mean_micro
+    FROM m GROUP BY pos
+    """,
+    defer_after=9,
+    doc="Per-dimension embedding statistics (round 9) — the vector-"
+    "column health check a production embedding store monitors "
+    "(dead dimensions, scale drift after a model swap, variance "
+    "collapse — the inputs to whitening and to SQ8's min/max bounds): "
+    "exact mergeable moments (n, sum, sum-of-squares) per dimension "
+    "over micro-quantized values (half-up floor(v*1e6 + 0.5) BIGINT — "
+    "the integer-cents discipline lifted to embeddings with sq8's "
+    "explicit tie rule, because this corpus's grid-generated values "
+    "DO hit .5 micro ties and engine round() rules differ; so "
+    "partial-aggregate arrival order can never perturb a hash), "
+    "arrival order can never perturb a hash), sum-of-squares carried "
+    "in DECIMAL(38,0) because micro^2 ~ 1e12 per row overflows BIGINT "
+    "around 1e6 rows — at 100 TB the decimal is load-bearing, not "
+    "pedantry. mean_micro by integer DIV (truncating identically on "
+    "negatives in both engines — verified). One posexplode + one "
+    "map-side-combined 64-group aggregation; moments add across "
+    "shards/batches, so incremental ingest updates the stats without "
+    "a rescan. Consumers derive variance as (n*ss - s^2) / n^2 from "
+    "the exact moments.",
+)
+def emb_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    m = (
+        t.embeddings.where(F.col("embedding").isNotNull())
+        .select(F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            F.col("pos").cast("long").alias("pos"),
+            # explicit half-up floor(x + 0.5), the sq8 discipline —
+            # Spark round() and DuckDB round() disagree on .5 ties
+            # (this corpus's grid-generated values hit them for real) —
+            # over the DOUBLE-widened float (the raw FLOAT[] column
+            # multiplies in single precision on one engine and double
+            # on the other; widen first, identically)
+            F.floor(F.col("val").cast("double") * 1000000 + 0.5)
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    return m.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("micro").cast("long").alias("sum_micro"),
+        F.sum((F.col("micro") * F.col("micro")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sumsq_micro2"),
+        F.expr("CAST(sum(micro) DIV count(*) AS BIGINT)").alias("mean_micro"),
+    )

@@ -526,3 +526,85 @@ def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(
         "track_id", "name", "plays", (F.col("starred") == 1).alias("starred")
     )
+
+
+def _synth_pq_dir(root: str) -> str:
+    """Deterministic 3-file parquet directory for the footer-metadata
+    source: known row counts and forced row-group sizes, so the oracle
+    can be checked arithmetically (a.parquet: 200 rows / 2 groups,
+    b.parquet: 50 / 1, c.parquet: 120 / 3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = (("a.parquet", 200, 100), ("b.parquet", 50, 50),
+            ("c.parquet", 120, 40))
+    os.makedirs(root, exist_ok=True)
+    for name, n, rg in spec:
+        path = os.path.join(root, name)
+        if not os.path.exists(path):
+            tbl = pa.table({"id": pa.array(range(n), pa.int64())})
+            pq.write_table(tbl, path, row_group_size=rg)
+    return root
+
+
+@register(
+    "src-parquet-meta",
+    oracle=f"""
+    SELECT regexp_extract(file_name, '[^/]+$') AS file_name,
+           CAST(num_rows AS BIGINT) AS num_rows,
+           CAST(num_row_groups AS BIGINT) AS num_row_groups
+    FROM parquet_file_metadata(
+      '{os.path.join(tempfile.gettempdir(), "itdb_spark_pqmeta")}/*.parquet')
+    """,
+    defer_after=9,
+    doc="Parquet footer-metadata source (round 9) — the table-"
+    "maintenance introspection feeding sinks/compact.py's sizing and "
+    "every 'how fragmented is this table' operational question: "
+    "per-file row count and row-group count read from FOOTERS ONLY "
+    "(no data pages touched — at 100 TB this is the difference "
+    "between a metadata sweep and a full scan). The file listing is "
+    "driver-side (bounded by file count, the same posture as fswalk); "
+    "footer reads distribute via mapInPandas over the path list, one "
+    "pyarrow ParquetFile per path per executor — at a million files "
+    "the reads spread across the cluster instead of serializing on "
+    "the driver. Oracle: DuckDB's independent parquet_file_metadata() "
+    "over the same deterministic fixture dir (3 files with formula "
+    "row counts and FORCED row-group splits, so a footer misparse or "
+    "an accidental data-page read breaks the arithmetic gate).",
+)
+def src_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    root = _synth_pq_dir(
+        os.path.join(tempfile.gettempdir(), "itdb_spark_pqmeta")
+    )
+    paths = sorted(
+        os.path.join(root, f)
+        for f in os.listdir(root)
+        if f.endswith(".parquet")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("file_name", T.StringType(), False),
+            T.StructField("num_rows", T.LongType(), False),
+            T.StructField("num_row_groups", T.LongType(), False),
+        ]
+    )
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                out.append(
+                    (os.path.basename(p), md.num_rows, md.num_row_groups)
+                )
+            yield pd.DataFrame(
+                out, columns=["file_name", "num_rows", "num_row_groups"]
+            )
+
+    pathdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    return pathdf.repartition(len(paths)).mapInPandas(read_footers, schema)

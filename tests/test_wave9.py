@@ -1,0 +1,232 @@
+"""Round-9 wave invariants: eval-editdist / pipe-datacard /
+text-readability / dedup-contain / emb-dimstats / src-parquet-meta.
+
+The driver-gate differential (Spark vs DuckDB) is the primary
+correctness signal for every one of these; the tests here add THIRD
+implementations (pure Python / numpy) and cross-query consistency, the
+triangulation discipline the earlier waves use (two engines can share a
+misreading of a spec; an independent reimplementation rarely shares it
+with both).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def _py_levenshtein(a: bytes, b: bytes) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def test_eval_editdist_matches_python_byte_levenshtein(spark):
+    """Third-engine differential: every graded pair's distance must equal
+    a pure-Python Levenshtein over the UTF-8 BYTES (the documented
+    semantics both engines implement — DuckDB natively, Spark via the
+    ISO-8859-1 decode of the UTF-8 encoding). Runs on the edge corpus
+    so the planted CJK / NFC-vs-NFD / whitespace-only pairs exercise
+    the multi-byte paths."""
+    from itdb_spark.queries import load_all
+    from tools.edge_corpus import build_edge_dir
+
+    dst = build_edge_dir(SF_DIR, "/tmp/itdb_spark_edge_test")
+    got = {
+        r.pair_id: (r.dist, r.maxlen, r.sim_milli)
+        for r in load_all()["eval-editdist"].spark(spark, dst).collect()
+    }
+    docs = {
+        r.doc_id: (r.text or "")
+        for r in spark.read.parquet(f"{dst}/documents.parquet").collect()
+    }
+    assert len(got) >= 30
+    for pair_id, (dist, maxlen, sim) in got.items():
+        ct = docs[pair_id].encode("utf-8")
+        rt = docs[pair_id + 1].encode("utf-8")
+        want = _py_levenshtein(ct, rt)
+        assert dist == want, (pair_id, dist, want)
+        assert maxlen == max(len(ct), len(rt))
+        assert sim == (
+            1000 if maxlen == 0 else (1000 * (maxlen - dist)) // maxlen
+        )
+
+
+def test_text_readability_matches_python_formula(spark):
+    """Third-engine differential: recompute the fixed-point Flesch
+    variant (206835 - (1015*W) DIV max(1,S) - (84600*Syl) DIV W, vowel-
+    group syllables, [.!?]+ sentences, whitespace words) in pure Python
+    for every doc and compare exactly."""
+    import re
+
+    from itdb_spark.queries import load_all
+
+    got = {
+        r.doc_id: (r.n_words, r.n_sent, r.n_syll, r.flesch_milli)
+        for r in load_all()["text-readability"].spark(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    checked = 0
+    for d in docs:
+        if d.text is None:
+            assert d.doc_id not in got
+            continue
+        w = 0 if not d.text.strip() else len(re.split(r"\s+", d.text.strip()))
+        s = len(re.findall(r"[.!?]+", d.text))
+        syl = len(re.findall(r"[aeiou]+", d.text.lower()))
+        flesch = (
+            None
+            if w == 0
+            else 206835 - (1015 * w) // max(1, s) - (84600 * syl) // w
+        )
+        assert got[d.doc_id] == (w, s, syl, flesch), (d.doc_id, got[d.doc_id])
+        checked += 1
+    assert checked == len(got) >= 400
+
+
+def test_pipe_datacard_cross_query_consistency(spark):
+    """The card's totals must reconcile with the raw table: per-source
+    doc counts sum to the table count, dup_docs equals docs minus
+    distinct texts (NULL normalized to ''), token totals match the
+    repo tokenizer, and mean_tokens_milli is the integer identity."""
+    from itdb_spark.queries import load_all
+
+    rows = load_all()["pipe-datacard"].spark(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    assert sum(r.n_docs for r in rows) == len(docs)
+    by_src: dict[str, list] = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(d)
+    assert {r.source for r in rows} == set(by_src)
+    for r in rows:
+        ds = by_src[r.source]
+        texts = [(d.text or "") for d in ds]
+        toks = [0 if not t.strip() else len(t.strip().split()) for t in texts]
+        assert r.n_docs == len(ds)
+        assert r.total_tokens == sum(toks)
+        assert r.total_chars == sum(len(t) for t in texts)
+        assert r.n_langs == len({d.lang for d in ds if d.lang is not None})
+        assert r.dup_docs == len(ds) - len(set(texts))
+        assert r.mean_tokens_milli == (1000 * sum(toks)) // len(ds)
+
+
+def test_dedup_contain_exact_copies_full_containment(spark):
+    """The corpus() derivation plants an exact copy of every doc at
+    +200000; exact copies collide in EVERY LSH band, so each pair is a
+    guaranteed candidate and must surface with contain_milli == 1000
+    (identical token sets). Also: containment >= Jaccard on every
+    emitted pair (C uses min, J uses union — the reason the operator
+    exists), with the threshold honored."""
+    from itdb_spark.queries import load_all
+
+    rows = load_all()["dedup-contain"].spark(spark, SF_DIR).collect()
+    got = {(r.id1, r.id2): r for r in rows}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    planted = 0
+    for d in docs:
+        if d.text and d.text.strip():
+            pair = (d.doc_id, d.doc_id + 200000)
+            assert pair in got, pair
+            assert got[pair].contain_milli == 1000, got[pair]
+            planted += 1
+    assert planted >= 400
+    for r in rows:
+        assert 10 * r.inter >= 8 * r.small
+        assert r.contain_milli == 1000 * r.inter // r.small
+
+
+def test_emb_dimstats_matches_numpy_moments(spark):
+    """Third-engine differential: n / sum / sum-of-squares per dimension
+    must equal numpy over the same half-up micro quantization, and the
+    variance derived from the exact moments must match numpy's within
+    quantization error."""
+    import math
+
+    import numpy as np
+
+    from itdb_spark.queries import load_all
+
+    rows = load_all()["emb-dimstats"].spark(spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    X = np.asarray([r.embedding for r in emb if r.embedding is not None],
+                   dtype=np.float64)
+    M = np.floor(X * 1_000_000 + 0.5).astype(np.int64)
+    assert len(rows) == X.shape[1] == 64
+    for r in rows:
+        col = M[:, r.pos]
+        assert r.n == len(col)
+        assert r.sum_micro == int(col.sum())
+        assert int(r.sumsq_micro2) == int((col.astype(object) ** 2).sum())
+        assert r.mean_micro == int(
+            math.trunc(col.sum() / len(col))
+            if col.sum() < 0
+            else col.sum() // len(col)
+        )
+        # moment-derived variance vs numpy (micro^2 units)
+        n, s, ss = r.n, r.sum_micro, int(r.sumsq_micro2)
+        var_moments = (n * ss - s * s) / (n * n)
+        ref = float(col.var())
+        assert abs(var_moments - ref) <= 1e-9 * max(1.0, abs(ref))
+
+
+def test_src_parquet_meta_fixture_arithmetic(spark):
+    """The footer source must report exactly the fixture's formula:
+    3 files, (200 rows, 2 groups), (50, 1), (120, 3) — a data-page
+    read or footer misparse cannot produce these numbers by accident."""
+    from itdb_spark.queries import load_all
+
+    rows = sorted(
+        (r.file_name, r.num_rows, r.num_row_groups)
+        for r in load_all()["src-parquet-meta"].spark(spark, SF_DIR).collect()
+    )
+    assert rows == [
+        ("a.parquet", 200, 2),
+        ("b.parquet", 50, 1),
+        ("c.parquet", 120, 3),
+    ]
+
+
+def test_wave9_plans_hold_scale_properties(spark):
+    """The round-9 wave carries the repo-wide physical-plan contract:
+    zero single-partition exchanges, zero nested-loop joins, pushdown
+    on every parquet scan — plus per-query exchange ceilings pinned at
+    today's plan (text-readability is genuinely scan-only; emb-dimstats
+    is one map-side-combined aggregation; pipe-datacard's two-phase
+    count-distinct expands to two)."""
+    from itdb_spark.queries import load_all
+    from tools.audit_plans import audit
+
+    ceilings = {
+        "eval-editdist": 2,
+        "pipe-datacard": 2,
+        "text-readability": 0,
+        "dedup-contain": 9,   # the shared minhash candidate machinery
+        "emb-dimstats": 1,
+        "src-parquet-meta": 1,  # the round-robin over the path list
+    }
+    registry = load_all()
+    failures = []
+    for qid, ceiling in ceilings.items():
+        df = registry[qid].spark(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        a = audit(plan)
+        if a["single_partition_exchanges"]:
+            failures.append(f"{qid}: single-partition exchange")
+        if a["nested_loop_joins"]:
+            failures.append(f"{qid}: nested-loop join")
+        if a["pushed_filters"] != a["scans"]:
+            failures.append(
+                f"{qid}: {a['scans']} scans, {a['pushed_filters']} pushed"
+            )
+        n_ex = plan.count("Exchange")
+        if n_ex > ceiling:
+            failures.append(f"{qid}: {n_ex} exchanges > ceiling {ceiling}")
+    assert not failures, "\n".join(failures)
