@@ -7436,3 +7436,188 @@ def emb_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sumsq_micro2"),
         F.expr("CAST(sum(micro) DIV count(*) AS BIGINT)").alias("mean_micro"),
     )
+
+
+@register(
+    "sim-knn-hamming",
+    oracle=f"""
+    WITH fp AS MATERIALIZED ({_simhash_oracle()}),
+    q AS (SELECT doc AS query_id, simhash AS qfp FROM fp WHERE doc < 5),
+    scored AS (
+      SELECT q.query_id, c.doc AS neighbor_id,
+             CAST(bit_count(xor(q.qfp, c.simhash)) AS BIGINT) AS hamming
+      FROM q JOIN fp c ON c.doc != q.query_id
+    )
+    SELECT query_id, neighbor_id, hamming FROM (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY hamming, neighbor_id) AS rn
+      FROM scored) WHERE rn <= 10
+    """,
+    defer_after=9,
+    doc="Binary-fingerprint similarity search (round 9) — the 1-bit-"
+    "per-dimension extreme of the compression ladder (float64 -> SQ8 "
+    "-> PQ -> binary): top-10 nearest documents by HAMMING distance "
+    "over the 16-bit SimHash fingerprints dedup-simhash already "
+    "computes (Charikar 2002 — cosine similarity concentrates as "
+    "1 - hamming/bits), scored as bit_count(xor) — one CPU "
+    "instruction per comparison, the cheapest similarity predicate "
+    "that exists and the standard pre-filter tier in front of exact "
+    "rerank at billion-doc scale. Plan: the 5 query fingerprints "
+    "broadcast against one scan of the 8-byte fingerprint column "
+    "(the binary tier's entire point: the 'index' is 1/64th the "
+    "float payload), per-query top-k via WindowGroupLimit with full "
+    "(distance, neighbor) tie-break — ties are the NORM at 16 bits, "
+    "so the deterministic tie-break carries the hash gate. Oracle: "
+    "the proven dedup-simhash fingerprint CTE + DuckDB's native "
+    "bit_count(xor).",
+)
+def sim_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from itdb_spark.operators.dedup import simhash
+
+    fp = simhash(corpus(spark, sf_dir), "doc_id", "text")
+    q = fp.where(F.col("doc") < 5).select(
+        F.col("doc").alias("query_id"), F.col("simhash").alias("qfp")
+    )
+    scored = (
+        fp.join(F.broadcast(q), fp["doc"] != q["query_id"])
+        .select(
+            "query_id",
+            F.col("doc").alias("neighbor_id"),
+            F.bit_count(F.col("qfp").bitwiseXOR(F.col("simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+
+
+@register(
+    "agg-streak",
+    oracle="""
+    WITH acts AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+      FROM events WHERE ts IS NOT NULL
+    ),
+    islands AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM acts
+    ),
+    runs AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS len,
+             CAST(min(day) AS BIGINT) AS start_day
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, len AS streak_days, start_day FROM (
+      SELECT user_id, len, start_day,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY len DESC, start_day) AS rn
+      FROM runs) WHERE rn = 1
+    """,
+    defer_after=9,
+    doc="Longest consecutive-day activity streak per user (round 9) — "
+    "the gaps-and-islands pattern, the one canonical SQL idiom the "
+    "registry did not yet exercise (engagement streaks, uptime runs, "
+    "consecutive-failure windows all reduce to it): distinct epoch-"
+    "days per user (the agg-cohort integer-day discipline — no "
+    "timezone edges), island id = day - row_number (consecutive days "
+    "share it), per-island length + start, then the single longest "
+    "run per user. Spark side takes the winner with max_by over the "
+    "UNIQUE (len, -start_day) ordering struct — partial-combines "
+    "map-side, no per-user window on the runs frame (the win-seq "
+    "argmax discipline; the oracle may window plainly). Every window "
+    "that remains is keyed by user_id — shards at any scale. NULL "
+    "timestamps are defined out (repo-wide rule); NULL users group "
+    "as one key identically on both engines.",
+)
+def agg_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    acts = (
+        t.events.where(F.col("ts").isNotNull())
+        .select("user_id", day.alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = acts.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(w)).alias("island")
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("len"),
+        F.min("day").cast("long").alias("start_day"),
+    )
+    best = runs.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("len", "start_day"),
+            F.struct(F.col("len"), (-F.col("start_day")).alias("neg")),
+        ).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.len").alias("streak_days"),
+        F.col("b.start_day").alias("start_day"),
+    )
+
+
+@register(
+    "win-active-users",
+    oracle="""
+    WITH acts AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    cover AS (
+      SELECT DISTINCT user_id, x.d AS day
+      FROM acts, unnest(generate_series(day, day + 6)) AS x(d)
+    ),
+    days AS (SELECT DISTINCT day FROM acts)
+    SELECT c.day, CAST(count(*) AS BIGINT) AS wau
+    FROM cover c JOIN days USING (day)
+    GROUP BY c.day
+    """,
+    defer_after=9,
+    doc="Trailing-7-day active users per day (round 9) — the WAU "
+    "metric, the canonical ROLLING COUNT DISTINCT no plain window "
+    "frame can express (distinct does not decompose over sliding "
+    "sums): solved by interval expansion — each (user, active-day) "
+    "pair COVERS days [d, d+6] (a bounded 7x explode of the already-"
+    "distinct user-day frame, which is user x day cardinality, not "
+    "event cardinality — the pre-aggregate does the corpus-sized "
+    "work), distinct coverage pairs, then one map-side-combined count "
+    "per observed day. Epoch-day integer arithmetic (the agg-cohort "
+    "discipline); reported only for days that exist in the data, so "
+    "the frame never fabricates trailing-partial rows. NULL users "
+    "are not users (filtered identically on both engines); NULL "
+    "timestamps defined out.",
+)
+def win_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    acts = (
+        t.events.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", day.alias("day"))
+        .distinct()
+    )
+    cover = acts.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+    ).distinct()
+    days = acts.select("day").distinct()
+    return (
+        cover.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("wau"))
+    )

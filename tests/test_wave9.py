@@ -210,6 +210,13 @@ def test_wave9_plans_hold_scale_properties(spark):
         "dedup-contain": 9,   # the shared minhash candidate machinery
         "emb-dimstats": 1,
         "src-parquet-meta": 1,  # the round-robin over the path list
+        # wave 2: hamming's 1 BNLJ is the declared 5-row query-
+        # fingerprint broadcast (checked separately below); streak is
+        # two keyed shuffles (distinct + per-user window); WAU is the
+        # pre-aggregate + coverage-distinct + final count chain
+        "sim-knn-hamming": 4,
+        "agg-streak": 2,
+        "win-active-users": 5,
     }
     registry = load_all()
     failures = []
@@ -220,8 +227,8 @@ def test_wave9_plans_hold_scale_properties(spark):
         a = audit(plan)
         if a["single_partition_exchanges"]:
             failures.append(f"{qid}: single-partition exchange")
-        if a["nested_loop_joins"]:
-            failures.append(f"{qid}: nested-loop join")
+        if a["nested_loop_joins"] != (1 if qid == "sim-knn-hamming" else 0):
+            failures.append(f"{qid}: unexpected nested-loop join count")
         if a["pushed_filters"] != a["scans"]:
             failures.append(
                 f"{qid}: {a['scans']} scans, {a['pushed_filters']} pushed"
@@ -230,3 +237,82 @@ def test_wave9_plans_hold_scale_properties(spark):
         if n_ex > ceiling:
             failures.append(f"{qid}: {n_ex} exchanges > ceiling {ceiling}")
     assert not failures, "\n".join(failures)
+
+
+def test_sim_knn_hamming_matches_python(spark):
+    """Third-engine differential: recompute the top-10-by-Hamming
+    neighbor lists in pure Python from the (already oracle-verified)
+    dedup-simhash fingerprints and compare exactly, tie-breaks
+    included — at 16 bits ties are the norm, so this is really a test
+    of the deterministic ordering."""
+    from itdb_spark.queries import load_all
+
+    reg = load_all()
+    fp = {
+        r.doc: r.simhash
+        for r in reg["dedup-simhash"].spark(spark, SF_DIR).collect()
+    }
+    got: dict[int, list] = {}
+    for r in reg["sim-knn-hamming"].spark(spark, SF_DIR).collect():
+        got.setdefault(r.query_id, []).append((r.hamming, r.neighbor_id))
+    assert set(got) == {0, 1, 2, 3, 4}
+    for q, rows in got.items():
+        want = sorted(
+            (bin(fp[q] ^ v).count("1"), d) for d, v in fp.items() if d != q
+        )[:10]
+        assert sorted(rows) == want, (q, sorted(rows)[:3], want[:3])
+
+
+def test_agg_streak_matches_python(spark):
+    """Third-engine differential: per-user longest consecutive-epoch-day
+    run recomputed in pure Python (longest length, earliest start on
+    ties) over the raw events."""
+    from itdb_spark.queries import load_all
+
+    got = {
+        r.user_id: (r.streak_days, r.start_day)
+        for r in load_all()["agg-streak"].spark(spark, SF_DIR).collect()
+    }
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user: dict = {}
+    for e in events:
+        if e.ts is None:
+            continue
+        day = int(e.ts.timestamp()) // 86400
+        by_user.setdefault(e.user_id, set()).add(day)
+    assert set(got) == set(by_user)
+    for u, days in by_user.items():
+        best = None  # (len, -start) maximized
+        ds = sorted(days)
+        i = 0
+        while i < len(ds):
+            j = i
+            while j + 1 < len(ds) and ds[j + 1] == ds[j] + 1:
+                j += 1
+            cand = (j - i + 1, -ds[i])
+            if best is None or cand > best:
+                best = cand
+            i = j + 1
+        assert got[u] == (best[0], -best[1]), (u, got[u], best)
+
+
+def test_win_active_users_matches_python(spark):
+    """Third-engine differential: trailing-7-day distinct users per
+    observed day recomputed in pure Python."""
+    from itdb_spark.queries import load_all
+
+    got = {
+        r.day: r.wau
+        for r in load_all()["win-active-users"].spark(spark, SF_DIR).collect()
+    }
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    acts = {
+        (e.user_id, int(e.ts.timestamp()) // 86400)
+        for e in events
+        if e.ts is not None and e.user_id is not None
+    }
+    days = {d for _, d in acts}
+    assert set(got) == days
+    for d in days:
+        wau = len({u for (u, ad) in acts if d - 6 <= ad <= d})
+        assert got[d] == wau, (d, got[d], wau)
