@@ -7621,3 +7621,191 @@ def win_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count("*").cast("long").alias("wau"))
     )
+
+
+@register(
+    "text-novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT DISTINCT doc, g FROM (
+        SELECT doc, unnest(
+          CASE WHEN len(t) < 8 THEN []
+               ELSE list_transform(range(1, len(t) - 6),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                     t[i+4], t[i+5], t[i+6], t[i+7])) END
+        ) AS g
+        FROM toks
+      )
+    ),
+    df AS (SELECT g, CAST(count(*) AS BIGINT) AS docs FROM grams GROUP BY g)
+    SELECT doc,
+           CAST(count(*) AS BIGINT) AS total_grams,
+           CAST(sum(CASE WHEN docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_grams,
+           CAST(1000 * sum(CASE WHEN docs = 1 THEN 1 ELSE 0 END) // count(*)
+                AS BIGINT) AS novelty_milli
+    FROM grams JOIN df USING (g)
+    GROUP BY doc
+    """,
+    defer_after=9,
+    doc="N-gram novelty per document (round 9) — the memorization / "
+    "templatedness signal (Lee et al. 2022 measure duplication by "
+    "repeated n-gram spans; this is the per-doc rollup curation ranks "
+    "on): of a document's DISTINCT word-8-grams (the dedup-span / "
+    "text-decontam gram width), what fraction appears in NO other "
+    "document (corpus df = 1)? Low novelty = boilerplate/template "
+    "family member; 1000-milli exact integer ratio. Docs under 8 "
+    "tokens have no grams and drop (their novelty is undefined, not "
+    "zero). Shape: per-doc gram set (pure array expressions), one "
+    "map-side-combined df groupBy over the gram key, one hash join "
+    "back (gram-keyed — the dedup-span shuffle shape), one final "
+    "per-doc count. At 100 TB the df table is the deduplicated gram "
+    "vocabulary — the same frame dedup-span already materializes, "
+    "shareable in a real pipeline run.",
+)
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    grams_expr = F.expr(
+        "CASE WHEN size(t) < 8 THEN array() "
+        "ELSE transform(sequence(1, size(t) - 7), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), "
+        "element_at(t, i+2), element_at(t, i+3), element_at(t, i+4), "
+        "element_at(t, i+5), element_at(t, i+6), element_at(t, i+7))) END"
+    )
+    grams = (
+        t.documents.where(F.length(F.trim("text")) > 0)
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
+        )
+        .select("doc", F.explode(grams_expr).alias("g"))
+        .distinct()
+    )
+    df_ = grams.groupBy("g").agg(F.count("*").cast("long").alias("docs"))
+    return (
+        grams.join(df_, "g")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("total_grams"),
+            F.sum(F.when(F.col("docs") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("novel_grams"),
+            F.expr(
+                "CAST(1000 * sum(CASE WHEN docs = 1 THEN 1 ELSE 0 END)"
+                " DIV count(*) AS BIGINT)"
+            ).alias("novelty_milli"),
+        )
+    )
+
+
+@register(
+    "agg-ohlc",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hour,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             epoch_us(ts) AS tsu, event_id
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT hour, c,
+             row_number() OVER (PARTITION BY hour
+                 ORDER BY tsu, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY hour
+                 ORDER BY tsu DESC, event_id DESC) AS rn_close
+      FROM base
+    )
+    SELECT hour,
+           CAST(min(CASE WHEN rn_open = 1 THEN c END) AS BIGINT) AS open_c,
+           CAST(max(c) AS BIGINT) AS high_c,
+           CAST(min(c) AS BIGINT) AS low_c,
+           CAST(min(CASE WHEN rn_close = 1 THEN c END) AS BIGINT) AS close_c,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ranked GROUP BY hour
+    """,
+    defer_after=9,
+    doc="OHLC bars per epoch-hour over event values (round 9) — the "
+    "time-series downsampling shape (financial candles, metric "
+    "rollups: first/max/min/last per bucket): open and close are "
+    "SINGLE-WINNER argmins/argmaxes over the unique (event-time "
+    "micros, event_id) ordering — on the Spark side min_by/max_by "
+    "over the unique ordering struct (partial-combines map-side, NO "
+    "per-bucket window; the repo-wide argmin discipline), while the "
+    "oracle windows plainly as the disciplines allow. Values in "
+    "integer cents, hours in epoch-hour integers (the agg-cohort "
+    "discipline). One map-side-combined groupBy keyed by hour: "
+    "mergeable (first/last fold by recomparing the ordering key), so "
+    "the same aggregate serves batch rollups and streaming "
+    "materialization. NULL ts / NULL value defined out (repo rule).",
+)
+def agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.events.where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.unix_micros("ts").alias("tsu"),
+        "event_id",
+    )
+    okey = F.struct("tsu", "event_id")
+    return base.groupBy("hour").agg(
+        F.min_by("c", okey).cast("long").alias("open_c"),
+        F.max("c").cast("long").alias("high_c"),
+        F.min("c").cast("long").alias("low_c"),
+        F.max_by("c", okey).cast("long").alias("close_c"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "agg-timeseries",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hour
+      FROM events WHERE ts IS NOT NULL
+    ),
+    counts AS (SELECT hour, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY hour),
+    bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM base),
+    frame AS (SELECT unnest(generate_series(lo, hi)) AS hour FROM bounds)
+    SELECT f.hour, coalesce(c.n, 0) AS n_events,
+           CASE WHEN c.n IS NULL THEN 1 ELSE 0 END AS zero_filled
+    FROM frame f LEFT JOIN counts c USING (hour)
+    """,
+    defer_after=9,
+    doc="Gap-filled hourly event counts (round 9) — the time-series "
+    "densify every monitoring/forecast consumer needs (a missing "
+    "hour must be an EXPLICIT zero row, not an absent one: downstream "
+    "moving averages, anomaly z-scores, and the agg-changepoint CUSUM "
+    "all silently skew on gaps): counts per epoch-hour (one map-side-"
+    "combined groupBy over the corpus — the only corpus-sized work), "
+    "then a dimension-sized hour frame generated from the global "
+    "[min, max] bounds (a 1-row aggregate -> sequence explode: the "
+    "declared O(1)-row global every densify in this repo uses, cf. "
+    "agg-ks's grid) left-joined against the counts, zero-filled with "
+    "a provenance flag. Broadcast join: the frame is |hours|, the "
+    "counts table likewise — both dimension-sized at any corpus "
+    "scale.",
+)
+def agg_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.events.where(F.col("ts").isNotNull()).select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    )
+    counts = base.groupBy("hour").agg(F.count("*").cast("long").alias("n"))
+    frame = (
+        base.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("hour"))
+    )
+    return frame.join(counts, "hour", "left").select(
+        "hour",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).cast("long").alias(
+            "zero_filled"
+        ),
+    )

@@ -217,6 +217,13 @@ def test_wave9_plans_hold_scale_properties(spark):
         "sim-knn-hamming": 4,
         "agg-streak": 2,
         "win-active-users": 5,
+        # wave 3: novelty is gram-df groupBy + gram-keyed join + doc
+        # rollup; ohlc is ONE map-side-combined hour groupBy; the
+        # timeseries densify pays the declared O(1)-row global bounds
+        # aggregate (its single-partition exchange, allowed below)
+        "text-novelty": 5,
+        "agg-ohlc": 1,
+        "agg-timeseries": 3,
     }
     registry = load_all()
     failures = []
@@ -225,8 +232,9 @@ def test_wave9_plans_hold_scale_properties(spark):
         df.write.format("noop").mode("overwrite").save()
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         a = audit(plan)
-        if a["single_partition_exchanges"]:
-            failures.append(f"{qid}: single-partition exchange")
+        allowed_sp = 1 if qid == "agg-timeseries" else 0  # 1-row bounds
+        if a["single_partition_exchanges"] != allowed_sp:
+            failures.append(f"{qid}: single-partition exchange count")
         if a["nested_loop_joins"] != (1 if qid == "sim-knn-hamming" else 0):
             failures.append(f"{qid}: unexpected nested-loop join count")
         if a["pushed_filters"] != a["scans"]:
@@ -316,3 +324,87 @@ def test_win_active_users_matches_python(spark):
     for d in days:
         wau = len({u for (u, ad) in acts if d - 6 <= ad <= d})
         assert got[d] == wau, (d, got[d], wau)
+
+
+def test_text_novelty_matches_python(spark):
+    """Third-engine differential: per-doc distinct-8-gram novelty
+    recomputed in pure Python over the raw documents."""
+    from itdb_spark.queries import load_all
+
+    got = {
+        r.doc: (r.total_grams, r.novel_grams, r.novelty_milli)
+        for r in load_all()["text-novelty"].spark(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    gram_sets = {}
+    for d in docs:
+        if d.text is None or not d.text.strip():
+            continue
+        t = d.text.strip().lower().split()
+        gram_sets[d.doc_id] = {
+            " ".join(t[i : i + 8]) for i in range(len(t) - 7)
+        }
+    df: dict[str, int] = {}
+    for gs in gram_sets.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    expect = {
+        doc: (len(gs), sum(1 for g in gs if df[g] == 1))
+        for doc, gs in gram_sets.items()
+        if gs
+    }
+    assert set(got) == set(expect)
+    for doc, (total, novel) in expect.items():
+        assert got[doc] == (total, novel, 1000 * novel // total), doc
+
+
+def test_agg_ohlc_matches_python(spark):
+    """Third-engine differential: open/high/low/close per epoch-hour
+    recomputed in pure Python with the (ts-micros, event_id) unique
+    ordering."""
+    from itdb_spark.queries import load_all
+
+    got = {
+        r.hour: (r.open_c, r.high_c, r.low_c, r.close_c, r.n_events)
+        for r in load_all()["agg-ohlc"].spark(spark, SF_DIR).collect()
+    }
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    buckets: dict[int, list] = {}
+    for e in events:
+        if e.ts is None or e.value is None:
+            continue
+        tsu = int(e.ts.timestamp() * 1_000_000)
+        c = int(round(e.value * 100))
+        buckets.setdefault(tsu // 3_600_000_000, []).append(
+            (tsu, e.event_id, c)
+        )
+    assert set(got) == set(buckets)
+    for h, rows in buckets.items():
+        rows.sort()
+        cs = [c for _, _, c in rows]
+        assert got[h] == (rows[0][2], max(cs), min(cs), rows[-1][2],
+                          len(rows)), h
+
+
+def test_agg_timeseries_gap_filling(spark):
+    """The densify contract: one row per hour in [min, max] with no
+    holes, zero_filled exactly on hours absent from the raw counts,
+    and the non-zero rows exactly the raw per-hour counts."""
+    from itdb_spark.queries import load_all
+
+    rows = sorted(
+        (r.hour, r.n_events, r.zero_filled)
+        for r in load_all()["agg-timeseries"].spark(spark, SF_DIR).collect()
+    )
+    hours = [h for h, _, _ in rows]
+    assert hours == list(range(hours[0], hours[-1] + 1)), "holes in frame"
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    counts: dict[int, int] = {}
+    for e in events:
+        if e.ts is not None:
+            h = int(e.ts.timestamp()) // 3600
+            counts[h] = counts.get(h, 0) + 1
+    for h, n, zf in rows:
+        assert n == counts.get(h, 0), h
+        assert zf == (0 if h in counts else 1), h
+    assert min(counts) == hours[0] and max(counts) == hours[-1]
