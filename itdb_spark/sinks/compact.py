@@ -103,20 +103,38 @@ def _recover(path: str) -> None:
 
 
 def compact_parquet(
-    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_by: str | None = None,
 ) -> dict:
     """Rewrite the flat parquet directory at ``path`` into
     ceil(total_bytes / target_bytes) files. Returns a stats dict
     {files_before, bytes_before, files_after, rows}. Refuses to swap in
-    the rewrite unless row count AND content checksum match exactly."""
+    the rewrite unless row count AND content checksum match exactly.
+
+    ``sort_by``: LAYOUT-PRESERVING compaction (the Delta/Iceberg
+    ``OPTIMIZE ... ZORDER``-lite, single-key form): instead of the
+    round-robin rewrite, range-partition on the key and sort within
+    each output file, so every file owns a disjoint key range and its
+    parquet min/max footer statistics prune point/range scans to ~one
+    file — compaction then BUYS scan locality instead of merely fixing
+    the file count. Round-robin stays the default because it is
+    skew-proof; range layout inherits the key's skew (AQE cannot help
+    a deliberate repartitionByRange), which is the documented trade."""
     _recover(path)
     files_before, bytes_before = parquet_file_stats(path)
     n_out = max(1, math.ceil(bytes_before / target_bytes))
     rows_before, ck_before = _content_checksum(spark, path)
     staging = path.rstrip("/") + ".__compact__"
-    spark.read.parquet(path).repartition(n_out).write.mode(
-        "overwrite"
-    ).parquet(staging)
+    src = spark.read.parquet(path)
+    if sort_by is not None:
+        src = src.repartitionByRange(n_out, sort_by).sortWithinPartitions(
+            sort_by
+        )
+    else:
+        src = src.repartition(n_out)
+    src.write.mode("overwrite").parquet(staging)
     rows_after, ck_after = _content_checksum(spark, staging)
     if (rows_after, ck_after) != (rows_before, ck_before):
         shutil.rmtree(staging)

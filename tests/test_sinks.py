@@ -190,3 +190,54 @@ def test_compact_parquet_crash_recovery_and_refusals(spark, tmp_path):
     # the original table survived the refused swap
     assert spark.read.parquet(p).count() == 1_000
     assert not os.path.exists(p + ".__compact__")
+
+
+def test_compact_parquet_sorted_layout_prunes(spark, tmp_path):
+    """compact_parquet(sort_by=...): the layout-preserving mode must
+    (a) pass the same parity gates, (b) produce files owning DISJOINT
+    key ranges (the property that makes parquet min/max footer stats
+    prune point scans to ~one file), and (c) actually prune: a point
+    lookup on the compacted table reads fewer files than it owns."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from itdb_spark.sinks.compact import compact_parquet, parquet_file_stats
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "sorted")
+    # write deliberately key-shuffled fragments
+    spark.range(0, 20_000).selectExpr(
+        "CAST(id * 2654435761 % 20000 AS BIGINT) AS k", "id AS v"
+    ).repartition(50).write.parquet(p)
+    n0, b0 = parquet_file_stats(p)
+    assert n0 == 50
+    stats = compact_parquet(spark, p, target_bytes=(b0 + 3) // 4, sort_by="k")
+    assert stats["rows"] == 20_000
+    assert 2 <= stats["files_after"] <= 5
+    # disjoint per-file key ranges via the parquet footers
+    ranges = []
+    for f in os.listdir(p):
+        if f.endswith(".parquet"):
+            md = pq.ParquetFile(os.path.join(p, f)).metadata
+            ki = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == "k"
+            )
+            mins = [md.row_group(g).column(ki).statistics.min
+                    for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(ki).statistics.max
+                    for g in range(md.num_row_groups)]
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges,)
+    # point scan touches ~one file
+    hit = (
+        spark.read.parquet(p)
+        .where(F.col("k") == 12345)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert hit <= 1
