@@ -608,3 +608,46 @@ def src_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pathdf = spark.createDataFrame([(p,) for p in paths], "path string")
     return pathdf.repartition(len(paths)).mapInPandas(read_footers, schema)
+
+
+@register(
+    "src-hive-partition",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+    """,
+    defer_after=9,
+    doc="Hive-partitioned layout round-trip with partition pruning "
+    "(round 9) — the storage pattern every big curated corpus ships "
+    "in (write partitionBy(lang), read one partition): the query "
+    "writes the documents table lang-partitioned to a private "
+    "per-invocation directory, then reads it back WHERE lang = 'en'. "
+    "The oracle reads the ORIGINAL table directly, so the gate proves "
+    "the partitioned detour loses/alters nothing: partition-column "
+    "round-trip typing (directory values come back as strings — cast "
+    "pinned), NULL-partition-key handling "
+    "(__HIVE_DEFAULT_PARTITION__ rows must not leak into 'en'), and "
+    "value fidelity. The lang predicate resolves at PLAN time into "
+    "PartitionFilters — only the en/ directory's files are read, "
+    "proven with the file-set check in tests/test_wave9.py::"
+    "test_src_hive_partition_prunes (the property that makes a "
+    "lang-partitioned 100 TB corpus cost one language's scan).",
+)
+def src_hive_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+
+    root = tempfile.mkdtemp(prefix="itdb_spark_hivepart_")
+    atexit.register(shutil.rmtree, root, True)
+    path = os.path.join(root, "docs_by_lang")
+    t = Tables(spark, sf_dir)
+    t.documents.select("doc_id", "n_chars", "lang").write.partitionBy(
+        "lang"
+    ).mode("overwrite").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            F.col("lang").cast("string").alias("lang"),
+            "n_chars",
+        )
+    )

@@ -277,7 +277,12 @@ def test_bench_headline_set_stable():
     log: round 7 added sim-knn-ivfpq (round-6 VERDICT #4 — the bench
     previously tracked no ANN-family query); round 8 added graph-kcore
     (the graph family's representative; totals from BENCH_r08 on
-    include it, and the per-query map stays comparable)."""
+    include it, and the per-query map stays comparable); round 9 added
+    sim-knn-ivfpq-res (r8 VERDICT #2 — amortized persisted-index
+    search twin), fn-bpe-train (r8 VERDICT #4 — the batch=8 deploy
+    twin), and eval-chrf (r8 VERDICT #5 — the eval family's heaviest;
+    its broadcast grid constant is now tracked per round). Totals from
+    BENCH_r09 on include all 17."""
     from itdb_spark.queries import load_all
 
     bench_ids = {qid for qid, q in load_all().items() if q.bench}
@@ -286,6 +291,7 @@ def test_bench_headline_set_stable():
         "dedup-exact", "dedup-minhash", "dedup-jaccard", "sim-knn-brute",
         "pipe-curate", "stream-window", "stream-session", "win-topk-group",
         "sim-knn-ivfpq", "graph-kcore",
+        "sim-knn-ivfpq-res", "fn-bpe-train", "eval-chrf",
     }
 
 

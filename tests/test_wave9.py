@@ -408,3 +408,29 @@ def test_agg_timeseries_gap_filling(spark):
         assert n == counts.get(h, 0), h
         assert zf == (0 if h in counts else 1), h
     assert min(counts) == hours[0] and max(counts) == hours[-1]
+
+
+def test_src_hive_partition_prunes(spark):
+    """The lang predicate must resolve into PartitionFilters on the
+    partitioned scan and only the en/ directory's files may be read —
+    plus NULL-lang rows (planted by the edge corpus) land in the
+    default partition and never leak into 'en'."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from itdb_spark.queries import load_all
+
+    df = load_all()["src-hive-partition"].spark(spark, SF_DIR)
+    rows = df.collect()
+    assert rows and all(r.lang == "en" for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    pfs = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("lang" in pf for pf in pfs), plan
+    files = {
+        r.f
+        for r in df.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert files and all("/lang=en/" in f for f in files), files
