@@ -49,7 +49,13 @@ EXTRA = ["dedup-embedding", "sim-knn-lsh", "sim-knn-ivf", "join-salted",
          "agg-bootstrap", "snap-scd2", "snap-timetravel", "sim-mmr",
          "fn-bpe-eval", "agg-markov", "fn-hashfeat", "agg-anova",
          "pipe-budget", "dedup-allpairs", "pipe-gopher", "agg-autocorr", "agg-benford", "agg-changepoint",
-         "dedup-cdc"]
+         "dedup-cdc",
+         # round 9
+         "eval-editdist", "pipe-datacard", "text-readability",
+         "dedup-contain", "emb-dimstats", "src-parquet-meta",
+         "sim-knn-hamming", "agg-streak", "win-active-users",
+         "text-novelty", "agg-ohlc", "agg-timeseries",
+         "src-hive-partition"]
 
 
 # Queries whose registered result is a small driver-built relation (an
