@@ -7809,3 +7809,163 @@ def agg_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zero_filled"
         ),
     )
+
+
+_SKYLINE_DIMS_SQL = """
+      SELECT doc_id,
+             CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(round(
+               (0.4 * (CASE WHEN n_tok >= 5 AND n_tok <= 10000
+                            THEN 1.0 ELSE 0.0 END)
+                + 0.3 * (CASE WHEN n_tok = 0 THEN 0.0
+                         WHEN CAST(total_wlen AS DOUBLE) / n_tok >= 2.0
+                          AND CAST(total_wlen AS DOUBLE) / n_tok <= 12.0
+                         THEN 1.0 ELSE 0.0 END)
+                + 0.3 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[A-Za-z\\s]', '', 'g'))
+                        AS DOUBLE) / length(text) END))) * 1000000)
+               AS BIGINT) AS q_micro
+      FROM (
+        SELECT doc_id, text,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                 AS n_tok,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE list_sum(list_transform(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           x -> length(x))) END AS total_wlen
+        FROM documents WHERE text IS NOT NULL
+      )"""
+
+
+@register(
+    "agg-skyline",
+    oracle=f"""
+    WITH d AS ({_SKYLINE_DIMS_SQL})
+    SELECT a.doc_id, a.n_tok, a.q_micro
+    FROM d a WHERE NOT EXISTS (
+      SELECT 1 FROM d b
+      WHERE b.n_tok >= a.n_tok AND b.q_micro >= a.q_micro
+        AND (b.n_tok > a.n_tok OR b.q_micro > a.q_micro)
+    )
+    """,
+    defer_after=9,
+    doc="2-D skyline / Pareto frontier (round 9; Börzsönyi et al., ICDE "
+    "2001 — the preference-query operator class the registry lacked): "
+    "documents not DOMINATED on (token count, quality) — no other doc "
+    "is >= on both dims and > on one; the 'longest AND highest-"
+    "quality' frontier a curation pass keeps when it refuses to "
+    "collapse two objectives into one weighted score. Scale-safe "
+    "sweep instead of the quadratic dominance join: per-n_tok group "
+    "maxima (one map-side-combined groupBy — the only corpus-sized "
+    "work), an EXCLUSIVE running max over the n_tok-DESC group-max "
+    "frame (dimension-sized: |distinct doc lengths|, the hourly-"
+    "series global-window allowance), broadcast back; a doc is on "
+    "the frontier iff it holds its length group's max quality AND "
+    "beats every longer group's best. The oracle runs the NAIVE "
+    "NOT-EXISTS dominance join — two different algorithms agreeing "
+    "is the correctness argument (the dedup-allpairs discipline). "
+    "Quality in exact micro units (the composite is already "
+    "round(,6) — *1e6 is exact).",
+)
+def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    base = t.documents.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.round(quality_score(F.col("text")) * 1000000)
+        .cast("long")
+        .alias("q_micro"),
+    )
+    gmax = base.groupBy("n_tok").agg(F.max("q_micro").alias("gq"))
+    w = (
+        Window.orderBy(F.desc("n_tok"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = gmax.withColumn("m1", F.max("gq").over(w))
+    return (
+        base.join(F.broadcast(frontier), "n_tok")
+        .where(
+            (F.col("q_micro") == F.col("gq"))
+            & (F.col("m1").isNull() | (F.col("q_micro") > F.col("m1")))
+        )
+        .select("doc_id", "n_tok", "q_micro")
+    )
+
+
+_ATTR_TOL_US = 7 * 86400 * 1_000_000  # 7-day attribution window
+
+
+@register(
+    "agg-attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+        AND user_id IS NOT NULL
+    ),
+    v0 AS (
+      SELECT user_id, ts AS vts,
+             CAST(min(event_id) AS BIGINT) AS view_id
+      FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id, ts
+    ),
+    matched AS (
+      SELECT p.purchase_id, p.user_id,
+             v0.view_id,
+             epoch_us(p.ts) - epoch_us(v0.vts) AS gap_us
+      FROM p ASOF LEFT JOIN v0
+        ON p.user_id = v0.user_id AND v0.vts <= p.ts
+    )
+    SELECT purchase_id, user_id,
+           CASE WHEN gap_us <= {_ATTR_TOL_US} THEN view_id END AS view_id,
+           CASE WHEN gap_us <= {_ATTR_TOL_US} THEN gap_us END AS gap_us
+    FROM matched
+    """,
+    defer_after=9,
+    doc="Last-touch attribution (round 9) — the marketing-analytics "
+    "join every event warehouse runs (attribute each conversion to "
+    "the user's most recent qualifying touchpoint within a window): "
+    "purchases AS-OF-joined backward to views per user with a 7-day "
+    "tolerance, via the SAME operators/asof.py union-tag plan the "
+    "join-asof family graded (one exchange, no join shuffle; "
+    "tolerance = exact integer-micro distance cap). Views are "
+    "pre-collapsed to one per (user, instant) with the min event_id "
+    "(same-instant ties would otherwise be engine-arbitrary — the "
+    "single-winner discipline), and the DuckDB twin is its NATIVE "
+    "ASOF LEFT JOIN with the tolerance applied as a post-filter "
+    "(equivalent for backward: the as-of match is already the "
+    "nearest preceding). Unattributed purchases keep NULL view/gap — "
+    "the honest funnel denominator. NULL users/timestamps defined "
+    "out on both sides (SQL equality never matches NULL keys; the "
+    "window form would).",
+)
+def agg_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.asof import asof_join
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vts"))
+        .agg(F.min("event_id").cast("long").alias("view_id"))
+    )
+    joined = asof_join(
+        purch, views, on="user_id", left_ts="ts", right_ts="vts",
+        tolerance=_ATTR_TOL_US,
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "view_id",
+        (F.unix_micros("ts") - F.unix_micros("vts")).alias("gap_us"),
+    )

@@ -224,6 +224,12 @@ def test_wave9_plans_hold_scale_properties(spark):
         "text-novelty": 5,
         "agg-ohlc": 1,
         "agg-timeseries": 3,
+        # wave 5: skyline's single-partition exchange is the declared
+        # dimension-frame running max (|distinct lengths| rows);
+        # attribution is the one-exchange union-tag asof plan + the
+        # view pre-collapse groupBy
+        "agg-skyline": 3,
+        "agg-attribution": 2,
     }
     registry = load_all()
     failures = []
@@ -232,7 +238,9 @@ def test_wave9_plans_hold_scale_properties(spark):
         df.write.format("noop").mode("overwrite").save()
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         a = audit(plan)
-        allowed_sp = 1 if qid == "agg-timeseries" else 0  # 1-row bounds
+        allowed_sp = (  # declared O(1)/dimension-frame globals
+            1 if qid in ("agg-timeseries", "agg-skyline") else 0
+        )
         if a["single_partition_exchanges"] != allowed_sp:
             failures.append(f"{qid}: single-partition exchange count")
         if a["nested_loop_joins"] != (1 if qid == "sim-knn-hamming" else 0):
@@ -434,3 +442,85 @@ def test_src_hive_partition_prunes(spark):
         .collect()
     }
     assert files and all("/lang=en/" in f for f in files), files
+
+
+def test_agg_skyline_matches_python_dominance(spark):
+    """Third-engine differential: the scale-safe sweep must equal the
+    naive O(n^2) dominance definition computed in pure Python — and
+    every non-skyline doc must be witnessed dominated."""
+    from itdb_spark.queries import load_all
+
+    reg = load_all()
+    got = {
+        r.doc_id: (r.n_tok, r.q_micro)
+        for r in reg["agg-skyline"].spark(spark, SF_DIR).collect()
+    }
+    # rebuild the dims from the same graded helpers
+    from pyspark.sql import functions as F
+
+    from itdb_spark.functions.text import quality_score, tokens
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("t"),
+            F.round(quality_score(F.col("text")) * 1000000)
+            .cast("long")
+            .alias("q"),
+        )
+        .collect()
+    )
+    dims = [(d.doc_id, d.t, d.q) for d in docs]
+    sky = set()
+    for i, ti, qi in dims:
+        dominated = any(
+            tj >= ti and qj >= qi and (tj > ti or qj > qi)
+            for j, tj, qj in dims
+            if j != i
+        )
+        if not dominated:
+            sky.add(i)
+    assert set(got) == sky
+    for doc_id, (t, q) in got.items():
+        assert (doc_id, t, q) in {(i, ti, qi) for i, ti, qi in dims}
+
+
+def test_agg_attribution_matches_python(spark):
+    """Third-engine differential: last-touch-within-7-days recomputed in
+    pure Python (latest view at vts <= purchase ts, same-instant view
+    ties to min event_id, gap capped at the tolerance)."""
+    from itdb_spark.queries import load_all
+
+    got = {
+        r.purchase_id: (r.view_id, r.gap_us)
+        for r in load_all()["agg-attribution"].spark(spark, SF_DIR).collect()
+    }
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    TOL = 7 * 86400 * 1_000_000
+    views: dict = {}
+    purchases = []
+    for e in events:
+        if e.ts is None or e.user_id is None:
+            continue
+        tsu = int(e.ts.timestamp() * 1_000_000)
+        if e.event_type == "view":
+            key = (e.user_id, tsu)
+            views[key] = min(views.get(key, e.event_id), e.event_id)
+        elif e.event_type == "purchase":
+            purchases.append((e.event_id, e.user_id, tsu))
+    by_user: dict = {}
+    for (u, tsu), vid in views.items():
+        by_user.setdefault(u, []).append((tsu, vid))
+    assert set(got) == {p for p, _, _ in purchases}
+    for pid, u, tsu in purchases:
+        cands = [
+            (vtsu, vid)
+            for vtsu, vid in by_user.get(u, [])
+            if vtsu <= tsu and tsu - vtsu <= TOL
+        ]
+        want = (
+            (max(cands)[1], tsu - max(cands)[0]) if cands else (None, None)
+        )
+        assert got[pid] == want, (pid, got[pid], want)
