@@ -724,3 +724,80 @@ def stream_linreg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r"),
     )
+
+
+_STREAM_OHLC_ORACLE = """
+    WITH base AS (
+      SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hour,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             epoch_us(ts) AS tsu, event_id
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT hour, c,
+             row_number() OVER (PARTITION BY hour
+                 ORDER BY tsu, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY hour
+                 ORDER BY tsu DESC, event_id DESC) AS rn_close
+      FROM base
+    )
+    SELECT hour,
+           CAST(min(CASE WHEN rn_open = 1 THEN c END) AS BIGINT) AS open_c,
+           CAST(max(c) AS BIGINT) AS high_c,
+           CAST(min(c) AS BIGINT) AS low_c,
+           CAST(min(CASE WHEN rn_close = 1 THEN c END) AS BIGINT) AS close_c,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ranked GROUP BY hour
+"""
+
+
+@register(
+    "stream-ohlc-live",
+    oracle=_STREAM_OHLC_ORACLE,
+    defer_after=9,
+    doc="agg-ohlc's bars computed by an ACTUAL Structured Streaming "
+    "query (round 9; the stream-window-live convention — batch twin "
+    "graded separately, the live form drains a real readStream to "
+    "completion against the SAME oracle): readStream → watermark → "
+    "tumbling 1-hour windows → min_by/max_by OHLC state → memory "
+    "sink. The open/close single-winner aggregates carry their "
+    "(ts-micros, event_id) ordering key through STREAMING STATE "
+    "MERGE — partial per-batch winners recompare the key exactly like "
+    "the batch partial-combine, so arrival order across micro-batches "
+    "cannot perturb the result (the property that makes the bars "
+    "incrementally maintainable at all); integer cents make the "
+    "min/max/count trivially merge-exact. Tumbling windows align to "
+    "epoch hours, so window_start/3600 IS the batch twin's epoch-hour "
+    "key and the two forms must hash-match the same oracle.",
+)
+def stream_ohlc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.catalog import EVENTS_RAW_SCHEMA
+    from itdb_spark.streaming.events import run_available_now
+
+    ev = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    okey = F.struct(F.unix_micros("ts").alias("tsu"), "event_id")
+    c = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        ev.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.min_by(c, okey).cast("long").alias("open_c"),
+            F.max(c).cast("long").alias("high_c"),
+            F.min(c).cast("long").alias("low_c"),
+            F.max_by(c, okey).cast("long").alias("close_c"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("window.start")) / 3600)
+            .cast("long")
+            .alias("hour"),
+            "open_c", "high_c", "low_c", "close_c", "n_events",
+        )
+    )
+    return run_available_now(agg, "stream_ohlc_live_sink")

@@ -524,3 +524,18 @@ def test_agg_attribution_matches_python(spark):
             (max(cands)[1], tsu - max(cands)[0]) if cands else (None, None)
         )
         assert got[pid] == want, (pid, got[pid], want)
+
+
+def test_stream_ohlc_live_equals_batch_twin(spark):
+    """The live OHLC stream must be BIT-IDENTICAL to the batch agg-ohlc:
+    the min_by/max_by ordering keys survive streaming state merge, so
+    micro-batch arrival order cannot perturb open/close — proven by
+    equality, not just by both matching the oracle."""
+    from itdb_spark.queries import load_all
+
+    reg = load_all()
+    batch = sorted(tuple(r) for r in reg["agg-ohlc"].spark(spark, SF_DIR).collect())
+    live = sorted(
+        tuple(r) for r in reg["stream-ohlc-live"].spark(spark, SF_DIR).collect()
+    )
+    assert batch and batch == live
