@@ -30,6 +30,12 @@ Partitioned (hive-layout) datasets are explicitly refused: this
 operator is the flat-parquet form, and silently reading
 ``key=.../part.parquet`` trees would flatten the partition columns
 into data columns while measuring bytes_before=0.
+
+For a table that cannot tolerate the recoverable-but-real window (or
+needs readers isolated from the swap entirely), use the versioned
+form: ``sinks/versioned.py`` publishes immutable version directories
+behind one atomically-replaced manifest line — zero crash window,
+snapshot-isolated readers, compaction as a new version.
 """
 
 from __future__ import annotations

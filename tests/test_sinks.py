@@ -241,3 +241,73 @@ def test_compact_parquet_sorted_layout_prunes(spark, tmp_path):
         .count()
     )
     assert hit <= 1
+
+
+def test_versioned_table_atomic_pointer(spark, tmp_path):
+    """sinks/versioned.py — the manifest-pointer kernel that closes
+    compact_parquet's documented crash window: (a) publish is atomic
+    (a crash BEFORE publish leaves the old version fully live and an
+    orphan dir; simulated), (b) a pinned reader survives a concurrent
+    publish (snapshot isolation the rename-swap cannot give),
+    (c) compact_version passes the same parity gates and never touches
+    the old version, (d) a corrupted rewrite rolls the pointer back,
+    (e) vacuum keeps the published version and sweeps orphans."""
+    import os
+
+    import pytest
+
+    from itdb_spark.sinks import versioned as V
+
+    root = str(tmp_path / "vt")
+    df1 = spark.range(0, 5_000).selectExpr("id", "id % 11 AS g")
+    v1 = V.write_version(df1.repartition(40), root)
+    assert v1 == "v1" and V.current_version(root) == "v1"
+    assert V.read_current(spark, root).count() == 5_000
+
+    # (b) pin a reader to v1, publish v2, reader still sees v1's data
+    pinned = V.read_current(spark, root)
+    v2 = V.write_version(
+        spark.range(0, 100).selectExpr("id", "id % 11 AS g"), root
+    )
+    assert v2 == "v2" and V.current_version(root) == "v2"
+    assert pinned.count() == 5_000  # immutable version dir untouched
+    assert V.read_current(spark, root).count() == 100
+
+    # (a) crashed writer: orphan dir, manifest untouched -> table live;
+    # the next writer skips the orphan's name
+    os.makedirs(os.path.join(root, "v3"))
+    assert V.current_version(root) == "v2"
+    assert V.read_current(spark, root).count() == 100
+    v4 = V.write_version(df1, root)
+    assert v4 == "v4" and V.read_current(spark, root).count() == 5_000
+
+    # (c) compaction: new version, old one intact, fragmented -> few
+    stats = V.compact_version(spark, root, target_bytes=10**12)
+    assert stats["rows"] == 5_000 and stats["files_after"] == 1
+    assert stats["version"] == "v5"
+    assert spark.read.parquet(os.path.join(root, "v4")).count() == 5_000
+
+    # (d) corrupted rewrite: pointer rolls back, bad version dropped
+    real = V._content_checksum
+
+    def tamper(sp, path):
+        n, ck = real(sp, path)
+        if "/v6" in path:
+            return n, "corrupted"
+        return n, ck
+
+    V._content_checksum = tamper
+    try:
+        with pytest.raises(RuntimeError, match="parity mismatch"):
+            V.compact_version(spark, root, target_bytes=10**12)
+    finally:
+        V._content_checksum = real
+    assert V.current_version(root) == "v5"
+    assert not os.path.exists(os.path.join(root, "v6"))
+    assert V.read_current(spark, root).count() == 5_000
+
+    # (e) vacuum: sweeps old + orphans, never the published version
+    removed = V.vacuum(root, keep=1)
+    assert V.current_version(root) == "v5"
+    assert V.read_current(spark, root).count() == 5_000
+    assert "v5" not in removed and "v3" in removed
