@@ -651,3 +651,36 @@ def src_hive_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
         )
     )
+
+
+@register(
+    "snk-versioned",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+    defer_after=9,
+    doc="Versioned-table round-trip (round 9; sinks/versioned.py — the "
+    "manifest-pointer kernel): publish the documents table as an "
+    "immutable version behind the atomically-replaced MANIFEST line, "
+    "then read it back through read_current. The oracle reads the "
+    "ORIGINAL table, so the gate proves the versioned detour is "
+    "lossless; the protocol properties the layout exists for (zero "
+    "crash window, snapshot-isolated readers, parity-gated "
+    "compaction, vacuum retention) are proven in tests/test_sinks.py::"
+    "test_versioned_table_atomic_pointer. A second publish of the "
+    "same frame bumps the version and read_current follows the "
+    "pointer — exercised here by publishing twice and reading the "
+    "current (second) version.",
+)
+def snk_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+
+    from itdb_spark.sinks.versioned import read_current, write_version
+
+    root = tempfile.mkdtemp(prefix="itdb_spark_versioned_")
+    atexit.register(shutil.rmtree, root, True)
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "source", "n_chars")
+    write_version(docs, root)
+    write_version(docs, root)  # pointer bump: read_current must follow
+    return read_current(spark, root)
