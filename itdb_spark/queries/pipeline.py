@@ -7969,3 +7969,155 @@ def agg_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         (F.unix_micros("ts") - F.unix_micros("vts")).alias("gap_us"),
     )
+
+
+_RAKE_STOPS_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+
+
+@register(
+    "text-keyphrase",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+      FROM documents WHERE len(trim(text)) > 0 AND doc_id < 100
+    ),
+    toks AS (
+      SELECT doc, u.w AS w, u.pos AS pos,
+             CASE WHEN u.w IN {_RAKE_STOPS_SQL} THEN 1 ELSE 0 END AS stop
+      FROM (
+        SELECT doc,
+               unnest(list_transform(
+                 arr, (w, i) -> struct_pack(w := w, pos := i))) AS u
+        FROM base
+      )
+    ),
+    marked AS (
+      SELECT doc, w, pos, stop,
+             CAST(sum(stop) OVER (PARTITION BY doc ORDER BY pos) AS BIGINT)
+               AS phrase_id
+      FROM toks
+    ),
+    phrases AS (
+      SELECT doc, phrase_id,
+             list(w ORDER BY pos) AS ws,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM marked WHERE stop = 0
+      GROUP BY doc, phrase_id
+      HAVING count(*) <= 3
+    ),
+    pw AS (
+      SELECT doc, phrase_id, ws, plen, unnest(ws) AS w FROM phrases
+    ),
+    wstats AS (
+      SELECT doc, w,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+      FROM pw GROUP BY doc, w
+    ),
+    scored AS (
+      SELECT p.doc, array_to_string(p.ws, ' ') AS phrase,
+             CAST(sum(1000 * s.deg // s.freq) AS BIGINT) AS score_milli
+      FROM pw p
+      JOIN wstats s ON s.doc = p.doc AND s.w = p.w
+      GROUP BY p.doc, p.phrase_id, p.ws
+    ),
+    dedup AS (
+      SELECT doc, phrase, max(score_milli) AS score_milli
+      FROM scored GROUP BY doc, phrase
+    )
+    SELECT doc, phrase, score_milli FROM (
+      SELECT doc, phrase, score_milli,
+             row_number() OVER (PARTITION BY doc
+                 ORDER BY score_milli DESC, phrase) AS rn
+      FROM dedup) WHERE rn <= 3
+    """,
+    defer_after=9,
+    doc="RAKE keyphrase extraction (round 9; Rose et al. 2010 — Rapid "
+    "Automatic Keyword Extraction, the unsupervised keyword step a "
+    "corpus indexing/labeling pipeline runs): candidate phrases are "
+    "maximal stopword-delimited token runs (the repo's EN_STOPWORDS "
+    "marker set; capped at 3 words for boundedness), per-document "
+    "word scores are degree/frequency in integer millis (deg = sum "
+    "of containing-phrase lengths, freq = containment count — both "
+    "exact BIGINTs; 1000*deg DIV freq per word, summed per phrase), "
+    "top-3 phrases per doc with full (score, phrase) tie-break. "
+    "Phrase segmentation is pure window arithmetic: phrase_id = "
+    "running count of stopwords before the token (one per-doc keyed "
+    "window — shards at any scale), then two map-side-combined "
+    "groupBys (phrases, word stats) and one phrase⋈word-stat join "
+    "keyed by (doc, word). Repeated phrases in a doc dedupe to one "
+    "row (identical score by construction — scores depend only on "
+    "the word multiset). Restricted to doc_id < 100 to keep the "
+    "graded frame row-bounded; the operator itself is corpus-wide.",
+)
+def text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    toks = (
+        t.documents.where(
+            (F.length(F.trim("text")) > 0) & (F.col("doc_id") < 100)
+        )
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+                "pos", "w"
+            ),
+        )
+        .withColumn(
+            "stop", F.when(F.col("w").isin(*EN_STOPWORDS), 1).otherwise(0)
+        )
+    )
+    w_doc = Window.partitionBy("doc").orderBy("pos")
+    marked = toks.withColumn(
+        "phrase_id", F.sum("stop").over(w_doc).cast("long")
+    )
+    phrases = (
+        marked.where(F.col("stop") == 0)
+        .groupBy("doc", "phrase_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s.getField("w"),
+            ).alias("ws"),
+            F.count("*").cast("long").alias("plen"),
+        )
+        .where(F.col("plen") <= 3)
+    )
+    wstats = (
+        phrases.select("doc", "plen", F.explode("ws").alias("w"))
+        .groupBy("doc", "w")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    scored = (
+        phrases.select(
+            "doc", "phrase_id", "ws", F.explode("ws").alias("w")
+        )
+        .join(wstats, ["doc", "w"])
+        .groupBy("doc", "phrase_id", "ws")
+        .agg(
+            F.sum(F.expr("1000 * deg DIV freq")).cast("long").alias(
+                "score_milli"
+            )
+        )
+        .select(
+            "doc",
+            F.array_join("ws", " ").alias("phrase"),
+            "score_milli",
+        )
+    )
+    dedup = scored.groupBy("doc", "phrase").agg(
+        F.max("score_milli").alias("score_milli")
+    )
+    w_top = Window.partitionBy("doc").orderBy(
+        F.desc("score_milli"), F.asc("phrase")
+    )
+    return (
+        dedup.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= 3)
+        .select("doc", "phrase", "score_milli")
+    )

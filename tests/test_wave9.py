@@ -539,3 +539,49 @@ def test_stream_ohlc_live_equals_batch_twin(spark):
         tuple(r) for r in reg["stream-ohlc-live"].spark(spark, SF_DIR).collect()
     )
     assert batch and batch == live
+
+
+def test_text_keyphrase_matches_python_rake(spark):
+    """Third-engine differential: RAKE recomputed in pure Python —
+    stopword-delimited phrase runs (<=3 words), per-doc deg/freq word
+    scores in integer millis, phrase scores summed, top-3 with the
+    (score desc, phrase asc) tie-break."""
+    from itdb_spark.functions.text import EN_STOPWORDS
+    from itdb_spark.queries import load_all
+
+    got: dict[int, list] = {}
+    for r in load_all()["text-keyphrase"].spark(spark, SF_DIR).collect():
+        got.setdefault(r.doc, []).append((r.phrase, r.score_milli))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    stops = set(EN_STOPWORDS)
+    checked = 0
+    for d in docs:
+        if d.doc_id >= 100 or d.text is None or not d.text.strip():
+            continue
+        toks = d.text.strip().lower().split()
+        phrases, run = [], []
+        for w in toks:
+            if w in stops:
+                if run:
+                    phrases.append(run)
+                run = []
+            else:
+                run = run + [w]
+        if run:
+            phrases.append(run)
+        phrases = [p for p in phrases if len(p) <= 3]
+        freq: dict[str, int] = {}
+        deg: dict[str, int] = {}
+        for p in phrases:
+            for w in p:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(p)
+        scored: dict[str, int] = {}
+        for p in phrases:
+            s = sum(1000 * deg[w] // freq[w] for w in p)
+            scored[" ".join(p)] = s  # dupes share the score
+        want = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        have = sorted(got.get(d.doc_id, []), key=lambda kv: (-kv[1], kv[0]))
+        assert have == want, (d.doc_id, have, want)
+        checked += 1
+    assert checked >= 90
