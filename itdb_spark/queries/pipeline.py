@@ -8121,3 +8121,52 @@ def text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc", "phrase", "score_milli")
     )
+
+
+@register(
+    "dedup-normalized",
+    oracle=f"""
+    SELECT fingerprint, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(min(doc) AS BIGINT) AS keep_doc,
+           CAST(max(doc) AS BIGINT) AS max_doc
+    FROM (
+      SELECT doc_id AS doc,
+             md5(nfc_normalize(lower(trim(
+               regexp_replace(text, '\\s+', ' ', 'g'))))) AS fingerprint
+      FROM ({ORACLE_CORPUS})
+    )
+    GROUP BY fingerprint HAVING count(*) > 1
+    """,
+    defer_after=9,
+    doc="Near-exact dedup (round 9) — the canonicalization tier between "
+    "dedup-exact and the MinHash family (the CCNet/RefinedWeb 'exact "
+    "after normalization' pass): fingerprint = md5 of the text after "
+    "whitespace collapse, trim, lowercase, and Unicode NFC — so "
+    "reformatted, re-cased, and NFC-vs-NFD re-encoded copies (which "
+    "raw md5 misses; the edge corpus plants the Unicode pair) group "
+    "together while genuinely different documents never do (md5 over "
+    "a DETERMINISTIC canonical form — zero false positives, unlike "
+    "the probabilistic tiers). NFC goes through the ONE shared "
+    "nfc_normalize pandas UDF (functions/text.py — Spark has no JVM "
+    "NFC; DuckDB's native nfc_normalize is the oracle twin), "
+    "everything else is JVM regexp; one map-side-combined groupBy, "
+    "same output shape as dedup-exact (fingerprint, cnt, keep_doc, "
+    "max_doc).",
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.text import nfc_normalize
+
+    c = corpus(spark, sf_dir)
+    canon = nfc_normalize(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    )
+    return (
+        c.select(F.col("doc_id").alias("doc"), F.md5(canon).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.min("doc").cast("long").alias("keep_doc"),
+            F.max("doc").cast("long").alias("max_doc"),
+        )
+        .where(F.col("cnt") > 1)
+    )

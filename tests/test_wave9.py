@@ -585,3 +585,66 @@ def test_text_keyphrase_matches_python_rake(spark):
         assert have == want, (d.doc_id, have, want)
         checked += 1
     assert checked >= 90
+
+
+def test_dedup_normalized_catches_reformatted_copies(spark, tmp_path):
+    """The canonicalization tier's reason to exist: copies that differ
+    only by whitespace runs, case, or NFC-vs-NFD encoding must land in
+    ONE fingerprint group (raw md5 — dedup-exact — sees four distinct
+    texts), and genuinely different texts never merge. Proven on a
+    planted micro-corpus."""
+    import duckdb
+
+    from itdb_spark.catalog import TESTDATA_TABLES
+    from itdb_spark.queries import load_all
+    from tools.check_oracle import check_one
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "norm")
+    import os
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        if t == "documents":
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    # four reformatted copies of one text + one genuinely different doc
+    nfd_e = "é"  # decomposed é
+    rows = [
+        (1, "Café data  pipeline", "en", "web"),
+        (2, "café   data pipeline", "en", "web"),       # ws + case
+        (3, f"caf{nfd_e} data pipeline", "en", "web"),        # NFD
+        (4, "  Café data pipeline ", "en", "web"),       # padding
+        (5, "something else entirely", "en", "web"),
+    ]
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES {", ".join(
+            "(%d, '%s', '%s', '%s', %d)" % (i, t.replace("'", "''"), l, s, len(t))
+            for i, t, l, s in rows
+        )} ) v(doc_id, text, lang, source, n_chars))
+        TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{dst}/{t}.parquet')"
+        )
+    reg = load_all()
+    q = reg["dedup-normalized"]
+    got = q.spark(spark, dst).collect()
+    # corpus() triples the docs (+100000 leading-word-strip, +200000
+    # exact). The strip never fires on these texts (the word after the
+    # leading token boundary is accented/capitalized), so the four
+    # variants + their +100000 AND +200000 copies form ONE 12-member
+    # canonical group; doc 5's +100000 copy IS mutated ('something '
+    # stripped), leaving its base+exact 2-member group
+    sizes = sorted(r.cnt for r in got)
+    assert sizes == [2, 12], got
+    big = max(got, key=lambda r: r.cnt)
+    assert big.keep_doc == 1 and big.max_doc == 200004, got
+    # and the differential holds on the planted corpus too
+    status, msg = check_one("dedup-normalized", q, spark, con, dst)
+    assert status == "PASS", msg
