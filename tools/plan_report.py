@@ -55,7 +55,9 @@ EXTRA = ["dedup-embedding", "sim-knn-lsh", "sim-knn-ivf", "join-salted",
          "dedup-contain", "emb-dimstats", "src-parquet-meta",
          "sim-knn-hamming", "agg-streak", "win-active-users",
          "text-novelty", "agg-ohlc", "agg-timeseries",
-         "src-hive-partition", "agg-skyline", "agg-attribution"]
+         "src-hive-partition", "agg-skyline", "agg-attribution",
+         "stream-ohlc-live", "snk-versioned", "text-keyphrase",
+         "dedup-normalized"]
 
 
 # Queries whose registered result is a small driver-built relation (an
