@@ -73,14 +73,46 @@ def _publish(root: str, version: str) -> None:
         raise
 
 
-def write_version(df: DataFrame, root: str, n_files: int | None = None) -> str:
+def write_version(
+    df: DataFrame,
+    root: str,
+    n_files: int | None = None,
+    enforce_schema: bool = True,
+) -> str:
     """Write ``df`` as the table's next immutable version and publish it.
     Returns the version name. The data write happens entirely inside
     the unpublished v{N} directory; the publish is one atomic manifest
     replace — there is NO crash window in which the table is absent or
-    partial (a crash before publish leaves an orphan dir for vacuum)."""
+    partial (a crash before publish leaves an orphan dir for vacuum).
+
+    ``enforce_schema`` (default on) is the table-format compatibility
+    gate: a new version may ADD columns (pinned-schema readers see the
+    additions as invisible, mergeSchema readers as NULL-backfilled
+    history — the SCALE.md evolution postures), but dropping or
+    retyping an existing column is refused BEFORE any data is written
+    — the mistake that silently breaks every downstream pinned reader
+    must be an explicit ``enforce_schema=False`` decision."""
     os.makedirs(root, exist_ok=True)
     cur = current_version(root)
+    if enforce_schema and cur is not None:
+        old_fields = {
+            f.name: f.dataType
+            for f in df.sparkSession.read.parquet(
+                os.path.join(root, cur)
+            ).schema.fields
+        }
+        new_fields = {f.name: f.dataType for f in df.schema.fields}
+        dropped = sorted(set(old_fields) - set(new_fields))
+        retyped = sorted(
+            n for n, t in old_fields.items()
+            if n in new_fields and new_fields[n] != t
+        )
+        if dropped or retyped:
+            raise ValueError(
+                "incompatible schema for new version "
+                f"(dropped={dropped}, retyped={retyped}); additions are "
+                "fine — pass enforce_schema=False to force a break"
+            )
     n = int(cur[1:]) + 1 if cur else 1
     version = f"v{n}"
     path = os.path.join(root, version)

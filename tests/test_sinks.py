@@ -311,3 +311,44 @@ def test_versioned_table_atomic_pointer(spark, tmp_path):
     assert V.current_version(root) == "v5"
     assert V.read_current(spark, root).count() == 5_000
     assert "v5" not in removed and "v3" in removed
+
+
+def test_versioned_table_schema_gate(spark, tmp_path):
+    """write_version's compatibility gate: adding a column publishes
+    fine (pinned readers unaffected), dropping or retyping one is
+    refused BEFORE any data is written, and enforce_schema=False is
+    the explicit override."""
+    import pytest
+
+    from itdb_spark.sinks import versioned as V
+
+    root = str(tmp_path / "vt2")
+    V.write_version(spark.range(0, 10).selectExpr("id", "id % 3 AS g"), root)
+    # addition: ok
+    V.write_version(
+        spark.range(0, 10).selectExpr("id", "id % 3 AS g", "'x' AS extra"),
+        root,
+    )
+    assert V.current_version(root) == "v2"
+    # drop: refused, nothing published or written
+    with pytest.raises(ValueError, match="dropped=\\['extra'\\]"):
+        V.write_version(
+            spark.range(0, 10).selectExpr("id", "id % 3 AS g"), root
+        )
+    # retype: refused
+    with pytest.raises(ValueError, match="retyped=\\['g'\\]"):
+        V.write_version(
+            spark.range(0, 10).selectExpr(
+                "id", "CAST(id % 3 AS STRING) AS g", "'x' AS extra"
+            ),
+            root,
+        )
+    assert V.current_version(root) == "v2"
+    import os
+
+    assert not os.path.exists(os.path.join(root, "v3"))
+    # explicit break
+    V.write_version(
+        spark.range(0, 10).selectExpr("id"), root, enforce_schema=False
+    )
+    assert V.current_version(root) == "v3"
