@@ -8170,3 +8170,90 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cnt") > 1)
     )
+
+
+@register(
+    "fn-embed-whiten",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, s.i AS pos,
+             CAST(floor(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS micro
+      FROM embeddings, range(0, 64) s(i)
+      WHERE embedding IS NOT NULL
+    ),
+    stats AS (
+      SELECT pos, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(micro) AS BIGINT) AS s,
+             CAST(sum(CAST(micro * micro AS DECIMAL(38, 0)))
+                  AS DECIMAL(38, 0)) AS ss
+      FROM m GROUP BY pos
+    )
+    SELECT m.vec_id, CAST(m.pos AS BIGINT) AS pos,
+           CASE WHEN CAST(st.n AS DECIMAL(38,0)) * st.ss
+                     - CAST(st.s AS DECIMAL(38,0)) * st.s > 0
+           THEN round(
+             CAST(st.n * m.micro - st.s AS DOUBLE)
+             / sqrt(CAST(CAST(st.n AS DECIMAL(38,0)) * st.ss
+                         - CAST(st.s AS DECIMAL(38,0)) * st.s AS DOUBLE)),
+             6) END AS z
+    FROM m JOIN stats st USING (pos)
+    WHERE m.vec_id < 10
+    """,
+    defer_after=9,
+    doc="Diagonal whitening from exact moments (round 9) — the consumer "
+    "emb-dimstats exists for: per-dimension standardization "
+    "z = (x - mean)/std folded from the EXACT integer moments in one "
+    "closed form, (n*x - s) / sqrt(n*ss - s^2) — algebraically "
+    "identical to the two-step mean/std but every input is a BIGINT/"
+    "DECIMAL(38,0) (micro quantization, the emb-dimstats discipline), "
+    "so both engines compute the identical double and round(,6) "
+    "carries the hash (the agg-abtest closed-form rule). Zero-"
+    "variance dimensions emit NULL via the exact integer condition "
+    "n*ss - s^2 > 0 in decimal on both sides (the round-8 degenerate-"
+    "guard discipline). Plan: corpus-wide moments are one map-side-"
+    "combined 64-group aggregation, broadcast back onto the whitened "
+    "slice — whitening N vectors costs one 64-row broadcast join at "
+    "any corpus size; stats are mergeable, so incremental ingest "
+    "updates them without a rescan. Restricted to vec_id < 10 for a "
+    "row-bounded graded frame; the operator is corpus-wide.",
+)
+def fn_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    m = (
+        t.embeddings.where(F.col("embedding").isNotNull())
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.floor(F.col("val").cast("double") * 1000000 + 0.5)
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    stats = m.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("micro").cast("long").alias("s"),
+        F.sum((F.col("micro") * F.col("micro")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    var_num = F.col("n").cast("decimal(38,0)") * F.col("ss") - F.col(
+        "s"
+    ).cast("decimal(38,0)") * F.col("s")
+    return (
+        m.where(F.col("vec_id") < 10)
+        .join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.when(
+                var_num > 0,
+                F.round(
+                    (F.col("n") * F.col("micro") - F.col("s")).cast("double")
+                    / F.sqrt(var_num.cast("double")),
+                    6,
+                ),
+            ).alias("z"),
+        )
+    )

@@ -648,3 +648,41 @@ def test_dedup_normalized_catches_reformatted_copies(spark, tmp_path):
     # and the differential holds on the planted corpus too
     status, msg = check_one("dedup-normalized", q, spark, con, dst)
     assert status == "PASS", msg
+
+
+def test_fn_embed_whiten_matches_numpy(spark):
+    """Third-engine differential: whitened z-scores must equal numpy's
+    (x - mean)/std over the same micro quantization (population std,
+    ddof=0), within round(,6) of the closed form."""
+    import numpy as np
+
+    from itdb_spark.queries import load_all
+
+    got = {
+        (r.vec_id, r.pos): r.z
+        for r in load_all()["fn-embed-whiten"].spark(spark, SF_DIR).collect()
+    }
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    rows = [(r.vec_id, r.embedding) for r in emb if r.embedding is not None]
+    M = np.floor(
+        np.asarray([v for _, v in rows], dtype=np.float64) * 1_000_000 + 0.5
+    )
+    mu, sd = M.mean(axis=0), M.std(axis=0)
+    ids = [i for i, _ in rows]
+    n_checked = 0
+    for r_i, vid in enumerate(ids):
+        if vid >= 10:
+            continue
+        for pos in range(M.shape[1]):
+            want = (
+                None
+                if sd[pos] == 0
+                else round((M[r_i, pos] - mu[pos]) / sd[pos], 6)
+            )
+            z = got[(vid, pos)]
+            if want is None:
+                assert z is None
+            else:
+                assert z is not None and abs(z - want) <= 1e-6, (vid, pos, z, want)
+            n_checked += 1
+    assert n_checked == 640
