@@ -8257,3 +8257,147 @@ def fn_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+def _dsir_oracle() -> str:
+    h = _PORTABLE_HASH_SQL.format(col="g")
+    return f"""
+    WITH bg AS (
+      SELECT doc, ({h}) % 64 AS bucket FROM (
+        SELECT doc_id AS doc, unnest(
+          CASE WHEN len(toks) < 2 THEN []
+               ELSE list_transform(range(1, len(toks)),
+                                   i -> concat_ws(' ', toks[i], toks[i + 1]))
+          END) AS g
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+')
+                       AS toks
+              FROM documents WHERE len(trim(text)) > 0)
+      )
+    ),
+    raw_b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bucket),
+    tgt_b AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM bg
+      WHERE doc IN (SELECT doc_id FROM documents WHERE lang = 'en')
+      GROUP BY bucket
+    ),
+    tots AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg) AS r_tot,
+             (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM tgt_b) AS t_tot
+    ),
+    weights AS (
+      SELECT b.i AS bucket,
+             ln(CAST(coalesce(t.c, 0) + 1 AS DOUBLE) / (tots.t_tot + 64))
+             - ln(CAST(coalesce(r.c, 0) + 1 AS DOUBLE) / (tots.r_tot + 64))
+               AS lr
+      FROM range(0, 64) b(i)
+      LEFT JOIN tgt_b t ON t.bucket = b.i
+      LEFT JOIN raw_b r ON r.bucket = b.i
+      CROSS JOIN tots
+    ),
+    per_doc AS (
+      SELECT doc, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY doc, bucket
+    )
+    SELECT doc,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           round(list_sum(list_transform(
+             list(cnt * w.lr ORDER BY p.bucket), x -> x)), 6)
+             AS dsir_logweight
+    FROM per_doc p JOIN weights w ON w.bucket = p.bucket
+    GROUP BY doc
+    """
+
+
+@register(
+    "pipe-dsir",
+    oracle=_dsir_oracle(),
+    defer_after=9,
+    doc="DSIR importance weights (round 9; Xie et al. 2023, 'Data "
+    "Selection via Importance Resampling' — the hashed-n-gram data-"
+    "selection method behind several released pretraining corpora): "
+    "per-document log importance weight log p_target(x)/p_raw(x) "
+    "under add-one-smoothed hashed-BIGRAM bag models (64 buckets via "
+    "the portable hash — the fn-hashfeat trick: no vocabulary table, "
+    "no fit pass), target = the lang='en' slice, raw = the whole "
+    "corpus; resampling by these weights shifts the raw corpus "
+    "toward the target distribution. Exactness: bucket counts are "
+    "one map-side-combined groupBy each (+ one for the per-doc "
+    "bucket counts); the 64 ln-ratios fold from exact BIGINTs; the "
+    "per-doc weight folds count*ln_ratio over the BUCKET-SORTED "
+    "bounded list (<= 64 terms — the pipe-drift collect-sort-fold "
+    "discipline, so partial-agg arrival order can never perturb the "
+    "ulp), round(,6). At 100 TB: two 64-row broadcastable stat "
+    "frames, scoring is one broadcast join + per-doc fold — the same "
+    "shape DSIR runs over billions of docs.",
+)
+def pipe_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.functions.core import portable_hash64
+
+    t = Tables(spark, sf_dir)
+    bigrams_expr = F.expr(
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(toks) - 1), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))) "
+        "END"
+    )
+    bg = (
+        t.documents.where(F.length(F.trim("text")) > 0)
+        .select(
+            F.col("doc_id").alias("doc"),
+            "lang",
+            F.split(F.trim(F.lower("text")), r"\s+").alias("toks"),
+        )
+        .select("doc", "lang", F.explode(bigrams_expr).alias("g"))
+        .select("doc", "lang", (portable_hash64(F.col("g")) % 64).alias("bucket"))
+    )
+    raw_b = bg.groupBy("bucket").agg(F.count("*").cast("long").alias("rc"))
+    tgt_b = (
+        bg.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("tc"))
+    )
+    # 64-row weight frame: explicit bucket range so absent buckets get
+    # the smoothing mass on both engines
+    buckets = spark.range(0, 64).select(F.col("id").alias("bucket"))
+    tots = bg.agg(
+        F.count("*").cast("long").alias("r_tot"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("t_tot"),
+    )
+    weights = (
+        buckets.join(F.broadcast(raw_b), "bucket", "left")
+        .join(F.broadcast(tgt_b), "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("tc", F.lit(0)) + 1).cast("double")
+                    / (F.col("t_tot") + 64)
+                )
+                - F.log(
+                    (F.coalesce("rc", F.lit(0)) + 1).cast("double")
+                    / (F.col("r_tot") + 64)
+                )
+            ).alias("lr"),
+        )
+    )
+    per_doc = bg.groupBy("doc", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    terms = per_doc.join(F.broadcast(weights), "bucket")
+    folded = terms.groupBy("doc").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("bucket", (F.col("cnt") * F.col("lr")).alias("term")))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["term"],
+            ),
+            6,
+        ).alias("dsir_logweight"),
+    )
+    return folded

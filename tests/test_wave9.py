@@ -686,3 +686,62 @@ def test_fn_embed_whiten_matches_numpy(spark):
                 assert z is not None and abs(z - want) <= 1e-6, (vid, pos, z, want)
             n_checked += 1
     assert n_checked == 640
+
+
+def test_pipe_dsir_matches_python(spark):
+    """Third-engine differential: DSIR hashed-bigram log importance
+    weights recomputed in pure Python (md5-prefix portable hash, 64
+    buckets, add-one smoothing, bucket-sorted fold)."""
+    import hashlib
+    import math
+
+    from itdb_spark.queries import load_all
+
+    got = {
+        r.doc: (r.n_bigrams, r.dsir_logweight)
+        for r in load_all()["pipe-dsir"].spark(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+
+    def buckets(text):
+        t = text.strip().lower().split()
+        out = []
+        for i in range(len(t) - 1):
+            g = f"{t[i]} {t[i+1]}"
+            h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            out.append(h % 64)
+        return out
+
+    raw_c = [0] * 64
+    tgt_c = [0] * 64
+    per_doc: dict[int, list] = {}
+    for d in docs:
+        if d.text is None or not d.text.strip():
+            continue
+        bs = buckets(d.text)
+        per_doc[d.doc_id] = bs
+        for b in bs:
+            raw_c[b] += 1
+            if d.lang == "en":
+                tgt_c[b] += 1
+    r_tot, t_tot = sum(raw_c), sum(tgt_c)
+    lr = [
+        math.log((tgt_c[b] + 1) / (t_tot + 64))
+        - math.log((raw_c[b] + 1) / (r_tot + 64))
+        for b in range(64)
+    ]
+    expect_docs = {doc for doc, bs in per_doc.items() if bs}
+    assert set(got) == expect_docs
+    for doc, bs in per_doc.items():
+        if not bs:
+            continue
+        cnt = [0] * 64
+        for b in bs:
+            cnt[b] += 1
+        w = 0.0
+        for b in range(64):  # bucket-sorted fold, matching both engines
+            if cnt[b]:
+                w += cnt[b] * lr[b]
+        n, z = got[doc]
+        assert n == len(bs)
+        assert abs(z - round(w, 6)) <= 1e-6, (doc, z, w)
