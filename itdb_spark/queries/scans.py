@@ -542,8 +542,13 @@ def _synth_pq_dir(root: str) -> str:
     for name, n, rg in spec:
         path = os.path.join(root, name)
         if not os.path.exists(path):
+            # stage + atomic rename: a concurrent session probing the
+            # shared fixture dir must never observe a half-written
+            # footer (the fixture-path discipline's race window)
             tbl = pa.table({"id": pa.array(range(n), pa.int64())})
-            pq.write_table(tbl, path, row_group_size=rg)
+            tmp = f"{path}.__stage_{os.getpid()}__"
+            pq.write_table(tbl, tmp, row_group_size=rg)
+            os.replace(tmp, path)
     return root
 
 
