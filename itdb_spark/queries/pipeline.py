@@ -8401,3 +8401,90 @@ def pipe_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dsir_logweight"),
     )
     return folded
+
+
+@register(
+    "agg-affinity",
+    oracle="""
+    WITH ik AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE user_id IS NOT NULL AND props IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    n_users AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM ik),
+    item_c AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM ik GROUP BY item),
+    pair_c AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM ik a JOIN ik b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING count(*) >= 5
+    )
+    SELECT p.item_a, p.item_b, p.c_ab,
+           ca.c AS c_a, cb.c AS c_b,
+           CAST(1000 * n.n * p.c_ab // (ca.c * cb.c) AS BIGINT) AS lift_milli
+    FROM pair_c p
+    JOIN item_c ca ON ca.item = p.item_a
+    JOIN item_c cb ON cb.item = p.item_b
+    CROSS JOIN n_users n
+    """,
+    defer_after=9,
+    doc="Item-affinity / market-basket lift (round 9) — the "
+    "co-occurrence analysis the reference's domain begs for (tracks "
+    "that share playlists; here: props.k items sharing a user's "
+    "event history) and the classic association-rule statistic: "
+    "lift(a,b) = N * c_ab / (c_a * c_b) over the DISTINCT user-item "
+    "incidence (each user votes once per item), support floor "
+    "c_ab >= 5, exact integer millis (cleared-denominator DIV). "
+    "Scale shape: the incidence frame is |users|x|items| after one "
+    "distinct; pair generation self-joins ON user_id — per-user "
+    "fan-out is bounded by that user's DISTINCT item count (<= the "
+    "100-value item domain here; skew-capped by construction, the "
+    "same bound a real basket join gets from basket size), then one "
+    "map-side-combined pair count and two broadcastable item-count "
+    "joins. The 1-row N normalizer is the usual O(1) global.",
+)
+def agg_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ik = (
+        t.events.where(
+            F.col("user_id").isNotNull() & F.col("props").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    n_users = ik.agg(
+        F.countDistinct("user_id").cast("long").alias("n")
+    )
+    item_c = ik.groupBy("item").agg(F.count("*").cast("long").alias("c"))
+    a = ik.select("user_id", F.col("item").alias("item_a"))
+    b = ik.select("user_id", F.col("item").alias("item_b"))
+    pair_c = (
+        a.join(b, "user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    return (
+        pair_c.join(
+            F.broadcast(item_c.select(F.col("item").alias("item_a"),
+                                      F.col("c").alias("c_a"))), "item_a")
+        .join(
+            F.broadcast(item_c.select(F.col("item").alias("item_b"),
+                                      F.col("c").alias("c_b"))), "item_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "item_a", "item_b", "c_ab", "c_a", "c_b",
+            F.expr(
+                "CAST(1000 * n * c_ab DIV (c_a * c_b) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+    )

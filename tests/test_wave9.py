@@ -745,3 +745,43 @@ def test_pipe_dsir_matches_python(spark):
         n, z = got[doc]
         assert n == len(bs)
         assert abs(z - round(w, 6)) <= 1e-6, (doc, z, w)
+
+
+def test_agg_affinity_matches_python(spark):
+    """Third-engine differential: market-basket lift recomputed in pure
+    Python over the distinct user-item incidence."""
+    import json
+
+    from itdb_spark.queries import load_all
+
+    got = {
+        (r.item_a, r.item_b): (r.c_ab, r.c_a, r.c_b, r.lift_milli)
+        for r in load_all()["agg-affinity"].spark(spark, SF_DIR).collect()
+    }
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    inc = set()
+    for e in events:
+        if e.user_id is None or e.props is None:
+            continue
+        k = json.loads(e.props).get("k")
+        if k is not None:
+            inc.add((e.user_id, int(k)))
+    users = {u for u, _ in inc}
+    item_c: dict[int, int] = {}
+    by_user: dict = {}
+    for u, i in inc:
+        item_c[i] = item_c.get(i, 0) + 1
+        by_user.setdefault(u, set()).add(i)
+    pair_c: dict = {}
+    for items in by_user.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                pair_c[(s[x], s[y])] = pair_c.get((s[x], s[y]), 0) + 1
+    want = {
+        p: (c, item_c[p[0]], item_c[p[1]],
+            1000 * len(users) * c // (item_c[p[0]] * item_c[p[1]]))
+        for p, c in pair_c.items()
+        if c >= 5
+    }
+    assert got == want
