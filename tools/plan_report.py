@@ -57,7 +57,8 @@ EXTRA = ["dedup-embedding", "sim-knn-lsh", "sim-knn-ivf", "join-salted",
          "text-novelty", "agg-ohlc", "agg-timeseries",
          "src-hive-partition", "agg-skyline", "agg-attribution",
          "stream-ohlc-live", "snk-versioned", "text-keyphrase",
-         "dedup-normalized", "fn-embed-whiten", "pipe-dsir"]
+         "dedup-normalized", "fn-embed-whiten", "pipe-dsir",
+         "agg-affinity"]
 
 
 # Queries whose registered result is a small driver-built relation (an
