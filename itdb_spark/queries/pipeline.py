@@ -8488,3 +8488,152 @@ def agg_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_milli"),
         )
     )
+
+
+@register(
+    "agg-survival",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS tsu
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    horizon AS (SELECT max(tsu) AS g FROM ev),
+    gaps AS (
+      SELECT user_id,
+             (lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu) - tsu)
+               // 60000000 AS gap_min,
+             CASE WHEN lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                       IS NULL THEN 1 ELSE 0 END AS censored,
+             tsu
+      FROM ev
+    ),
+    obs AS (
+      SELECT CASE WHEN censored = 1
+                  THEN (h.g - tsu) // 60000000 ELSE gap_min END AS t,
+             censored
+      FROM gaps, horizon h
+    ),
+    per_t AS (
+      SELECT t, CAST(sum(1 - censored) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS tot
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST((SELECT sum(tot) FROM per_t)
+                  - coalesce(sum(tot) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM per_t
+    ),
+    deaths AS (SELECT t, d, n_risk FROM risk WHERE d > 0),
+    folded AS (
+      SELECT t, d, n_risk,
+             max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t) AS dead_flag,
+             sum(CASE WHEN d < n_risk
+                      THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                      ELSE 0.0 END)
+               OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lnsum
+      FROM deaths
+    )
+    SELECT CAST(t AS BIGINT) AS t_min, n_risk, d,
+           CASE WHEN dead_flag = 1 THEN 0.0
+                ELSE round(exp(lnsum), 6) END AS surv
+    FROM folded
+    """,
+    defer_after=9,
+    doc="Kaplan-Meier survival estimate (round 9; Kaplan & Meier 1958 — "
+    "the registry's first survival-analysis member) over INTER-EVENT "
+    "gaps: 'how long until a user's next event', the engagement-decay "
+    "curve. Each consecutive gap (integer minutes, exact micros "
+    "floor-div) is an observed DEATH; each user's terminal gap "
+    "(horizon minus last event) is RIGHT-CENSORED — the user may yet "
+    "return, and counting them as churned is the retention mistake "
+    "K-M exists to fix. Scale shape: gaps via one user-keyed lead "
+    "window (shards at any scale), then everything is DIMENSION-"
+    "sized: per-minute (d, total) counts in one map-side-combined "
+    "groupBy, the risk set as a SUFFIX cumsum over the minute frame "
+    "(total - exclusive prefix — no obs x times expansion join, the "
+    "textbook trap), and S(t) = exp of the cumulative sum of "
+    "ln(1 - d/n) over death times (ln/exp cross-engine exact, the "
+    "KL/Zipf precedent; a d = n_risk extinction term short-circuits "
+    "to exactly 0.0 via a cumulative flag rather than ln(0), whose "
+    "-inf handling differs between engines). Windows on the minute "
+    "frame are the hourly-series dimension-frame allowance.",
+)
+def agg_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", F.unix_micros("ts").alias("tsu"))
+    horizon = ev.agg(F.max("tsu").alias("g"))
+    w_u = Window.partitionBy("user_id").orderBy("tsu")
+    gaps = ev.select(
+        "user_id",
+        "tsu",
+        F.lead("tsu").over(w_u).alias("next_tsu"),
+    )
+    obs = (
+        gaps.crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("next_tsu").isNull(),
+                F.expr("(g - tsu) DIV 60000000"),
+            )
+            .otherwise(F.expr("(next_tsu - tsu) DIV 60000000"))
+            .alias("t"),
+            F.when(F.col("next_tsu").isNull(), 1).otherwise(0).alias(
+                "censored"
+            ),
+        )
+    )
+    per_t = obs.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("d"),
+        F.count("*").cast("long").alias("tot"),
+    )
+    total = obs.agg(F.count("*").cast("long").alias("all_obs"))
+    w_before = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = (
+        per_t.crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            "d",
+            (
+                F.col("all_obs")
+                - F.coalesce(F.sum("tot").over(w_before), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_risk"),
+        )
+        .where(F.col("d") > 0)
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    folded = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.max(
+            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+        ).over(w_cum).alias("dead_flag"),
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+            ).otherwise(F.lit(0.0))
+        ).over(w_cum).alias("lnsum"),
+    )
+    return folded.select(
+        F.col("t").cast("long").alias("t_min"),
+        "n_risk",
+        "d",
+        F.when(F.col("dead_flag") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lnsum"), 6))
+        .alias("surv"),
+    )

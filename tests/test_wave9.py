@@ -785,3 +785,54 @@ def test_agg_affinity_matches_python(spark):
         if c >= 5
     }
     assert got == want
+
+
+def test_agg_survival_matches_python_km(spark):
+    """Third-engine differential: the Kaplan-Meier curve recomputed in
+    pure Python (gap observations, terminal censoring, suffix risk
+    sets, product-limit estimate) — plus the K-M invariants: surv is
+    non-increasing in t and within (0, 1]."""
+    import math
+
+    from itdb_spark.queries import load_all
+
+    got = {
+        r.t_min: (r.n_risk, r.d, r.surv)
+        for r in load_all()["agg-survival"].spark(spark, SF_DIR).collect()
+    }
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user: dict = {}
+    for e in events:
+        if e.ts is None or e.user_id is None:
+            continue
+        by_user.setdefault(e.user_id, []).append(
+            int(e.ts.timestamp() * 1_000_000)
+        )
+    horizon = max(t for ts in by_user.values() for t in ts)
+    obs = []  # (t_min, censored)
+    for ts in by_user.values():
+        ts.sort()
+        for a, b in zip(ts, ts[1:]):
+            obs.append(((b - a) // 60_000_000, 0))
+        obs.append(((horizon - ts[-1]) // 60_000_000, 1))
+    per_t: dict = {}
+    for t, c in obs:
+        d, tot = per_t.get(t, (0, 0))
+        per_t[t] = (d + (1 - c), tot + 1)
+    want = {}
+    surv, at_risk = 1.0, len(obs)
+    for t in sorted(per_t):
+        d, tot = per_t[t]
+        if d > 0:
+            surv *= 1.0 - d / at_risk
+            want[t] = (at_risk, d, round(surv, 6))
+        at_risk -= tot
+    assert set(got) == set(want)
+    prev = 1.0 + 1e-12
+    for t in sorted(got):
+        n, d, s = got[t]
+        wn, wd, ws = want[t]
+        assert (n, d) == (wn, wd), (t, got[t], want[t])
+        assert abs(s - ws) <= 1e-6, (t, s, ws)
+        assert 0.0 <= s <= prev + 1e-9  # non-increasing, in [0, 1]
+        prev = s
