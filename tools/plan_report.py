@@ -58,7 +58,7 @@ EXTRA = ["dedup-embedding", "sim-knn-lsh", "sim-knn-ivf", "join-salted",
          "src-hive-partition", "agg-skyline", "agg-attribution",
          "stream-ohlc-live", "snk-versioned", "text-keyphrase",
          "dedup-normalized", "fn-embed-whiten", "pipe-dsir",
-         "agg-affinity"]
+         "agg-affinity", "agg-survival"]
 
 
 # Queries whose registered result is a small driver-built relation (an
