@@ -7316,8 +7316,12 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contain_milli by integer DIV. Candidate-bounded exact "
     "verification — same scale shape as dedup-jaccard; the LSH "
     "recall caveat (a contained-but-low-Jaccard pair must still "
-    "collide in a band) is the documented trade vs the quadratic "
-    "exact allpairs route.",
+    "collide in a band) is MEASURED, not hand-waved: 1% candidate "
+    "recall on planted J~0.1 full containments vs 99.5% on high-"
+    "Jaccard pairs (SCALE.md §round-9 boundary) — this operator "
+    "surfaces the containment VIEW of pairs the Jaccard pipeline "
+    "already reaches; exhaustive subsumption mining needs the "
+    "small-side prefix-filter route documented there.",
 )
 def dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus(spark, sf_dir)
