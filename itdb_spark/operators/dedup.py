@@ -487,6 +487,124 @@ def ngram_jaccard_pairs(
     return materialized(verified, words)
 
 
+def containment_candidates(
+    sh: DataFrame, t_num: int = 8, t_den: int = 10
+) -> DataFrame:
+    """Small-side prefix-filter candidate pairs (id1 < id2) for
+    ``containment_join`` from a (doc, w) shingle frame — exposed
+    separately so the Zipf-fixture invariant test and the bench tooling
+    can pin the candidate FRACTION (the quantity the sub-quadratic claim
+    rides on) without paying for verification."""
+    df_ = sh.groupBy("w").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(df_, "w")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc").orderBy("df", "w")),
+        )
+        .withColumn("nt", F.count("*").over(Window.partitionBy("doc")))
+    )
+    # prefix length |S| - ceil(t|S|) + 1; integer ceil = (t_num*n + t_den-1) DIV t_den
+    prefix = ranked.where(
+        F.col("rn")
+        <= F.col("nt") - F.expr(f"({t_num} * nt + {t_den - 1}) DIV {t_den}") + 1
+    ).select("doc", "w", "nt")
+    index = ranked.select("doc", "w", "nt")
+    return (
+        prefix.alias("a")
+        .join(index.alias("b"), "w")
+        .where(
+            (F.col("a.nt") < F.col("b.nt"))
+            | ((F.col("a.nt") == F.col("b.nt")) & (F.col("a.doc") < F.col("b.doc")))
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("id1"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("id2"),
+        )
+        .distinct()
+    )
+
+
+def containment_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int = 8,
+    t_den: int = 10,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT containment self-join at C(A,B) = |A∩B| / min(|A|,|B|) >=
+    t_num/t_den over word-3-gram shingle sets, via SMALL-SIDE prefix
+    filtering — the lossless route to quote/boilerplate subsumption that
+    the LSH candidate stage structurally misses: a short document quoted
+    wholesale inside a long one has containment ~1 but Jaccard ~0.1, and
+    MinHash bands tuned for the Jaccard threshold surface 1% of such
+    planted pairs (measured, SCALE.md §round-9 boundary; the recall test
+    in tests/test_wave10.py pins THIS operator at 100% on that corpus,
+    which lossless candidate generation guarantees by construction).
+
+    Filter theorem (the dedup-allpairs prefix bound specialized to the
+    asymmetric overlap measure, after Bayardo/Ma/Srikant WWW 2007 §4):
+    order shingles globally rarest-first by (df, w). A qualifying pair's
+    SMALLER set S shares >= ceil(t·|S|) shingles with the other set, so
+    S's first |S| - ceil(t·|S|) + 1 shingles under that order cannot all
+    miss — if they did, the overlap would fit inside the remaining
+    ceil(t·|S|) - 1. Candidate generation therefore joins only the small
+    side's PREFIX against the full inverted index; prefix shingles are
+    the globally rarest by construction, so candidate cost is
+    sum_docs sum_{w in prefix(d)} df(w) — sub-quadratic on Zipfian df.
+    The containment bound depends only on the small set, so no
+    index-side prefix exists to exploit (the structural asymmetry vs the
+    symmetric Jaccard AllPairs join — one side of the join is the whole
+    shingle frame, which is why this costs more than dedup-allpairs at
+    equal thresholds and why the LSH family remains the probabilistic
+    scale route when losslessness isn't required).
+
+    When |A| = |B| either side is "small" and either prefix works; the
+    pair is generated exactly once, from the lexicographically smaller
+    doc id. Verification is exact sorted-array intersection confined to
+    candidates. Generalizes the reference's bounded candidate probe
+    (dupes/dedup.py:146-171) from filename prefixes to content shingles.
+    """
+    sh = shingles if shingles is not None else shingle_frame(docs, id_col, text_col)
+    cand = containment_candidates(sh, t_num, t_den)
+    sets = sh.groupBy("doc").agg(
+        F.sort_array(F.collect_list("w")).alias("ts"),
+        F.count("*").cast("long").alias("n"),
+    )
+    scored = (
+        cand.join(
+            sets.select(
+                F.col("doc").alias("id1"),
+                F.col("ts").alias("ts1"),
+                F.col("n").alias("n1"),
+            ),
+            "id1",
+        )
+        .join(
+            sets.select(
+                F.col("doc").alias("id2"),
+                F.col("ts").alias("ts2"),
+                F.col("n").alias("n2"),
+            ),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("ts1", "ts2")).cast("long").alias("inter"),
+            F.least("n1", "n2").alias("small"),
+        )
+    )
+    return scored.where(t_den * F.col("inter") >= t_num * F.col("small")).select(
+        "id1",
+        "id2",
+        "inter",
+        "small",
+        F.expr("CAST(1000 * inter DIV small AS BIGINT)").alias("contain_milli"),
+    )
+
+
 def simhash(
     docs: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:

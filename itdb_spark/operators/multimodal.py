@@ -3,11 +3,13 @@ with typed metadata, decode / feature-extract as Arrow-batched pandas
 functions over ``mapInPandas``.
 
 Header decode is REAL: ``decode_image_header`` parses PNG IHDR / JPEG SOF /
-GIF logical-screen dimensions from the raw bytes with stdlib ``struct`` —
-no image library needed for metadata extraction (full pixel decode still
-needs PIL/ffmpeg at deploy time and falls back to ``_fake_decode`` for
-unrecognized bytes so the batch plumbing stays testable on arbitrary
-blobs). The reference's analog is the per-file ffprobe subprocess fan-out
+GIF logical-screen / BMP DIB / WebP (VP8, VP8L, VP8X) dimensions from the
+raw bytes with stdlib ``struct`` — no image library needed for metadata
+extraction (full pixel decode still needs PIL/ffmpeg at deploy time and
+falls back to ``_fake_decode`` for unrecognized bytes so the batch
+plumbing stays testable on arbitrary blobs; the PIL cross-check is the
+env-gated test in tests/test_multimodal_decode.py, visible-skipped where
+PIL is absent — the protobuf-twin pattern). The reference's analog is the per-file ffprobe subprocess fan-out
 (itdbmetadata.py:135-157) whose JSON output lands in a relational column.
 """
 
@@ -90,6 +92,44 @@ def decode_image_header(content: bytes) -> tuple[int, int, str] | None:
     if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 10:
         w, h = struct.unpack("<HH", content[6:10])
         return (w, h, "gif")
+    if content[:2] == b"BM" and len(content) >= 26:
+        # BMP: DIB header size at offset 14 selects the geometry layout
+        (dib,) = struct.unpack("<I", content[14:18])
+        if dib >= 40:  # BITMAPINFOHEADER and successors: i32 w, i32 h
+            w, h = struct.unpack("<ii", content[18:26])
+            # negative height = top-down row order, same pixel grid
+            return (w, abs(h), "bmp")
+        if dib == 12 and len(content) >= 22:  # BITMAPCOREHEADER: u16 w/h
+            w, h = struct.unpack("<HH", content[18:22])
+            return (w, h, "bmp")
+        return None
+    if (
+        content[:4] == b"RIFF"
+        and len(content) >= 16
+        and content[8:12] == b"WEBP"
+    ):
+        # WebP: one geometry-bearing chunk right after the RIFF header —
+        # VP8 (lossy), VP8L (lossless), or VP8X (extended/canvas)
+        fourcc = content[12:16]
+        body = 20  # 12-byte RIFF/WEBP + 4-byte fourcc + 4-byte chunk size
+        if fourcc == b"VP8 " and len(content) >= body + 10:
+            # 3-byte frame tag, then the 9D 01 2A sync code, then
+            # 14-bit width/height (upper 2 bits are scaling hints)
+            if content[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                return None
+            w, h = struct.unpack("<HH", content[body + 6 : body + 10])
+            return (w & 0x3FFF, h & 0x3FFF, "webp")
+        if fourcc == b"VP8L" and len(content) >= body + 5:
+            if content[body] != 0x2F:  # lossless signature byte
+                return None
+            (bits,) = struct.unpack("<I", content[body + 1 : body + 5])
+            return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "webp")
+        if fourcc == b"VP8X" and len(content) >= body + 10:
+            # 24-bit little-endian canvas dimensions, stored minus one
+            w = int.from_bytes(content[body + 4 : body + 7], "little") + 1
+            h = int.from_bytes(content[body + 7 : body + 10], "little") + 1
+            return (w, h, "webp")
+        return None
     return None
 
 

@@ -966,7 +966,6 @@ def ivfpq_res_search_persisted(
     vec_col: str = "embedding",
     top_k: int = 10,
     n_probe: int = 5,
-    m: int = 16,
     candidates: int = 100,
 ) -> DataFrame:
     """Search an index PERSISTED by persist_ivfpq_res_index — the
@@ -986,6 +985,12 @@ def ivfpq_res_search_persisted(
     centroids = spark.read.parquet(f"{path}/centroids")
     anchors = spark.read.parquet(f"{path}/anchors")
     codebooks = spark.read.parquet(f"{path}/codebooks")
+    # m is a property of the PERSISTED index, not a caller choice: a
+    # mismatched parameter would mis-slice query subvectors and produce
+    # silently wrong ADC scores (partial join on `sub`). Derive it from
+    # the codebooks' subquantizer ids — one tiny-aggregate collect over
+    # an m*k-row broadcastable frame.
+    m = int(codebooks.agg(F.max("sub")).first()[0]) + 1
     probed = _probe_cells_scored(
         queries, centroids, id_col, vec_col, n_probe
     ).select("query_id", "centroid_id")

@@ -528,6 +528,17 @@ def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _uid_tmp_path(name: str) -> str:
+    """Shared-/tmp fixture path suffixed with the uid: the bare name is
+    world-predictable, so another local user could pre-create it and the
+    query would silently read attacker-owned content (round-9 ADVICE —
+    the same hazard class the round-8 mkdtemp fix removed from the ANN
+    index paths). The uid suffix keeps the path deterministic at module
+    import (the oracle SQL f-string needs it) while making it per-user;
+    ownership is still verified before any existing file is reused."""
+    return os.path.join(tempfile.gettempdir(), f"{name}_{os.getuid()}")
+
+
 def _synth_pq_dir(root: str) -> str:
     """Deterministic 3-file parquet directory for the footer-metadata
     source: known row counts and forced row-group sizes, so the oracle
@@ -539,16 +550,25 @@ def _synth_pq_dir(root: str) -> str:
     spec = (("a.parquet", 200, 100), ("b.parquet", 50, 50),
             ("c.parquet", 120, 40))
     os.makedirs(root, exist_ok=True)
+    uid = os.getuid()
+    if os.stat(root).st_uid != uid:
+        raise RuntimeError(
+            f"fixture dir {root} is owned by uid {os.stat(root).st_uid}, "
+            f"not {uid} — refusing to read pre-created content"
+        )
     for name, n, rg in spec:
         path = os.path.join(root, name)
-        if not os.path.exists(path):
-            # stage + atomic rename: a concurrent session probing the
-            # shared fixture dir must never observe a half-written
-            # footer (the fixture-path discipline's race window)
-            tbl = pa.table({"id": pa.array(range(n), pa.int64())})
-            tmp = f"{path}.__stage_{os.getpid()}__"
-            pq.write_table(tbl, tmp, row_group_size=rg)
-            os.replace(tmp, path)
+        # reuse only files WE wrote — an existing file owned by someone
+        # else is replaced, never trusted
+        if os.path.exists(path) and os.stat(path).st_uid == uid:
+            continue
+        # stage + atomic rename: a concurrent session probing the
+        # shared fixture dir must never observe a half-written
+        # footer (the fixture-path discipline's race window)
+        tbl = pa.table({"id": pa.array(range(n), pa.int64())})
+        tmp = f"{path}.__stage_{os.getpid()}__"
+        pq.write_table(tbl, tmp, row_group_size=rg)
+        os.replace(tmp, path)
     return root
 
 
@@ -559,7 +579,7 @@ def _synth_pq_dir(root: str) -> str:
            CAST(num_rows AS BIGINT) AS num_rows,
            CAST(num_row_groups AS BIGINT) AS num_row_groups
     FROM parquet_file_metadata(
-      '{os.path.join(tempfile.gettempdir(), "itdb_spark_pqmeta")}/*.parquet')
+      '{os.path.join(tempfile.gettempdir(), f"itdb_spark_pqmeta_{os.getuid()}")}/*.parquet')
     """,
     defer_after=9,
     doc="Parquet footer-metadata source (round 9) — the table-"
@@ -581,9 +601,7 @@ def src_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    root = _synth_pq_dir(
-        os.path.join(tempfile.gettempdir(), "itdb_spark_pqmeta")
-    )
+    root = _synth_pq_dir(_uid_tmp_path("itdb_spark_pqmeta"))
     paths = sorted(
         os.path.join(root, f)
         for f in os.listdir(root)

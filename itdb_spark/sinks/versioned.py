@@ -176,19 +176,30 @@ def compact_version(
 
 
 def vacuum(root: str, keep: int = 2) -> list[str]:
-    """Delete all but the newest ``keep`` version directories, never the
-    published one (retention as an explicit policy). Also sweeps orphan
-    dirs from crashed writers. Returns the removed version names."""
+    """Delete all but the newest ``keep`` PUBLISHED-lineage version
+    directories, never the published one (retention as an explicit
+    policy). Version dirs numerically NEWER than the published pointer
+    are orphans by definition — a writer that crashed after the data
+    write but before the pointer swap — and are always swept (round-9
+    ADVICE: the old [:-keep] slice could never reach them, so a crashed
+    writer's dir survived every vacuum). Maintenance-window call: a
+    LIVE writer between data write and pointer swap is indistinguishable
+    from a crashed one, so run vacuum only with no publish in flight.
+    Returns the removed names."""
     cur = current_version(root)
+    cur_n = int(cur[1:]) if cur else -1
     versions = sorted(
         (d for d in os.listdir(root)
          if d.startswith("v") and d[1:].isdigit()
          and os.path.isdir(os.path.join(root, d))),
         key=lambda d: int(d[1:]),
     )
-    doomed = [v for v in versions[:-keep] if v != cur] if keep else [
-        v for v in versions if v != cur
+    published = [v for v in versions if int(v[1:]) <= cur_n]
+    orphans = [v for v in versions if int(v[1:]) > cur_n]
+    doomed = [v for v in published[:-keep] if v != cur] if keep else [
+        v for v in published if v != cur
     ]
+    doomed += orphans
     for v in doomed:
         shutil.rmtree(os.path.join(root, v))
     return doomed

@@ -247,3 +247,43 @@ def test_retrieval_family_plans_hold_scale_properties(spark):
                 f"{qid}: {a['scans']} scans but {a['pushed_filters']} PushedFilters"
             )
     assert not failures, "\n".join(failures)
+
+
+def test_row_bounded_graded_frames_unbounded_twins_scale(spark):
+    """dedup-cdc and text-keyphrase grade doc_id < 100 frames and
+    fn-embed-whiten whitens a 10-vector slice — row bounds chosen for
+    ORACLE COST. The bound must certify cost only, never hide a plan
+    shape that would not survive the corpus-wide form (VERDICT r9 #4;
+    the win-seq/sort-shuffle scale-safe-form precedent): audit the
+    unbounded twins for single-partition exchanges, nested-loop joins,
+    and pruning/pushdown regressions."""
+    from itdb_spark.queries.pipeline import (
+        _dedup_cdc_impl,
+        _fn_embed_whiten_impl,
+        _text_keyphrase_impl,
+    )
+
+    failures = []
+    for name, impl in (
+        ("dedup-cdc", _dedup_cdc_impl),
+        ("text-keyphrase", _text_keyphrase_impl),
+        ("fn-embed-whiten", _fn_embed_whiten_impl),
+    ):
+        df = impl(spark, SF_DIR, bounded=False)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        a = audit(plan)
+        if a["single_partition_exchanges"]:
+            failures.append(
+                f"{name}: {a['single_partition_exchanges']} single-partition exchange(s)"
+            )
+        if a["nested_loop_joins"]:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        if a["pushed_filters"] != a["scans"]:
+            failures.append(
+                f"{name}: {a['scans']} scans but {a['pushed_filters']} PushedFilters"
+            )
+        wide = [c for c in a["scan_cols"] if c > MAX_SCAN_COLS]
+        if wide:
+            failures.append(f"{name}: scan reads {max(wide)} columns")
+    assert not failures, "\n".join(failures)

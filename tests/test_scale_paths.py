@@ -282,7 +282,11 @@ def test_bench_headline_set_stable():
     search twin), fn-bpe-train (r8 VERDICT #4 — the batch=8 deploy
     twin), and eval-chrf (r8 VERDICT #5 — the eval family's heaviest;
     its broadcast grid constant is now tracked per round). Totals from
-    BENCH_r09 on include all 17."""
+    BENCH_r09 on include all 17. Round 10 added dedup-contain-exact
+    (r9 VERDICT #1 — the lossless containment join; its prefix-filter
+    candidate stage is the round's headline scale claim); totals from
+    BENCH_r10 on include all 18, the like-for-like subtotal remains
+    the r8 14-query set."""
     from itdb_spark.queries import load_all
 
     bench_ids = {qid for qid, q in load_all().items() if q.bench}
@@ -292,6 +296,7 @@ def test_bench_headline_set_stable():
         "pipe-curate", "stream-window", "stream-session", "win-topk-group",
         "sim-knn-ivfpq", "graph-kcore",
         "sim-knn-ivfpq-res", "fn-bpe-train", "eval-chrf",
+        "dedup-contain-exact",
     }
 
 

@@ -312,6 +312,17 @@ def test_versioned_table_atomic_pointer(spark, tmp_path):
     assert V.read_current(spark, root).count() == 5_000
     assert "v5" not in removed and "v3" in removed
 
+    # (f) a version dir NEWER than the published pointer is a crashed
+    # writer's orphan (data written, pointer never swapped) — vacuum
+    # must sweep it even though it is never in the [:-keep] slice
+    # (round-9 ADVICE), and must not touch the published version
+    os.makedirs(os.path.join(root, "v9", "part"), exist_ok=True)
+    removed = V.vacuum(root, keep=1)
+    assert "v9" in removed
+    assert not os.path.exists(os.path.join(root, "v9"))
+    assert V.current_version(root) == "v5"
+    assert V.read_current(spark, root).count() == 5_000
+
 
 def test_versioned_table_schema_gate(spark, tmp_path):
     """write_version's compatibility gate: adding a column publishes

@@ -141,6 +141,23 @@ def main() -> None:
 
     t_all, n_all = timed("dedup-allpairs")
     t_lsh, n_lsh = timed("dedup-jaccard")
+
+    # round 10: the asymmetric containment join's candidate fraction +
+    # full-query wall on the same corpus (small-side prefix × full
+    # inverted index over 3-gram SHINGLE sets — structurally more
+    # candidates than the symmetric prefix×prefix join; on Zipfian df
+    # shingle frequencies are ~1 so candidates collapse to the true
+    # pairs, measured 0.07%/0.01% — tests/test_wave10.py pins <= 2%)
+    from itdb_spark.operators.dedup import (
+        containment_candidates,
+        shingle_frame,
+    )
+
+    t0 = time.perf_counter()
+    n_ccand = containment_candidates(shingle_frame(c, "doc_id", "text")).count()
+    t_ccand = time.perf_counter() - t0
+    t_ct, n_ct = timed("dedup-contain-exact")
+
     quad = n_corpus * (n_corpus - 1) // 2
     print(
         json.dumps(
@@ -155,6 +172,11 @@ def main() -> None:
                 "allpairs_pairs": n_all,
                 "jaccard_lsh_sec": t_lsh,
                 "jaccard_lsh_pairs": n_lsh,
+                "contain_candidates": n_ccand,
+                "contain_candidate_fraction": round(n_ccand / quad, 6),
+                "t_contain_candidates_sec": round(t_ccand, 2),
+                "contain_exact_sec": t_ct,
+                "contain_exact_pairs": n_ct,
             }
         )
     )
