@@ -7455,7 +7455,18 @@ def dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def dedup_contain_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return containment_join(corpus(spark, sf_dir), "doc_id", "text")
+    from itdb_spark.operators.dedup import shingle_frame
+    from itdb_spark.plans.library import materialized
+
+    c = corpus(spark, sf_dir)
+    # One cached shingle explode feeds the df ranking, the prefix join's
+    # BOTH sides, and the verification arrays (the dedup-jaccard cache
+    # discipline — without it the plan re-derives the explode per branch,
+    # 24 parquet scans at sf0.01); released before return via the
+    # materialized() lifecycle so nothing pins executor storage in the
+    # driver gate's long-lived session.
+    sh = shingle_frame(c, "doc_id", "text").cache()
+    return materialized(containment_join(c, "doc_id", "text", shingles=sh), sh)
 
 
 @register(
@@ -8743,4 +8754,352 @@ def agg_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("dead_flag") == 1, F.lit(0.0))
         .otherwise(F.round(F.exp("lnsum"), 6))
         .alias("surv"),
+    )
+
+
+@register(
+    "dedup-contain-cluster",
+    oracle=f"""
+    WITH corpus AS ({ORACLE_CORPUS}),
+    {_SHINGLE_CTES},
+    docs AS MATERIALIZED (
+      SELECT doc, list(w ORDER BY w) AS ts, CAST(count(*) AS BIGINT) AS n
+      FROM words GROUP BY doc
+    ),
+    pairs AS (
+      SELECT id1, id2, n1, n2 FROM (
+        SELECT a.doc AS id1, b.doc AS id2, a.n AS n1, b.n AS n2,
+               CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter
+        FROM docs a JOIN docs b ON a.doc < b.doc
+      ) WHERE 10 * inter >= 8 * least(n1, n2)
+    ),
+    oriented AS (
+      SELECT CASE WHEN n1 < n2 THEN id1 WHEN n2 < n1 THEN id2
+                  ELSE greatest(id1, id2) END AS dropped,
+             CASE WHEN n1 < n2 THEN id2 WHEN n2 < n1 THEN id1
+                  ELSE least(id1, id2) END AS keeper_cand,
+             CASE WHEN n1 < n2 THEN n2 WHEN n2 < n1 THEN n1
+                  ELSE n1 END AS keeper_n
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT dropped, keeper_cand,
+             row_number() OVER (PARTITION BY dropped
+                 ORDER BY keeper_n DESC, keeper_cand) AS rn,
+             count(*) OVER (PARTITION BY dropped) AS n_containers
+      FROM oriented
+    )
+    SELECT dropped, keeper_cand AS keeper,
+           CAST(n_containers AS BIGINT) AS n_containers
+    FROM ranked WHERE rn = 1
+    """,
+    defer_after=10,
+    doc="Subsumption DECISION layer over the exhaustive containment "
+    "join (round 10) — dedup-contain-exact finds the >= 0.8-contained "
+    "pairs; this operator turns them into drop/keep actions, the same "
+    "division of labor as dedup-minhash -> dedup-cluster (and the "
+    "reference's keep-first-member election, dupes/dedup.py:157-171): "
+    "in each pair the SMALLER shingle set is the contained document "
+    "and is dropped (equal sizes: mutual containment, the larger "
+    "doc_id drops — the dedup-cluster min-keeper convention); a doc "
+    "contained in several is attributed to its LARGEST container, "
+    "ties to the smallest id, via max_by over the UNIQUE "
+    "(keeper_n, -keeper_cand) ordering struct — partial-combines "
+    "map-side, no per-dropped window (the win-seq argmax discipline; "
+    "the oracle may window plainly). Single-hop attribution by "
+    "design: containment is not transitive, so B-contains-A and "
+    "C-contains-B does not reattribute A to C. n_containers counts "
+    "direct containers. Scale shape = dedup-contain-exact (candidate-"
+    "bounded) + one grouped argmax over the PAIR frame, never the "
+    "corpus; the shingle explode is built once and shared by the "
+    "candidate and size stages.",
+)
+def dedup_contain_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.dedup import shingle_frame
+    from itdb_spark.plans.library import materialized
+
+    c = corpus(spark, sf_dir)
+    # shared cached explode: candidate ranking, prefix join, verification
+    # arrays AND the size frame all read it (the dedup-jaccard cache
+    # discipline); released after the final frame materializes below.
+    sh = shingle_frame(c, "doc_id", "text").cache()
+    pairs = containment_join(c, "doc_id", "text", shingles=sh)
+    sizes = sh.groupBy("doc").agg(F.count("*").cast("long").alias("n"))
+    j = (
+        pairs.join(
+            sizes.select(F.col("doc").alias("id1"), F.col("n").alias("n1")),
+            "id1",
+        ).join(
+            sizes.select(F.col("doc").alias("id2"), F.col("n").alias("n2")),
+            "id2",
+        )
+    )
+    oriented = j.select(
+        F.when(F.col("n1") < F.col("n2"), F.col("id1"))
+        .when(F.col("n2") < F.col("n1"), F.col("id2"))
+        .otherwise(F.greatest("id1", "id2"))
+        .alias("dropped"),
+        F.when(F.col("n1") < F.col("n2"), F.col("id2"))
+        .when(F.col("n2") < F.col("n1"), F.col("id1"))
+        .otherwise(F.least("id1", "id2"))
+        .alias("keeper_cand"),
+        F.when(F.col("n1") < F.col("n2"), F.col("n2"))
+        .when(F.col("n2") < F.col("n1"), F.col("n1"))
+        .otherwise(F.col("n1"))
+        .alias("keeper_n"),
+    )
+    elected = oriented.groupBy("dropped").agg(
+        F.max_by(
+            F.col("keeper_cand"),
+            F.struct(
+                F.col("keeper_n"), (-F.col("keeper_cand")).alias("neg")
+            ),
+        ).alias("keeper"),
+        F.count("*").cast("long").alias("n_containers"),
+    )
+    return materialized(elected, sh)
+
+
+@register(
+    "text-lexrich",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE len(trim(text)) > 0
+      ) GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(1000 * count(*) // sum(c) AS BIGINT) AS ttr_milli,
+           CAST(1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) // sum(c)
+                AS BIGINT) AS hapax_milli
+    FROM occ GROUP BY doc_id
+    """,
+    defer_after=10,
+    doc="Lexical-richness profile per document (round 10) — type-token "
+    "ratio and within-doc hapax rate, the stylometric diversity "
+    "signals corpus-quality reports put beside text-entropy (TTR "
+    "drops on template/boilerplate text, hapax rate drops on "
+    "repetitive generation — a cheap degenerate-text detector that "
+    "needs no model): token multiset -> (doc, word) counts -> one "
+    "grouped fold per doc. Both groupBys are keyed by doc_id "
+    "(map-side combinable, shard at any corpus size; no corpus-wide "
+    "state at all, unlike text-novelty's global vocabulary — this is "
+    "the per-row member of that family). Ratios as cleared-"
+    "denominator integer milli via DIV; docs that survive the "
+    "nonempty filter have n_tokens >= 1 so the DIV is total.",
+)
+def text_lexrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    occ = (
+        t.documents.where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return occ.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.expr("CAST(1000 * count(*) DIV sum(c) AS BIGINT)").alias(
+            "ttr_milli"
+        ),
+        F.expr(
+            "CAST(1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) DIV sum(c) "
+            "AS BIGINT)"
+        ).alias("hapax_milli"),
+    )
+
+
+@register(
+    "agg-gini-global",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY n_chars
+    ),
+    blocks AS (
+      SELECT v, cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM vals
+    ),
+    agg AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(v * cnt) AS BIGINT) AS s,
+             CAST(sum(CAST(v AS DECIMAL(38,0)) *
+                      (cnt * cum_before + cnt * (cnt + 1) // 2))
+                  AS DECIMAL(38,0)) AS s_ranked
+      FROM blocks
+    )
+    SELECT n AS n_docs, s AS sum_chars,
+           -- divide in HUGEINT: DuckDB's // on DECIMAL operands returns
+           -- the FLOAT quotient and the BIGINT cast would round-to-
+           -- nearest (measured off-by-one vs Spark's integral DIV);
+           -- HUGEINT // HUGEINT is true integer division at the same
+           -- 38-digit range
+           CAST(CAST(1000 * (2 * s_ranked - (CAST(n AS DECIMAL(38,0)) + 1) * s)
+                     AS HUGEINT)
+                // CAST(CAST(n AS DECIMAL(38,0)) * s AS HUGEINT)
+                AS BIGINT) AS gini_milli
+    FROM agg
+    """,
+    defer_after=10,
+    doc="CORPUS-WIDE Gini of document lengths WITHOUT any corpus sort "
+    "(round 10) — the windowless twin of agg-gini: that query ranks "
+    "via a per-source window, which shards because `source` bounds "
+    "each sort, but the global coefficient (the whole-corpus "
+    "concentration number a data-mix report leads with) has no "
+    "partition key — a direct rank window would be one global sort "
+    "on a single partition. The fold instead exploits that equal "
+    "values swap freely between adjacent ranks, so ranks aggregate "
+    "per DISTINCT value: block rank mass = cnt*cum_before + "
+    "cnt(cnt+1)/2 (consecutive-integer sum; cnt(cnt+1) is even so "
+    "// 2 is exact), G = (2*sum(rank*x) - (n+1)*sum(x)) / (n*sum(x)). "
+    "The corpus contributes ONE map-side-combined groupBy(n_chars); "
+    "the only window runs over the |distinct n_chars| frame (the "
+    "agg-skyline dimension-frame class — bounded by the value domain, "
+    "not the corpus). Products in DECIMAL(38,0) on both sides: "
+    "n*sum(x) overflows BIGINT around 1e9 docs x 1e9 chars — at "
+    "100 TB the decimal is load-bearing (the emb-dimstats rule). "
+    "gini_milli by integer floor-division of nonnegative exact "
+    "quantities.",
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    vals = t.documents.groupBy(
+        F.col("n_chars").cast("long").alias("v")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = vals.select(
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias(
+            "cum_before"
+        ),
+    )
+    agg = blocks.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("cnt")).cast("long").alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)")
+            * (
+                F.col("cnt") * F.col("cum_before")
+                + F.expr("cnt * (cnt + 1) DIV 2")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s_ranked"),
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("s").alias("sum_chars"),
+        F.expr(
+            "CAST((1000 * (2 * s_ranked - (CAST(n AS DECIMAL(38,0)) + 1) * s)) "
+            "DIV (CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)"
+        ).alias("gini_milli"),
+    )
+
+
+@register(
+    "emb-outliers",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, s.i AS pos,
+             CAST(floor(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS micro
+      FROM embeddings, range(0, 64) s(i)
+      WHERE embedding IS NOT NULL
+    ),
+    stats AS (
+      SELECT pos, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(micro) AS BIGINT) AS s,
+             CAST(sum(CAST(micro * micro AS DECIMAL(38, 0)))
+                  AS DECIMAL(38, 0)) AS ss
+      FROM m GROUP BY pos
+    ),
+    per AS (
+      SELECT m.vec_id,
+             CASE WHEN CAST(stats.n AS DECIMAL(38,0)) * ss
+                       - CAST(s AS DECIMAL(38,0)) * s <= 0 THEN 0
+                  WHEN CAST(CAST(stats.n AS DECIMAL(38,0)) * m.micro - s
+                            AS DECIMAL(38,0))
+                       * CAST(CAST(stats.n AS DECIMAL(38,0)) * m.micro - s
+                              AS DECIMAL(38,0))
+                       > 4 * (CAST(stats.n AS DECIMAL(38,0)) * ss
+                              - CAST(s AS DECIMAL(38,0)) * s)
+                  THEN 1 ELSE 0 END AS k
+      FROM m JOIN stats USING (pos)
+    )
+    SELECT vec_id, CAST(sum(k) AS BIGINT) AS n_extreme,
+           CAST(CASE WHEN sum(k) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_outlier
+    FROM per GROUP BY vec_id
+    """,
+    defer_after=10,
+    doc="Embedding outlier flags from exact moments (round 10) — the "
+    "vector-level consumer beside fn-embed-whiten (per-dim z for a "
+    "slice) and emb-dimstats (the moments themselves): count per "
+    "vector the dimensions beyond 2 sigma and flag vectors with >= 5 "
+    "such dims — the store-hygiene sweep that catches corrupted rows, "
+    "wrong-model ingests, and normalization bugs before they poison "
+    "an ANN index. The z test is EXACT INTEGER algebra with no sqrt "
+    "and no division: z^2 > 4 <=> (n*micro - s)^2 > 4*(n*ss - s^2), "
+    "all in DECIMAL(38,0) ((n*micro - s)^2 ~ 4e20 at sf0.1 already "
+    "overflows BIGINT — the emb-dimstats decimal rule), zero-variance "
+    "dims take the k=0 branch via the same exact n*ss - s^2 <= 0 "
+    "guard both engines evaluate identically. Thresholds measured on "
+    "this corpus (2 sigma: 4.6% of dims exceed, near-Gaussian tails; "
+    ">= 5 of 64 dims flags 8.6% of vectors). Plan: one corpus-wide "
+    "64-group moment aggregation (map-side combined), broadcast back "
+    "onto the posexploded frame, one vec_id groupBy — moments are "
+    "mergeable so incremental ingest updates them without a rescan.",
+)
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    m = (
+        t.embeddings.where(F.col("embedding").isNotNull())
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.floor(F.col("val").cast("double") * 1000000 + 0.5)
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    stats = m.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("micro").cast("long").alias("s"),
+        F.sum((F.col("micro") * F.col("micro")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    var_num = F.col("n").cast("decimal(38,0)") * F.col("ss") - F.col(
+        "s"
+    ).cast("decimal(38,0)") * F.col("s")
+    dev = (F.col("n") * F.col("micro") - F.col("s")).cast("decimal(38,0)")
+    k = (
+        F.when(var_num <= 0, 0)
+        .when(dev * dev > 4 * var_num, 1)
+        .otherwise(0)
+    )
+    per = m.join(F.broadcast(stats), "pos").select("vec_id", k.alias("k"))
+    return per.groupBy("vec_id").agg(
+        F.sum("k").cast("long").alias("n_extreme"),
+        F.when(F.sum("k") >= 5, 1).otherwise(0).cast("long").alias(
+            "is_outlier"
+        ),
     )

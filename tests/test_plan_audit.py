@@ -287,3 +287,24 @@ def test_row_bounded_graded_frames_unbounded_twins_scale(spark):
         if wide:
             failures.append(f"{name}: scan reads {max(wide)} columns")
     assert not failures, "\n".join(failures)
+
+
+def test_containment_join_pre_materialization_plan(spark):
+    """dedup-contain-exact's registered form returns a materialized()
+    frame (cache-lifecycle contract), so the bench audit sees only the
+    post-checkpoint stub — audit the real operator plan here instead:
+    the prefix-filter candidate join + verification must have no
+    single-partition exchange, no nested-loop join, and pruned pushed
+    scans (VERDICT r9 #1's plan-audit requirement)."""
+    from itdb_spark.operators.dedup import containment_join
+    from itdb_spark.queries.pipeline import corpus
+
+    df = containment_join(corpus(spark, SF_DIR), "doc_id", "text")
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    a = audit(plan)
+    assert a["single_partition_exchanges"] == 0, plan
+    assert a["nested_loop_joins"] == 0, plan
+    assert a["scans"] > 0 and a["pushed_filters"] == a["scans"], plan
+    wide = [c for c in a["scan_cols"] if c > MAX_SCAN_COLS]
+    assert not wide, f"scan reads {max(wide)} columns"
