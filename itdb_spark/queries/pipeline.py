@@ -7760,11 +7760,19 @@ def win_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "family member; 1000-milli exact integer ratio. Docs under 8 "
     "tokens have no grams and drop (their novelty is undefined, not "
     "zero). Shape: per-doc gram set (pure array expressions), one "
-    "map-side-combined df groupBy over the gram key, one hash join "
-    "back (gram-keyed — the dedup-span shuffle shape), one final "
-    "per-doc count. At 100 TB the df table is the deduplicated gram "
-    "vocabulary — the same frame dedup-span already materializes, "
-    "shareable in a real pipeline run.",
+    "map-side-combined groupBy over the gram key carrying "
+    "(count, min(doc)) — a df-1 gram belongs to EXACTLY the doc "
+    "min(doc) names, so the per-doc novel counts fall out of a second "
+    "doc-keyed aggregation and the result is a DOC-keyed join of two "
+    "doc-sized frames. The first cut joined the df table back to the "
+    "gram frame on the GRAM key; at the 100x point (sf10, round 10) "
+    "Catalyst's post-aggregation cardinality estimate selected a "
+    "broadcast of the multi-GB gram-df table and OOM'd the JVM — the "
+    "min(doc) trick removes that join from the plan class entirely "
+    "rather than pinning a join hint (SCALE.md §100x). At 100 TB the "
+    "df table is the deduplicated gram vocabulary — the same frame "
+    "dedup-span already materializes, shareable in a real pipeline "
+    "run.",
 )
 def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
@@ -7784,18 +7792,32 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc", F.explode(grams_expr).alias("g"))
         .distinct()
     )
-    df_ = grams.groupBy("g").agg(F.count("*").cast("long").alias("docs"))
-    return (
-        grams.join(df_, "g")
-        .groupBy("doc")
+    # (count, min(doc)) per gram: when count = 1, min(doc) IS the unique
+    # owning doc — novel counts aggregate doc-keyed, no gram-keyed join
+    novel = (
+        grams.groupBy("g")
         .agg(
-            F.count("*").cast("long").alias("total_grams"),
-            F.sum(F.when(F.col("docs") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("novel_grams"),
+            F.count("*").alias("docs"),
+            F.min("doc").alias("doc"),
+        )
+        .where(F.col("docs") == 1)
+        .groupBy("doc")
+        .agg(F.count("*").cast("long").alias("novel_grams"))
+    )
+    totals = grams.groupBy("doc").agg(
+        F.count("*").cast("long").alias("total_grams")
+    )
+    return (
+        totals.join(novel, "doc", "left")
+        .select(
+            "doc",
+            "total_grams",
+            F.coalesce("novel_grams", F.lit(0)).cast("long").alias(
+                "novel_grams"
+            ),
             F.expr(
-                "CAST(1000 * sum(CASE WHEN docs = 1 THEN 1 ELSE 0 END)"
-                " DIV count(*) AS BIGINT)"
+                "CAST(1000 * coalesce(novel_grams, 0) DIV total_grams"
+                " AS BIGINT)"
             ).alias("novelty_milli"),
         )
     )
