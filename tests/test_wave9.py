@@ -217,11 +217,17 @@ def test_wave9_plans_hold_scale_properties(spark):
         "sim-knn-hamming": 4,
         "agg-streak": 2,
         "win-active-users": 5,
-        # wave 3: novelty is gram-df groupBy + gram-keyed join + doc
-        # rollup; ohlc is ONE map-side-combined hour groupBy; the
-        # timeseries densify pays the declared O(1)-row global bounds
-        # aggregate (its single-partition exchange, allowed below)
-        "text-novelty": 5,
+        # wave 3 (revised round 10): novelty is distinct-gram explode +
+        # (count, min(doc)) gram groupBy + TWO doc-keyed aggregations +
+        # one doc-keyed join — one exchange MORE than the first cut's
+        # gram-keyed join form, which Catalyst could turn into a
+        # multi-GB broadcast at the 100x point and OOM (SCALE.md
+        # §"The 100x point"); the extra doc-keyed exchange is the
+        # price of removing that plan class. ohlc is ONE map-side-
+        # combined hour groupBy; the timeseries densify pays the
+        # declared O(1)-row global bounds aggregate (its single-
+        # partition exchange, allowed below)
+        "text-novelty": 6,
         "agg-ohlc": 1,
         "agg-timeseries": 3,
         # wave 5: skyline's single-partition exchange is the declared
