@@ -565,8 +565,18 @@ def containment_join(
     doc id. Verification is exact sorted-array intersection confined to
     candidates. Generalizes the reference's bounded candidate probe
     (dupes/dedup.py:146-171) from filename prefixes to content shingles.
+
+    Shingles are folded to ``xxhash64`` longs before everything (the
+    ngram_jaccard_pairs discipline: ~10x fewer shuffle/array bytes than
+    the ~25-char strings; a 64-bit collision, P ~ n²/2⁶⁵, perturbs one
+    pair's intersection by 1 — negligible, and the result set is
+    join-key-agnostic anyway: the prefix theorem needs only SOME global
+    total order, so ranking by (df, hash) instead of (df, string)
+    changes which candidates are probed, never which pairs verify.
+    Measured 7.9 s -> 4.9 s at sf0.1 (same session, warm).
     """
     sh = shingles if shingles is not None else shingle_frame(docs, id_col, text_col)
+    sh = sh.select("doc", F.xxhash64("w").alias("w"))
     cand = containment_candidates(sh, t_num, t_den)
     sets = sh.groupBy("doc").agg(
         F.sort_array(F.collect_list("w")).alias("ts"),

@@ -7447,9 +7447,10 @@ def dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter lossless on real data. Threshold in cleared-denominator "
     "integers (10*inter >= 8*small), contain_milli by integer DIV. "
     "Generalizes the reference's bounded candidate probe "
-    "(dupes/dedup.py:146-171). Benched (7.9 s sf0.1, 4.2x at 10x — "
-    "sub-quadratic even on the saturated vocabulary because the "
-    "3-gram shingle universe does not saturate; 13.1 s on the "
+    "(dupes/dedup.py:146-171). Benched (4.9 s sf0.1 after the "
+    "xxhash64 shingle fold — 7.9 s on raw strings; sub-quadratic "
+    "even on the saturated vocabulary because the 3-gram shingle "
+    "universe does not saturate, 4.2x at 10x; 13.1 s on the "
     "15,000-doc Zipf fixture where candidates are exactly the true "
     "pairs).",
     bench=True,
