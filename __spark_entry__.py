@@ -96,7 +96,18 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # sim-knn-pq, sim-hybrid-rrf, eval-retrieval, sim-knn-ivfpq, eval-rouge.)
 # Round 7: all twelve round-6 pins (the NULL-semantics definition pass)
 # were re-graded green by CORRECTNESS_r06.json and are cleared.
-_CHANGED_SINCE_GRADED: dict[str, int] = {}
+# Round 10: src-csv's oracle path gained the uid suffix (the round-9
+# ADVICE shared-/tmp hazard class, applied consistently beyond the
+# flagged src-parquet-meta) — values identical, but the committed
+# oracle TEXT changed and its last grade is r6, so that grade no
+# longer certifies the committed definition. (The round's other
+# oracle-text change, src-parquet-meta, was never graded and fronts
+# the window automatically; the Spark-side refactors — dedup-cdc /
+# text-keyphrase / fn-embed-whiten _impl split, sim-knn-ivf-persist
+# memoization, text-novelty's doc-keyed rewrite — produce
+# byte-identical results, differentially re-verified at the grading
+# SF, and the graded/never-graded split needs no pins for them.)
+_CHANGED_SINCE_GRADED: dict[str, int] = {"src-csv": 6}
 
 
 def _last_graded_round() -> dict[str, int]:

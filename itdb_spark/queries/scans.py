@@ -495,7 +495,7 @@ def _synth_csv(path: str, n: int = 50) -> None:
     "src-csv",
     oracle=f"""
     SELECT track_id, name, plays, starred_raw = 1 AS starred
-    FROM read_csv('{os.path.join(tempfile.gettempdir(), "itdb_spark_src.csv")}',
+    FROM read_csv('{os.path.join(tempfile.gettempdir(), f"itdb_spark_src_{os.getuid()}.csv")}',
                   header=true, quote='"', escape='"',
                   columns={{'track_id': 'BIGINT', 'name': 'VARCHAR',
                            'plays': 'BIGINT', 'starred_raw': 'BIGINT'}})
@@ -511,7 +511,13 @@ def _synth_csv(path: str, n: int = 50) -> None:
     "path with self-reconciling rewrite.",
 )
 def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(tempfile.gettempdir(), "itdb_spark_src.csv")
+    # uid-suffixed like _uid_tmp_path: the bare name is world-
+    # predictable in shared /tmp (round-9 ADVICE hazard class; the
+    # reconciling rewrite replaces foreign content, but a pre-created
+    # symlink could still redirect the write)
+    path = os.path.join(
+        tempfile.gettempdir(), f"itdb_spark_src_{os.getuid()}.csv"
+    )
     _synth_csv(path)
     raw = (
         spark.read.option("header", "true")
