@@ -278,3 +278,158 @@ def test_zipf_candidate_fraction_bounds(spark):
         f"containment candidate fraction {ct_cands}/{quad} = "
         f"{ct_cands / quad:.2%} exceeded the Zipf-fixture bound"
     )
+
+
+# --- wave-2 third-engine triangulations (the test_wave9 discipline:
+# two engines can share a spec misreading; an independent pure-Python /
+# numpy reimplementation rarely shares it with both) -------------------
+
+
+def test_contain_cluster_matches_python_election(spark):
+    """dedup-contain-cluster's drop/keep election vs a pure-Python
+    exhaustive computation on the planted corpus: same dropped set,
+    same keeper attribution (largest container, tie smallest id), same
+    container counts."""
+    from itdb_spark.operators.dedup import containment_join
+    import pyspark.sql.functions as F
+
+    rows = _planted_rows()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sizes = {d: len(_py_shingles(t)) for d, t in rows}
+
+    # python election over the exhaustive truth
+    truth = _py_containment_pairs(rows)
+    py = {}
+    for (a, b), _ in truth.items():
+        na, nb = sizes[a], sizes[b]
+        if na < nb:
+            dropped, keeper, kn = a, b, nb
+        elif nb < na:
+            dropped, keeper, kn = b, a, na
+        else:
+            dropped, keeper, kn = max(a, b), min(a, b), na
+        cur = py.setdefault(dropped, [0, None])
+        cur[0] += 1
+        if cur[1] is None or (kn, -keeper) > (cur[1][0], -cur[1][1]):
+            cur[1] = (kn, keeper)
+    expected = {d: (v[1][1], v[0]) for d, v in py.items()}
+
+    # spark: same election over the same frame (the registered query's
+    # construction, minus the corpus() derivation)
+    pairs = containment_join(docs, "doc_id", "text")
+    sz = spark.createDataFrame(
+        [(d, n) for d, n in sizes.items()], "doc long, n long"
+    )
+    j = (
+        pairs.join(sz.selectExpr("doc as id1", "n as n1"), "id1")
+        .join(sz.selectExpr("doc as id2", "n as n2"), "id2")
+    )
+    oriented = j.select(
+        F.when(F.col("n1") < F.col("n2"), F.col("id1"))
+        .when(F.col("n2") < F.col("n1"), F.col("id2"))
+        .otherwise(F.greatest("id1", "id2")).alias("dropped"),
+        F.when(F.col("n1") < F.col("n2"), F.col("id2"))
+        .when(F.col("n2") < F.col("n1"), F.col("id1"))
+        .otherwise(F.least("id1", "id2")).alias("keeper_cand"),
+        F.when(F.col("n1") < F.col("n2"), F.col("n2"))
+        .when(F.col("n2") < F.col("n1"), F.col("n1"))
+        .otherwise(F.col("n1")).alias("keeper_n"),
+    )
+    got = {
+        r.dropped: (r.keeper, r.n_containers)
+        for r in oriented.groupBy("dropped")
+        .agg(
+            F.max_by(
+                "keeper_cand",
+                F.struct(F.col("keeper_n"), (-F.col("keeper_cand")).alias("g")),
+            ).alias("keeper"),
+            F.count("*").alias("n_containers"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_lexrich_matches_python_counter(spark):
+    """text-lexrich vs collections.Counter over the raw testdata."""
+    from collections import Counter
+
+    from itdb_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_types, r.n_hapax, r.ttr_milli, r.hapax_milli)
+        for r in load_all()["text-lexrich"].spark(spark, SF_DIR).collect()
+    }
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    n_checked = 0
+    for doc_id, text in docs.items():
+        if not text or not text.strip():
+            assert doc_id not in got
+            continue
+        c = Counter(text.strip().lower().split())
+        n_tok = sum(c.values())
+        n_typ = len(c)
+        n_hap = sum(1 for v in c.values() if v == 1)
+        assert got[doc_id] == (
+            n_tok, n_typ, n_hap, 1000 * n_typ // n_tok, 1000 * n_hap // n_tok
+        ), doc_id
+        n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_gini_global_matches_python_exact(spark):
+    """agg-gini-global vs the direct rank-sorted Python formula —
+    proving the tie-block fold IS the textbook rank sum."""
+    from itdb_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    row = load_all()["agg-gini-global"].spark(spark, SF_DIR).collect()[0]
+    xs = sorted(
+        r.n_chars
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    )
+    n, s = len(xs), sum(xs)
+    s_ranked = sum((i + 1) * x for i, x in enumerate(xs))
+    assert (row.n_docs, row.sum_chars) == (n, s)
+    assert row.gini_milli == 1000 * (2 * s_ranked - (n + 1) * s) // (n * s)
+
+
+def test_emb_outliers_matches_numpy(spark):
+    """emb-outliers vs a numpy recomputation from raw embeddings —
+    same micro quantization, same exact-integer z^2 test."""
+    import numpy as np
+
+    from itdb_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.vec_id: (r.n_extreme, r.is_outlier)
+        for r in load_all()["emb-outliers"].spark(spark, SF_DIR).collect()
+    }
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    vecs = {
+        r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * 1e6 + 0.5)
+        .astype(np.int64)
+        for r in rows
+        if r.embedding is not None
+    }
+    m = np.stack(list(vecs.values()))
+    n = m.shape[0]
+    s = m.sum(axis=0, dtype=object)
+    ss = (m.astype(object) ** 2).sum(axis=0)
+    var_num = n * ss - s * s
+    checked = 0
+    for vid, v in vecs.items():
+        dev = n * v.astype(object) - s
+        k = sum(
+            1
+            for j in range(64)
+            if var_num[j] > 0 and dev[j] * dev[j] > 4 * var_num[j]
+        )
+        assert got[vid] == (k, 1 if k >= 5 else 0), vid
+        checked += 1
+    assert checked == len(got) > 0

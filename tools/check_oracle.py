@@ -4,6 +4,19 @@ in Spark AND its DuckDB oracle twin, compare row count + column names +
 order-insensitive value multiset. Usage:
 
     python tools/check_oracle.py [sf_dir] [query-id ...]
+
+Isolation rule (round 10): the harness runs 6 queries CONCURRENTLY in
+one shared SparkSession (and one shared DuckDB connection), so a FAIL
+observed while the machine is under heavy external load is not yet a defect —
+re-run the query ISOLATED before believing it. Observed once: a full
+sweep running concurrently with a full pytest suite and two other Spark
+JVMs produced a single wrong-valued pipe-dedup-eval row that could not
+be reproduced in four targeted sequential/isolated attempts (including
+the exact preceding query sequences) and vanished in a clean full-sweep
+re-run (253/253). The registry itself is deterministic (no rand, no
+order-dependent aggregates feeding values); the suspect surface is the
+shared-session cache/unpersist race among same-plan cached frames under
+memory pressure. Keep sweeps off a loaded machine.
 """
 
 from __future__ import annotations
