@@ -433,3 +433,42 @@ def test_emb_outliers_matches_numpy(spark):
         assert got[vid] == (k, 1 if k >= 5 else 0), vid
         checked += 1
     assert checked == len(got) > 0
+
+
+def test_contain_incremental_equals_restricted_batch(spark):
+    """The incremental probes must produce EXACTLY the batch join's
+    result restricted to increment-touching pairs — on driver testdata
+    AND on the planted skew corpus (where every planted pair straddles
+    an id range, so the new/old split exercises both probes)."""
+    import pyspark.sql.functions as F
+
+    from itdb_spark.operators.dedup import (
+        containment_join,
+        containment_join_incremental,
+    )
+    from itdb_spark.queries.pipeline import corpus
+    from tests.conftest import SF_DIR
+
+    def as_set(df):
+        return {tuple(r) for r in df.collect()}
+
+    c = corpus(spark, SF_DIR).withColumn("is_new", F.col("doc_id") % 5 == 4)
+    batch = containment_join(c, "doc_id", "text").where(
+        (F.col("id1") % 5 == 4) | (F.col("id2") % 5 == 4)
+    )
+    incr = containment_join_incremental(c, "doc_id", "text", "is_new")
+    assert as_set(incr) == as_set(batch)
+
+    # planted corpus: mark the BIG docs (id >= 100000) as the increment
+    # — every planted containment is an (old small, new big) pair,
+    # which only probe 2 (old prefixes x new index) can generate
+    rows = _planted_rows()
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "is_new", F.col("doc_id") >= 100000
+    )
+    incr2 = as_set(containment_join_incremental(docs, "doc_id", "text", "is_new"))
+    planted = {(i, i + 100000) for i in range(N_PAIRS)}
+    assert planted <= {(a, b) for a, b, *_ in incr2}
+    # and nothing outside increment-touching pairs leaks in
+    for a, b, *_ in incr2:
+        assert b >= 100000 or a >= 100000
