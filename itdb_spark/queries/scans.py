@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 import plistlib
 import shutil
+import stat as stat_mod
 import tempfile
 from datetime import datetime
 
@@ -473,7 +474,12 @@ def _synth_csv(path: str, n: int = 50) -> None:
     with embedded commas, embedded double quotes (doubled per RFC 4180),
     embedded newlines inside quotes, and 1/0 booleans. Row i carries
     formula values so the oracle can also be cross-checked arithmetically;
-    byte-identical rewrite keeps concurrent reconcilers stable."""
+    byte-identical rewrite keeps concurrent reconcilers stable. Reuse is
+    gated on lstat ownership (follow_symlinks=False — a pre-created
+    symlink or foreign-owned file is REPLACED, never read or followed),
+    and the write goes stage-file + os.replace so rename lands on the
+    path itself, defeating symlink write-redirects and half-written
+    observes alike (the _synth_pq_dir discipline; round-10 ADVICE)."""
     rows = ["track_id,name,plays,starred"]
     for i in range(1, n + 1):
         if i % 10 == 0:
@@ -486,9 +492,17 @@ def _synth_csv(path: str, n: int = 50) -> None:
             name = f"Track {i}"
         rows.append(f"{i},{name},{i * 31 % 997},{i % 2}")
     content = "\n".join(rows) + "\n"
-    if not (os.path.exists(path) and open(path).read() == content):
-        with open(path, "w") as fh:
-            fh.write(content)
+    try:
+        st = os.stat(path, follow_symlinks=False)
+        ours = stat_mod.S_ISREG(st.st_mode) and st.st_uid == os.getuid()
+    except FileNotFoundError:
+        ours = False
+    if ours and open(path).read() == content:
+        return
+    tmp = f"{path}.__stage_{os.getpid()}__"
+    with open(tmp, "w") as fh:
+        fh.write(content)
+    os.replace(tmp, path)
 
 
 @register(
@@ -511,10 +525,10 @@ def _synth_csv(path: str, n: int = 50) -> None:
     "path with self-reconciling rewrite.",
 )
 def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # uid-suffixed like _uid_tmp_path: the bare name is world-
-    # predictable in shared /tmp (round-9 ADVICE hazard class; the
-    # reconciling rewrite replaces foreign content, but a pre-created
-    # symlink could still redirect the write)
+    # uid-suffixed like _uid_tmp_path (shared-/tmp predictability,
+    # round-9 ADVICE); _synth_csv gates reuse on lstat ownership and
+    # writes stage+os.replace, so a pre-created symlink can neither
+    # feed us foreign content nor redirect the write (round-10 ADVICE)
     path = os.path.join(
         tempfile.gettempdir(), f"itdb_spark_src_{os.getuid()}.csv"
     )

@@ -185,6 +185,10 @@ def vacuum(root: str, keep: int = 2) -> list[str]:
     writer's dir survived every vacuum). Maintenance-window call: a
     LIVE writer between data write and pointer swap is indistinguishable
     from a crashed one, so run vacuum only with no publish in flight.
+    A MISSING/EMPTY manifest alongside existing version dirs is refused
+    outright (round-10 ADVICE: cur_n=-1 would classify every version as
+    a crashed-writer orphan and delete ALL data regardless of ``keep`` —
+    a lost pointer is corruption to surface, not retention to enforce).
     Returns the removed names."""
     cur = current_version(root)
     cur_n = int(cur[1:]) if cur else -1
@@ -194,6 +198,12 @@ def vacuum(root: str, keep: int = 2) -> list[str]:
          and os.path.isdir(os.path.join(root, d))),
         key=lambda d: int(d[1:]),
     )
+    if cur is None and versions:
+        raise RuntimeError(
+            f"no published version at {root!r} but {len(versions)} version "
+            "dir(s) exist — manifest lost or corrupted; refusing to vacuum "
+            "(every dir would be classified as an orphan and deleted)"
+        )
     published = [v for v in versions if int(v[1:]) <= cur_n]
     orphans = [v for v in versions if int(v[1:]) > cur_n]
     doomed = [v for v in published[:-keep] if v != cur] if keep else [

@@ -323,6 +323,21 @@ def test_versioned_table_atomic_pointer(spark, tmp_path):
     assert V.current_version(root) == "v5"
     assert V.read_current(spark, root).count() == 5_000
 
+    # (g) lost/corrupted manifest + surviving version dirs: vacuum must
+    # REFUSE (round-10 ADVICE — cur_n=-1 classified every dir as an
+    # orphan, turning a lost pointer into total data deletion) and must
+    # delete nothing before raising
+    manifest = V._manifest_path(root)
+    assert os.path.exists(manifest)  # pin the layout this test assumes
+    saved = open(manifest).read()
+    os.remove(manifest)
+    with pytest.raises(RuntimeError, match="refusing to vacuum"):
+        V.vacuum(root, keep=1)
+    assert os.path.exists(os.path.join(root, "v5"))  # nothing swept
+    with open(manifest, "w") as fh:
+        fh.write(saved)
+    assert V.read_current(spark, root).count() == 5_000
+
 
 def test_versioned_table_schema_gate(spark, tmp_path):
     """write_version's compatibility gate: adding a column publishes

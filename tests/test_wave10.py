@@ -20,6 +20,8 @@ claims the oracle can't check on driver testdata:
 from __future__ import annotations
 
 import hashlib
+import os
+import tempfile
 
 
 # --- planted skewed-containment corpus (the round-9 boundary corpus) --------
@@ -231,7 +233,16 @@ def test_zipf_candidate_fraction_bounds(spark):
     from itdb_spark.queries.pipeline import corpus
     from tools.zipf_allpairs_bench import build_zipf_docs
 
-    dst = build_zipf_docs("/tmp/itdb_spark_zipf_ci", 1000, 10000)
+    # uid-suffixed per the shared-/tmp discipline (round-10 ADVICE — the
+    # bare name is world-predictable); build_zipf_docs additionally
+    # verifies dir ownership and writes stage+os.replace
+    dst = build_zipf_docs(
+        os.path.join(
+            tempfile.gettempdir(), f"itdb_spark_zipf_ci_{os.getuid()}"
+        ),
+        1000,
+        10000,
+    )
     c = corpus(spark, dst)
     n_docs = c.count()
     quad = n_docs * (n_docs - 1) // 2

@@ -43,11 +43,21 @@ def _u(doc: int, pos: int) -> float:
 
 def build_zipf_docs(dst: str, n_docs: int, vocab: int) -> str:
     """documents.parquet with Zipf(s=1) token frequencies, testdata
-    schema (doc_id, text, lang, source, n_chars)."""
+    schema (doc_id, text, lang, source, n_chars). Shared-/tmp
+    discipline (round-10 ADVICE): the destination dir must be OURS
+    (os.makedirs(exist_ok=True) happily reuses an attacker-owned
+    pre-created dir), and the parquet write goes stage + os.replace so
+    a planted symlink at the filename cannot redirect it."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(dst, exist_ok=True)
+    uid = os.getuid()
+    if os.stat(dst).st_uid != uid:
+        raise RuntimeError(
+            f"fixture dir {dst} is owned by uid {os.stat(dst).st_uid}, "
+            f"not {uid} — refusing to write into a pre-created foreign dir"
+        )
     # inverse CDF over H(r)/H(V)
     cum, acc = [], 0.0
     for r in range(1, vocab + 1):
@@ -65,6 +75,7 @@ def build_zipf_docs(dst: str, n_docs: int, vocab: int) -> str:
         ids.append(d)
         texts.append(t)
         n_chars.append(len(t))
+    stage = os.path.join(dst, f"documents.parquet.__stage_{os.getpid()}__")
     pq.write_table(
         pa.table(
             {
@@ -78,8 +89,9 @@ def build_zipf_docs(dst: str, n_docs: int, vocab: int) -> str:
                 "n_chars": pa.array(n_chars, pa.int64()),
             }
         ),
-        os.path.join(dst, "documents.parquet"),
+        stage,
     )
+    os.replace(stage, os.path.join(dst, "documents.parquet"))
     return dst
 
 
