@@ -25,7 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from itdb_spark.functions.core import HASH_PRIME, portable_hash64
@@ -937,6 +937,44 @@ def band_collision_counts(new_bands: DataFrame, index_bands: DataFrame) -> DataF
         .groupBy(F.col("doc").alias("doc_id"))
         .agg(F.count_distinct("band").cast("long").alias("n_hit_bands"))
     )
+
+
+def persist_band_index(bands: DataFrame, root: str) -> str:
+    """Publish the corpus LSH band table (doc, band, band_hash) as a
+    versioned on-disk index — the build-once/probe-many serving shape
+    the ANN family already has (persist_ivf_index): at 100 TB the
+    corpus-side signatures are computed ONCE at ingest and every
+    subsequent batch probes the persisted table instead of re-shingling
+    the whole corpus (the rebuild form's per-call cost, linear in the
+    corpus; the persisted probe's per-call cost is linear in the BATCH).
+
+    Layout: one immutable version dir hive-partitioned by ``band``
+    (NUM_BANDS partitions — a probe restricted to a band subset prunes
+    directories; the full probe reads (band, band_hash) keys only,
+    never text), published via the sinks/versioned.py atomic-manifest
+    kernel — so a refresh (append batch bands, or full rebuild after
+    retuning num_perm) is write_version + one atomic pointer swap, with
+    old versions retained for pinned readers until vacuum. Returns the
+    published version name. band_hash strings and doc ids round-trip
+    parquet exactly, so the persisted probe is BIT-identical to the
+    in-session form (gated in tests)."""
+    from itdb_spark.sinks.versioned import write_version
+
+    return write_version(bands, root, partition_by=["band"])
+
+
+def band_collision_counts_persisted(
+    spark: SparkSession, index_root: str, new_bands: DataFrame
+) -> DataFrame:
+    """``band_collision_counts`` against a ``persist_band_index`` table:
+    the amortized incremental-ingest path — per-call work is the new
+    batch's signatures plus one key-join against the on-disk index
+    (distinct bucket KEYS; no member lists, no pairs, no corpus
+    recompute). Reader is pinned to the currently-published version, so
+    a concurrent index refresh never perturbs an in-flight probe."""
+    from itdb_spark.sinks.versioned import read_current
+
+    return band_collision_counts(new_bands, read_current(spark, index_root))
 
 def duplicate_spans(
     docs: DataFrame,

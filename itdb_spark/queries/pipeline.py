@@ -1673,6 +1673,24 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dup_stats(corpus(spark, sf_dir), "doc_id", "text", chunk_tokens=10)
 
 
+def _dedup_incremental_impl(
+    spark: SparkSession, sf_dir: str, hash_fn: str
+) -> DataFrame:
+    from itdb_spark.operators.dedup import (
+        band_collision_counts,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    bands = minhash_bands(
+        minhash_signatures(corpus(spark, sf_dir), "doc_id", "text",
+                           hash_fn=hash_fn)
+    )
+    new = bands.where(F.col("doc") >= 100000)
+    idx = bands.where(F.col("doc") < 100000)
+    return band_collision_counts(new, idx)
+
+
 @register(
     "dedup-incremental",
     oracle=f"""
@@ -1684,6 +1702,10 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE i.doc >= 100000
     GROUP BY 1
     """,
+    bench=True,
+    bench_spark=lambda spark, sf_dir: _dedup_incremental_impl(
+        spark, sf_dir, "xxhash64"
+    ),
     doc="Incremental-ingest dedup (operators/dedup.py::"
     "band_collision_counts): the +100000/+200000 derived docs play the "
     "NEW batch, the originals the existing corpus index — each new doc "
@@ -1692,19 +1714,117 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1 routes to verification; the rest append clean. At 100 TB the "
     "index side is the persisted band table partitioned/bucketed on "
     "(band, band_hash) and the small new batch broadcasts or "
-    "bucket-prunes against it.",
+    "bucket-prunes against it — dedup-incr-persist IS that serving "
+    "shape; this query is the per-call REBUILD form, benched (round 11, "
+    "xxhash64 deploy twin) as the baseline its amortized twin is "
+    "measured against.",
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup_incremental_impl(spark, sf_dir, "portable")
+
+
+# Memoized per-(sf_dir, hash_fn) persisted band index for the
+# incremental-dedup serving twin — the ivfpq-res/ivf-persist cache
+# discipline: built ONCE per process in a private mkdtemp dir (round-8
+# ADVICE: fixed /tmp paths are pre-creatable; round-9 ADVICE: memoize
+# or a long session accumulates an index copy per call), published via
+# the versioned manifest kernel, swept at interpreter exit. bench.py's
+# warmup pays the build; the timed runs measure the amortized
+# increment-only probe, the production serving shape.
+_BAND_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _band_index_root(spark: SparkSession, sf_dir: str, hash_fn: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
     from itdb_spark.operators.dedup import (
-        band_collision_counts,
+        minhash_bands,
+        minhash_signatures,
+        persist_band_index,
+    )
+
+    key = (os.path.abspath(sf_dir), hash_fn)
+    if key not in _BAND_INDEX_CACHE:
+        idx = minhash_bands(
+            minhash_signatures(
+                corpus(spark, sf_dir).where(F.col("doc_id") < 200000),
+                "doc_id", "text", hash_fn=hash_fn,
+            )
+        )
+        root = os.path.join(
+            tempfile.mkdtemp(prefix="itdb_spark_band_idx_"), "index"
+        )
+        atexit.register(shutil.rmtree, os.path.dirname(root), True)
+        persist_band_index(idx, root)
+        _BAND_INDEX_CACHE[key] = root
+    return _BAND_INDEX_CACHE[key]
+
+
+def _dedup_incr_persist_impl(
+    spark: SparkSession, sf_dir: str, hash_fn: str
+) -> DataFrame:
+    from itdb_spark.operators.dedup import (
+        band_collision_counts_persisted,
         minhash_bands,
         minhash_signatures,
     )
 
-    bands = minhash_bands(minhash_signatures(corpus(spark, sf_dir), "doc_id", "text"))
-    new = bands.where(F.col("doc") >= 100000)
-    idx = bands.where(F.col("doc") < 100000)
-    return band_collision_counts(new, idx)
+    root = _band_index_root(spark, sf_dir, hash_fn)
+    new = minhash_bands(
+        minhash_signatures(
+            corpus(spark, sf_dir).where(F.col("doc_id") >= 200000),
+            "doc_id", "text", hash_fn=hash_fn,
+        )
+    )
+    return band_collision_counts_persisted(spark, root, new)
+
+
+@register(
+    "dedup-incr-persist",
+    oracle=f"""
+    WITH {_minhash_bands_ctes()}
+    SELECT i.doc AS doc_id, CAST(count(DISTINCT i.band) AS BIGINT) AS n_hit_bands
+    FROM bands i
+    JOIN (SELECT DISTINCT band, band_hash FROM bands WHERE doc < 200000) e
+      ON i.band = e.band AND i.band_hash = e.band_hash
+    WHERE i.doc >= 200000
+    GROUP BY 1
+    """,
+    defer_after=11,
+    bench=True,
+    bench_spark=lambda spark, sf_dir: _dedup_incr_persist_impl(
+        spark, sf_dir, "xxhash64"
+    ),
+    doc="PERSISTED-band-index incremental dedup (round 11, VERDICT r10 "
+    "#6) — the serving shape of dedup-incremental, closing the split "
+    "the ANN family already benches (sim-knn-ivfpq vs -res): the "
+    "existing corpus's LSH band table (originals + near-dup variants, "
+    "doc < 200000) is built once and PUBLISHED via the sinks/"
+    "versioned.py atomic-manifest kernel (operators/dedup.py::"
+    "persist_band_index — hive-partitioned by band, snapshot-isolated "
+    "refresh, vacuum retention), and the ingest batch — the +200000 "
+    "derived docs, a re-crawl of already-ingested content, the exact "
+    "situation incremental dedup exists to catch — computes signatures "
+    "for ITS OWN third of the corpus only before one key-join against "
+    "the on-disk index (band_collision_counts_persisted). Per-call "
+    "cost is linear in the BATCH, not the corpus — the rebuild form "
+    "(dedup-incremental) re-shingles everything per call regardless of "
+    "batch size, so the two bench walls are the build/serve split "
+    "measured. A doc's signature depends only on its own text, so "
+    "batch-side filter-then-sign equals sign-then-filter, and band_"
+    "hash strings round-trip parquet exactly: the persisted probe is "
+    "BIT-identical to the in-session form at the same split (pinned "
+    "in tests/test_wave11.py), and every signed batch doc must hit "
+    "ALL bands under ANY hash (its exact copy is in the index) — the "
+    "twin gate. The bench times the xxhash64 deploy twin whose warmup "
+    "pays the one-time build; the timed wall is the amortized "
+    "increment-only probe.",
+)
+def dedup_incr_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup_incr_persist_impl(spark, sf_dir, "portable")
 
 
 @register(

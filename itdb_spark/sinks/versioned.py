@@ -78,6 +78,7 @@ def write_version(
     root: str,
     n_files: int | None = None,
     enforce_schema: bool = True,
+    partition_by: list[str] | None = None,
 ) -> str:
     """Write ``df`` as the table's next immutable version and publish it.
     Returns the version name. The data write happens entirely inside
@@ -91,7 +92,14 @@ def write_version(
     history — the SCALE.md evolution postures), but dropping or
     retyping an existing column is refused BEFORE any data is written
     — the mistake that silently breaks every downstream pinned reader
-    must be an explicit ``enforce_schema=False`` decision."""
+    must be an explicit ``enforce_schema=False`` decision.
+
+    ``partition_by`` lays the version directory out hive-partitioned on
+    those columns (each version is still one immutable dir; the atomic
+    manifest publish is unchanged) — the index-table shape where readers
+    prune on the partition key (e.g. the LSH band index partitioned by
+    band). Parquet round-trips the partition column through the
+    directory name, so the schema gate sees it as an ordinary column."""
     os.makedirs(root, exist_ok=True)
     cur = current_version(root)
     if enforce_schema and cur is not None:
@@ -121,7 +129,10 @@ def write_version(
         version = f"v{n}"
         path = os.path.join(root, version)
     out = df.repartition(n_files) if n_files else df
-    out.write.mode("errorifexists").parquet(path)
+    writer = out.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
     _publish(root, version)
     return version
 

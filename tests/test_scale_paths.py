@@ -286,7 +286,12 @@ def test_bench_headline_set_stable():
     (r9 VERDICT #1 — the lossless containment join; its prefix-filter
     candidate stage is the round's headline scale claim); totals from
     BENCH_r10 on include all 18, the like-for-like subtotal remains
-    the r8 14-query set."""
+    the r8 14-query set. Round 11 added the incremental-dedup
+    build/serve split (r10 VERDICT #6, mirroring sim-knn-ivfpq vs
+    -res): dedup-incremental (the per-call REBUILD wall, xxhash64
+    twin) and dedup-incr-persist (the amortized persisted-band-index
+    probe — its warmup pays the one-time build); totals from BENCH_r11
+    on include all 20."""
     from itdb_spark.queries import load_all
 
     bench_ids = {qid for qid, q in load_all().items() if q.bench}
@@ -297,6 +302,7 @@ def test_bench_headline_set_stable():
         "sim-knn-ivfpq", "graph-kcore",
         "sim-knn-ivfpq-res", "fn-bpe-train", "eval-chrf",
         "dedup-contain-exact",
+        "dedup-incremental", "dedup-incr-persist",
     }
 
 
@@ -742,6 +748,7 @@ def test_bench_deploy_twins_equivalent(spark):
     assert set(twins) == {
         "dedup-minhash", "dedup-jaccard", "pipe-curate", "sim-knn-ivfpq",
         "graph-kcore", "sim-knn-ivfpq-res", "fn-bpe-train",
+        "dedup-incremental", "dedup-incr-persist",
     }
     for qid, q in twins.items():
         graded = {tuple(r) for r in q.spark(spark, SF_DIR).collect()}
@@ -780,6 +787,27 @@ def test_bench_deploy_twins_equivalent(spark):
             dd = {r[0] for r in deploy}
             overlap = len(gd & dd) / max(len(gd), 1)
             assert overlap >= 0.9, f"kcore survivor overlap {overlap:.2f}"
+        elif qid in ("dedup-incremental", "dedup-incr-persist"):
+            # every +200000 derived doc is an EXACT copy of its base:
+            # identical text → identical signature under ANY hash → all
+            # NUM_BANDS bands collide with the index. Hash-independent
+            # invariant, so it pins the xxhash64 twin too. For
+            # incr-persist the batch IS the +200000 third, so this
+            # covers every output row — and the hash-independence means
+            # the deploy twin must equal the graded form exactly.
+            from itdb_spark.operators.dedup import NUM_BANDS
+
+            for rows, label in ((graded, "graded"), (deploy, "deploy")):
+                hits = {r[0]: r[1] for r in rows}
+                copies = [d for d in hits if d >= 200000]
+                assert copies, f"{qid}/{label}: no exact-copy docs probed"
+                wrong = {d: hits[d] for d in copies if hits[d] != NUM_BANDS}
+                assert not wrong, f"{qid}/{label}: {dict(list(wrong.items())[:5])}"
+            if qid == "dedup-incr-persist":
+                assert deploy == graded, (
+                    "exact-copy collisions are hash-independent; the "
+                    "xxhash64 twin must be bit-identical here"
+                )
         else:
             missing = [
                 (r[0], r[1])
