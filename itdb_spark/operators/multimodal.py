@@ -5,12 +5,14 @@ functions over ``mapInPandas``.
 Header decode is REAL: ``decode_image_header`` parses PNG IHDR / JPEG SOF /
 GIF logical-screen / BMP DIB / WebP (VP8, VP8L, VP8X) dimensions from the
 raw bytes with stdlib ``struct`` — no image library needed for metadata
-extraction (full pixel decode still needs PIL/ffmpeg at deploy time and
-falls back to ``_fake_decode`` for unrecognized bytes so the batch
-plumbing stays testable on arbitrary blobs; the PIL cross-check is the
-env-gated test in tests/test_multimodal_decode.py, visible-skipped where
-PIL is absent — the protobuf-twin pattern). The reference's analog is the per-file ffprobe subprocess fan-out
-(itdbmetadata.py:135-157) whose JSON output lands in a relational column.
+extraction. Full PIXEL decode is real for PNG via the vendored stdlib
+codec (``operators/pngcodec.py``, zlib + all five scanline filters —
+driver-hash-verified end-to-end by the mm-pixels query); other formats'
+pixel decode still needs PIL/ffmpeg at deploy time and falls back to
+``_fake_decode`` for unrecognized bytes so the batch plumbing stays
+testable on arbitrary blobs. The reference's analog is the per-file
+ffprobe subprocess fan-out (itdbmetadata.py:135-157) whose JSON output
+lands in a relational column.
 """
 
 from __future__ import annotations
