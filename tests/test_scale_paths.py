@@ -290,8 +290,10 @@ def test_bench_headline_set_stable():
     build/serve split (r10 VERDICT #6, mirroring sim-knn-ivfpq vs
     -res): dedup-incremental (the per-call REBUILD wall, xxhash64
     twin) and dedup-incr-persist (the amortized persisted-band-index
-    probe — its warmup pays the one-time build); totals from BENCH_r11
-    on include all 20."""
+    probe — its warmup pays the one-time build), plus dedup-exactspan
+    (the round-11 headline: exact duplicated-substring spans, timed on
+    its xxhash64 deploy twin); totals from BENCH_r11 on include all
+    21."""
     from itdb_spark.queries import load_all
 
     bench_ids = {qid for qid, q in load_all().items() if q.bench}
@@ -302,7 +304,7 @@ def test_bench_headline_set_stable():
         "sim-knn-ivfpq", "graph-kcore",
         "sim-knn-ivfpq-res", "fn-bpe-train", "eval-chrf",
         "dedup-contain-exact",
-        "dedup-incremental", "dedup-incr-persist",
+        "dedup-incremental", "dedup-incr-persist", "dedup-exactspan",
     }
 
 

@@ -110,61 +110,79 @@ def scan_details(plan: str) -> list[str]:
     return out
 
 
-def main() -> None:
-    spark = get_spark("plan_report", cpus=8)
-    registry = load_all()
-    qids = [qid for qid, q in registry.items() if q.bench] + EXTRA
+def section_lines(spark, qid: str, fn) -> list[str]:
+    """Render one query's PLANS.md section (header through trailing blank).
 
-    lines = [
-        "# PLANS — physical-plan evidence at sf0.01 (generated by tools/plan_report.py)",
-        "",
-        "Properties asserted in CI live in tests/test_plan_audit.py and",
-        "tests/test_scale_paths.py; this file is the human-readable dump:",
-        "operator tree + every scan's pushdown/pruning + exchange counts.",
-        "",
-    ]
-    # queries with a deploy-grade bench twin (xxhash64 hash path) get a
-    # second section: the bench times THAT plan, so the evidence file
-    # must show it alongside the graded portable-hash form
+    Shared by main() and the staleness gate
+    (tests/test_plans_md.py::test_plans_md_bench_sections_current), so the
+    gate diffs EXACTLY what generation would write — same tree scrub, same
+    scan-detail extraction, same notes."""
+    df = fn(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    n_ex = len(re.findall(r"\bExchange\b", plan))
+    n_bc = len(re.findall(r"BroadcastExchange", plan))
+    lines = [f"## {qid}", "", f"exchanges={n_ex} (broadcast={n_bc})", "", "```"]
+    lines.extend(tree_lines(plan))
+    lines.append("```")
+    lines.extend(scan_details(plan))
+    if qid in DRIVER_RESULT_NOTES:
+        lines.append(DRIVER_RESULT_NOTES[qid])
+    if "ExistingRDD" in plan and qid not in DRIVER_RESULT_NOTES:
+        lines.append(
+            "- note: result is checkpoint-materialized inside the operator "
+            "(cache-lifecycle contract, plans/library.py::materialized) — the "
+            "visible plan is the checkpoint read; the upstream pipeline's "
+            "plan properties are CI-asserted in tests/test_plan_audit.py / "
+            "tests/test_scale_paths.py (per-query gates, e.g. agg-srcsim's "
+            "test_srcsim_signature_partial_agg_and_bounded_bnlj asserts on "
+            "the pre-checkpoint plan via the _srcsim_frames split)."
+        )
+    lines.append("")
+    return lines
+
+
+def forms_for(registry, qids):
+    """(label, callable) pairs: queries with a deploy-grade bench twin
+    (xxhash64 hash path) get a second section — the bench times THAT
+    plan, so the evidence file must show it alongside the graded
+    portable-hash form."""
     forms = []
     for qid in qids:
         forms.append((qid, registry[qid].spark))
         if registry[qid].bench_spark is not None:
             forms.append((f"{qid} (deploy twin)", registry[qid].bench_spark))
-    for qid, fn in forms:
-        df = fn(spark, SF_DIR)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-        n_ex = len(re.findall(r"\bExchange\b", plan))
-        n_bc = len(re.findall(r"BroadcastExchange", plan))
-        lines.append(f"## {qid}")
-        lines.append("")
-        lines.append(f"exchanges={n_ex} (broadcast={n_bc})")
-        lines.append("")
-        lines.append("```")
-        lines.extend(tree_lines(plan))
-        lines.append("```")
-        sd = scan_details(plan)
-        if sd:
-            lines.extend(sd)
-        if qid in DRIVER_RESULT_NOTES:
-            lines.append(DRIVER_RESULT_NOTES[qid])
-        if "ExistingRDD" in plan and qid not in DRIVER_RESULT_NOTES:
-            lines.append(
-                "- note: result is checkpoint-materialized inside the operator "
-                "(cache-lifecycle contract, plans/library.py::materialized) — the "
-                "visible plan is the checkpoint read; the upstream pipeline's "
-                "plan properties are CI-asserted in tests/test_plan_audit.py / "
-                "tests/test_scale_paths.py (per-query gates, e.g. agg-srcsim's "
-                "test_srcsim_signature_partial_agg_and_bounded_bnlj asserts on "
-                "the pre-checkpoint plan via the _srcsim_frames split)."
-            )
-        lines.append("")
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "PLANS.md")
-    with open(out_path, "w") as fh:
+    return forms
+
+
+HEADER = [
+    "# PLANS — physical-plan evidence at sf0.01 (generated by tools/plan_report.py)",
+    "",
+    "Properties asserted in CI live in tests/test_plan_audit.py and",
+    "tests/test_scale_paths.py; this file is the human-readable dump:",
+    "operator tree + every scan's pushdown/pruning + exchange counts.",
+    "",
+]
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "PLANS.md")
+
+
+def main() -> None:
+    spark = get_spark("plan_report", cpus=8)
+    registry = load_all()
+    bench = [qid for qid, q in registry.items() if q.bench]
+    # dedup: a qid both bench-flagged and listed in EXTRA must not get
+    # two identical sections (the duplicate broke section-addressed
+    # diffing and the staleness gate's parse)
+    qids = bench + [q for q in EXTRA if q not in set(bench)]
+
+    lines = list(HEADER)
+    for qid, fn in forms_for(registry, qids):
+        lines.extend(section_lines(spark, qid, fn))
+    with open(OUT, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print(f"wrote {os.path.normpath(out_path)} ({len(qids)} queries)")
+    print(f"wrote {os.path.normpath(OUT)} ({len(qids)} queries)")
     spark.stop()
 
 
