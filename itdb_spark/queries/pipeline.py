@@ -9189,19 +9189,16 @@ def text_lexrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_exactspan_impl(
-    spark: SparkSession, sf_dir: str, hash_fn: str = "portable"
-) -> DataFrame:
-    from pyspark.sql import Window
-
+def _exactspan_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactspan corpus as (doc, toks): base documents plus a
+    re-crawl replica whose MIDDLE word is replaced by an injective
+    per-doc sentinel, so the shared content splits into a prefix and a
+    suffix region — the island-merge has real work to do."""
     d = Tables(spark, sf_dir).documents.select("doc_id", "text")
     base = d.select(
         F.col("doc_id").alias("doc"),
         F.split(F.trim(F.lower("text")), r"\s+").alias("toks"),
     ).where(F.length(F.trim("text")) > 0)
-    # re-crawl replica: the MIDDLE word is replaced by an injective
-    # per-doc sentinel, so the shared content splits into a prefix and a
-    # suffix region — the island-merge below has real work to do
     recrawl = base.select(
         (F.col("doc") + 100000).alias("doc"),
         F.expr(
@@ -9210,7 +9207,17 @@ def _dedup_exactspan_impl(
             "element_at(toks, i)))"
         ).alias("toks"),
     )
-    toks = base.unionByName(recrawl).where(F.size("toks") >= 8)
+    return base.unionByName(recrawl)
+
+
+def _exactspan_spans(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "portable"
+) -> DataFrame:
+    """Maximal duplicated spans per doc: (doc, s, e) where the island of
+    consecutive duplicated 8-gram starts [s..e] covers words [s..e+7]."""
+    from pyspark.sql import Window
+
+    toks = _exactspan_toks(spark, sf_dir).where(F.size("toks") >= 8)
     grams = toks.select(
         "doc",
         F.posexplode(
@@ -9240,23 +9247,27 @@ def _dedup_exactspan_impl(
         "grp",
         F.col("p") - F.row_number().over(Window.partitionBy("doc").orderBy("p")),
     )
-    spans = isl.groupBy("doc", "grp").agg(
+    return isl.groupBy("doc", "grp").agg(
         F.min("p").alias("s"), F.max("p").alias("e")
     )
-    return (
-        spans.groupBy(F.col("doc").alias("doc_id"))
-        .agg(
-            F.count("*").cast("long").alias("n_spans"),
-            F.sum(F.col("e") - F.col("s") + 8).cast("long").alias("dup_words"),
-            F.max(F.col("e") - F.col("s") + 8).cast("long").alias("max_span"),
-        )
+
+
+def _dedup_exactspan_impl(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "portable"
+) -> DataFrame:
+    spans = _exactspan_spans(spark, sf_dir, hash_fn)
+    return spans.groupBy(F.col("doc").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 8).cast("long").alias("dup_words"),
+        F.max(F.col("e") - F.col("s") + 8).cast("long").alias("max_span"),
     )
 
 
-@register(
-    "dedup-exactspan",
-    oracle="""
-    WITH tok0 AS (
+# Shared DuckDB CTEs for the exactspan family: corpus (base + mid-word-
+# mutated re-crawl replica), 8-word grams with start positions, the
+# global duplication window, and the gaps-and-islands span merge.
+_EXACTSPAN_CTES = """
+    tok0 AS (
       SELECT doc_id AS doc,
              regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
       FROM documents WHERE len(trim(text)) > 0
@@ -9287,6 +9298,13 @@ def _dedup_exactspan_impl(
       FROM dup
     ),
     spans AS (SELECT doc, grp, min(p) AS s, max(p) AS e FROM isl GROUP BY 1, 2)
+"""
+
+
+@register(
+    "dedup-exactspan",
+    oracle=f"""
+    WITH {_EXACTSPAN_CTES}
     SELECT doc AS doc_id,
            CAST(count(*) AS BIGINT) AS n_spans,
            CAST(sum(e - s + 8) AS BIGINT) AS dup_words,
@@ -9319,6 +9337,58 @@ def _dedup_exactspan_impl(
 )
 def dedup_exactspan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_exactspan_impl(spark, sf_dir)
+
+
+@register(
+    "text-despan-exact",
+    oracle=f"""
+    WITH {_EXACTSPAN_CTES}
+    , perdoc AS (
+      SELECT doc, CAST(sum(e - s + 8) AS BIGINT) AS dup_words
+      FROM spans GROUP BY 1
+    )
+    SELECT t.doc AS doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_words,
+           CAST(coalesce(p.dup_words, 0) AS BIGINT) AS dup_words,
+           CAST(len(t.toks) - coalesce(p.dup_words, 0) AS BIGINT)
+             AS kept_words,
+           CAST(1000 * coalesce(p.dup_words, 0) // len(t.toks) AS BIGINT)
+             AS dup_milli
+    FROM tok t LEFT JOIN perdoc p USING (doc)
+    """,
+    defer_after=11,
+    doc="Exact-span REMOVAL accounting (round 11) — the surgery twin of "
+    "dedup-exactspan, the 'delete the duplicated substring, keep the "
+    "rest' step of Lee et al. (arXiv:2107.06499) applied as a corpus "
+    "budget: per doc, total words, words covered by maximal duplicated "
+    "spans, words surviving the cut, and the per-mil duplication ratio "
+    "(integer DIV — exact in both engines). EVERY corpus doc appears "
+    "(docs under 8 words or with no duplicated gram keep everything — "
+    "the LEFT join + coalesce path is part of the graded surface). "
+    "Complements text-despan (winnow-fingerprint spans, approximate) "
+    "with the lossless variant. Scale shape inherits dedup-exactspan: "
+    "one gram-keyed shuffle, doc-bounded windows, plus one doc-keyed "
+    "join of two doc-sized frames.",
+)
+def text_despan_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _exactspan_toks(spark, sf_dir).select(
+        "doc", F.size("toks").alias("n_words")
+    )
+    perdoc = (
+        _exactspan_spans(spark, sf_dir)
+        .groupBy("doc")
+        .agg(F.sum(F.col("e") - F.col("s") + 8).alias("dup_words"))
+    )
+    dup = F.coalesce(F.col("dup_words"), F.lit(0))
+    return toks.join(perdoc, "doc", "left").select(
+        F.col("doc").alias("doc_id"),
+        F.col("n_words").cast("long"),
+        dup.cast("long").alias("dup_words"),
+        (F.col("n_words") - dup).cast("long").alias("kept_words"),
+        F.expr(
+            "CAST(1000 * coalesce(dup_words, 0) DIV n_words AS BIGINT)"
+        ).alias("dup_milli"),
+    )
 
 
 @register(

@@ -727,3 +727,66 @@ def snk_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_version(docs, root)
     write_version(docs, root)  # pointer bump: read_current must follow
     return read_current(spark, root)
+
+
+def _synth_orc(path: str, n: int = 500) -> None:
+    """Deterministic ORC fixture written by pyarrow (an INDEPENDENT
+    implementation of the format — Spark's ORC reader is the code under
+    test). Same discipline as _synth_pq_dir: lstat-gated reuse of a
+    file WE own, stage + os.replace so a concurrent session never sees
+    a half-written postscript and a pre-created symlink can neither
+    feed foreign content nor redirect the write."""
+    import pyarrow as pa
+    from pyarrow import orc
+
+    uid = os.getuid()
+    if os.path.lexists(path):
+        st = os.lstat(path)
+        if stat_mod.S_ISREG(st.st_mode) and st.st_uid == uid:
+            return
+        os.unlink(path)
+    ids = list(range(n))
+    tbl = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "val": pa.array([(i * 37) % 101 for i in ids], pa.int64()),
+            "tag": pa.array([f"t{i % 7}" for i in ids]),
+            "flag": pa.array([i % 3 == 0 for i in ids]),
+        }
+    )
+    tmp = f"{path}.__stage_{os.getpid()}__"
+    orc.write_table(tbl, tmp)
+    os.replace(tmp, path)
+
+
+@register(
+    "src-orc",
+    oracle="""
+    SELECT i AS id,
+           (i * 37) % 101 AS val,
+           't' || CAST(i % 7 AS VARCHAR) AS tag,
+           i % 3 = 0 AS flag
+    FROM range(500) t(i)
+    """,
+    defer_after=11,
+    doc="ORC source scan (round 11) — the second columnar format a "
+    "warehouse migration hands this engine (SURVEY §2.2's source "
+    "family is plist/CSV/JSONL/parquet; ORC is the Hive-lineage "
+    "sibling Spark reads natively). The fixture is written by "
+    "PYARROW's ORC writer — an independent implementation — and "
+    "Spark's vectorized ORC reader must reproduce every typed cell "
+    "(BIGINT, modular arithmetic, VARCHAR concat, BOOLEAN) against "
+    "the arithmetic oracle; DuckDB has no ORC reader, so the oracle "
+    "predicts the content rather than re-reading the file (the "
+    "mm-decode pattern). At scale the ORC path inherits the same "
+    "pushdown/pruning machinery as parquet (both go through the "
+    "vectorized columnar readers); the fixture uses the uid-suffixed "
+    "ownership-gated stage+replace discipline (rounds 9-10 ADVICE).",
+)
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _uid_tmp_path("itdb_spark_src_orc") + ".orc"
+    _synth_orc(path)
+    return (
+        spark.read.schema("id long, val long, tag string, flag boolean")
+        .orc(path)
+    )

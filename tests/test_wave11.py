@@ -312,3 +312,53 @@ def test_mm_pixels_sums_come_from_decoded_bytes(spark):
             sum(vals),
             sum((i + 1) * v for i, v in enumerate(vals)),
         ), doc_id
+
+
+def test_despan_exact_accounting(spark):
+    """kept_words + dup_words == n_words for EVERY corpus doc; the corpus
+    is exactly 2x the non-empty base docs (LEFT join keeps span-free and
+    sub-8-word docs); sub-8-word docs must report dup_words == 0."""
+    from itdb_spark.queries import load_all
+
+    rows = load_all()["text-despan-exact"].spark(spark, SF_DIR).collect()
+    assert all(r.kept_words + r.dup_words == r.n_words for r in rows)
+    assert all(r.dup_words == 0 for r in rows if r.n_words < 8)
+    n_base = (
+        load_all()["text-despan-exact"]
+        .spark(spark, SF_DIR)
+        .where("doc_id < 100000")
+        .count()
+    )
+    assert len(rows) == 2 * n_base
+    assert any(r.dup_words > 0 for r in rows), "no spans at all proves nothing"
+
+
+def test_src_orc_fixture_discipline(spark, tmp_path):
+    """The ORC fixture reuses only a regular file WE own and replaces a
+    pre-created symlink instead of following it (the rounds-9/10
+    shared-/tmp hazard class), and Spark's read of the pyarrow-written
+    file reproduces the arithmetic content exactly."""
+    import os
+
+    from itdb_spark.queries.scans import _synth_orc
+
+    # pre-created symlink at the fixture path must be replaced, not
+    # followed: the write may not land at the symlink's target
+    target = tmp_path / "foreign.orc"
+    target.write_bytes(b"not orc")
+    link = tmp_path / "fixture.orc"
+    link.symlink_to(target)
+    _synth_orc(str(link))
+    assert not os.path.islink(link), "symlink must be replaced by a real file"
+    assert target.read_bytes() == b"not orc", "write redirected through symlink"
+    # reuse: second call must keep the same inode (no rewrite of our file)
+    ino = os.stat(link).st_ino
+    _synth_orc(str(link))
+    assert os.stat(link).st_ino == ino
+    got = spark.read.schema("id long, val long, tag string, flag boolean").orc(
+        str(link)
+    )
+    rows = {r.id: (r.val, r.tag, r.flag) for r in got.collect()}
+    assert len(rows) == 500
+    for i in (0, 7, 499):
+        assert rows[i] == ((i * 37) % 101, f"t{i % 7}", i % 3 == 0)
