@@ -3922,6 +3922,81 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph-bfs",
+    oracle=f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_oracle()}),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION
+      SELECT id2 AS src, id1 AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, d) AS (
+      SELECT node, 0 FROM nodes WHERE node % 11 = 0
+      UNION
+      SELECT e.dst, r.d + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.d < 3
+    )
+    SELECT node AS doc, CAST(min(d) AS BIGINT) AS dist
+    FROM reach GROUP BY node
+    """,
+    defer_after=11,
+    doc="Multi-source BFS hop distance over the LSH near-duplicate graph "
+    "(round 11) — bounded-radius reachability, the traversal primitive "
+    "under contamination-spread analysis ('every doc within 3 "
+    "near-dup hops of a flagged seed') and cluster-radius audits. "
+    "Seeds are the graph nodes with doc_id % 11 == 0; dist = fewest "
+    "hops from any seed, radius 3. Spark side is textbook frontier "
+    "BFS as DataFrame ops: the settled-distance frame grows by one "
+    "anti-joined frontier expansion per hop (the anti-join is what "
+    "makes it BFS — a node re-reached at a later hop never re-enters "
+    "the frontier, so per-hop work is |frontier edges|, not "
+    "|reach closure| like the recursive-CTE twin materializes), one "
+    "shuffle per hop on the join key. Edge frame materialized once "
+    "via truncate_lineage (the graph-pagerank discipline — without "
+    "it every hop replays LSH candidate generation through lineage). "
+    "At 100 TB: frontier expansion is delta-keyed (work bounded by "
+    "the frontier, never the settled set), edges pre-partitioned on "
+    "src co-locate every hop's probe, and radius-k termination keeps "
+    "the loop count fixed — the Pregel aggregate-message shape. "
+    "Oracle: depth-bounded recursive-CTE closure with min-hop "
+    "aggregation (dedup-cluster's transitive-closure discipline).",
+)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.plans.library import truncate_lineage
+
+    c = corpus(spark, sf_dir)
+    pairs = minhash_candidates(c, "doc_id", "text").select("id1", "id2")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    ).select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    edges = truncate_lineage(edges, eager=True)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") % 11 == 0)
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    settled = seeds
+    frontier = seeds
+    for hop in range(1, 4):
+        expanded = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled, "node", "left_anti")
+            .select("node", F.lit(hop).cast("long").alias("dist"))
+        )
+        # settle the new frontier before the next expansion: each node
+        # appears in `settled` exactly once, at its first-discovered hop
+        expanded = truncate_lineage(expanded, eager=True)
+        settled = settled.unionByName(expanded)
+        frontier = expanded
+    return settled.select(F.col("node").alias("doc"), "dist")
+
+
+@register(
     "sim-maxsim",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
@@ -9967,5 +10042,74 @@ def agg_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(w)
             .cast("long")
             .alias("cum_vocab"),
+        )
+    )
+
+
+@register(
+    "agg-mannkendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT a.event_type,
+           CAST(count(DISTINCT a.day) + 1 AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+                         WHEN b.cnt < a.cnt THEN -1 ELSE 0 END)
+                AS BIGINT) AS s_stat,
+           CAST(count(*) FILTER (b.cnt > a.cnt) AS BIGINT) AS concordant,
+           CAST(count(*) FILTER (b.cnt < a.cnt) AS BIGINT) AS discordant
+    FROM daily a JOIN daily b
+      ON b.event_type = a.event_type AND b.day > a.day
+    GROUP BY a.event_type
+    """,
+    defer_after=11,
+    doc="Mann-Kendall trend test over per-type daily event volume "
+    "(round 11; Mann 1945 / Kendall 1975 — the standard "
+    "non-parametric monotonic-trend statistic, the drift-DETECTION "
+    "sibling of pipe-drift's distribution comparison): S = sum over "
+    "all day pairs i<j of sign(x_j - x_i), with the concordant/"
+    "discordant split that feeds Kendall's tau downstream. All-"
+    "integer surface (counts and signs — the variance/z-score "
+    "normalization a consumer applies is driver-side over these "
+    "integers). Shape: the corpus collapses to a per-(type, day) "
+    "count first — ONE map-side-combined shuffle over the events "
+    "table — and the O(n^2) pair join runs on that DIMENSION-sized "
+    "frame (|days| rows per type, bounded by the calendar, never by "
+    "event volume), the eval-rouge pairing-bound discipline. n_days "
+    "counts a.day values + 1 (every day but the last appears as a "
+    "left endpoint; types with a single day vanish from the pair "
+    "join, which is correct — no trend is defined). At 100 TB the "
+    "daily rollup is the only corpus-scale pass; a year of days per "
+    "type is ~66k pairs, driver-trivial.",
+)
+def agg_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    sign = F.when(F.col("b.cnt") > F.col("a.cnt"), 1).when(
+        F.col("b.cnt") < F.col("a.cnt"), -1
+    ).otherwise(0)
+    return (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") > F.col("a.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            (F.countDistinct(F.col("a.day")) + 1).cast("long").alias("n_days"),
+            F.sum(sign).cast("long").alias("s_stat"),
+            F.sum(F.when(F.col("b.cnt") > F.col("a.cnt"), 1).otherwise(0))
+            .cast("long")
+            .alias("concordant"),
+            F.sum(F.when(F.col("b.cnt") < F.col("a.cnt"), 1).otherwise(0))
+            .cast("long")
+            .alias("discordant"),
         )
     )

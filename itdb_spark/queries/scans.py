@@ -790,3 +790,124 @@ def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema("id long, val long, tag string, flag boolean")
         .orc(path)
     )
+
+
+def _synth_file_dir(root: str, spec: list[tuple[str, bytes]]) -> str:
+    """Deterministic multi-file fixture directory for the whole-file
+    sources (src-text / src-binaryfile). Same discipline as
+    _synth_pq_dir: the dir must be ours (ownership check), per-file
+    lstat-gated reuse of regular files WE own, stage + os.replace so a
+    concurrent session never observes a half-written file. Stage names
+    carry a leading underscore — Spark's file readers skip _-prefixed
+    paths, and both queries additionally pin a pathGlobFilter — so even
+    a crashed writer's orphaned stage file can never enter a scan."""
+    os.makedirs(root, exist_ok=True)
+    uid = os.getuid()
+    if os.stat(root).st_uid != uid:
+        raise RuntimeError(
+            f"fixture dir {root} is owned by uid {os.stat(root).st_uid}, "
+            f"not {uid} — refusing to read pre-created content"
+        )
+    for name, payload in spec:
+        path = os.path.join(root, name)
+        if os.path.lexists(path):
+            st = os.lstat(path)
+            if stat_mod.S_ISREG(st.st_mode) and st.st_uid == uid:
+                continue
+            os.unlink(path)
+        tmp = os.path.join(root, f"_stage_{os.getpid()}_{name}")
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, path)
+    return root
+
+
+def _text_fixture_payload(i: int) -> bytes:
+    return f"alpha {i}\nbeta {(i * 37) % 101}\n".encode("ascii")
+
+
+@register(
+    "src-text",
+    oracle="""
+    SELECT 'doc' || lpad(CAST(i AS VARCHAR), 2, '0') || '.txt' AS fname,
+           'alpha ' || i || chr(10) || 'beta ' ||
+             CAST((i * 37) % 101 AS VARCHAR) || chr(10) AS text
+    FROM range(40) t(i)
+    """,
+    defer_after=11,
+    doc="Whole-file text source (round 11): spark.read.option('wholetext')"
+    ".text — one row per FILE, the raw-document ingest shape a crawl "
+    "or dump directory hands a training pipeline before any parsing "
+    "(the reference's per-file consumers read whole files the same "
+    "way, e.g. restore_playlist.py's playlist file reads). The 40-file "
+    "fixture content is arithmetic (src-orc's oracle-predicts-the-"
+    "bytes pattern — the oracle never re-reads the files, so the gate "
+    "proves Spark reproduced every byte including newlines), fname is "
+    "derived JVM-side from input_file_name. pathGlobFilter pins the "
+    "scan to *.txt. At 100 TB: wholetext files are indivisible splits "
+    "(one file = one task = one row) — fine for document corpora of "
+    "many small-to-medium files, and exactly the shape where "
+    "maxPartitionBytes-driven coalescing of tiny files into shared "
+    "tasks matters; huge single files belong to the line-mode reader.",
+)
+def src_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _uid_tmp_path("itdb_spark_src_text")
+    _synth_file_dir(
+        root,
+        [(f"doc{i:02d}.txt", _text_fixture_payload(i)) for i in range(40)],
+    )
+    return (
+        spark.read.option("pathGlobFilter", "*.txt")
+        .text(root, wholetext=True)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("fname"),
+            F.col("value").alias("text"),
+        )
+    )
+
+
+def _binary_fixture_payload(i: int) -> bytes:
+    return (f"bin {i} " * (i % 5 + 1)).encode("ascii")
+
+
+@register(
+    "src-binaryfile",
+    oracle="""
+    SELECT 'blob' || lpad(CAST(i AS VARCHAR), 2, '0') || '.bin' AS fname,
+           CAST(length(repeat('bin ' || i || ' ', i % 5 + 1)) AS BIGINT)
+             AS n_bytes,
+           md5(repeat('bin ' || i || ' ', i % 5 + 1)) AS content_md5
+    FROM range(30) t(i)
+    """,
+    defer_after=11,
+    doc="Binary whole-file source (round 11): spark.read.format"
+    "('binaryFile') — the multimodal ingest front door (SURVEY's "
+    "image/audio/video columns enter as opaque binary + typed "
+    "metadata; mm-meta/mm-decode consume exactly this shape from "
+    "parquet, this source is how raw media DIRECTORIES become that "
+    "frame). Emits fname / n_bytes / md5(content): length and hash "
+    "are both predicted arithmetically by the oracle (the fixture "
+    "bytes are ASCII repeats, so DuckDB's string md5 equals Spark's "
+    "binary md5 byte-for-byte — proving the reader delivered the "
+    "exact payload, not just the right count). pathGlobFilter pins "
+    "*.bin. At 100 TB: binaryFile tasks are per-file like wholetext; "
+    "the production posture is ingest-once into parquet binary "
+    "columns (snk side) so later passes get splittable columnar "
+    "scans instead of re-walking object-store directories.",
+)
+def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _uid_tmp_path("itdb_spark_src_binaryfile")
+    _synth_file_dir(
+        root,
+        [(f"blob{i:02d}.bin", _binary_fixture_payload(i)) for i in range(30)],
+    )
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(root)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+    )

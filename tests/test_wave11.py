@@ -362,3 +362,155 @@ def test_src_orc_fixture_discipline(spark, tmp_path):
     assert len(rows) == 500
     for i in (0, 7, 499):
         assert rows[i] == ((i * 37) % 101, f"t{i % 7}", i % 3 == 0)
+
+
+def test_graph_bfs_invariants(spark):
+    """BFS distances are well-formed: every seed (node % 11 == 0 among
+    graph nodes) is at dist 0, every non-seed reachable node's dist is
+    1 + min over neighbors' dists (the Bellman relaxation identity —
+    the frontier loop cannot overshoot OR undershoot a hop), each node
+    appears exactly once, and dist never exceeds the radius."""
+    from itdb_spark.queries.pipeline import graph_bfs
+
+    got = {r.doc: r.dist for r in graph_bfs(spark, SF_DIR).collect()}
+    assert got, "empty BFS result proves nothing"
+    assert max(got.values()) <= 3 and min(got.values()) == 0
+
+    from itdb_spark.operators.dedup import minhash_candidates
+    from itdb_spark.queries.pipeline import corpus
+
+    pairs = minhash_candidates(
+        corpus(spark, SF_DIR), "doc_id", "text"
+    ).select("id1", "id2").collect()
+    adj: dict[int, set[int]] = {}
+    for r in pairs:
+        adj.setdefault(r.id1, set()).add(r.id2)
+        adj.setdefault(r.id2, set()).add(r.id1)
+    seeds = {n for n in adj if n % 11 == 0}
+    assert seeds and all(got[s] == 0 for s in seeds)
+    for node, d in got.items():
+        if d == 0:
+            assert node in seeds
+        else:
+            assert d == 1 + min(
+                got.get(nb, 99) for nb in adj[node]
+            ), f"node {node}: dist {d} violates the relaxation identity"
+    # reference BFS (pure Python) must agree exactly within the radius
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in (1, 2, 3):
+        nxt = {
+            nb for n in frontier for nb in adj[n] if nb not in dist
+        }
+        for n in nxt:
+            dist[n] = h
+        frontier = nxt
+    assert got == dist
+
+
+def test_src_text_wholetext_and_glob_filter(spark, tmp_path):
+    """wholetext returns ONE row per file with the exact byte content
+    (including interior and trailing newlines), and the pathGlobFilter
+    + _-prefix discipline keeps stage/foreign files out of the scan."""
+    from itdb_spark.queries.scans import (
+        _synth_file_dir,
+        _text_fixture_payload,
+    )
+
+    root = tmp_path / "txt"
+    spec = [(f"doc{i:02d}.txt", _text_fixture_payload(i)) for i in range(5)]
+    _synth_file_dir(str(root), spec)
+    # pollution a crashed writer / foreign process could leave behind:
+    (root / "_stage_999_doc00.txt").write_text("orphan")
+    (root / "README.md").write_text("not a doc")
+    got = (
+        spark.read.option("pathGlobFilter", "*.txt")
+        .text(str(root), wholetext=True)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f"),
+            "value",
+        )
+        .collect()
+    )
+    rows = {r.f: r.value for r in got}
+    assert set(rows) == {name for name, _ in spec}
+    for name, payload in spec:
+        assert rows[name] == payload.decode("ascii")
+
+
+def test_synth_file_dir_ownership_and_reuse(tmp_path):
+    """_synth_file_dir follows the _synth_pq_dir discipline: reuse our
+    regular files by inode, replace a pre-created symlink instead of
+    following it."""
+    import os
+
+    from itdb_spark.queries.scans import _synth_file_dir
+
+    root = tmp_path / "fix"
+    target = tmp_path / "foreign"
+    target.write_bytes(b"foreign")
+    os.makedirs(root)
+    (root / "a.bin").symlink_to(target)
+    _synth_file_dir(str(root), [("a.bin", b"payload")])
+    assert not os.path.islink(root / "a.bin")
+    assert target.read_bytes() == b"foreign", "write followed the symlink"
+    assert (root / "a.bin").read_bytes() == b"payload"
+    ino = os.stat(root / "a.bin").st_ino
+    _synth_file_dir(str(root), [("a.bin", b"payload")])
+    assert os.stat(root / "a.bin").st_ino == ino, "owned file was rewritten"
+
+
+def test_src_binaryfile_content_hash(spark):
+    """Spark's binaryFile reader must deliver the exact payload bytes:
+    md5 over the binary column equals hashlib over the generating
+    bytes, and length equals the payload size."""
+    import hashlib
+
+    from itdb_spark.queries.scans import (
+        _binary_fixture_payload,
+        src_binaryfile,
+    )
+
+    rows = {r.fname: r for r in src_binaryfile(spark, SF_DIR).collect()}
+    assert len(rows) == 30
+    for i in (0, 4, 13, 29):
+        payload = _binary_fixture_payload(i)
+        r = rows[f"blob{i:02d}.bin"]
+        assert r.n_bytes == len(payload)
+        assert r.content_md5 == hashlib.md5(payload).hexdigest()
+
+
+def test_agg_mannkendall_matches_python(spark):
+    """S statistic, pair split, and n_days against a brute-force Python
+    Mann-Kendall over the same per-(type, day) counts."""
+    from itdb_spark.catalog import Tables
+    from itdb_spark.queries.pipeline import agg_mannkendall
+
+    t = Tables(spark, SF_DIR)
+    daily = (
+        t.events.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    series: dict[str, list[tuple]] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.cnt))
+    expect = {}
+    for et, pts in series.items():
+        pts.sort()
+        xs = [c for _, c in pts]
+        n = len(xs)
+        if n < 2:
+            continue  # no pairs -> type absent from the join output
+        conc = sum(
+            1 for i in range(n) for j in range(i + 1, n) if xs[j] > xs[i]
+        )
+        disc = sum(
+            1 for i in range(n) for j in range(i + 1, n) if xs[j] < xs[i]
+        )
+        expect[et] = (n, conc - disc, conc, disc)
+    got = {
+        r.event_type: (r.n_days, r.s_stat, r.concordant, r.discordant)
+        for r in agg_mannkendall(spark, SF_DIR).collect()
+    }
+    assert got == expect
