@@ -9873,6 +9873,141 @@ def emb_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_iter_ctes(t: int) -> str:
+    """One unrolled power-iteration step as SQL CTEs: w{t} = M · v{t-1},
+    then v{t} renormalized to the ±1e6 integer scale via SIGN-SPLIT
+    positive floor division (DuckDB ``//`` floors, Spark's integral DIV
+    truncates toward zero — they agree only on non-negative operands,
+    the agg-gini-global divergence class, so |w| is divided and the
+    sign reattached)."""
+    p = t - 1
+    return f"""w{t} AS (
+      SELECT mm.i, CAST(sum(mm.s * v{p}.v) AS HUGEINT) AS w
+      FROM mm JOIN v{p} ON v{p}.i = mm.j GROUP BY mm.i
+    ),
+    n{t} AS (SELECT max(abs(w)) AS mx FROM w{t}),
+    v{t} AS (
+      SELECT i,
+             CASE WHEN (SELECT mx FROM n{t}) = 0 THEN CAST(0 AS HUGEINT)
+                  ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                       * ((abs(w) * 1000000) // (SELECT mx FROM n{t}))
+             END AS v
+      FROM w{t}
+    )"""
+
+
+@register(
+    "emb-pca",
+    oracle=f"""
+    WITH m0 AS (
+      SELECT e.vec_id, g.i,
+             CAST(floor(CAST(e.embedding[g.i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings e,
+           LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+      WHERE e.embedding IS NOT NULL
+    ),
+    mm AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS s
+      FROM m0 a JOIN m0 b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    v0 AS (SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS v FROM m0),
+    {_pca_iter_ctes(1)},
+    {_pca_iter_ctes(2)},
+    {_pca_iter_ctes(3)},
+    {_pca_iter_ctes(4)}
+    SELECT v4.i AS dim, CAST(v4.v AS BIGINT) AS v_micro,
+           CAST(abs(w4.w) AS VARCHAR) AS w_abs
+    FROM v4 JOIN w4 ON w4.i = v4.i
+    """,
+    defer_after=11,
+    doc="Dominant principal direction of the embedding matrix (round 11) "
+    "— the top right-singular vector of X via 4 exact-integer power "
+    "iterations on the uncentered second-moment matrix M = XᵀX "
+    "(micro-integer values per the emb-dimstats half-up rule): the "
+    "spectral primitive under PCA drift monitors, spectral hashing, "
+    "and low-rank compression decisions, completing the moments "
+    "family (emb-dimstats → emb-cov → this). Deterministic end-to-"
+    "end: v0 = all-ones, each step renormalizes to the ±1e6 scale "
+    "with sign-split positive floor division (both engines agree "
+    "only there — the agg-gini-global divergence class), so every "
+    "value is exact integer arithmetic and the FULL eigenvector "
+    "hash-gates, alongside |w| (the unnormalized iterate magnitude, "
+    "which carries the eigenvalue: lambda ≈ wmax/1e6 after "
+    "convergence) emitted as canonical-digit VARCHAR — the "
+    "engine-portable surface for >64-bit integers (VERDICT r10 #1). "
+    "Semantics are the 4-STEP POWER ITERATE, not 'the eigenvector': "
+    "on a spectrally near-degenerate corpus (this synthetic one "
+    "measures lambda1/lambda2 ~ 1.07) four steps guarantee only a "
+    "monotone Rayleigh quotient (0.85·lambda_max here, >0.999 of the "
+    "planted direction in the spiked regime PCA exists for — both "
+    "pinned in tests); a consumer wanting convergence raises the "
+    "step count, which only appends CTEs/loop turns. "
+    "Spark-first split: the CORPUS-scale work is one pass building "
+    "the d(d+1)/2 moment accumulators (emb-cov's zero-join in-row "
+    "pair expansion, one map-side-combined shuffle, DECIMAL(38,0) "
+    "sums); the 64x64 eigensolve is MODEL-sized and runs driver-side "
+    "in exact Python ints (the fn-bpe-train bounded-model precedent "
+    "— shipping a 4160-entry matrix to a distributed joins loop "
+    "would be plan theater). The oracle replays both halves in "
+    "HUGEINT (int128 — products bounded by 64·n·1e18 < 1.7e38 up to "
+    "n ~ 1e9 vectors per shard).",
+)
+def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    emb = Tables(spark, sf_dir).embeddings
+    pairs = emb.where(F.col("embedding").isNotNull()).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(embedding)), i -> "
+                "transform(sequence(i, size(embedding)), j -> named_struct("
+                "'i', i, 'j', j, "
+                "'xy', CAST(floor(CAST(element_at(embedding, i) AS DOUBLE) "
+                "* 1000000 + 0.5) AS BIGINT) * "
+                "CAST(floor(CAST(element_at(embedding, j) AS DOUBLE) "
+                "* 1000000 + 0.5) AS BIGINT)))))"
+            )
+        ).alias("p")
+    )
+    upper = (
+        pairs.groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(F.sum(F.col("p.xy").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    # model-sized driver work from here: mirror the upper triangle and
+    # run the iteration in arbitrary-precision Python ints (exact, so
+    # byte-identical to the oracle's HUGEINT replay)
+    m: dict[tuple[int, int], int] = {}
+    for r in upper:
+        s = int(r.s)
+        m[(int(r.i), int(r.j))] = s
+        m[(int(r.j), int(r.i))] = s
+    dims = sorted({i for i, _ in m})
+    v = {i: 1000000 for i in dims}
+    w = {i: 0 for i in dims}
+    for _ in range(4):
+        w = {
+            i: sum(m.get((i, j), 0) * v[j] for j in dims) for i in dims
+        }
+        mx = max((abs(x) for x in w.values()), default=0)
+        v = {
+            i: 0 if mx == 0 else (-1 if w[i] < 0 else 1) * ((abs(w[i]) * 1000000) // mx)
+            for i in dims
+        }
+    schema = T.StructType(
+        [
+            T.StructField("dim", T.LongType()),
+            T.StructField("v_micro", T.LongType()),
+            T.StructField("w_abs", T.StringType()),
+        ]
+    )
+    rows = [(i, v[i], str(abs(w[i]))) for i in dims]
+    return spark.createDataFrame(rows, schema)
+
+
 @register(
     "graph-linkpred",
     oracle=f"""
@@ -10111,5 +10246,86 @@ def agg_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("b.cnt") < F.col("a.cnt"), 1).otherwise(0))
             .cast("long")
             .alias("discordant"),
+        )
+    )
+
+
+@register(
+    "agg-theilsen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (CASE WHEN b.cnt < a.cnt THEN -1 ELSE 1 END)
+             * ((abs(b.cnt - a.cnt) * 1000000)
+                // CAST(b.day - a.day AS BIGINT)) AS slope_micro
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day > a.day
+    ),
+    ranked AS (
+      SELECT event_type, slope_micro,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_micro) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM slopes
+    )
+    SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(slope_micro AS BIGINT) AS slope_micro
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+    defer_after=11,
+    doc="Theil-Sen robust trend slope over per-type daily event volume "
+    "(round 11; Theil 1950 / Sen 1968 — the median-of-pairwise-slopes "
+    "estimator, agg-mannkendall's MAGNITUDE companion: MK answers 'is "
+    "there a monotonic trend', Theil-Sen answers 'how steep', both "
+    "immune to the outlier days that wreck agg-linreg's OLS fit on "
+    "bursty telemetry). slope_micro = sign-split positive floor "
+    "division of 1e6*|dy| by the day gap (the emb-pca discipline — "
+    "Spark DIV truncates toward zero, DuckDB // floors; they agree "
+    "only on non-negative operands), and the LOWER median is an exact "
+    "rank selection (rn = (n+1) DIV 2 under ORDER BY slope_micro — "
+    "ties in value cannot change the value at a fixed rank, so no "
+    "tie-break is needed for hash parity). Shape: corpus collapses to "
+    "the per-(type, day) rollup in ONE map-side-combined shuffle; the "
+    "O(n^2) pair frame and the median window run on the "
+    "dimension-sized daily table (the agg-mannkendall pairing bound).",
+)
+def agg_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            F.when(F.col("b.cnt") < F.col("a.cnt"), -1).otherwise(1)
+            * F.expr(
+                "(abs(b.cnt - a.cnt) * 1000000) DIV "
+                "CAST(datediff(b.day, a.day) AS BIGINT)"
+            )
+        ).alias("slope_micro"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro")
+    wc = Window.partitionBy("event_type")
+    return (
+        slopes.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_pairs", F.count("*").over(wc))
+        .where(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .select(
+            "event_type",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_micro").cast("long").alias("slope_micro"),
         )
     )
