@@ -801,3 +801,58 @@ def stream_ohlc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "stream_ohlc_live_sink")
+
+
+@register(
+    "stream-topk-live",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+               AS window_start,
+             event_type, count(*) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, cnt FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY cnt DESC, event_type) AS rn
+      FROM counts
+    ) WHERE rn <= 3
+    """,
+    defer_after=11,
+    doc="Streaming top-k: the top-3 event types per tumbling hour, with "
+    "the windowed counts computed by a REAL Structured Streaming query "
+    "(readStream → watermark → window agg → memory sink, driven to "
+    "completion — the stream-window-live engine) and the rank cut "
+    "applied OVER THE SINK. The split is the production architecture, "
+    "not a shortcut: post-aggregation ranking is unsupported inside an "
+    "append-mode streaming query (Spark rejects a window function over "
+    "a streaming agg), so real dashboards rank in the serving layer "
+    "over the continuously-maintained per-window counts — state stays "
+    "O(windows x types) in the stream (watermark-evicted), and the "
+    "rank scan touches only the window-dimension sink table. "
+    "Deterministic tie-break (cnt DESC, event_type) on both sides. "
+    "At 100 TB the sink is a versioned table (snk-versioned) or "
+    "foreachBatch upsert; the rank cut stays dimension-sized "
+    "regardless of event volume.",
+)
+def stream_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from itdb_spark.streaming.events import (
+        run_available_now,
+        windowed_counts_stream,
+    )
+
+    counts = run_available_now(
+        windowed_counts_stream(spark, sf_dir, window="1 hour"),
+        "stream_topk_live_sink",
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("window_start", "event_type", "cnt")
+    )

@@ -649,3 +649,42 @@ def test_agg_theilsen_matches_python(spark):
         for r in agg_theilsen(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_stream_topk_live_matches_batch_rank(spark):
+    """The streaming windowed counts + serving-layer rank cut must equal
+    the rank cut over the BATCH windowed counts (same engine both
+    sides, so this isolates the streaming execution; the DuckDB oracle
+    isolates the semantics), and every window emits at most 3 rows."""
+    from itdb_spark.queries.streamingq import stream_topk_live
+
+    got = [
+        (r.window_start, r.event_type, r.cnt)
+        for r in stream_topk_live(spark, SF_DIR).collect()
+    ]
+    assert got, "empty top-k proves nothing"
+    from collections import Counter
+
+    per_window = Counter(ws for ws, _, _ in got)
+    assert max(per_window.values()) <= 3
+
+    from itdb_spark.catalog import Tables
+
+    batch = (
+        Tables(spark, SF_DIR)
+        .events.where(F.col("ts").isNotNull())
+        .groupBy(
+            F.unix_timestamp(F.window("ts", "1 hour").start).alias("ws"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    windows: dict[int, list] = {}
+    for r in batch:
+        windows.setdefault(r.ws, []).append((-r.cnt, r.event_type, r.cnt))
+    expect = []
+    for ws, rows in windows.items():
+        rows.sort()
+        expect.extend((ws, et, c) for _, et, c in rows[:3])
+    assert sorted(got) == sorted(expect)

@@ -25,11 +25,14 @@ this tool does the opposite):
   scaling ratios unreadable.)
 - embeddings: ids shift; vectors get a tiny deterministic per-replica
   additive offset so cross-replica rows are not bit-equal.
-- Id-floor discipline: doc_id stays far below the +100000/+200000
-  derived-dedup-corpus range AND catalog.EDGE_ID_FLOOR (doc stride is
-  the base max+1 = 5000 at sf0.1). event_id at N=10 tops out just
-  under 10**6; the edge-corpus floor only governs doc pairing
-  (eval-rouge), so that is acceptable for a bench-only dir.
+- Id discipline: doc ids are BLOCK-REMAPPED into [0, 100000) mod
+  300000 (see the inline comment at the documents emit) so that
+  corpus()'s +100000/+200000 derived-dedup copies stay collision-free
+  at ANY replication factor — the identity below 100k docs. Large
+  derived dirs exceed catalog.EDGE_ID_FLOOR (doc pairing in
+  eval-rouge) and the 200000 fixed split (dedup-incr-persist's
+  batch/index mix); both are bench-only artifacts, documented in
+  SCALE.md.
 
 Usage: python tools/make_scale_dir.py [src_dir] [dst_dir] [N]
 Defaults: /root/testdata/sf0.1 → ./.scale/sf1.0, N=10.
@@ -129,8 +132,22 @@ def build(src: str, dst: str, n: int) -> None:
                user_id + r * {user} AS user_id,
                event_type, value, props
         FROM read_parquet('{src}/events.parquet'), {reps}""")
+    # Block remap for doc ids (round 11 — the sf10 containment OOM's
+    # root cause): queries/pipeline.corpus() maps id -> {{id, id+100000,
+    # id+200000}}, so injectivity requires every base id to sit in
+    # [0, 100000) MOD 300000. A contiguous derived range (sf10: 0..500k)
+    # violates that — base docs COLLIDED with the shifted copies, merging
+    # unrelated replicas' texts under one id, silently breaking the
+    # 'structure replicates 1:1' claim and exploding the containment
+    # candidate space (>78 GB of sort spill at sf10). The remap
+    # (raw DIV 100000)*300000 + raw%100000 is the identity below 100k
+    # (sf1.0 output byte-identical) and keeps the three corpus() images
+    # pairwise disjoint at ANY N. Known artifact: fixed-id-window
+    # queries (dedup-incr-persist's 200000 split) see a different
+    # batch/index mix above 100k docs — documented in SCALE.md.
+    doc_expr = f"((doc_id + r * {doc}) // 100000) * 300000 + ((doc_id + r * {doc}) % 100000)"
     emit("documents", f"""
-        SELECT doc_id + r * {doc} AS doc_id,
+        SELECT {doc_expr} AS doc_id,
                CASE WHEN r = 0 THEN text
                     ELSE array_to_string(
                       list_transform(
@@ -147,6 +164,14 @@ def build(src: str, dst: str, n: int) -> None:
                       ' ')) AS BIGINT)
                END AS n_chars
         FROM read_parquet('{src}/documents.parquet'), {reps}""")
+    n_colliding = con.execute(
+        f"SELECT count(*) FROM read_parquet('{dst}/documents.parquet') "
+        f"WHERE doc_id % 300000 >= 100000"
+    ).fetchone()[0]
+    assert n_colliding == 0, (
+        f"{n_colliding} doc ids outside [0,100000) mod 300000: corpus()'s "
+        "+100000/+200000 copies would collide with base docs"
+    )
     emit("embeddings", f"""
         SELECT vec_id + r * {vec} AS vec_id,
                list_transform(embedding,
