@@ -10329,3 +10329,96 @@ def agg_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("slope_micro").cast("long").alias("slope_micro"),
         )
     )
+
+
+@register(
+    "agg-winsorize",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, c, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum_cnt,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    bounds AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(max(n) // 10 AS BIGINT) AS k,
+             CAST(min(CASE WHEN cum_cnt >= n // 10 + 1 THEN c END)
+                  AS BIGINT) AS lo,
+             CAST(min(CASE WHEN cum_cnt >= n - n // 10 THEN c END)
+                  AS BIGINT) AS hi
+      FROM cum GROUP BY event_type
+    )
+    SELECT h.event_type, b.n, b.k,
+           CAST(sum(h.cnt * least(greatest(h.c, b.lo), b.hi)) AS BIGINT)
+             AS wsum_cents
+    FROM hist h JOIN bounds b ON b.event_type = h.event_type
+    GROUP BY h.event_type, b.n, b.k
+    """,
+    defer_after=11,
+    doc="Winsorized sum per event type at 10% (round 11) — the "
+    "outlier-robust aggregate telemetry dashboards put next to the raw "
+    "mean (agg-quality's trimmed cousin: winsorizing CLAMPS the tails "
+    "to the k-th order statistics instead of dropping them, k = n DIV "
+    "10). Exact integer surface: cents values, bounds selected by "
+    "exact rank off a COUNT HISTOGRAM — order statistics as 'smallest "
+    "value whose cumulative count reaches the rank', so no corpus-"
+    "sized sort exists anywhere: the events table collapses to the "
+    "per-(type, cents) histogram in one map-side-combined shuffle "
+    "(domain-bounded: ~10k distinct cents per type), the cumulative "
+    "window runs over that DIMENSION-sized frame, and the clamped sum "
+    "is a second pass over the same histogram (never the raw rows) "
+    "with the 5-row bounds broadcast into the join. Clamp-sum is "
+    "tie-order-invariant by construction (the multiset and the bound "
+    "VALUES are fixed), so the hash gates without any tie-break. At "
+    "100 TB this is the textbook histogram-quantile route — the same "
+    "reason agg-quantile avoids sortWithinPartitions.",
+)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    # NULL measurements have no magnitude to clamp — excluded explicitly
+    # (also pins engine-divergent NULL placement in the ORDER BY c
+    # cumulative window out of existence; edge-corpus caught it)
+    hist = t.events.where(F.col("value").isNotNull()).groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    wt = Window.partitionBy("event_type")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "event_type",
+        "c",
+        "cnt",
+        F.sum("cnt").over(wo).alias("cum_cnt"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr("max(n) DIV 10").cast("long").alias("k"),
+        F.min(F.when(F.col("cum_cnt") >= F.expr("n DIV 10") + 1, F.col("c")))
+        .cast("long")
+        .alias("lo"),
+        F.min(F.when(F.col("cum_cnt") >= F.expr("n - n DIV 10"), F.col("c")))
+        .cast("long")
+        .alias("hi"),
+    )
+    return (
+        hist.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n", "k")
+        .agg(
+            F.sum(F.col("cnt") * F.least(F.greatest("c", "lo"), "hi"))
+            .cast("long")
+            .alias("wsum_cents")
+        )
+    )

@@ -911,3 +911,71 @@ def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("content")).alias("content_md5"),
         )
     )
+
+
+# Memoized per-sf_dir embedded-Derby database for src-jdbc: written once
+# per process (mkdtemp-private, removed at interpreter exit), read on
+# every subsequent call — the serving split the ANN/dedup persisted
+# indexes already follow, and what keeps the differential's warmup +
+# timed runs from re-landing the table.
+_SRC_JDBC_URL_CACHE: dict[str, str] = {}
+
+
+@register(
+    "src-jdbc",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id < 300 AND n_chars > 50
+    """,
+    defer_after=11,
+    doc="JDBC relational source (round 11) — the read HALF of the "
+    "reference's MySQL deployment shape (SURVEY §2.2: itdb2html.py "
+    "reads every report from the relational store; the write half is "
+    "sinks/jdbc + the snk-merge/snk-dedup-load family): a documents "
+    "slice lands in an embedded-Derby table through sinks.jdbc."
+    "write_table, and spark.read.jdbc must reproduce every typed cell "
+    "through the DriverRegistry round trip, with the n_chars filter "
+    "PUSHED INTO the remote query (JDBCRelation pushes predicates; "
+    "PushedFilters visible in the scan node) — the oracle reads the "
+    "ORIGINAL parquet, so the gate proves the relational detour is "
+    "lossless. Derby is the in-container stand-in (Spark bundles the "
+    "driver; MySQL itself is not installed — the jdbc_available() "
+    "gate at deploy time). At 100 TB a JDBC source is the DIMENSION "
+    "lane, never the fact lane: partitionColumn/numPartitions shard "
+    "the read, and anything bigger belongs in columnar storage first "
+    "(the snk-bulkload direction).",
+)
+def src_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import tempfile
+
+    from itdb_spark.sinks.jdbc import write_table
+
+    key = os.path.abspath(sf_dir)
+    if key not in _SRC_JDBC_URL_CACHE:
+        dbdir = tempfile.mkdtemp(prefix="itdb_spark_src_jdbc_")
+        atexit.register(shutil.rmtree, dbdir, True)
+        url = f"jdbc:derby:{dbdir}/db;create=true"
+        docs = (
+            Tables(spark, sf_dir)
+            .documents.where(F.col("doc_id") < 300)
+            .select("doc_id", "lang", "source", "n_chars")
+        )
+        write_table(
+            docs,
+            url,
+            "docs_dim",
+            mode="overwrite",
+            varchar_strings=256,
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+        )
+        _SRC_JDBC_URL_CACHE[key] = url
+    return (
+        spark.read.format("jdbc")
+        .option("url", _SRC_JDBC_URL_CACHE[key])
+        .option("dbtable", "docs_dim")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+        .where(F.col("n_chars") > 50)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -688,3 +688,50 @@ def test_stream_topk_live_matches_batch_rank(spark):
         rows.sort()
         expect.extend((ws, et, c) for _, et, c in rows[:3])
     assert sorted(got) == sorted(expect)
+
+
+def test_agg_winsorize_matches_python(spark):
+    """Histogram-rank winsorized sum against brute-force Python: sort
+    the cents values, clamp at the (k+1)-th / (n-k)-th order statistics
+    (k = n//10), sum."""
+    from itdb_spark.catalog import Tables
+    from itdb_spark.queries.pipeline import agg_winsorize
+
+    t = Tables(spark, SF_DIR)
+    vals: dict[str, list[int]] = {}
+    for r in t.events.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(round(r.value * 100))
+    expect = {}
+    for et, xs in vals.items():
+        xs = sorted(int(x) for x in xs)
+        n = len(xs)
+        k = n // 10
+        lo, hi = xs[k], xs[n - k - 1]
+        expect[et] = (n, k, sum(min(max(x, lo), hi) for x in xs))
+    got = {
+        r.event_type: (r.n, r.k, r.wsum_cents)
+        for r in agg_winsorize(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_src_jdbc_round_trip_and_pushdown(spark):
+    """The Derby detour is lossless against the original parquet frame, and the
+    n_chars predicate reaches the JDBC scan (PushedFilters in the
+    executed plan) — the filter must run in the 'remote' database, not
+    as a post-scan Spark Filter alone."""
+    from itdb_spark.catalog import Tables
+    from itdb_spark.queries.scans import src_jdbc
+
+    got = src_jdbc(spark, SF_DIR)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_chars" in plan.split("PushedFilters")[1].split("]")[0], plan
+    want = {
+        (r.doc_id, r.lang, r.source, r.n_chars)
+        for r in Tables(spark, SF_DIR)
+        .documents.where((F.col("doc_id") < 300) & (F.col("n_chars") > 50))
+        .select("doc_id", "lang", "source", "n_chars")
+        .collect()
+    }
+    assert {(r.doc_id, r.lang, r.source, r.n_chars) for r in got.collect()} == want
+    assert want, "empty round trip proves nothing"
