@@ -508,8 +508,23 @@ def containment_candidates(
     prefix = ranked.where(
         F.col("rn")
         <= F.col("nt") - F.expr(f"({t_num} * nt + {t_den - 1}) DIV {t_den}") + 1
-    ).select("doc", "w", "nt")
-    index = ranked.select("doc", "w", "nt")
+    ).select("doc", "w", "nt", "rn")
+    index = ranked.select("doc", "w", "nt", "rn")
+    # PPJoin positional filter (Xiao/Wang/Lin/Yu WWW 2008 §3.2, adapted
+    # to the containment measure; round 11 — the sf10 second-decade
+    # point measured the UNfiltered candidate set at ~1.2% of quadratic
+    # on the saturated synthetic vocabulary, which fed ~83 GB of
+    # array-carrying rows into the verification join and over-spilled
+    # the host disk): for any common shingle at ranks (rn_a, rn_b),
+    # every OTHER common shingle of the pair sits after SOME common
+    # shingle, so at the pair's first common shingle
+    # |A∩B| <= 1 + min(nt_a - rn_a, nt_b - rn_b). The max of that bound
+    # over the matched prefix shingles is >= the bound at the first
+    # common shingle (remaining counts shrink with rank), hence pruning
+    # pairs whose max bound misses ceil(t*min(nt)) is LOSSLESS — the
+    # recall pins (tests/test_wave10.py) and the exhaustive oracle gate
+    # it. The groupBy REPLACES the old .distinct() (same shuffle, two
+    # extra int columns), so the filter is structurally free.
     return (
         prefix.alias("a")
         .join(index.alias("b"), "w")
@@ -520,8 +535,18 @@ def containment_candidates(
         .select(
             F.least(F.col("a.doc"), F.col("b.doc")).alias("id1"),
             F.greatest(F.col("a.doc"), F.col("b.doc")).alias("id2"),
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("a.nt") - F.col("a.rn"), F.col("b.nt") - F.col("b.rn")
+                )
+            ).alias("ub"),
+            F.expr(f"({t_num} * a.nt + {t_den - 1}) DIV {t_den}").alias("req"),
         )
-        .distinct()
+        .groupBy("id1", "id2")
+        .agg(F.max("ub").alias("ub"), F.max("req").alias("req"))
+        .where(F.col("ub") >= F.col("req"))
+        .select("id1", "id2")
     )
 
 
@@ -577,14 +602,24 @@ def containment_join_incremental(
     prefix = ranked.where(
         F.col("rn")
         <= F.col("nt") - F.expr(f"({t_num} * nt + {t_den - 1}) DIV {t_den}") + 1
-    ).select("doc", "w", "nt", "is_new")
-    index = ranked.select("doc", "w", "nt", "is_new")
+    ).select("doc", "w", "nt", "rn", "is_new")
+    index = ranked.select("doc", "w", "nt", "rn", "is_new")
     small_side = (F.col("a.nt") < F.col("b.nt")) | (
         (F.col("a.nt") == F.col("b.nt")) & (F.col("a.doc") < F.col("b.doc"))
     )
+    # same PPJoin positional bound as containment_candidates — the max
+    # over matched prefix shingles dominates the bound at the pair's
+    # first common shingle, so the prune is lossless (see the filter
+    # comment there); applied over the UNION of both probes so a pair
+    # surfaced by both is judged on its best bound.
     pair_cols = [
         F.least(F.col("a.doc"), F.col("b.doc")).alias("id1"),
         F.greatest(F.col("a.doc"), F.col("b.doc")).alias("id2"),
+        (
+            F.lit(1)
+            + F.least(F.col("a.nt") - F.col("a.rn"), F.col("b.nt") - F.col("b.rn"))
+        ).alias("ub"),
+        F.expr(f"({t_num} * a.nt + {t_den - 1}) DIV {t_den}").alias("req"),
     ]
     probe1 = (
         prefix.where("is_new").alias("a")
@@ -598,7 +633,13 @@ def containment_join_incremental(
         .where(small_side)
         .select(*pair_cols)
     )
-    cand = probe1.unionByName(probe2).distinct()
+    cand = (
+        probe1.unionByName(probe2)
+        .groupBy("id1", "id2")
+        .agg(F.max("ub").alias("ub"), F.max("req").alias("req"))
+        .where(F.col("ub") >= F.col("req"))
+        .select("id1", "id2")
+    )
     sets = sh.groupBy("doc").agg(
         F.sort_array(F.collect_list("w")).alias("ts"),
         F.count("*").cast("long").alias("n"),
@@ -686,25 +727,51 @@ def containment_join(
     changes which candidates are probed, never which pairs verify.
     Measured 7.9 s -> 4.9 s at sf0.1 (same session, warm).
     """
+    from itdb_spark.plans.library import materialized
+
     sh = shingles if shingles is not None else shingle_frame(docs, id_col, text_col)
     sh = sh.select("doc", F.xxhash64("w").alias("w"))
-    cand = containment_candidates(sh, t_num, t_den)
-    sets = sh.groupBy("doc").agg(
-        F.sort_array(F.collect_list("w")).alias("ts"),
-        F.count("*").cast("long").alias("n"),
+    # --- canonicalize: candidates + verification per DISTINCT shingle
+    # set, not per doc (round 11 — the sf10 second-decade point killed
+    # the per-doc form: 164M candidate pairs x two ~300 B shingle
+    # arrays over-spilled the measurement host's disk; this corpus is
+    # ~3x exact-duplicate content, real crawls commonly 30-50%). Docs
+    # group by their EXACT sorted shingle array (no hash involved —
+    # groupBy on the array value), one representative set id (min doc)
+    # enters candidate generation and array verification, and
+    # qualifying SET pairs expand back to doc pairs at the end —
+    # work scales with distinct content, never with duplication depth.
+    # Identical-set doc pairs never reach the verifier at all: their
+    # containment is 1 by definition (emitted arithmetically below).
+    # The prefix theorem is unaffected: it needs only a global total
+    # order over shingles, and distinct-set df is one.
+    doc_sets = sh.groupBy("doc").agg(
+        F.sort_array(F.collect_list("w")).alias("ts")
     )
-    scored = (
+    canon = (
+        doc_sets.groupBy("ts")
+        .agg(
+            F.min("doc").alias("sid"),
+            F.sort_array(F.collect_list("doc")).alias("members"),
+        )
+        .select("sid", "ts", "members", F.size("ts").cast("long").alias("n"))
+        .cache()
+    )
+    rep_sh = canon.select(F.col("sid").alias("doc"), F.explode("ts").alias("w"))
+    cand = containment_candidates(rep_sh, t_num, t_den)
+    reps = canon.select("sid", "ts", "n")
+    qual = (
         cand.join(
-            sets.select(
-                F.col("doc").alias("id1"),
+            reps.select(
+                F.col("sid").alias("id1"),
                 F.col("ts").alias("ts1"),
                 F.col("n").alias("n1"),
             ),
             "id1",
         )
         .join(
-            sets.select(
-                F.col("doc").alias("id2"),
+            reps.select(
+                F.col("sid").alias("id2"),
                 F.col("ts").alias("ts2"),
                 F.col("n").alias("n2"),
             ),
@@ -716,14 +783,54 @@ def containment_join(
             F.size(F.array_intersect("ts1", "ts2")).cast("long").alias("inter"),
             F.least("n1", "n2").alias("small"),
         )
+        .where(t_den * F.col("inter") >= t_num * F.col("small"))
     )
-    return scored.where(t_den * F.col("inter") >= t_num * F.col("small")).select(
+    members = canon.select("sid", F.explode("members").alias("doc"))
+    cross = (
+        qual.join(
+            members.select(F.col("sid").alias("id1"), F.col("doc").alias("d1")),
+            "id1",
+        )
+        .join(
+            members.select(F.col("sid").alias("id2"), F.col("doc").alias("d2")),
+            "id2",
+        )
+        .select(
+            F.least("d1", "d2").alias("id1"),
+            F.greatest("d1", "d2").alias("id2"),
+            "inter",
+            "small",
+        )
+    )
+    # identical-set pairs: every (d1 < d2) inside a member list, in-row
+    # (members is sorted, so the nested transform emits ordered pairs)
+    same = (
+        canon.where(F.size("members") >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (d1, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "d2 -> struct(d1, d2))))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col("p.d1").alias("id1"),
+            F.col("p.d2").alias("id2"),
+            F.col("n").alias("inter"),
+            F.col("n").alias("small"),
+        )
+    )
+    out = cross.unionByName(same).select(
         "id1",
         "id2",
         "inter",
         "small",
         F.expr("CAST(1000 * inter DIV small AS BIGINT)").alias("contain_milli"),
     )
+    return materialized(out, canon)
 
 
 def simhash(
