@@ -7719,18 +7719,13 @@ def dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def dedup_contain_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from itdb_spark.operators.dedup import shingle_frame
-    from itdb_spark.plans.library import materialized
-
-    c = corpus(spark, sf_dir)
-    # One cached shingle explode feeds the df ranking, the prefix join's
-    # BOTH sides, and the verification arrays (the dedup-jaccard cache
-    # discipline — without it the plan re-derives the explode per branch,
-    # 24 parquet scans at sf0.01); released before return via the
-    # materialized() lifecycle so nothing pins executor storage in the
-    # driver gate's long-lived session.
-    sh = shingle_frame(c, "doc_id", "text").cache()
-    return materialized(containment_join(c, "doc_id", "text", shingles=sh), sh)
+    # The canonicalized containment_join reads the shingle explode ONCE
+    # (everything downstream — ranking, prefix join, verification —
+    # derives from its internally-cached distinct-set frame), so the
+    # round-10 shared shingle cache became single-consumer overhead and
+    # is gone; the operator manages its own cache lifecycle via
+    # materialized().
+    return containment_join(corpus(spark, sf_dir), "doc_id", "text")
 
 
 @register(
