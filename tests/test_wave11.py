@@ -735,3 +735,34 @@ def test_src_jdbc_round_trip_and_pushdown(spark):
     }
     assert {(r.doc_id, r.lang, r.source, r.n_chars) for r in got.collect()} == want
     assert want, "empty round trip proves nothing"
+
+
+def test_containment_canonicalize_semantics(spark):
+    """Hand corpus for the canonicalize-then-verify rewrite: three docs
+    with IDENTICAL text (one distinct shingle set) plus one short doc
+    fully contained in them. Expect all three identical pairs at
+    containment 1000 (emitted arithmetically, never verified) and the
+    short doc contained in EACH of the three (set-pair verified once,
+    expanded to three doc pairs)."""
+    import pandas as pd
+
+    from itdb_spark.operators.dedup import containment_join
+
+    long_text = " ".join(f"w{i}" for i in range(20))
+    short_text = " ".join(f"w{i}" for i in range(10))
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, long_text), (2, long_text), (3, long_text), (4, short_text)],
+            columns=["doc", "text"],
+        )
+    )
+    got = {
+        (r.id1, r.id2): (r.inter, r.small, r.contain_milli)
+        for r in containment_join(d, "doc", "text").collect()
+    }
+    # identical docs: 18 shingles each (20 words -> 18 3-grams)
+    assert got[(1, 2)] == got[(1, 3)] == got[(2, 3)] == (18, 18, 1000)
+    # short doc: 8 shingles, all present in the long text
+    for other in (1, 2, 3):
+        assert got[(other, 4)] == (8, 8, 1000)
+    assert len(got) == 6
