@@ -730,7 +730,11 @@ def containment_join(
     from itdb_spark.plans.library import materialized
 
     sh = shingles if shingles is not None else shingle_frame(docs, id_col, text_col)
-    sh = sh.select("doc", F.xxhash64("w").alias("w"))
+    # accept a pre-folded (doc, bigint w) frame — callers that cache the
+    # shingle explode should cache the FOLDED form (16 B/row vs the
+    # ~60 B string rows; the sf10 heap lesson) and skip the re-fold here
+    if dict(sh.dtypes).get("w") != "bigint":
+        sh = sh.select("doc", F.xxhash64("w").alias("w"))
     # --- canonicalize: candidates + verification per DISTINCT shingle
     # set, not per doc (round 11 — the sf10 second-decade point killed
     # the per-doc form: 164M candidate pairs x two ~300 B shingle

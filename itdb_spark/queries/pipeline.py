@@ -9158,10 +9158,15 @@ def dedup_contain_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.plans.library import materialized
 
     c = corpus(spark, sf_dir)
-    # shared cached explode: candidate ranking, prefix join, verification
-    # arrays AND the size frame all read it (the dedup-jaccard cache
-    # discipline); released after the final frame materializes below.
-    sh = shingle_frame(c, "doc_id", "text").cache()
+    # shared cached explode for the join and the size frame — cached in
+    # the FOLDED 16 B/row form (the sf10 heap lesson: the string form of
+    # this cache was multi-GB and pinned the heap); shingle identity is
+    # hash-invariant for both consumers (set sizes and intersections).
+    sh = (
+        shingle_frame(c, "doc_id", "text")
+        .select("doc", F.xxhash64("w").alias("w"))
+        .cache()
+    )
     pairs = containment_join(c, "doc_id", "text", shingles=sh)
     sizes = sh.groupBy("doc").agg(F.count("*").cast("long").alias("n"))
     j = (
