@@ -92,13 +92,18 @@ def _unfilter_row(ftype: int, flt: bytes, prev: bytes, bpp: int) -> bytes:
     return bytes(out)
 
 
-def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> bytes:
+def encode_png(
+    width: int, height: int, pixels: bytes, color_type: int = 2, phase: int = 0
+) -> bytes:
     """Encode raw 8-bit samples into a spec-valid PNG byte string.
 
     `pixels` is row-major, `width*height*channels` bytes. Each row is
-    written with filter type `row % 5`, so every filter the spec
-    defines appears in any image taller than 4 rows — the decoder's
-    filter matrix is then covered by a single round-trip.
+    written with filter type `(row + phase) % 5`, so every filter the
+    spec defines appears in any image taller than 4 rows — the decoder's
+    filter matrix is then covered by a single round-trip. `phase`
+    rotates the per-row filter choice: the same pixels encode to
+    byte-DIFFERENT but pixel-identical files (spec-valid either way) —
+    mm-pixeldedup's container-vs-content distinction rides on it.
     """
     ch = _CHANNELS.get(color_type)
     if ch is None:
@@ -115,7 +120,7 @@ def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> b
     scan = bytearray()
     for r in range(height):
         raw = pixels[r * stride : (r + 1) * stride]
-        ftype = r % 5
+        ftype = (r + phase) % 5
         scan.append(ftype)
         scan += _filter_row(ftype, raw, prev, ch)
         prev = raw

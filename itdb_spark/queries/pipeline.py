@@ -10422,3 +10422,82 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wsum_cents")
         )
     )
+
+
+@register(
+    "mm-pixeldedup",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id % 50 AS grp_id,
+             CAST(min(doc_id) AS BIGINT) AS grp,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM documents GROUP BY doc_id % 50
+    ),
+    px AS (
+      SELECT d.grp_id,
+             CAST(1 + d.grp_id % 13 AS INTEGER) AS width,
+             CAST(1 + (d.grp_id * 3) % 11 AS INTEGER) AS height,
+             CAST(sum((d.grp_id * 31 + i.i * 7) % 251) AS BIGINT) AS px_sum
+      FROM (SELECT DISTINCT grp_id FROM g) d,
+           LATERAL (SELECT unnest(range(
+               (1 + d.grp_id % 13) * (1 + (d.grp_id * 3) % 11) * 3)) AS i) i
+      GROUP BY d.grp_id
+    )
+    SELECT g.grp, g.n_members, p.width, p.height, p.px_sum
+    FROM g JOIN px p ON p.grp_id = g.grp_id
+    """,
+    defer_after=11,
+    doc="Image CONTENT dedup across byte-different encodings (round 11) "
+    "— the container-vs-content distinction that makes media dedup "
+    "hard: every doc in a pixel group (doc_id % 50) carries the SAME "
+    "RGB image, but each encodes it with a different per-row filter "
+    "rotation (pngcodec phase = doc_id % 5), so the PNG FILES are "
+    "byte-distinct and dedup-exact on raw bytes finds nothing — the "
+    "groups exist only after a REAL decode. The query encodes and "
+    "decodes genuine PNGs per row (the mm-pixels vendored-codec path, "
+    "Arrow-batched mapInPandas, blobs never shuffled), keys each doc "
+    "by md5 OF THE DECODED PIXELS, and groups on that content key: "
+    "keeper = min doc, plus arithmetic pixel invariants (w, h, px_sum) "
+    "the oracle re-derives — a codec bug that decodes any phase "
+    "differently fragments a group and breaks BOTH the row count and "
+    "the hash. At 100 TB this is the production image-dedup shape "
+    "(decode → content fingerprint → one shuffle on the fingerprint); "
+    "perceptual near-dup (aHash/pHash) swaps the fingerprint function, "
+    "same dataflow.",
+)
+def mm_pixeldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.pngcodec import decode_png_pixels, encode_png
+
+    t = Tables(spark, sf_dir)
+    schema = "doc_id long, pixel_md5 string, width int, height int, px_sum long"
+
+    def work(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g = doc_id % 50
+                w = 1 + g % 13
+                h = 1 + (g * 3) % 11
+                raw = bytes((g * 31 + i * 7) % 251 for i in range(w * h * 3))
+                png = encode_png(w, h, raw, 2, phase=doc_id % 5)
+                dw, dh, ch, px = decode_png_pixels(png)
+                if (dw, dh, ch) != (w, h, 3):
+                    raise ValueError(f"codec geometry drift for doc {doc_id}")
+                rows.append(
+                    (doc_id, hashlib.md5(px).hexdigest(), w, h, sum(px))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "pixel_md5", "width", "height", "px_sum"],
+            )
+
+    keyed = t.documents.select("doc_id").mapInPandas(work, schema)
+    return keyed.groupBy("pixel_md5", "width", "height", "px_sum").agg(
+        F.min("doc_id").alias("grp"),
+        F.count("*").cast("long").alias("n_members"),
+    ).select("grp", "n_members", "width", "height", "px_sum")
