@@ -766,3 +766,18 @@ def test_containment_canonicalize_semantics(spark):
     for other in (1, 2, 3):
         assert got[(other, 4)] == (8, 8, 1000)
     assert len(got) == 6
+
+
+def test_mm_pixeldedup_containers_differ_content_matches():
+    """The premise of mm-pixeldedup: docs in one pixel group encode the
+    SAME image to byte-DIFFERENT spec-valid PNGs (filter phase), so
+    byte-level dedup cannot find the group but decoded-content dedup
+    must. Pure-codec check, no Spark."""
+    from itdb_spark.operators.pngcodec import decode_png_pixels, encode_png
+
+    g = 7
+    w, h = 1 + g % 13, 1 + (g * 3) % 11
+    raw = bytes((g * 31 + i * 7) % 251 for i in range(w * h * 3))
+    pngs = [encode_png(w, h, raw, 2, phase=p) for p in range(5)]
+    assert len({p for p in pngs}) == 5, "phases must produce distinct bytes"
+    assert {decode_png_pixels(p) for p in pngs} == {(w, h, 3, raw)}
