@@ -583,16 +583,51 @@ def containment_join_incremental(
     the right trade.) Verification is the same exact intersection over
     candidates; output schema matches containment_join.
     """
+    from itdb_spark.plans.library import materialized
+
     sh = shingle_frame(docs, id_col, text_col).select(
         "doc", F.xxhash64("w").alias("w")
     )
     flags = docs.select(
         F.col(id_col).alias("doc"), F.col(new_col).alias("is_new")
     )
-    sh = sh.join(flags, "doc")
-    df_ = sh.groupBy("w").agg(F.count("*").alias("df"))
+    # canonicalize over the UNION (the containment_join discipline,
+    # extended with the increment class): docs group by exact shingle
+    # set; a set is new-touched / old-touched from its members, the
+    # case-split probes run at SET level, and qualifying set pairs
+    # expand back to doc pairs filtered to those touching the increment.
+    doc_sets = sh.groupBy("doc").agg(
+        F.sort_array(F.collect_list("w")).alias("ts")
+    ).join(flags, "doc")
+    canon = (
+        doc_sets.groupBy("ts")
+        .agg(
+            F.min("doc").alias("sid"),
+            F.sort_array(F.collect_list(F.struct("doc", "is_new"))).alias(
+                "members"
+            ),
+            F.max(F.col("is_new").cast("int")).alias("has_new"),
+            F.max((~F.col("is_new")).cast("int")).alias("has_old"),
+        )
+        .select(
+            "sid",
+            "ts",
+            "members",
+            F.size("ts").cast("long").alias("n"),
+            (F.col("has_new") == 1).alias("has_new"),
+            (F.col("has_old") == 1).alias("has_old"),
+        )
+        .cache()
+    )
+    rep = canon.select(
+        F.col("sid").alias("doc"),
+        "has_new",
+        "has_old",
+        F.explode("ts").alias("w"),
+    )
+    df_ = rep.groupBy("w").agg(F.count("*").alias("df"))
     ranked = (
-        sh.join(df_, "w")
+        rep.join(df_, "w")
         .withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("doc").orderBy("df", "w")),
@@ -602,8 +637,8 @@ def containment_join_incremental(
     prefix = ranked.where(
         F.col("rn")
         <= F.col("nt") - F.expr(f"({t_num} * nt + {t_den - 1}) DIV {t_den}") + 1
-    ).select("doc", "w", "nt", "rn", "is_new")
-    index = ranked.select("doc", "w", "nt", "rn", "is_new")
+    ).select("doc", "w", "nt", "rn", "has_new", "has_old")
+    index = ranked.select("doc", "w", "nt", "rn", "has_new", "has_old")
     small_side = (F.col("a.nt") < F.col("b.nt")) | (
         (F.col("a.nt") == F.col("b.nt")) & (F.col("a.doc") < F.col("b.doc"))
     )
@@ -622,14 +657,14 @@ def containment_join_incremental(
         F.expr(f"({t_num} * a.nt + {t_den - 1}) DIV {t_den}").alias("req"),
     ]
     probe1 = (
-        prefix.where("is_new").alias("a")
+        prefix.where("has_new").alias("a")
         .join(index.alias("b"), "w")
         .where(small_side)
         .select(*pair_cols)
     )
     probe2 = (
-        prefix.where(~F.col("is_new")).alias("a")
-        .join(index.where("is_new").alias("b"), "w")
+        prefix.where("has_old").alias("a")
+        .join(index.where("has_new").alias("b"), "w")
         .where(small_side)
         .select(*pair_cols)
     )
@@ -640,22 +675,19 @@ def containment_join_incremental(
         .where(F.col("ub") >= F.col("req"))
         .select("id1", "id2")
     )
-    sets = sh.groupBy("doc").agg(
-        F.sort_array(F.collect_list("w")).alias("ts"),
-        F.count("*").cast("long").alias("n"),
-    )
-    scored = (
+    reps = canon.select("sid", "ts", "n")
+    qual = (
         cand.join(
-            sets.select(
-                F.col("doc").alias("id1"),
+            reps.select(
+                F.col("sid").alias("id1"),
                 F.col("ts").alias("ts1"),
                 F.col("n").alias("n1"),
             ),
             "id1",
         )
         .join(
-            sets.select(
-                F.col("doc").alias("id2"),
+            reps.select(
+                F.col("sid").alias("id2"),
                 F.col("ts").alias("ts2"),
                 F.col("n").alias("n2"),
             ),
@@ -667,14 +699,66 @@ def containment_join_incremental(
             F.size(F.array_intersect("ts1", "ts2")).cast("long").alias("inter"),
             F.least("n1", "n2").alias("small"),
         )
+        .where(t_den * F.col("inter") >= t_num * F.col("small"))
     )
-    return scored.where(t_den * F.col("inter") >= t_num * F.col("small")).select(
+    members = canon.select("sid", F.explode("members").alias("m")).select(
+        "sid", F.col("m.doc").alias("doc"), F.col("m.is_new").alias("mnew")
+    )
+    cross = (
+        qual.join(
+            members.select(
+                F.col("sid").alias("id1"),
+                F.col("doc").alias("d1"),
+                F.col("mnew").alias("new1"),
+            ),
+            "id1",
+        )
+        .join(
+            members.select(
+                F.col("sid").alias("id2"),
+                F.col("doc").alias("d2"),
+                F.col("mnew").alias("new2"),
+            ),
+            "id2",
+        )
+        .where(F.col("new1") | F.col("new2"))
+        .select(
+            F.least("d1", "d2").alias("id1"),
+            F.greatest("d1", "d2").alias("id2"),
+            "inter",
+            "small",
+        )
+    )
+    # identical-set pairs touching the increment, in-row over the
+    # doc-sorted member structs
+    same = (
+        canon.where(F.size("members") >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (m1, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "m2 -> struct(m1, m2))))"
+                )
+            ).alias("p"),
+        )
+        .where(F.col("p.m1.is_new") | F.col("p.m2.is_new"))
+        .select(
+            F.col("p.m1.doc").alias("id1"),
+            F.col("p.m2.doc").alias("id2"),
+            F.col("n").alias("inter"),
+            F.col("n").alias("small"),
+        )
+    )
+    out = cross.unionByName(same).select(
         "id1",
         "id2",
         "inter",
         "small",
         F.expr("CAST(1000 * inter DIV small AS BIGINT)").alias("contain_milli"),
     )
+    return materialized(out, canon)
 
 
 def containment_join(
