@@ -10501,3 +10501,48 @@ def mm_pixeldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("grp"),
         F.count("*").cast("long").alias("n_members"),
     ).select("grp", "n_members", "width", "height", "px_sum")
+
+
+@register(
+    "agg-mode",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(min(CASE WHEN cnt = mx THEN c END) AS BIGINT) AS mode_cents,
+           CAST(max(mx) AS BIGINT) AS mode_count
+    FROM (SELECT *, max(cnt) OVER (PARTITION BY event_type) AS mx FROM hist)
+    GROUP BY event_type
+    """,
+    defer_after=11,
+    doc="Exact mode per event type (round 11) — the third member of the "
+    "histogram-order-statistics family (agg-quantile, agg-winsorize): "
+    "modal cents value with min-value tie-break, from the same "
+    "per-(type, cents) count histogram, so the corpus contributes ONE "
+    "map-side-combined shuffle and the argmax runs on the dimension-"
+    "sized frame. The tie-break makes the surface deterministic (two "
+    "values sharing the max count resolve to the smaller — stated, "
+    "not accidental). NULL measurements excluded (the winsorize rule).",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    hist = t.events.where(F.col("value").isNotNull()).groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    mx = F.max("cnt").over(Window.partitionBy("event_type"))
+    return (
+        hist.withColumn("mx", mx)
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("cnt") == F.col("mx"), F.col("c")))
+            .cast("long")
+            .alias("mode_cents"),
+            F.max("mx").cast("long").alias("mode_count"),
+        )
+    )
