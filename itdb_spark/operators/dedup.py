@@ -768,6 +768,7 @@ def containment_join(
     t_num: int = 8,
     t_den: int = 10,
     shingles: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT containment self-join at C(A,B) = |A∩B| / min(|A|,|B|) >=
     t_num/t_den over word-3-gram shingle sets, via SMALL-SIDE prefix
@@ -918,6 +919,11 @@ def containment_join(
         "small",
         F.expr("CAST(1000 * inter DIV small AS BIGINT)").alias("contain_milli"),
     )
+    if not materialize:
+        # plan-audit hook: hand back the LAZY frame (caller owns the
+        # canon cache lifecycle via the normal path; audits only read
+        # the plan, so the cache is never populated)
+        return out
     return materialized(out, canon)
 
 

@@ -299,7 +299,12 @@ def test_containment_join_pre_materialization_plan(spark):
     from itdb_spark.operators.dedup import containment_join
     from itdb_spark.queries.pipeline import corpus
 
-    df = containment_join(corpus(spark, SF_DIR), "doc_id", "text")
+    # materialize=False: the operator now checkpoints internally
+    # (canonicalize-then-verify manages its own cache lifecycle), so the
+    # audit asks for the LAZY pre-materialization frame explicitly
+    df = containment_join(
+        corpus(spark, SF_DIR), "doc_id", "text", materialize=False
+    )
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     a = audit(plan)

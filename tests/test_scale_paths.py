@@ -750,7 +750,7 @@ def test_bench_deploy_twins_equivalent(spark):
     assert set(twins) == {
         "dedup-minhash", "dedup-jaccard", "pipe-curate", "sim-knn-ivfpq",
         "graph-kcore", "sim-knn-ivfpq-res", "fn-bpe-train",
-        "dedup-incremental", "dedup-incr-persist",
+        "dedup-incremental", "dedup-incr-persist", "dedup-exactspan",
     }
     for qid, q in twins.items():
         graded = {tuple(r) for r in q.spark(spark, SF_DIR).collect()}
