@@ -9274,12 +9274,20 @@ def _exactspan_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc"),
         F.split(F.trim(F.lower("text")), r"\s+").alias("toks"),
     ).where(F.length(F.trim("text")) > 0)
+    # BIND the token array once (transform(array(toks), ts -> ...)):
+    # Catalyst's CollapseProject substitutes `toks` with its defining
+    # split(...) expression into EVERY element_at reference inside the
+    # lambda — the word_shingles O(tokens²) re-tokenization hazard,
+    # measured HERE at 88 s for a 1.8 s frame once a downstream filter
+    # forced the collapse (round 11; the sf10 point's 15.6× first
+    # decade was this, not algorithm).
     recrawl = base.select(
         (F.col("doc") + 100000).alias("doc"),
         F.expr(
-            "transform(sequence(1, size(toks)), i -> "
-            "IF(i = (size(toks) + 1) div 2, concat('xq', doc), "
-            "element_at(toks, i)))"
+            "flatten(transform(array(toks), ts -> "
+            "transform(sequence(1, size(ts)), i -> "
+            "IF(i = (size(ts) + 1) div 2, concat('xq', doc), "
+            "element_at(ts, i)))))"
         ).alias("toks"),
     )
     return base.unionByName(recrawl)
@@ -9293,12 +9301,16 @@ def _exactspan_spans(
     from pyspark.sql import Window
 
     toks = _exactspan_toks(spark, sf_dir).where(F.size("toks") >= 8)
+    # gram builder binds the token array once (see _exactspan_toks —
+    # without the array() binding, project collapse inlines the whole
+    # upstream token expression into slice() PER POSITION: O(tokens²))
     grams = toks.select(
         "doc",
         F.posexplode(
             F.expr(
-                "transform(sequence(1, size(toks) - 7), "
-                "i -> array_join(slice(toks, i, 8), ' '))"
+                "flatten(transform(array(toks), ts -> "
+                "transform(sequence(1, size(ts) - 7), "
+                "i -> array_join(slice(ts, i, 8), ' '))))"
             )
         ).alias("p0", "gram"),
     ).select("doc", (F.col("p0") + 1).alias("p"), "gram")
