@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 from itdb_spark.queries import load_all
 from itdb_spark.session import get_spark
 
+# The VERDICT r10 #4 cohort, the round-11 additions measured for
+# SCALE.md's round-11 tables, and the corpus()-based trio re-measured
+# after the doc-id block remap. Pass qids as argv to subset.
 QIDS = [
     "dedup-contain-exact",
     "dedup-contain-incr",
@@ -28,6 +31,16 @@ QIDS = [
     "graph-linkpred",
     "dedup-incr-persist",
     "dedup-incremental",
+    "dedup-exactspan",
+    "text-despan-exact",
+    "graph-bfs",
+    "emb-pca",
+    "emb-kmeans",
+    "emb-cov",
+    "mm-pixeldedup",
+    "dedup-exact",
+    "dedup-minhash",
+    "dedup-jaccard",
 ]
 
 SF_DIRS = [
