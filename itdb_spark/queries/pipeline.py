@@ -9714,32 +9714,48 @@ def _emb_kmeans_impl(
     )
 
     def assign(cents: dict[int, list[int]]) -> DataFrame:
-        # centroids enter the plan as LITERAL arrays: assignment is a pure
-        # whole-stage-codegen projection — no join, no shuffle, exactly
-        # how a broadcast would behave at 100 TB but with zero exchange
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        "vec",
-                        F.array(*[F.lit(v) for v in cents[c]]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
+        # centroids ride into every task as plain Python literals
+        # (model-sized — the zero-exchange broadcast shape) and
+        # assignment is one numpy int64 distance matrix per Arrow
+        # batch. This replaced the zip_with/aggregate literal-array
+        # expression form after the sf10 second decade measured its
+        # INTERPRETED lambda evaluation at 4.5x per 10x (the
+        # emb-cov/moments.py class; ~512 lambda evals per row, and the
+        # dists array re-evaluated per referencing column). Exactness
+        # is unconditional: micro diffs² ≤ 4·10¹² summed over 64 dims
+        # ≤ 2.6·10¹⁴ — int64; argmin takes the FIRST minimum, matching
+        # the oracle's array_position tie-break on cluster id.
+        c_sorted = [cents[c] for c in sorted(cents)]
+        schema = "vec_id long, vec array<long>, cid long, dist long"
+
+        def work(batches):
+            import numpy as np
+            import pandas as pd
+
+            c = np.asarray(c_sorted, dtype=np.int64)
+            for pdf in batches:
+                arrs = [np.asarray(v, dtype=np.int64) for v in pdf["vec"]]
+                bad = {a.shape[0] for a in arrs} - {c.shape[1]}
+                if bad:
+                    # fail loud instead of np.stack's shape error: the
+                    # quantizer is dimensioned by its seeds, so a ragged
+                    # corpus is a data bug, not a kernel case
+                    raise ValueError(
+                        f"embedding lengths {sorted(bad)} != centroid "
+                        f"dim {c.shape[1]}"
+                    )
+                x = np.stack(arrs)
+                d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "vec": pdf["vec"],
+                        "cid": d.argmin(axis=1),
+                        "dist": d.min(axis=1),
+                    }
                 )
-                for c in sorted(cents)
-            ]
-        )
-        return vecs.select(
-            "vec_id",
-            "vec",
-            dists.alias("dists"),
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("long")
-            .alias("cid"),
-            F.array_min(dists).alias("dist"),
-        )
+
+        return vecs.mapInPandas(work, schema)
 
     # deterministic init: the k smallest vec_ids seed cid 0..k-1
     seeds = vecs.orderBy("vec_id").limit(k).collect()
