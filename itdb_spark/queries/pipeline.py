@@ -10606,3 +10606,115 @@ def eval_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV exact_distinct AS BIGINT)"
         ).alias("err_milli"),
     )
+
+
+@register(
+    "agg-iqr",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, c, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum_cnt,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    q AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(min(CASE WHEN cum_cnt >= (n + 3) // 4 THEN c END)
+                  AS BIGINT) AS q1,
+             CAST(min(CASE WHEN cum_cnt >= (3 * n + 3) // 4 THEN c END)
+                  AS BIGINT) AS q3
+      FROM cum GROUP BY event_type
+    )
+    SELECT h.event_type, q.n, q.q1, q.q3,
+           CAST(q.q3 - q.q1 AS BIGINT) AS iqr,
+           CAST(sum(CASE WHEN 2 * h.c < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                    THEN h.cnt ELSE 0 END) AS BIGINT) AS n_out_low,
+           CAST(sum(CASE WHEN 2 * h.c > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                    THEN h.cnt ELSE 0 END) AS BIGINT) AS n_out_high
+    FROM hist h JOIN q ON q.event_type = h.event_type
+    GROUP BY h.event_type, q.n, q.q1, q.q3
+    """,
+    defer_after=11,
+    doc="Exact quartiles + Tukey-fence outlier counts per event type "
+    "(round 11) — the fourth member of the histogram order-statistics "
+    "family (agg-quantile, agg-winsorize, agg-mode), and the classical "
+    "box-plot / outlier-rate telemetry surface: q1/q3 selected by exact "
+    "rank off the per-(type, cents) count histogram ('smallest value "
+    "whose cumulative count reaches ceil(n/4) / ceil(3n/4)' — stated "
+    "lower-quantile definition, deterministic under ties), IQR, and "
+    "the counts beyond the 1.5*IQR fences evaluated in DOUBLED integer "
+    "units (2c vs 2q1 - 3*iqr) so the half-step fence never touches "
+    "floats. Same scale shape as its siblings: one map-side-combined "
+    "shuffle to the dimension-sized histogram, windows and the fence "
+    "count on that frame only, NULL measurements excluded.",
+)
+def agg_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    hist = t.events.where(F.col("value").isNotNull()).groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    wt = Window.partitionBy("event_type")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "event_type",
+        "c",
+        "cnt",
+        F.sum("cnt").over(wo).alias("cum_cnt"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    q = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(F.col("cum_cnt") >= F.expr("(n + 3) DIV 4"), F.col("c")))
+        .cast("long")
+        .alias("q1"),
+        F.min(
+            F.when(F.col("cum_cnt") >= F.expr("(3 * n + 3) DIV 4"), F.col("c"))
+        )
+        .cast("long")
+        .alias("q3"),
+    )
+    return (
+        hist.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("c")
+                    < F.lit(2) * F.col("q1") - F.lit(3) * (F.col("q3") - F.col("q1")),
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_out_low"),
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("c")
+                    > F.lit(2) * F.col("q3") + F.lit(3) * (F.col("q3") - F.col("q1")),
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_out_high"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "q1",
+            "q3",
+            (F.col("q3") - F.col("q1")).cast("long").alias("iqr"),
+            "n_out_low",
+            "n_out_high",
+        )
+    )

@@ -781,3 +781,31 @@ def test_mm_pixeldedup_containers_differ_content_matches():
     pngs = [encode_png(w, h, raw, 2, phase=p) for p in range(5)]
     assert len({p for p in pngs}) == 5, "phases must produce distinct bytes"
     assert {decode_png_pixels(p) for p in pngs} == {(w, h, 3, raw)}
+
+
+def test_agg_iqr_matches_python(spark):
+    """Quartile ranks, IQR, and Tukey fence counts against brute-force
+    Python over the same cents values."""
+    from itdb_spark.catalog import Tables
+    from itdb_spark.queries.pipeline import agg_iqr
+
+    t = Tables(spark, SF_DIR)
+    vals: dict[str, list[int]] = {}
+    for r in t.events.select("event_type", "value").collect():
+        if r.value is not None:
+            vals.setdefault(r.event_type, []).append(round(r.value * 100))
+    expect = {}
+    for et, xs in vals.items():
+        xs = sorted(int(x) for x in xs)
+        n = len(xs)
+        q1 = xs[(n + 3) // 4 - 1]
+        q3 = xs[(3 * n + 3) // 4 - 1]
+        iqr = q3 - q1
+        lo = sum(1 for x in xs if 2 * x < 2 * q1 - 3 * iqr)
+        hi = sum(1 for x in xs if 2 * x > 2 * q3 + 3 * iqr)
+        expect[et] = (n, q1, q3, iqr, lo, hi)
+    got = {
+        r.event_type: (r.n, r.q1, r.q3, r.iqr, r.n_out_low, r.n_out_high)
+        for r in agg_iqr(spark, SF_DIR).collect()
+    }
+    assert got == expect
