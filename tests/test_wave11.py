@@ -809,3 +809,27 @@ def test_agg_iqr_matches_python(spark):
         for r in agg_iqr(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_agg_welch_matches_float_formula(spark):
+    """The exact-rational t2_micro must agree with the textbook float
+    Welch formula to within the 1-micro floor step, for every pair."""
+    from itdb_spark.catalog import Tables
+    from itdb_spark.queries.pipeline import agg_welch
+
+    t = Tables(spark, SF_DIR)
+    vals: dict[str, list[int]] = {}
+    for r in t.events.select("event_type", "value").collect():
+        if r.value is not None:
+            vals.setdefault(r.event_type, []).append(round(r.value * 100))
+    import statistics
+
+    got = {
+        (r.type_a, r.type_b): r.t2_micro for r in agg_welch(spark, SF_DIR).collect()
+    }
+    assert got, "no pairs proves nothing"
+    for (ta, tb), t2m in got.items():
+        xa, xb = vals[ta], vals[tb]
+        se2 = statistics.variance(xa) / len(xa) + statistics.variance(xb) / len(xb)
+        t2 = (statistics.mean(xa) - statistics.mean(xb)) ** 2 / se2
+        assert abs(t2m - t2 * 1e6) <= max(2, 1e-9 * t2 * 1e6), (ta, tb, t2m, t2)
