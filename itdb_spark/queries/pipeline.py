@@ -10802,3 +10802,70 @@ def agg_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "emb-project",
+    oracle=f"""
+    WITH m0 AS (
+      SELECT e.vec_id, g.i,
+             CAST(floor(CAST(e.embedding[g.i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings e,
+           LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+      WHERE e.embedding IS NOT NULL
+    ),
+    mm AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS s
+      FROM m0 a JOIN m0 b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    v0 AS (SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS v FROM m0),
+    {_pca_iter_ctes(1)},
+    {_pca_iter_ctes(2)},
+    {_pca_iter_ctes(3)},
+    {_pca_iter_ctes(4)}
+    SELECT m0.vec_id,
+           CAST(sum(CAST(m0.x AS HUGEINT) * v4.v) AS BIGINT) AS score_micro2
+    FROM m0 JOIN v4 ON v4.i = m0.i
+    GROUP BY m0.vec_id
+    """,
+    defer_after=11,
+    doc="Projection of every embedding onto the learned dominant "
+    "direction (round 11) — emb-pca's CONSUMER half, closing the "
+    "spectral loop: the per-vector principal-component score that "
+    "drives PCA-based outlier screens, diversity-aware selection, and "
+    "1-D stratifications of an embedding corpus. score_micro2 = "
+    "Σ x_micro·v_micro is EXACT int64 (|x| ≤ ~2^21 micro, |v| ≤ 1e6, "
+    "64 dims → ≤ 6.4·10^13), so the full scoring hash-gates with no "
+    "rounding rule at all. Spark shape: the model trains exactly as "
+    "emb-pca (one moment pass via operators/moments.py, driver-side "
+    "4-step integer power iteration), then the 64-long direction "
+    "rides into the scoring pass as a literal map — zero exchange in "
+    "the scoring projection (model-broadcast degenerate form); the "
+    "oracle replays training AND scoring in HUGEINT. At 100 TB: "
+    "train-once/score-many — persist v like the ANN codebooks and "
+    "the scoring pass is a pure map over the corpus.",
+)
+def emb_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vrows = {int(r.dim): int(r.v_micro) for r in emb_pca(spark, sf_dir).collect()}
+    emb = Tables(spark, sf_dir).embeddings
+    if not vrows:
+        return emb.select(
+            "vec_id", F.lit(0).cast("long").alias("score_micro2")
+        ).where(F.lit(False))
+    v_sql = "array(" + ",".join(
+        f"{vrows[d]}L" for d in sorted(vrows)
+    ) + ")"
+    # dot over the shared dims: micro(x_i) * v_i summed 1..min(len, 64)
+    return emb.where(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(sequence(1, least(size(embedding), "
+            f"{len(vrows)})), i -> "
+            "CAST(floor(CAST(element_at(embedding, i) AS DOUBLE) "
+            f"* 1000000 + 0.5) AS BIGINT) * element_at({v_sql}, i)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("score_micro2"),
+    )
