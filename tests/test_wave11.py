@@ -833,3 +833,29 @@ def test_agg_welch_matches_float_formula(spark):
         se2 = statistics.variance(xa) / len(xa) + statistics.variance(xb) / len(xb)
         t2 = (statistics.mean(xa) - statistics.mean(xb)) ** 2 / se2
         assert abs(t2m - t2 * 1e6) <= max(2, 1e-9 * t2 * 1e6), (ta, tb, t2m, t2)
+
+
+def test_emb_project_matches_numpy_dot(spark):
+    """Exact triangulation: score_micro2 equals the numpy int64 dot of
+    the micro-integer vectors with emb-pca's emitted direction."""
+    import math
+
+    import numpy as np
+
+    from itdb_spark.catalog import Tables
+    from itdb_spark.queries.pipeline import emb_pca, emb_project
+
+    v = {r.dim: r.v_micro for r in emb_pca(spark, SF_DIR).collect()}
+    vv = np.array([v[d] for d in sorted(v)], dtype=np.int64)
+    got = {r.vec_id: r.score_micro2 for r in emb_project(spark, SF_DIR).collect()}
+    assert got, "empty projection proves nothing"
+    rows = Tables(spark, SF_DIR).embeddings.collect()
+    for r in rows:
+        if r.embedding is None:
+            assert r.vec_id not in got
+            continue
+        x = np.array(
+            [math.floor(float(c) * 1000000 + 0.5) for c in r.embedding],
+            dtype=np.int64,
+        )
+        assert got[r.vec_id] == int(x @ vv)
