@@ -10869,3 +10869,99 @@ def emb_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("score_micro2"),
     )
+
+
+@register(
+    "agg-mad",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, c, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum_cnt,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    med AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(min(CASE WHEN cum_cnt >= (n + 1) // 2 THEN c END)
+                  AS BIGINT) AS median_cents
+      FROM cum GROUP BY event_type
+    ),
+    dev AS (
+      SELECT h.event_type, abs(h.c - m.median_cents) AS d,
+             CAST(sum(h.cnt) AS BIGINT) AS cnt
+      FROM hist h JOIN med m ON m.event_type = h.event_type
+      GROUP BY 1, 2
+    ),
+    dcum AS (
+      SELECT event_type, d, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY d) AS cum_cnt,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    )
+    SELECT dc.event_type, m.n, m.median_cents,
+           CAST(min(CASE WHEN dc.cum_cnt >= (dc.n + 1) // 2 THEN dc.d END)
+                AS BIGINT) AS mad_cents
+    FROM dcum dc JOIN med m ON m.event_type = dc.event_type
+    GROUP BY dc.event_type, m.n, m.median_cents
+    """,
+    defer_after=11,
+    doc="Median absolute deviation per event type (round 11) — the "
+    "standard robust scale estimator (sigma ~ 1.4826*MAD under "
+    "normality; the consumer applies the irrational constant), "
+    "completing the robust family agg-iqr/agg-winsorize/agg-mode "
+    "anchor: MAD = lower-median of |x - median(x)|, BOTH medians "
+    "exact rank selections. The two-stage trick stays entirely on the "
+    "DIMENSION-sized histogram: the deviation 'histogram' is a "
+    "re-key of the cents histogram by |c - m| (a groupBy over "
+    "histogram rows, never raw events), so the corpus contributes the "
+    "same single map-side-combined shuffle as its siblings and the "
+    "second rank selection costs nothing new. All-integer surface, "
+    "NULLs excluded (the family rule).",
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    hist = t.events.where(F.col("value").isNotNull()).groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    wt = Window.partitionBy("event_type")
+
+    def rank_min(frame, val_col, out_name):
+        wo = (
+            Window.partitionBy("event_type")
+            .orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = frame.select(
+            "event_type",
+            F.col(val_col),
+            "cnt",
+            F.sum("cnt").over(wo).alias("cum_cnt"),
+            F.sum("cnt").over(wt).alias("n"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.max("n").cast("long").alias("n"),
+            F.min(
+                F.when(F.col("cum_cnt") >= F.expr("(n + 1) DIV 2"), F.col(val_col))
+            )
+            .cast("long")
+            .alias(out_name),
+        )
+
+    med = rank_min(hist, "c", "median_cents")
+    dev = (
+        hist.join(F.broadcast(med.select("event_type", "median_cents")), "event_type")
+        .groupBy("event_type", F.abs(F.col("c") - F.col("median_cents")).alias("d"))
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    mad = rank_min(dev, "d", "mad_cents").select("event_type", "mad_cents")
+    return med.join(mad, "event_type").select(
+        "event_type", "n", "median_cents", "mad_cents"
+    )

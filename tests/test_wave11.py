@@ -859,3 +859,28 @@ def test_emb_project_matches_numpy_dot(spark):
             dtype=np.int64,
         )
         assert got[r.vec_id] == int(x @ vv)
+
+
+def test_agg_mad_matches_python(spark):
+    """Both rank selections against brute-force Python: lower median of
+    the cents values, then lower median of absolute deviations."""
+    from itdb_spark.catalog import Tables
+    from itdb_spark.queries.pipeline import agg_mad
+
+    t = Tables(spark, SF_DIR)
+    vals: dict[str, list[int]] = {}
+    for r in t.events.select("event_type", "value").collect():
+        if r.value is not None:
+            vals.setdefault(r.event_type, []).append(round(r.value * 100))
+    expect = {}
+    for et, xs in vals.items():
+        xs = sorted(int(x) for x in xs)
+        n = len(xs)
+        m = xs[(n + 1) // 2 - 1]
+        ds = sorted(abs(x - m) for x in xs)
+        expect[et] = (n, m, ds[(n + 1) // 2 - 1])
+    got = {
+        r.event_type: (r.n, r.median_cents, r.mad_cents)
+        for r in agg_mad(spark, SF_DIR).collect()
+    }
+    assert got == expect
