@@ -108,16 +108,16 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # byte-identical results, differentially re-verified at the grading
 # SF, and the graded/never-graded split needs no pins for them.)
 # Round 11: the src-csv pin is CLEARED (re-graded green by
-# CORRECTNESS_r10 — the one-round tolerance window). emb-dimstats is
-# PINNED at its r10 grade: that grade went red on hash (rows and
-# schema matched; isolated differentials pass on both the r9 judge's
-# run, the r10 judge's run, and this round's), and round 11 changed
-# its hash surface — sumsq_micro2 now emits canonical-digit VARCHAR
-# instead of DECIMAL(38,0), the registry's only Decimal-typed output
-# column and the prime suspect for an engine-side value-normalization
-# divergence. Unpinned it sits at queue position ~233 and the red row
-# would persist to ~r14.
-_CHANGED_SINCE_GRADED: dict[str, int] = {"emb-dimstats": 10}
+# CORRECTNESS_r10 — the one-round tolerance window). emb-dimstats was
+# PINNED at its r10 grade (hash-red under the old DECIMAL(38,0)
+# surface; round 11 moved sumsq_micro2 to canonical-digit VARCHAR).
+# Round 12: the emb-dimstats pin is CLEARED — CORRECTNESS_r11 re-graded
+# it GREEN under the VARCHAR surface (the one-round tolerance window),
+# confirming the Decimal value-normalization divergence hypothesis.
+# The registry is fully green at its latest grades (279/279, r11
+# verdict); no definitions changed at round-12 start, so the pin set
+# is empty. Round-12 registrations use defer_after=12.
+_CHANGED_SINCE_GRADED: dict[str, int] = {}
 
 
 def _last_graded_round() -> dict[str, int]:

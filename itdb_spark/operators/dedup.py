@@ -844,8 +844,15 @@ def containment_join(
             F.sort_array(F.collect_list("doc")).alias("members"),
         )
         .select("sid", "ts", "members", F.size("ts").cast("long").alias("n"))
-        .cache()
     )
+    if materialize:
+        # cache only on the owning path — materialized() unpersists it.
+        # The lazy (materialize=False) form is a plan-audit hook, but the
+        # audit's noop write EXECUTES the plan (tests/test_plan_audit.py),
+        # so a cache here would populate and leak into the shared
+        # session's executor storage with no owner to release it
+        # (ADVICE r11).
+        canon = canon.cache()
     rep_sh = canon.select(F.col("sid").alias("doc"), F.explode("ts").alias("w"))
     cand = containment_candidates(rep_sh, t_num, t_den)
     reps = canon.select("sid", "ts", "n")
@@ -920,9 +927,9 @@ def containment_join(
         F.expr("CAST(1000 * inter DIV small AS BIGINT)").alias("contain_milli"),
     )
     if not materialize:
-        # plan-audit hook: hand back the LAZY frame (caller owns the
-        # canon cache lifecycle via the normal path; audits only read
-        # the plan, so the cache is never populated)
+        # plan-audit hook: hand back the LAZY frame — no cache was
+        # attached on this path (see above), so even an executing
+        # caller leaks nothing
         return out
     return materialized(out, canon)
 

@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 
 MICRO = 1_000_000
 
+# Largest Arrow batch for which the int64 partial sums are provably
+# exact: rows·2⁴⁰ < 2⁶³ ⟺ rows < 2²³; 2²² leaves a 2× safety margin
+# over the worst-case micro-int magnitude bound.
+_MAX_ARROW_BATCH_ROWS = 1 << 22
+
 
 def second_moment_partials(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
@@ -49,6 +54,21 @@ def second_moment_partials(
         import pandas as pd
 
         for pdf in batches:
+            # int64-exactness guard (ADVICE r11): the per-batch partial
+            # sum for a dim pair is ≤ rows·(2²⁰)² = rows·2⁴⁰, which
+            # stays inside int64 only while rows < 2²³. Arrow's default
+            # cap (spark.sql.execution.arrow.maxRecordsPerBatch = 10k)
+            # keeps batches far below that, but a session that raises
+            # the config toward ~2²³ rows/batch would overflow the
+            # partials SILENTLY — so fail loud instead (the kmeans
+            # ragged-corpus precedent).
+            if len(pdf) > _MAX_ARROW_BATCH_ROWS:
+                raise ValueError(
+                    f"moments batch of {len(pdf)} rows exceeds the "
+                    f"int64-exactness cap {_MAX_ARROW_BATCH_ROWS} "
+                    "(rows*2^40 must stay < 2^63); lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             by_len: dict[int, list] = {}
             for v in pdf[vec_col]:
                 if v is None:

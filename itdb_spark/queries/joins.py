@@ -232,13 +232,26 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_bits, n_hash, n_words = 16384, 4, 256
     keys = t.customer.where(F.col("c_nationkey") == 5).select("c_custkey")
 
-    def positions(col):
-        return [
-            F.pmod(F.xxhash64(F.lit(i), col), F.lit(m_bits)) for i in range(n_hash)
-        ]
+    # ONE hash-position expression builder for BOTH sides, with the key
+    # and the seed explicitly CAST — xxhash64 is input-type-sensitive, so
+    # a build/probe type divergence (e.g. int32 vs int64 key columns, or
+    # a Python-lit INT seed vs a SQL BIGINT literal) would silently
+    # change bit positions and turn the "lossless" bloom into a row
+    # dropper the downstream exact semi-join cannot repair (ADVICE r11).
+    # Sharing the literal SQL text makes type drift impossible by
+    # construction.
+    def pos_sql(i: int, key_col: str) -> str:
+        return (
+            f"pmod(xxhash64(CAST({i} AS INT), "
+            f"CAST({key_col} AS BIGINT)), {m_bits})"
+        )
 
     pos = keys.select(
-        F.explode(F.array(*positions(F.col("c_custkey")))).alias("pos")
+        F.explode(
+            F.array(
+                *[F.expr(pos_sql(i, "c_custkey")) for i in range(n_hash)]
+            )
+        ).alias("pos")
     )
     words = {
         int(r.word): int(r.bits)
@@ -255,10 +268,10 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = t.orders.select("o_orderkey", "o_custkey")
     hits = []
     for i in range(n_hash):
-        pos = f"pmod(xxhash64({i}, o_custkey), {m_bits})"
+        pos_expr = pos_sql(i, "o_custkey")
         hits.append(
-            f"(element_at({bloom_sql}, CAST({pos} DIV 64 AS INT) + 1) & "
-            f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
+            f"(element_at({bloom_sql}, CAST({pos_expr} DIV 64 AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pos_expr} % 64 AS INT))) != 0"
         )
     candidates = probe.where(F.expr(" AND ".join(hits)))
     return candidates.join(
