@@ -7768,7 +7768,10 @@ def dedup_contain_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "containment filtered to increment-touching pairs — two different "
     "algorithms agreeing, the dedup-allpairs discipline; equality "
     "against the batch form's restriction is also pinned in "
-    "tests/test_wave10.py.",
+    "tests/test_wave10.py. Benched from round 12 as the REBUILD "
+    "baseline of the build/serve pair whose amortized side is "
+    "dedup-contain-incr-persist.",
+    bench=True,
 )
 def dedup_contain_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.operators.dedup import containment_join_incremental
@@ -7777,6 +7780,97 @@ def dedup_contain_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new", F.col("doc_id") % 5 == 4
     )
     return containment_join_incremental(c, "doc_id", "text", "is_new")
+
+
+# Memoized per-sf_dir persisted containment index — the _band_index_root
+# discipline (private mkdtemp, atexit sweep, one build per process;
+# bench warmup pays it, timed runs measure the amortized probe).
+_CONTAIN_INDEX_CACHE: dict[str, str] = {}
+
+
+def _contain_index_root(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from itdb_spark.operators.dedup import persist_containment_index
+
+    key = os.path.abspath(sf_dir)
+    if key not in _CONTAIN_INDEX_CACHE:
+        old = corpus(spark, sf_dir).where(F.col("doc_id") % 5 != 4)
+        root = os.path.join(
+            tempfile.mkdtemp(prefix="itdb_spark_contain_idx_"), "index"
+        )
+        atexit.register(shutil.rmtree, os.path.dirname(root), True)
+        persist_containment_index(old, "doc_id", "text", root)
+        _CONTAIN_INDEX_CACHE[key] = root
+    return _CONTAIN_INDEX_CACHE[key]
+
+
+def _dedup_contain_incr_persist_impl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from itdb_spark.operators.dedup import containment_probe_persisted
+
+    batch = corpus(spark, sf_dir).where(F.col("doc_id") % 5 == 4)
+    return containment_probe_persisted(
+        spark, _contain_index_root(spark, sf_dir), batch, "doc_id", "text"
+    )
+
+
+@register(
+    "dedup-contain-incr-persist",
+    oracle=f"""
+    WITH corpus AS ({ORACLE_CORPUS}),
+    {_SHINGLE_CTES},
+    docs AS MATERIALIZED (
+      SELECT doc, list(w ORDER BY w) AS ts, CAST(count(*) AS BIGINT) AS n
+      FROM words GROUP BY doc
+    ),
+    pairs AS (
+      SELECT a.doc AS id1, b.doc AS id2,
+             CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+             least(a.n, b.n) AS small
+      FROM docs a JOIN docs b ON a.doc < b.doc
+    )
+    SELECT id1, id2, inter, small,
+           CAST(1000 * inter // small AS BIGINT) AS contain_milli
+    FROM pairs
+    WHERE 10 * inter >= 8 * small
+      AND (id1 % 5 = 4 OR id2 % 5 = 4)
+    """,
+    defer_after=12,
+    bench=True,
+    doc="PERSISTED-index incremental containment (round 12, VERDICT r11 "
+    "#2) — the serving twin of dedup-contain-incr, whose rebuild form "
+    "recomputes the union shingle frame + global df-order EVERY call "
+    "(per-call cost corpus-scale; the round-11 SCALE table's worst "
+    "second decade at 3.7x): the existing corpus (doc_id % 5 != 4) is "
+    "ranked ONCE under its own frozen rarest-first (df, shingle-hash) "
+    "order and published as a versioned table of (doc, w, df, nt, rn, "
+    "pfx) rows — operators/dedup.py::persist_containment_index, the "
+    "sinks/versioned.py atomic-manifest kernel, refresh = rebuild over "
+    "the union + one pointer swap — and each ingest batch (the % 5 == "
+    "4 slice) ranks ITSELF under the frozen order (df looked up by "
+    "counting index postings of the batch's own shingle keys; unseen "
+    "shingles take df = 0, still a fixed total order, so the prefix "
+    "theorem holds and the probe stays LOSSLESS — any shared total "
+    "order satisfies it), then runs the same two-probe case split as "
+    "the rebuild form with the index side's prefixes/ranks READ, not "
+    "recomputed. Verification is canonicalize-then-verify at the "
+    "candidate set (hazard class 3): arrays reconstruct for candidate "
+    "docs only, distinct content-key pairs verify once. Output is "
+    "SET-identical to dedup-contain-incr (same oracle — the naive "
+    "quadratic increment-touching containment; the frozen-vs-union "
+    "order changes only candidate pruning, never the verified set), "
+    "pinned by the bit-identical gate in tests/test_wave12.py. "
+    "Benched against the rebuild twin — the build/serve split the "
+    "MinHash family (dedup-incremental vs -incr-persist) and ANN "
+    "family (sim-knn-ivfpq vs -res) already measure.",
+)
+def dedup_contain_incr_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup_contain_incr_persist_impl(spark, sf_dir)
 
 
 @register(
@@ -9875,7 +9969,9 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Emitted as canonical digit VARCHAR — the engine-portable hash "
     "surface the emb-dimstats r10 red row taught (VERDICT r10 #1). "
     "At 100 TB: one pass, d^2/2 accumulators per batch; the result is "
-    "model-sized (2,080 rows).",
+    "model-sized (2,080 rows). Benched from round 12 (VERDICT r11 #8: "
+    "the exact-kernel family's representative).",
+    bench=True,
 )
 def emb_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-11 second-decade fix: the original in-row higher-order
@@ -10470,7 +10566,9 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the hash. At 100 TB this is the production image-dedup shape "
     "(decode → content fingerprint → one shuffle on the fingerprint); "
     "perceptual near-dup (aHash/pHash) swaps the fingerprint function, "
-    "same dataflow.",
+    "same dataflow. Benched from round 12 (VERDICT r11 #8: the "
+    "decode-fingerprint dataflow's representative).",
+    bench=True,
 )
 def mm_pixeldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.operators.pngcodec import decode_png_pixels, encode_png

@@ -293,7 +293,16 @@ def test_bench_headline_set_stable():
     probe — its warmup pays the one-time build), plus dedup-exactspan
     (the round-11 headline: exact duplicated-substring spans, timed on
     its xxhash64 deploy twin); totals from BENCH_r11 on include all
-    21."""
+    21. Round 12 added the containment build/serve split (r11 VERDICT
+    #2): dedup-contain-incr (the per-call rebuild wall — union
+    shingle-df + global df-order recomputed every call) and
+    dedup-contain-incr-persist (the amortized probe against the
+    persisted frozen-order ranked index; warmup pays the build), plus
+    the two round-11 family representatives the set lacked (r11
+    VERDICT #8): emb-cov (the Arrow-batched int64-matmul exact-moment
+    kernel) and mm-pixeldedup (the decode → pixel-fingerprint → one-
+    shuffle image content dedup); totals from BENCH_r12 on include
+    all 25."""
     from itdb_spark.queries import load_all
 
     bench_ids = {qid for qid, q in load_all().items() if q.bench}
@@ -305,6 +314,8 @@ def test_bench_headline_set_stable():
         "sim-knn-ivfpq-res", "fn-bpe-train", "eval-chrf",
         "dedup-contain-exact",
         "dedup-incremental", "dedup-incr-persist", "dedup-exactspan",
+        "dedup-contain-incr", "dedup-contain-incr-persist",
+        "emb-cov", "mm-pixeldedup",
     }
 
 

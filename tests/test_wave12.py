@@ -1,0 +1,193 @@
+"""Round-12 additions: the persisted containment serving index
+(VERDICT r11 #2) — the build-once/probe-many split for the lossless
+prefix-filter containment family, mirroring what tests/test_wave11.py
+pins for the MinHash band index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_contain_persist_bit_identical_to_rebuild(spark):
+    """The persisted probe must return the SAME pair set as the
+    in-session rebuild at the same split. The two forms rank under
+    DIFFERENT orders (rebuild: union df; persisted: the index's frozen
+    df with unseen shingles at 0) — losslessness says the order changes
+    only candidate pruning, never the verified output, and this gate is
+    where that claim meets data."""
+    from itdb_spark.operators.dedup import containment_join_incremental
+    from itdb_spark.queries.pipeline import (
+        _dedup_contain_incr_persist_impl,
+        corpus,
+    )
+
+    c = corpus(spark, SF_DIR).withColumn("is_new", F.col("doc_id") % 5 == 4)
+    rebuild = {
+        tuple(r)
+        for r in containment_join_incremental(
+            c, "doc_id", "text", "is_new"
+        ).collect()
+    }
+    persisted = {
+        tuple(r)
+        for r in _dedup_contain_incr_persist_impl(spark, SF_DIR).collect()
+    }
+    assert persisted == rebuild, (
+        f"persisted probe diverged from rebuild "
+        f"({len(persisted)} vs {len(rebuild)} rows; "
+        f"only_persisted={sorted(persisted - rebuild)[:3]}, "
+        f"only_rebuild={sorted(rebuild - persisted)[:3]})"
+    )
+    assert rebuild, "empty result proves nothing"
+
+
+def test_contain_persist_triangulated_pure_python(spark, tmp_path):
+    """Third-engine triangulation on a hand-built corpus that exercises
+    the frozen-order edge cases: batch docs carrying shingles the index
+    has NEVER seen (df=0 rank path), an exact re-crawl of an old doc
+    (identical sets, containment 1000), a short doc quoted inside a
+    long one across the old/new boundary (the asymmetric-containment
+    case LSH misses), and an old x old near-pair that must NOT appear
+    (neither side new). Expected pairs computed by brute-force Python
+    set arithmetic — no Spark, no SQL."""
+    from itdb_spark.operators.dedup import (
+        containment_probe_persisted,
+        persist_containment_index,
+    )
+
+    def sh3(text: str) -> set[str]:
+        toks = text.lower().split()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old_docs = {
+        1: base,
+        2: base + " lambda mu",            # near-dup of 1
+        3: "alpha beta gamma delta",       # short doc contained in 1
+        4: "totally unrelated words about fishing boats and rivers here",
+    }
+    new_docs = {
+        101: base,                                        # exact re-crawl of 1
+        102: "alpha beta gamma delta",                    # re-crawl of 3
+        103: "quux corge grault garply waldo fred plugh", # all-new vocab
+        104: base + " nu xi omicron pi rho sigma tau upsilon phi chi",
+        # 104: long doc QUOTING old doc 1 wholesale (containment via 1's
+        # full set; also quotes 2 partially)
+    }
+    t_num, t_den = 8, 10
+
+    def brute(docs_a: dict, docs_b: dict, touch: set[int]) -> set[tuple]:
+        out = set()
+        union = {**docs_a, **docs_b}
+        ids = sorted(union)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if a not in touch and b not in touch:
+                    continue
+                sa, sb = sh3(union[a]), sh3(union[b])
+                inter, small = len(sa & sb), min(len(sa), len(sb))
+                if t_den * inter >= t_num * small:
+                    out.add((a, b, inter, small, 1000 * inter // small))
+        return out
+
+    expected = brute(old_docs, new_docs, set(new_docs))
+    assert any(i1 in (3, 102) or i2 in (3, 102) for i1, i2, *_ in expected), (
+        "fixture lost its asymmetric-containment case"
+    )
+    assert (1, 101) in {(a, b) for a, b, *_ in expected}, (
+        "fixture lost its exact re-crawl case"
+    )
+    assert not any(
+        i1 not in new_docs and i2 not in new_docs for i1, i2, *_ in expected
+    )
+
+    old_df = spark.createDataFrame(
+        [(k, v) for k, v in old_docs.items()], "doc_id long, text string"
+    )
+    new_df = spark.createDataFrame(
+        [(k, v) for k, v in new_docs.items()], "doc_id long, text string"
+    )
+    root = str(tmp_path / "cidx")
+    persist_containment_index(old_df, "doc_id", "text", root)
+    got = {
+        tuple(r)
+        for r in containment_probe_persisted(
+            spark, root, new_df, "doc_id", "text"
+        ).collect()
+    }
+    assert got == expected, (
+        f"only_spark={sorted(got - expected)}, "
+        f"only_python={sorted(expected - got)}"
+    )
+
+
+def test_persist_containment_index_layout_and_refresh(spark, tmp_path):
+    """Index invariants the probe's losslessness rides on: the table is
+    CANONICALIZED (postings per distinct shingle set, members mapping
+    every doc to its set — duplicate-content docs share one sid = the
+    min member); rn is a 1..nt permutation per sid under (df, w); pfx
+    marks exactly the first nt - ceil(t*nt) + 1 ranks; and a refresh
+    publishes a NEW version behind the atomic manifest while a pinned
+    reader keeps its old version."""
+    from itdb_spark.operators.dedup import persist_containment_index
+    from itdb_spark.sinks.versioned import current_version, read_current
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h i j"),
+            (3, "x y z w v u t s"),
+            (7, "a b c d e f g h"),  # exact duplicate of 1
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "cidx")
+    v1 = persist_containment_index(docs, "doc_id", "text", root)
+    assert v1 == "v1" and current_version(root) == "v1"
+    table = read_current(spark, root)
+    assert set(table.columns) == {
+        "kind", "sid", "w", "df", "nt", "rn", "pfx", "doc", "ts",
+    }
+    members = {
+        (r.sid, r.doc) for r in table.where("kind = 'member'").collect()
+    }
+    assert members == {(1, 1), (1, 7), (2, 2), (3, 3)}  # 1 and 7 share a set
+    # the auxiliary partitions agree with the postings
+    vocab = {(r.w, r.df) for r in table.where("kind = 'vocab'").collect()}
+    post_wdf = {
+        (r.w, r.df) for r in table.where("kind = 'post'").collect()
+    }
+    assert vocab == post_wdf and len(vocab) == len({w for w, _ in vocab})
+    sets_ts = {
+        r.sid: tuple(r.ts) for r in table.where("kind = 'set'").collect()
+    }
+    assert set(sets_ts) == {1, 2, 3}
+    for sid, ts in sets_ts.items():
+        assert list(ts) == sorted(ts) and len(set(ts)) == len(ts)
+    post = table.where("kind = 'post'").collect()
+    by_sid: dict[int, list] = {}
+    for r in post:
+        by_sid.setdefault(r.sid, []).append(r)
+    assert set(by_sid) == {1, 2, 3}  # postings once per DISTINCT set
+    for sid, rs in by_sid.items():
+        nt = rs[0].nt
+        assert len(rs) == nt == len({r.w for r in rs})
+        ranked = sorted(rs, key=lambda r: (r.df, r.w))
+        assert [r.rn for r in ranked] == list(range(1, nt + 1))
+        want_pfx = nt - ((8 * nt + 9) // 10) + 1
+        assert sum(r.pfx for r in rs) == want_pfx
+        assert all(r.pfx == (r.rn <= want_pfx) for r in rs)
+    pinned = read_current(spark, root)
+    n_before = pinned.count()
+    more = spark.createDataFrame(
+        [(4, "p q r s t u v w x")], "doc_id long, text string"
+    )
+    v2 = persist_containment_index(docs.unionByName(more), "doc_id", "text", root)
+    assert v2 == "v2" and current_version(root) == "v2"
+    assert pinned.count() == n_before  # snapshot isolation
+    assert read_current(spark, root).count() > n_before
