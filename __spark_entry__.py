@@ -115,9 +115,16 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # it GREEN under the VARCHAR surface (the one-round tolerance window),
 # confirming the Decimal value-normalization divergence hypothesis.
 # The registry is fully green at its latest grades (279/279, r11
-# verdict); no definitions changed at round-12 start, so the pin set
-# is empty. Round-12 registrations use defer_after=12.
-_CHANGED_SINCE_GRADED: dict[str, int] = {}
+# verdict). Round-12 registrations use defer_after=12. One round-12
+# definition change (VERDICT r11 #3): dedup-incremental's index/batch
+# split is now keyed on the replica class (doc % 300000) instead of an
+# absolute id bound, so the batch fraction is SF-invariant on
+# block-remapped scale dirs — values at the grading SFs are identical
+# (base ids there stay below 100000), but the committed oracle text
+# changed and its last grade is r10, so that grade no longer certifies
+# the committed definition. (dedup-incr-persist got the same fix but
+# has never been driver-graded — it fronts the window automatically.)
+_CHANGED_SINCE_GRADED: dict[str, int] = {"dedup-incremental": 10}
 
 
 def _last_graded_round() -> dict[str, int]:

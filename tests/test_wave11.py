@@ -39,8 +39,8 @@ def test_incr_persist_bit_identical_to_rebuild(spark):
         rebuild = {
             tuple(r)
             for r in band_collision_counts(
-                bands.where(F.col("doc") >= 200000),
-                bands.where(F.col("doc") < 200000),
+                bands.where(F.col("doc") % 300000 >= 200000),
+                bands.where(F.col("doc") % 300000 < 200000),
             ).collect()
         }
         persisted = {
