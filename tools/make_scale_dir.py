@@ -30,9 +30,11 @@ this tool does the opposite):
   corpus()'s +100000/+200000 derived-dedup copies stay collision-free
   at ANY replication factor — the identity below 100k docs. Large
   derived dirs exceed catalog.EDGE_ID_FLOOR (doc pairing in
-  eval-rouge) and the 200000 fixed split (dedup-incr-persist's
-  batch/index mix); both are bench-only artifacts, documented in
-  SCALE.md.
+  eval-rouge) — a bench-only artifact, documented in SCALE.md. (The
+  other artifact this note used to carry — dedup-incr-persist's fixed
+  doc < 200000 batch/index split — was fixed in round 12: both
+  incremental-dedup splits now key on the replica class
+  (doc % 300000), SF-invariant by construction.)
 
 Usage: python tools/make_scale_dir.py [src_dir] [dst_dir] [N]
 Defaults: /root/testdata/sf0.1 → ./.scale/sf1.0, N=10.
