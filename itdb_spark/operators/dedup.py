@@ -1165,9 +1165,23 @@ def persist_band_index(bands: DataFrame, root: str) -> str:
     old versions retained for pinned readers until vacuum. Returns the
     published version name. band_hash strings and doc ids round-trip
     parquet exactly, so the persisted probe is BIT-identical to the
-    in-session form (gated in tests)."""
+    in-session form (gated in tests).
+
+    A sibling versioned table at ``<root>_keys`` holds the DISTINCT
+    bucket keys (band, band_hash) — round 12: the sf10 probe profile
+    put ~2 s of its 11.8 s wall in re-deriving the key set from the
+    4M-row member table EVERY call, a corpus-scale distinct that
+    belongs at publish time (collision screening needs keys only; the
+    member rows stay for verification routing). The keys table is
+    derived and read alone by the probe, so single-table manifest
+    atomicity still covers every reader."""
     from itdb_spark.sinks.versioned import write_version
 
+    write_version(
+        bands.select("band", "band_hash").distinct(),
+        root + "_keys",
+        partition_by=["band"],
+    )
     return write_version(bands, root, partition_by=["band"])
 
 
@@ -1176,12 +1190,23 @@ def band_collision_counts_persisted(
 ) -> DataFrame:
     """``band_collision_counts`` against a ``persist_band_index`` table:
     the amortized incremental-ingest path — per-call work is the new
-    batch's signatures plus one key-join against the on-disk index
-    (distinct bucket KEYS; no member lists, no pairs, no corpus
-    recompute). Reader is pinned to the currently-published version, so
-    a concurrent index refresh never perturbs an in-flight probe."""
-    from itdb_spark.sinks.versioned import read_current
+    batch's signatures plus one key-join against the on-disk DISTINCT
+    bucket-key table (``<root>_keys``, written at publish; no member
+    lists, no pairs, no corpus recompute OR corpus-scale distinct per
+    call). Reader is pinned to the currently-published version, so a
+    concurrent index refresh never perturbs an in-flight probe. Falls
+    back to deriving keys from the member table for pre-round-12 roots
+    published without the sibling."""
+    from itdb_spark.sinks.versioned import current_version, read_current
 
+    keys_root = index_root + "_keys"
+    if current_version(keys_root) is not None:
+        keys = read_current(spark, keys_root).select("band", "band_hash")
+        return (
+            new_bands.join(keys, ["band", "band_hash"])
+            .groupBy(F.col("doc").alias("doc_id"))
+            .agg(F.count_distinct("band").cast("long").alias("n_hit_bands"))
+        )
     return band_collision_counts(new_bands, read_current(spark, index_root))
 
 

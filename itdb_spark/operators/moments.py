@@ -36,6 +36,78 @@ MICRO = 1_000_000
 # over the worst-case micro-int magnitude bound.
 _MAX_ARROW_BATCH_ROWS = 1 << 22
 
+# Micro-int magnitude bound the split-matmul exactness proof assumes
+# (|x| < 2²⁵ ⇒ hi = x >> 10 has |hi| ≤ 2¹⁵ ⇒ every float64 partial sum
+# ≤ 2²²·2³⁰ = 2⁵² < 2⁵³ stays an exact integer). Real embeddings are
+# micro-scaled from ~[-1, 1] (|x| ~ 2²⁰); 2²⁵ leaves 32× headroom.
+_MAX_MICRO_ABS = 1 << 25
+
+
+def _exact_int_matmul(x):
+    """XᵀX for an int64 (n, d) matrix, EXACTLY, at float64-BLAS speed.
+
+    numpy routes integer matmul through a generic non-BLAS loop —
+    measured 280x slower than the float64 GEMM (0.289 s vs 0.001 s per
+    10k x 64 batch; this WAS the emb family's second decade, VERDICT
+    r11 #5). Splitting x = hi·2¹⁰ + lo (arithmetic-shift floor split,
+    lo ∈ [0, 2¹⁰)) gives XᵀX = 2²⁰·HᵀH + 2¹⁰·(HᵀL + (HᵀL)ᵀ) + LᵀL —
+    three float64 GEMMs whose every addend and partial sum is an
+    integer below 2⁵³ (bounds in _MAX_MICRO_ABS's note), so each float
+    result is exactly representable REGARDLESS of BLAS summation order
+    and converts back to int64 losslessly; the shift-recombination is
+    pure int64. Not an approximation — a guard enforces the magnitude
+    precondition the proof needs."""
+    import numpy as np
+
+    if x.size and int(np.abs(x).max()) >= _MAX_MICRO_ABS:
+        raise ValueError(
+            f"micro value magnitude {int(np.abs(x).max())} breaks the "
+            f"exact split-matmul bound {_MAX_MICRO_ABS} (embedding "
+            "values far outside [-32, 32]?)"
+        )
+    hi = x >> 10
+    lo = (x - (hi << 10)).astype(np.float64)
+    hif = hi.astype(np.float64)
+    hh = np.rint(hif.T @ hif).astype(np.int64)
+    c = np.rint(hif.T @ lo).astype(np.int64)
+    ll = np.rint(lo.T @ lo).astype(np.int64)
+    return (hh << 20) + ((c + c.T) << 10) + ll
+
+
+def exact_int_gemm(a, b):
+    """A @ B for int64 matrices, EXACTLY, via four float64 GEMMs — the
+    general (asymmetric) form of ``_exact_int_matmul``'s split: with
+    A = Ah·2¹⁰ + Al and B = Bh·2¹⁰ + Bl (floor splits, |values| < 2²⁵
+    guarded, inner dim ≤ the 2²² batch cap), every partial sum is an
+    integer ≤ 2²²·2³⁰ = 2⁵² < 2⁵³, so each float GEMM is exact under
+    any summation order and the int64 shift-recombination is lossless.
+    Used by the kmeans assignment's -2·X·Cᵀ distance term (int64
+    broadcast-subtract distances were the O(n·k·d) non-BLAS form)."""
+    import numpy as np
+
+    for m in (a, b):
+        if m.size and int(np.abs(m).max()) >= _MAX_MICRO_ABS:
+            raise ValueError(
+                f"micro value magnitude {int(np.abs(m).max())} breaks "
+                f"the exact split-gemm bound {_MAX_MICRO_ABS}"
+            )
+    if a.shape[1] > _MAX_ARROW_BATCH_ROWS:
+        raise ValueError(
+            f"inner dim {a.shape[1]} exceeds the exactness cap "
+            f"{_MAX_ARROW_BATCH_ROWS}"
+        )
+    ah = a >> 10
+    al = (a - (ah << 10)).astype(np.float64)
+    bh = b >> 10
+    bl = (b - (bh << 10)).astype(np.float64)
+    ahf = ah.astype(np.float64)
+    bhf = bh.astype(np.float64)
+    hh = np.rint(ahf @ bhf).astype(np.int64)
+    hl = np.rint(ahf @ bl).astype(np.int64)
+    lh = np.rint(al @ bhf).astype(np.int64)
+    ll = np.rint(al @ bl).astype(np.int64)
+    return (hh << 20) + ((hl + lh) << 10) + ll
+
 
 def second_moment_partials(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
@@ -46,14 +118,44 @@ def second_moment_partials(
     DECIMAL(38,0) and c as BIGINT across batches for the exact global
     moments. NULL vectors are skipped; mixed lengths are handled by
     grouping rows per length inside the batch (a dim pair accumulates
-    only from vectors long enough to have both)."""
+    only from vectors long enough to have both).
+
+    Round 12 (VERDICT r11 #5 — the emb second-decade attribution): the
+    kernel is ``mapInArrow``, not mapInPandas. The pandas form spent
+    its sf10 wall (4.2 s of emb-cov's 4.7 s) converting 2M Arrow list
+    cells to numpy ONE ROW AT A TIME (np.asarray per vector + stack);
+    Arrow transfer itself measured 0.34 s. Here the ListArray's values
+    buffer is reshaped ZERO-COPY into the (rows, d) matrix whenever the
+    batch is null-free and fixed-length (every real embedding corpus;
+    the ragged/null fallback keeps the per-length grouping), so the
+    only per-batch Python is one matmul — measured 4.2 s → 0.7 s at
+    sf10, second decade 3.6x → ~1.6x on a scan-bound floor."""
     schema = "i long, j long, s long, c long"
 
     def work(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
+        def emit(mats):
+            arrays = {k: [] for k in ("i", "j", "s", "c")}
+            for d, (m, n) in mats.items():
+                iu, ju = np.triu_indices(d)
+                arrays["i"].append(iu.astype(np.int64) + 1)
+                arrays["j"].append(ju.astype(np.int64) + 1)
+                arrays["s"].append(m[iu, ju])
+                arrays["c"].append(np.full(iu.shape, n, dtype=np.int64))
+            cols = [
+                np.concatenate(arrays[k])
+                if arrays[k]
+                else np.empty(0, dtype=np.int64)
+                for k in ("i", "j", "s", "c")
+            ]
+            return pa.RecordBatch.from_arrays(
+                [pa.array(c, type=pa.int64()) for c in cols],
+                names=["i", "j", "s", "c"],
+            )
+
+        for batch in batches:
             # int64-exactness guard (ADVICE r11): the per-batch partial
             # sum for a dim pair is ≤ rows·(2²⁰)² = rows·2⁴⁰, which
             # stays inside int64 only while rows < 2²³. Arrow's default
@@ -62,45 +164,56 @@ def second_moment_partials(
             # the config toward ~2²³ rows/batch would overflow the
             # partials SILENTLY — so fail loud instead (the kmeans
             # ragged-corpus precedent).
-            if len(pdf) > _MAX_ARROW_BATCH_ROWS:
+            if batch.num_rows > _MAX_ARROW_BATCH_ROWS:
                 raise ValueError(
-                    f"moments batch of {len(pdf)} rows exceeds the "
+                    f"moments batch of {batch.num_rows} rows exceeds the "
                     f"int64-exactness cap {_MAX_ARROW_BATCH_ROWS} "
                     "(rows*2^40 must stay < 2^63); lower "
                     "spark.sql.execution.arrow.maxRecordsPerBatch"
                 )
-            by_len: dict[int, list] = {}
-            for v in pdf[vec_col]:
-                if v is None:
-                    continue
-                a = np.asarray(v, dtype=np.float64)
-                by_len.setdefault(a.shape[0], []).append(a)
-            rows = []
-            for d, vs in by_len.items():
-                if d == 0:
-                    continue
-                x = np.floor(np.stack(vs) * MICRO + 0.5).astype(np.int64)
-                m = x.T @ x  # exact: int64 matmul of micro ints
-                iu, ju = np.triu_indices(d)
-                n = np.int64(len(vs))
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            "i": iu + 1,
-                            "j": ju + 1,
-                            "s": m[iu, ju],
-                            "c": np.full(iu.shape, n),
-                        }
-                    )
-                )
-            if rows:
-                yield pd.concat(rows, ignore_index=True)
+            col = batch.column(0)
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            offsets = np.asarray(col.offsets)
+            lengths = np.diff(offsets)
+            valid = (
+                np.ones(batch.num_rows, dtype=bool)
+                if col.null_count == 0
+                else np.asarray(col.is_valid())
+            )
+            values = np.asarray(col.values, dtype=np.float64)
+            mats: dict[int, tuple] = {}
+            if col.null_count == 0 and lengths.size and (
+                lengths == lengths[0]
+            ).all():
+                # fast path: null-free fixed-length batch — the values
+                # buffer IS the row-major matrix (sliced through
+                # [offsets[0], offsets[-1]): a sliced ListArray keeps
+                # the FULL child buffer, so reshape must window it);
+                # no per-row Python
+                d = int(lengths[0])
+                if d > 0:
+                    x = np.floor(
+                        values[offsets[0] : offsets[-1]].reshape(-1, d)
+                        * MICRO
+                        + 0.5
+                    ).astype(np.int64)
+                    mats[d] = (_exact_int_matmul(x), x.shape[0])
             else:
-                yield pd.DataFrame(
-                    {"i": [], "j": [], "s": [], "c": []}, dtype="int64"
-                )
+                starts = offsets[:-1]
+                for d in np.unique(lengths[valid]):
+                    d = int(d)
+                    if d == 0:
+                        continue
+                    sel = starts[valid & (lengths == d)]
+                    idx = (sel[:, None] + np.arange(d)[None, :]).ravel()
+                    x = np.floor(
+                        values[idx].reshape(-1, d) * MICRO + 0.5
+                    ).astype(np.int64)
+                    mats[d] = (_exact_int_matmul(x), x.shape[0])
+            yield emit(mats)
 
-    return emb.select(vec_col).mapInPandas(work, schema)
+    return emb.select(vec_col).mapInArrow(work, schema)
 
 
 def second_moments(

@@ -9830,61 +9830,137 @@ def _emb_kmeans_impl(
     def assign(cents: dict[int, list[int]]) -> DataFrame:
         # centroids ride into every task as plain Python literals
         # (model-sized — the zero-exchange broadcast shape) and
-        # assignment is one numpy int64 distance matrix per Arrow
-        # batch. This replaced the zip_with/aggregate literal-array
-        # expression form after the sf10 second decade measured its
-        # INTERPRETED lambda evaluation at 4.5x per 10x (the
-        # emb-cov/moments.py class; ~512 lambda evals per row, and the
-        # dists array re-evaluated per referencing column). Exactness
-        # is unconditional: micro diffs² ≤ 4·10¹² summed over 64 dims
-        # ≤ 2.6·10¹⁴ — int64; argmin takes the FIRST minimum, matching
-        # the oracle's array_position tie-break on cluster id.
+        # assignment is one numpy distance matrix per Arrow batch. This
+        # replaced the zip_with/aggregate literal-array expression form
+        # after the sf10 second decade measured its INTERPRETED lambda
+        # evaluation at 4.5x per 10x (the emb-cov/moments.py class).
+        # Round 12 (VERDICT r11 #5): mapInArrow + the exact split-GEMM
+        # — the pandas form converted 2M list cells to numpy ONE ROW AT
+        # A TIME and evaluated the O(n·k·d) int64 broadcast-subtract
+        # distance without BLAS; here the ListArray values buffer
+        # reshapes zero-copy and d(x,c) expands to x² - 2XCᵀ + c² with
+        # the cross term an exact float64-BLAS GEMM
+        # (operators/moments.py::exact_int_gemm — every partial sum an
+        # integer < 2⁵³, so the expansion is bit-identical to the
+        # subtract form). argmin takes the FIRST minimum, matching the
+        # oracle's array_position tie-break on cluster id.
         c_sorted = [cents[c] for c in sorted(cents)]
         schema = "vec_id long, vec array<long>, cid long, dist long"
 
         def work(batches):
             import numpy as np
-            import pandas as pd
+            import pyarrow as pa
+
+            from itdb_spark.operators.moments import exact_int_gemm
 
             c = np.asarray(c_sorted, dtype=np.int64)
-            for pdf in batches:
-                arrs = [np.asarray(v, dtype=np.int64) for v in pdf["vec"]]
-                bad = {a.shape[0] for a in arrs} - {c.shape[1]}
+            c2 = (c * c).sum(axis=1)  # (k,) — ≤ 64·2⁴² < 2⁶³
+            for batch in batches:
+                ids = batch.column(0)
+                col = batch.column(1)
+                offsets = np.asarray(col.offsets)
+                lengths = np.diff(offsets)
+                bad = set(np.unique(lengths).tolist()) - {c.shape[1]}
                 if bad:
-                    # fail loud instead of np.stack's shape error: the
-                    # quantizer is dimensioned by its seeds, so a ragged
-                    # corpus is a data bug, not a kernel case
+                    # fail loud: the quantizer is dimensioned by its
+                    # seeds, so a ragged corpus is a data bug, not a
+                    # kernel case
                     raise ValueError(
                         f"embedding lengths {sorted(bad)} != centroid "
                         f"dim {c.shape[1]}"
                     )
-                x = np.stack(arrs)
-                d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "vec": pdf["vec"],
-                        "cid": d.argmin(axis=1),
-                        "dist": d.min(axis=1),
-                    }
+                values = np.asarray(col.values, dtype=np.int64)
+                x = values[offsets[0] : offsets[-1]].reshape(
+                    -1, c.shape[1]
+                )
+                x2 = (x * x).sum(axis=1)  # (n,)
+                dmat = (
+                    x2[:, None] - 2 * exact_int_gemm(x, c.T) + c2[None, :]
+                )
+                cid = dmat.argmin(axis=1).astype(np.int64)
+                dist = np.take_along_axis(
+                    dmat, cid[:, None], axis=1
+                ).ravel()
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        col,
+                        pa.array(cid, type=pa.int64()),
+                        pa.array(dist, type=pa.int64()),
+                    ],
+                    names=["vec_id", "vec", "cid", "dist"],
                 )
 
-        return vecs.mapInPandas(work, schema)
+        return vecs.mapInArrow(work, schema)
+
+    def update_partials(cents: dict[int, list[int]]) -> DataFrame:
+        # the update pass: same distance kernel, but each Arrow batch
+        # emits its k·dims PARTIAL SUMS (cid, d, s, n) instead of
+        # per-row assignments — round 12: the posexplode form shipped
+        # 128M exploded (cid, dim, x) rows into the map-side combine at
+        # sf10 (the dominant kmeans stage after the GEMM fix); here a
+        # batch contributes ≤ k·dims rows and the JVM fold only ever
+        # sees model-sized traffic. Exact: per-batch int64 sums ≤
+        # 10⁴·2²¹, global fold ≤ corpus·2²¹ — inside int64 both hops.
+        c_sorted = [cents[c] for c in sorted(cents)]
+
+        def work(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            from itdb_spark.operators.moments import exact_int_gemm
+
+            c = np.asarray(c_sorted, dtype=np.int64)
+            c2 = (c * c).sum(axis=1)
+            k, dims = c.shape
+            for batch in batches:
+                col = batch.column(1)
+                offsets = np.asarray(col.offsets)
+                lengths = np.diff(offsets)
+                bad = set(np.unique(lengths).tolist()) - {dims}
+                if bad:
+                    raise ValueError(
+                        f"embedding lengths {sorted(bad)} != centroid "
+                        f"dim {dims}"
+                    )
+                values = np.asarray(col.values, dtype=np.int64)
+                x = values[offsets[0] : offsets[-1]].reshape(-1, dims)
+                x2 = (x * x).sum(axis=1)
+                dmat = x2[:, None] - 2 * exact_int_gemm(x, c.T) + c2[None, :]
+                cid = dmat.argmin(axis=1)
+                s = np.zeros((k, dims), dtype=np.int64)
+                n = np.bincount(cid, minlength=k).astype(np.int64)
+                for j in range(k):
+                    if n[j]:
+                        s[j] = x[cid == j].sum(axis=0)
+                cids = np.repeat(np.arange(k, dtype=np.int64), dims)
+                ds = np.tile(np.arange(dims, dtype=np.int64), k)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cids, type=pa.int64()),
+                        pa.array(ds, type=pa.int64()),
+                        pa.array(s.ravel(), type=pa.int64()),
+                        pa.array(np.repeat(n, dims), type=pa.int64()),
+                    ],
+                    names=["cid", "d", "s", "n"],
+                )
+
+        return vecs.mapInArrow(work, "cid long, d long, s long, n long")
 
     # deterministic init: the k smallest vec_ids seed cid 0..k-1
     seeds = vecs.orderBy("vec_id").limit(k).collect()
     cents = {i: list(r.vec) for i, r in enumerate(seeds)}
     for _ in range(iters):
-        # update: ONE shuffle of (cid, dim) partial sums — map-side
-        # combine reduces each partition to <= k*dims rows before the
-        # exchange; the driver materializes only the k*dims centroid
-        # table (bounded by model size, never by corpus size — the
+        # update: ONE shuffle of (cid, dim) partial sums — map-side the
+        # Arrow worker has already folded each batch to <= k*dims rows;
+        # the driver materializes only the k*dims centroid table
+        # (bounded by model size, never by corpus size — the
         # fn-bpe-train / train_pq iterative-trainer pattern)
         sums = (
-            assign(cents)
-            .select("cid", F.posexplode("vec").alias("d", "x"))
+            update_partials(cents)
             .groupBy("cid", "d")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .where(F.col("n") > 0)
             .collect()
         )
         new: dict[int, dict[int, int]] = {}
@@ -10626,6 +10702,115 @@ def mm_pixeldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("grp"),
         F.count("*").cast("long").alias("n_members"),
     ).select("grp", "n_members", "width", "height", "px_sum")
+
+
+@register(
+    "mm-ahash",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, doc_id % 50 AS g,
+             CAST(1 + (doc_id % 50) % 13 AS INTEGER) AS w,
+             CAST(1 + ((doc_id % 50) * 3) % 11 AS INTEGER) AS h
+      FROM documents
+    ),
+    samp AS (
+      SELECT doc_id, g, w, h, k.k,
+             3 * ((((k.k // 8) * h) // 8) * w + (((k.k % 8) * w) // 8)) AS b0
+      FROM s, unnest(range(64)) k(k)
+    ),
+    lum AS (
+      SELECT doc_id, w, h, k,
+             ( (g*31 + (b0+0)*7 + ((doc_id // 50) % 5) * CASE WHEN (b0+0) % 29 = 0 THEN 1 ELSE 0 END) % 251
+             + (g*31 + (b0+1)*7 + ((doc_id // 50) % 5) * CASE WHEN (b0+1) % 29 = 0 THEN 1 ELSE 0 END) % 251
+             + (g*31 + (b0+2)*7 + ((doc_id // 50) % 5) * CASE WHEN (b0+2) % 29 = 0 THEN 1 ELSE 0 END) % 251
+             ) // 3 AS luma
+      FROM samp
+    ),
+    m AS (SELECT doc_id, sum(luma) // 64 AS mean FROM lum GROUP BY doc_id),
+    hashed AS (
+      SELECT l.doc_id, l.w, l.h,
+             string_agg(CASE WHEN l.luma > m.mean THEN '1' ELSE '0' END,
+                        '' ORDER BY l.k) AS ahash_bits
+      FROM lum l JOIN m USING (doc_id)
+      GROUP BY l.doc_id, l.w, l.h
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT (doc_id // 50) % 5) AS BIGINT) AS n_variants,
+           w AS width, h AS height, ahash_bits
+    FROM hashed GROUP BY ahash_bits, w, h
+    """,
+    defer_after=12,
+    doc="Perceptual near-dup image dedup (round 12) — the fingerprint "
+    "swap mm-pixeldedup's docstring promises, made real: each doc's "
+    "synthesized RGB image now carries per-doc NOISE (the (doc_id // 50) "
+    "% 5 variant class bumps every 29th byte), so images within a pixel "
+    "group are byte-different AND pixel-different — exact dedup and "
+    "the pixel-md5 content key both fragment — yet an average-hash "
+    "(8x8 nearest-sample luma grid, bit = sample > integer mean of "
+    "the 64 samples, emitted as a 64-char bit string: no int64 sign "
+    "games, engine-portable) still folds the variants together "
+    "wherever the noise clears no bit threshold. The dataflow is "
+    "UNCHANGED from mm-pixeldedup — encode real PNGs, decode with the "
+    "vendored codec, fingerprint, ONE shuffle on the fingerprint — "
+    "only the fingerprint function swapped, which is the entire "
+    "point: at 100 TB perceptual dedup costs exactly what content "
+    "dedup costs. n_variants counts distinct noise classes per group "
+    "(> 1 proves genuinely different images merged); the oracle "
+    "re-derives every sampled luma arithmetically, so a codec or "
+    "sampling-grid bug breaks the hash gate.",
+)
+def mm_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.pngcodec import decode_png_pixels, encode_png
+
+    t = Tables(spark, sf_dir)
+    schema = "doc_id long, variant int, ahash_bits string, width int, height int"
+
+    def work(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g = doc_id % 50
+                w = 1 + g % 13
+                h = 1 + (g * 3) % 11
+                # variant class must VARY within a pixel group: doc_id % 5
+                # is constant there (50 is a multiple of 5), so the noise
+                # keys on the replica index (doc_id // 50) % 5 instead
+                v = (doc_id // 50) % 5
+                raw = bytes(
+                    (g * 31 + i * 7 + (v if i % 29 == 0 else 0)) % 251
+                    for i in range(w * h * 3)
+                )
+                png = encode_png(w, h, raw, 2, phase=doc_id % 5)
+                dw, dh, ch, px = decode_png_pixels(png)
+                if (dw, dh, ch) != (w, h, 3):
+                    raise ValueError(f"codec geometry drift for doc {doc_id}")
+                lumas = []
+                for k in range(64):
+                    r, c = k // 8, k % 8
+                    p = ((r * h) // 8) * w + ((c * w) // 8)
+                    lumas.append(
+                        (px[3 * p] + px[3 * p + 1] + px[3 * p + 2]) // 3
+                    )
+                mean = sum(lumas) // 64
+                bits = "".join("1" if x > mean else "0" for x in lumas)
+                rows.append((doc_id, v, bits, w, h))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "ahash_bits", "width", "height"],
+            )
+
+    keyed = t.documents.select("doc_id").mapInPandas(work, schema)
+    return keyed.groupBy("ahash_bits", "width", "height").agg(
+        F.min("doc_id").alias("grp"),
+        F.count("*").cast("long").alias("n_members"),
+        F.count_distinct("variant").cast("long").alias("n_variants"),
+    ).select(
+        "grp", "n_members", "n_variants", "width", "height", "ahash_bits"
+    )
 
 
 @register(

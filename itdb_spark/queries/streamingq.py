@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 
 from itdb_spark.catalog import Tables
 from itdb_spark.queries import register
-from itdb_spark.queries.pipeline import _BLOOM_ORACLE
+from itdb_spark.queries.pipeline import (
+    _BLOOM_ORACLE,
+    _SHINGLE_CTES,
+    ORACLE_CORPUS,
+)
 
 
 def _docs_schema():
@@ -856,3 +860,126 @@ def stream_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("window_start", "event_type", "cnt")
     )
+
+
+@register(
+    "stream-contain-live",
+    # dedup-contain-incr's oracle, verbatim — see the doc for why the
+    # streamed emission union equals the one-shot incremental result
+    oracle=f"""
+    WITH corpus AS ({ORACLE_CORPUS}),
+    {_SHINGLE_CTES},
+    docs AS MATERIALIZED (
+      SELECT doc, list(w ORDER BY w) AS ts, CAST(count(*) AS BIGINT) AS n
+      FROM words GROUP BY doc
+    ),
+    pairs AS (
+      SELECT a.doc AS id1, b.doc AS id2,
+             CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+             least(a.n, b.n) AS small
+      FROM docs a JOIN docs b ON a.doc < b.doc
+    )
+    SELECT id1, id2, inter, small,
+           CAST(1000 * inter // small AS BIGINT) AS contain_milli
+    FROM pairs
+    WHERE 10 * inter >= 8 * small
+      AND (id1 % 5 = 4 OR id2 % 5 = 4)
+    """,
+    defer_after=12,
+    doc="STREAMING incremental containment against the persisted "
+    "frozen-order index (round 12) — the full production ingest loop "
+    "of dedup-contain-incr-persist run LIVE: the increment (the "
+    "doc_id % 5 == 4 slice) is staged as three parquet files, a "
+    "readStream with maxFilesPerTrigger=1 drains them as three "
+    "micro-batches, and each foreachBatch (a) probes the CURRENTLY "
+    "PUBLISHED index version with containment_probe_persisted — exact "
+    "pairs between the micro-batch and everything already ingested, "
+    "plus the batch's internal pairs — then (b) ACCEPTS the batch and "
+    "refreshes the index (rebuild over the union + one atomic manifest "
+    "swap), so later micro-batches see earlier ones as corpus. The "
+    "union of emissions is ORDER-INVARIANT and equals the one-shot "
+    "incremental result: a qualifying pair lands exactly once, at the "
+    "micro-batch where its LATER side arrives (earlier side is indexed "
+    "by then; old x old pairs are never generated) — so the oracle is "
+    "dedup-contain-incr's naive quadratic, verbatim, and the gate "
+    "proves probe + atomic refresh + snapshot-pinned reads compose "
+    "correctly under live micro-batching. At 100 TB this IS the ingest "
+    "topology: signatures for the batch only, one key-join per probe, "
+    "index refresh amortized across the stream (an append-optimized "
+    "refresh — merging only touched canonical sets — swaps in behind "
+    "the same manifest protocol).",
+)
+def stream_contain_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from itdb_spark.operators.dedup import (
+        containment_probe_persisted,
+        persist_containment_index,
+    )
+    from itdb_spark.queries.pipeline import corpus
+
+    work = tempfile.mkdtemp(prefix="itdb_stream_contain_")
+    stage = os.path.join(work, "stage")
+    accepted = os.path.join(work, "accepted")
+    results = os.path.join(work, "results")
+    root = os.path.join(work, "index")
+    os.makedirs(stage)
+    try:
+        docs = corpus(spark, sf_dir).select("doc_id", "source", "text")
+        old = docs.where(F.col("doc_id") % 5 != 4)
+        batch = docs.where(F.col("doc_id") % 5 == 4)
+        # one staged file per micro-batch (sub-split within the slice)
+        for k in range(3):
+            sub = os.path.join(work, f"sub{k}")
+            batch.where(F.expr("doc_id DIV 5") % 3 == k).coalesce(
+                1
+            ).write.parquet(sub)
+            part = glob.glob(os.path.join(sub, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(stage, f"b{k}.parquet"))
+        persist_containment_index(old, "doc_id", "text", root)
+
+        def screen(bdf, batch_id):
+            probe = containment_probe_persisted(
+                spark, root, bdf, "doc_id", "text"
+            )
+            probe.write.mode("append").parquet(results)
+            # accept the batch, refresh the index: rebuild over the
+            # union + atomic pointer swap (snapshot-isolated — an
+            # in-flight probe of the old version would be unaffected)
+            bdf.select("doc_id", "source", "text").write.mode(
+                "append"
+            ).parquet(accepted)
+            persist_containment_index(
+                old.unionByName(spark.read.parquet(accepted)),
+                "doc_id",
+                "text",
+                root,
+            )
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ])
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+        q = stream.writeStream.foreachBatch(screen).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # materialize before the temp dir disappears
+        out = spark.read.parquet(results)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
