@@ -191,3 +191,88 @@ def test_persist_containment_index_layout_and_refresh(spark, tmp_path):
     assert v2 == "v2" and current_version(root) == "v2"
     assert pinned.count() == n_before  # snapshot isolation
     assert read_current(spark, root).count() > n_before
+
+
+def test_mm_ahash_triangulated_pure_python(spark):
+    """Third engine for mm-ahash: re-derive every doc's average-hash in
+    plain Python from the pixel-synthesis arithmetic (no Spark, no SQL,
+    no codec — the codec path is what the Spark side adds, so agreement
+    here means encode→decode→sample round-trips bit-exactly), group,
+    and compare. Also pins the query's reason to exist: most pixel
+    groups must MERGE all five byte-different noise variants (n_variants
+    = 5), which exact and content dedup cannot do."""
+    import collections
+
+    from itdb_spark.queries.pipeline import mm_ahash
+    from tests.conftest import SF_DIR
+
+    def byte(g, i, v):
+        return (g * 31 + i * 7 + (v if i % 29 == 0 else 0)) % 251
+
+    def ahash(doc):
+        g = doc % 50
+        w = 1 + g % 13
+        h = 1 + (g * 3) % 11
+        v = (doc // 50) % 5
+        lum = []
+        for k in range(64):
+            r, c = k // 8, k % 8
+            b0 = 3 * (((r * h) // 8) * w + ((c * w) // 8))
+            lum.append(
+                (byte(g, b0, v) + byte(g, b0 + 1, v) + byte(g, b0 + 2, v))
+                // 3
+            )
+        mean = sum(lum) // 64
+        return "".join("1" if x > mean else "0" for x in lum), w, h
+
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    groups = collections.defaultdict(list)
+    for d in docs:
+        groups[ahash(d)].append(d)
+    want = {
+        (min(v), len(v), len({(d // 50) % 5 for d in v}), w, h, bits)
+        for (bits, w, h), v in groups.items()
+    }
+    got = {tuple(r) for r in mm_ahash(spark, SF_DIR).collect()}
+    assert got == want
+    merged = [r for r in want if r[2] == 5]
+    assert len(merged) >= 40, (
+        f"only {len(merged)} groups merged all 5 noise variants — the "
+        "perceptual-dedup fixture lost its point"
+    )
+
+
+def test_stream_contain_live_equals_one_shot_incremental(spark):
+    """The streamed probe-then-refresh loop's emission union must equal
+    the one-shot incremental containment result — the order-invariance
+    argument (every pair lands exactly once, at the micro-batch where
+    its later side arrives) meeting data. Exercises three real
+    foreachBatch probes and three atomic index refreshes."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.operators.dedup import containment_join_incremental
+    from itdb_spark.queries.pipeline import corpus
+    from itdb_spark.queries.streamingq import stream_contain_live
+    from tests.conftest import SF_DIR
+
+    one_shot = {
+        tuple(r)
+        for r in containment_join_incremental(
+            corpus(spark, SF_DIR).withColumn(
+                "is_new", F.col("doc_id") % 5 == 4
+            ),
+            "doc_id",
+            "text",
+            "is_new",
+        ).collect()
+    }
+    streamed_rows = [tuple(r) for r in stream_contain_live(spark, SF_DIR).collect()]
+    streamed = set(streamed_rows)
+    assert len(streamed_rows) == len(streamed), "a pair emitted twice"
+    assert streamed == one_shot
+    assert streamed, "empty result proves nothing"
