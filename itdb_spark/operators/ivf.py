@@ -413,3 +413,39 @@ def semantic_dedup(
             ).alias("is_dup"),
         )
     )
+
+
+def ivf_range_search(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.25,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Cosine RANGE search over a prebuilt IVF index: probe the
+    top-``n_probe`` cells per query, return every candidate in those
+    cells at cosine >= ``threshold`` — the scale path of
+    similarity.cosine_range_search (which scans the corpus per query
+    set; here unprobed cells are never scored, and over the persisted
+    layout their FILES are never read — the partition-pruning property
+    persist_ivf_index proves for top-k carries over unchanged because
+    the probe half is shared). Deterministic (same probe tie-breaks as
+    ivf_search), so the oracle replays it exactly; recall vs the brute
+    range is the audited quantity, not an assumption."""
+    probed = _probe_cells(queries, centroids, id_col, vec_col, n_probe)
+    cands = probed.join(assignments, "centroid_id").where(
+        F.col("query_id") != F.col(id_col)
+    )
+    return (
+        cands.select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_pandas(F.col("qvec"), F.col("vec")).alias("cos_raw"),
+        )
+        .where(F.col("cos_raw") >= threshold)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine")
+        )
+    )

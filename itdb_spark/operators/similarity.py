@@ -319,3 +319,47 @@ def lsh_knn(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def cosine_range_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Exact cosine RANGE (radius) search: every (query, vector) pair at
+    cosine >= ``threshold`` — the other half of the similarity API
+    surface next to top-k (brute_force_knn): top-k answers "the best k
+    whatever they are", range answers "everything at least this
+    similar", the retrieval shape dedup gates, recall audits, and
+    near-duplicate mining actually consume (dedup-embedding IS a range
+    search specialized to a self-join). Brute exact form — broadcast
+    query set, one pass over the vectors, Arrow-batched cosine, filter;
+    the correctness baseline ivf_range_search is audited against.
+    Returns (query_id, neighbor_id, cosine) with no per-query window at
+    all: unlike top-k there is nothing to rank, so the plan is scan →
+    broadcast-join → filter — embarrassingly parallel at any corpus
+    size."""
+    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nvec"),
+    ).repartition(n_parts)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    return (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pandas(F.col("qvec"), F.col("nvec")).alias("cos_raw"),
+        )
+        .where(F.col("cos_raw") >= threshold)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine")
+        )
+    )

@@ -11268,3 +11268,99 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mad, "event_type").select(
         "event_type", "n", "median_cents", "mad_cents"
     )
+
+
+# --- range (radius) similarity search — round 12 ------------------------------
+
+_RANGE_THRESH = 0.25  # organic boundary gap >= 2.4e-5 at every measured SF
+
+
+@register(
+    "sim-range-brute",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine FROM (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_dot_product(q.qvec, v.vec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(v.vec, v.vec))) AS cos_raw
+      FROM q JOIN v ON v.vec_id != q.query_id
+    ) WHERE cos_raw >= {_RANGE_THRESH}
+    """,
+    defer_after=12,
+    doc="Exact cosine RANGE (radius) search (round 12) — the similarity "
+    "API's other half next to top-k: return EVERYTHING at cosine >= "
+    "0.25 of each query, however many or few — the retrieval shape "
+    "dedup gates, recall audits, and near-duplicate mining consume "
+    "(dedup-embedding is this, specialized to a self-join at 0.999). "
+    "Brute exact form: broadcast query set, ONE corpus pass, "
+    "Arrow-batched cosine, filter — no per-query window at all (unlike "
+    "top-k there is nothing to rank), so the plan is scan → broadcast "
+    "join → filter, embarrassingly parallel at any corpus size. The "
+    "0.25 threshold sits >= 2.4e-5 from every organic cosine at all "
+    "measured SFs (miss-band pinned in tests/test_wave12.py — the "
+    "dedup-embedding float-boundary discipline), so the float "
+    "comparison is decided far above summation-order noise on both "
+    "engines. Baseline the IVF-pruned form is audited against.",
+)
+def sim_range_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.similarity import cosine_range_search
+
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 5)
+    return cosine_range_search(emb, queries, threshold=_RANGE_THRESH)
+
+
+def _ivf_range_oracle(
+    n_cells: int = 8, n_probe: int = 3, iters: int = 4, dim: int = 64
+) -> str:
+    """DuckDB twin of ivf_range_search: the sim-knn-ivf probe replay
+    (same _ivf_assign_ctes training loop, same probe tie-breaks) with
+    the top-k window swapped for the range predicate."""
+    prev = f"c{iters}"
+    ctes = _ivf_assign_ctes(n_cells, iters, dim, "v")
+    ctes.append(
+        "q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5)"
+    )
+    ctes.append(f"""probed AS (SELECT query_id, qvec, centroid_id FROM (
+        SELECT q.query_id, q.qvec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_cos_sql('q.qvec', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN {prev} c) WHERE rn <= {n_probe})""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_cos_sql('p.qvec', 'a.vec')} AS cos_raw
+      FROM probed p JOIN af a
+        ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id
+    ) WHERE cos_raw >= {_RANGE_THRESH}""")
+
+
+@register(
+    "sim-range-ivf",
+    oracle=_ivf_range_oracle(),
+    defer_after=12,
+    doc="IVF-pruned cosine range search (round 12) — sim-range-brute's "
+    "scale path: probe the top-3 cells per query (the sim-knn-ivf "
+    "coarse quantizer, byte-identical training replay in the oracle), "
+    "score ONLY probed cells' members, keep cosine >= 0.25. Unprobed "
+    "cells are never scored, and over the persisted layout their files "
+    "are never read (the probe half is shared with ivf_search, whose "
+    "partition-pruning proof in tests/test_ivf_merge.py carries over). "
+    "Range recall vs the brute baseline is MEASURED and pinned "
+    "(tests/test_wave12.py), not assumed — the eval-retrieval "
+    "discipline applied to the radius form.",
+)
+def sim_range_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.ivf import build_ivf_index, ivf_range_search
+
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 5)
+    assignments, centroids = build_ivf_index(emb, k=8, iters=4)
+    return ivf_range_search(
+        assignments, centroids, queries,
+        threshold=_RANGE_THRESH, n_probe=3,
+    )

@@ -276,3 +276,54 @@ def test_stream_contain_live_equals_one_shot_incremental(spark):
     assert len(streamed_rows) == len(streamed), "a pair emitted twice"
     assert streamed == one_shot
     assert streamed, "empty result proves nothing"
+
+
+def test_range_search_missband_and_recall(spark):
+    """The two guarantees the range-search pair's docstrings promise:
+    (1) the 0.25 threshold is decided far above float summation-order
+    noise — no organic cosine sits within 1e-9 of it (the
+    dedup-embedding miss-band discipline); (2) IVF range recall vs the
+    brute baseline is MEASURED: every IVF hit is a brute hit with the
+    identical rounded cosine (probing only prunes, never invents), and
+    recall at n_probe=3 of 8 cells stays above the floor that makes
+    the pruned form useful."""
+    from itdb_spark.queries.pipeline import sim_range_brute, sim_range_ivf
+    from tests.conftest import SF_DIR
+
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim_range_brute(spark, SF_DIR).collect()
+    }
+    assert brute, "empty range proves nothing"
+    # miss-band: recompute unrounded cosines near the threshold
+    from itdb_spark.operators.similarity import cosine_pandas
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    gap = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.abs(
+                cosine_pandas(F.col("qvec"), F.col("vec")) - F.lit(0.25)
+            ).alias("g")
+        )
+        .agg(F.min("g"))
+        .collect()[0][0]
+    )
+    assert gap > 1e-9, f"a cosine sits {gap} from the threshold"
+
+    ivf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim_range_ivf(spark, SF_DIR).collect()
+    }
+    assert set(ivf) <= set(brute), "IVF invented a hit brute lacks"
+    for pair, c in ivf.items():
+        assert brute[pair] == c, f"cosine drift on {pair}"
+    recall = len(ivf) / len(brute)
+    assert recall >= 0.6, f"range recall {recall:.2f} at n_probe=3"
