@@ -431,7 +431,8 @@ def _ivf_assign_ctes(
 
 def _ivf_oracle(k: int = 5, n_cells: int = 8, n_probe: int = 3,
                 iters: int = 4, dim: int = 64, filter_pred: str = "",
-                train_src: str = "v") -> str:
+                train_src: str = "v",
+                queries_pred: str = "vec_id < 5") -> str:
     """DuckDB twin of build_ivf_index + ivf_knn (see _ivf_assign_ctes):
     probe the top-``n_probe`` cells per query, exact cosine re-rank
     within probed cells only. ``filter_pred`` (default empty — renders
@@ -443,7 +444,7 @@ def _ivf_oracle(k: int = 5, n_cells: int = 8, n_probe: int = 3,
     equivalent while the dim table keeps doc_id unique."""
     prev = f"c{iters}"
     ctes = _ivf_assign_ctes(n_cells, iters, dim, train_src)
-    ctes.append("q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5)")
+    ctes.append(f"q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE {queries_pred})")
     ctes.append(f"""probed AS (SELECT query_id, qvec, centroid_id FROM (
         SELECT q.query_id, q.qvec, c.centroid_id,
                row_number() OVER (PARTITION BY q.query_id
@@ -503,30 +504,27 @@ _IVF_PERSIST_INDEX_CACHE: dict[str, str] = {}
     "BYTE-IDENTICAL sim-knn-ivf replay — the persisted path must "
     "hash-match the in-session result exactly.",
 )
-def sim_knn_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_persist_root(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized per-sf_dir persisted IVF index path. Private mkdtemp dir
+    (unique, mode 0700 — a fixed world-predictable /tmp path is
+    pre-creatable/symlinkable by another local user and races concurrent
+    sessions; round-8 ADVICE), MEMOIZED per sf_dir like the ivfpq-res
+    cache: the build is deterministic per corpus, and without the memo a
+    long-lived session accumulates one index copy on disk per invocation
+    until interpreter exit (round-9 ADVICE). Cleanup stays deferred to
+    exit because returned DataFrames read the path lazily. Shared by
+    sim-knn-ivf-persist and the round-12 streaming server twin
+    stream-knn-live."""
     import atexit
     import os
     import shutil
     import tempfile
 
-    from itdb_spark.operators.ivf import (
-        build_ivf_index,
-        ivf_search_persisted,
-        persist_ivf_index,
-    )
+    from itdb_spark.operators.ivf import build_ivf_index, persist_ivf_index
 
-    emb = Tables(spark, sf_dir).embeddings
-    queries = emb.where(F.col("vec_id") < 5)
-    # Private mkdtemp dir (unique, mode 0700 — a fixed world-predictable
-    # /tmp path is pre-creatable/symlinkable by another local user and
-    # races concurrent sessions; round-8 ADVICE), MEMOIZED per sf_dir
-    # like the ivfpq-res cache: the build is deterministic per corpus,
-    # and without the memo a long-lived session accumulates one index
-    # copy on disk per invocation until interpreter exit (round-9
-    # ADVICE). Cleanup stays deferred to exit because the returned
-    # DataFrame reads the path lazily.
     key = os.path.abspath(sf_dir)
     if key not in _IVF_PERSIST_INDEX_CACHE:
+        emb = Tables(spark, sf_dir).embeddings
         assignments, centroids = build_ivf_index(emb, k=8)
         path = os.path.join(
             tempfile.mkdtemp(prefix="itdb_spark_ivf_persist_"), "index"
@@ -534,8 +532,16 @@ def sim_knn_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, os.path.dirname(path), True)
         persist_ivf_index(assignments, centroids, path)
         _IVF_PERSIST_INDEX_CACHE[key] = path
+    return _IVF_PERSIST_INDEX_CACHE[key]
+
+
+def sim_knn_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.ivf import ivf_search_persisted
+
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 5)
     return ivf_search_persisted(
-        spark, _IVF_PERSIST_INDEX_CACHE[key], queries, k=5, n_probe=3
+        spark, _ivf_persist_root(spark, sf_dir), queries, k=5, n_probe=3
     )
 
 

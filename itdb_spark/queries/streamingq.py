@@ -14,6 +14,7 @@ from itdb_spark.queries import register
 from itdb_spark.queries.pipeline import (
     _BLOOM_ORACLE,
     _SHINGLE_CTES,
+    _ivf_oracle,
     ORACLE_CORPUS,
 )
 
@@ -978,6 +979,86 @@ def stream_contain_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
         # materialize before the temp dir disappears
+        out = spark.read.parquet(results)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream-knn-live",
+    # the proven sim-knn-ivf replay with a 15-query set — one parameter
+    # on the shared builder, the sim-knn-ivf-incr precedent
+    oracle=_ivf_oracle(queries_pred="vec_id < 15"),
+    defer_after=12,
+    doc="STREAMING ANN serving (round 12) — the persisted IVF index "
+    "run as a LIVE search server, completing the pattern the round "
+    "gave containment (stream-contain-live): queries arrive as a real "
+    "readStream (15 query vectors staged as three parquet files, "
+    "maxFilesPerTrigger=1 → three micro-batches), and each foreachBatch "
+    "serves its batch with ivf_search_persisted against the ONE "
+    "memoized on-disk index — probed cell ids become a plan-time "
+    "partition IN-filter per batch, so every request reads only its "
+    "probed cells' files (the tests/test_ivf_merge.py pruning proof, "
+    "now exercised per micro-batch). Searches are independent per "
+    "query, so the emission union is trivially order-invariant and "
+    "equals the one-shot search over all 15 queries: the oracle is the "
+    "byte-stable sim-knn-ivf training replay with the query CTE "
+    "widened (the sim-knn-ivf-incr one-parameter-reuse precedent). At "
+    "100 TB this IS the vector-serving topology: build/refresh "
+    "publishes behind the manifest, request batches stream in, each "
+    "pays only probe + pruned-scan + rerank.",
+)
+def stream_knn_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from itdb_spark.operators.ivf import ivf_search_persisted
+    from itdb_spark.queries.pipeline import _ivf_persist_root
+
+    root = _ivf_persist_root(spark, sf_dir)
+    emb = Tables(spark, sf_dir).embeddings
+    work = tempfile.mkdtemp(prefix="itdb_stream_knn_")
+    stage = os.path.join(work, "stage")
+    results = os.path.join(work, "results")
+    os.makedirs(stage)
+    try:
+        for b in range(3):
+            sub = os.path.join(work, f"sub{b}")
+            emb.where(
+                (F.col("vec_id") >= 5 * b) & (F.col("vec_id") < 5 * (b + 1))
+            ).coalesce(1).write.parquet(sub)
+            part = glob.glob(os.path.join(sub, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(stage, f"q{b}.parquet"))
+
+        def serve(bdf, batch_id):
+            ivf_search_persisted(
+                spark, root, bdf, k=5, n_probe=3
+            ).write.mode("append").parquet(results)
+
+        from pyspark.sql import types as T
+
+        # pinned to the parquet's physical types (float32 vectors, int
+        # labels — the vectorized reader refuses a widening schema)
+        schema = T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ])
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+        q = stream.writeStream.foreachBatch(serve).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
         out = spark.read.parquet(results)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

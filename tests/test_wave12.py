@@ -327,3 +327,30 @@ def test_range_search_missband_and_recall(spark):
         assert brute[pair] == c, f"cosine drift on {pair}"
     recall = len(ivf) / len(brute)
     assert recall >= 0.6, f"range recall {recall:.2f} at n_probe=3"
+
+
+def test_stream_knn_live_equals_one_shot_search(spark):
+    """The streamed ANN server's emission union must equal the one-shot
+    persisted-index search over the same 15 queries — searches are
+    independent per query, so micro-batching must change nothing; also
+    pins one result row per (query, rank) with no duplicates across
+    micro-batches."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.operators.ivf import ivf_search_persisted
+    from itdb_spark.queries.pipeline import _ivf_persist_root
+    from itdb_spark.queries.streamingq import stream_knn_live
+    from tests.conftest import SF_DIR
+
+    root = _ivf_persist_root(spark, SF_DIR)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    one_shot = {
+        tuple(r)
+        for r in ivf_search_persisted(
+            spark, root, emb.where(F.col("vec_id") < 15), k=5, n_probe=3
+        ).collect()
+    }
+    rows = [tuple(r) for r in stream_knn_live(spark, SF_DIR).collect()]
+    assert len(rows) == len(set(rows)), "duplicate emission across batches"
+    assert set(rows) == one_shot
+    assert {q for q, *_ in rows} == set(range(15))
