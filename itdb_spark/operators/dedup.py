@@ -1327,6 +1327,112 @@ def persist_containment_index(
         canon.unpersist()
 
 
+def append_containment_index(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int = 8,
+    t_den: int = 10,
+) -> str:
+    """BATCH-BOUNDED refresh of a ``persist_containment_index`` table
+    (round 12 — completes the amortization story: the probe was already
+    batch-bounded, but refresh-by-rebuild re-ranked and REWROTE the
+    whole corpus per accepted batch): publish a DELTA version
+    (sinks/versioned.py::append_version — new files + one atomic
+    pointer swap; the write cost is the delta, never the table) that
+
+    * adds the batch's genuinely NEW distinct shingle sets, their
+      postings ranked under the index's PERMANENTLY FROZEN v1 (df, w)
+      order (the vocab partition is never extended — unseen shingles
+      rank at df = 0 forever, which is a fixed total order, so the
+      prefix theorem keeps every FUTURE probe lossless; pruning quality
+      drifts with corpus drift, losslessness does not);
+    * maps EVERY batch doc into the member partition — docs whose exact
+      shingle array already exists anywhere in the chain join that
+      existing sid (content dedup at the index itself), the rest join
+      their new set.
+
+    Work audit: batch canonicalization (batch-bounded groupBy), one
+    ts-equality join against the chain's SET partition (set-count
+    postings never rescanned), frozen-df lookup for the new sets' keys
+    (broadcast-semi-restricted vocab scan), rank windows over new-set
+    postings only. Nothing corpus-scale is shuffled, ranked, or
+    rewritten. Returns the published version name."""
+    from itdb_spark.sinks.versioned import append_version, read_current_chain
+
+    table = read_current_chain(spark, root)
+    idx_vocab = table.where(F.col("kind") == "vocab").select("w", "df")
+    idx_sets = table.where(F.col("kind") == "set").select(
+        F.col("sid").alias("esid"), "ts"
+    )
+    bsh = shingle_frame(batch, id_col, text_col).select(
+        "doc", F.xxhash64("w").alias("w")
+    )
+    bcanon = (
+        bsh.groupBy("doc")
+        .agg(F.sort_array(F.collect_list("w")).alias("ts"))
+        .groupBy("ts")
+        .agg(F.min("doc").alias("bsid"), F.collect_list("doc").alias("members"))
+        .join(idx_sets, "ts", "left")
+        .select(
+            F.coalesce("esid", "bsid").alias("sid"),
+            F.col("esid").isNull().alias("is_new_set"),
+            "ts",
+            "members",
+        )
+        .cache()
+    )
+    new_sets = bcanon.where("is_new_set")
+    n_sh = new_sets.select("sid", F.explode("ts").alias("w"))
+    nkeys = n_sh.select("w").distinct()
+    ndf = idx_vocab.join(F.broadcast(nkeys), "w")
+    post = (
+        n_sh.join(F.broadcast(ndf), "w", "left")
+        .na.fill(0, ["df"])
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("sid").orderBy("df", "w")),
+        )
+        .withColumn("nt", F.count("*").over(Window.partitionBy("sid")))
+        .withColumn(
+            "pfx",
+            F.col("rn")
+            <= F.col("nt")
+            - F.expr(f"({t_num} * nt + {t_den - 1}) DIV {t_den}")
+            + 1,
+        )
+    )
+    nulls = {
+        "w": "bigint", "df": "bigint", "nt": "bigint", "rn": "int",
+        "pfx": "boolean", "doc": "bigint", "ts": "array<bigint>",
+        "sid": "bigint",
+    }
+
+    def shaped(df: DataFrame, kind: str) -> DataFrame:
+        cols = [
+            (F.col(c) if c in df.columns else F.lit(None).cast(t)).alias(c)
+            for c, t in nulls.items()
+        ]
+        return df.select(F.lit(kind).alias("kind"), *cols)
+
+    delta = (
+        shaped(post, "post")
+        .unionByName(
+            shaped(
+                bcanon.select("sid", F.explode("members").alias("doc")),
+                "member",
+            )
+        )
+        .unionByName(shaped(new_sets.select("sid", "ts"), "set"))
+    )
+    try:
+        return append_version(delta, root, partition_by=["kind"])
+    finally:
+        bcanon.unpersist()
+
+
 def containment_probe_persisted(
     spark: SparkSession,
     index_root: str,
@@ -1372,9 +1478,9 @@ def containment_probe_persisted(
     SET-identical to the rebuild form (gated in tests/test_wave12.py).
     """
     from itdb_spark.plans.library import materialized
-    from itdb_spark.sinks.versioned import read_current
+    from itdb_spark.sinks.versioned import read_current_chain
 
-    table = read_current(spark, index_root)
+    table = read_current_chain(spark, index_root)
     idx = table.where(F.col("kind") == "post").select(
         "sid", "w", "df", "nt", "rn", "pfx"
     )

@@ -504,6 +504,16 @@ _IVF_PERSIST_INDEX_CACHE: dict[str, str] = {}
     "BYTE-IDENTICAL sim-knn-ivf replay — the persisted path must "
     "hash-match the in-session result exactly.",
 )
+def sim_knn_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itdb_spark.operators.ivf import ivf_search_persisted
+
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_search_persisted(
+        spark, _ivf_persist_root(spark, sf_dir), queries, k=5, n_probe=3
+    )
+
+
 def _ivf_persist_root(spark: SparkSession, sf_dir: str) -> str:
     """Memoized per-sf_dir persisted IVF index path. Private mkdtemp dir
     (unique, mode 0700 — a fixed world-predictable /tmp path is
@@ -533,16 +543,6 @@ def _ivf_persist_root(spark: SparkSession, sf_dir: str) -> str:
         persist_ivf_index(assignments, centroids, path)
         _IVF_PERSIST_INDEX_CACHE[key] = path
     return _IVF_PERSIST_INDEX_CACHE[key]
-
-
-def sim_knn_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from itdb_spark.operators.ivf import ivf_search_persisted
-
-    emb = Tables(spark, sf_dir).embeddings
-    queries = emb.where(F.col("vec_id") < 5)
-    return ivf_search_persisted(
-        spark, _ivf_persist_root(spark, sf_dir), queries, k=5, n_probe=3
-    )
 
 
 @register(

@@ -147,6 +147,104 @@ def read_current(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, v))
 
 
+_PARENT = "_PARENT"  # underscore prefix: invisible to Spark's file lister
+
+
+def append_version(
+    df: DataFrame,
+    root: str,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Publish a DELTA version: the new v{N} directory holds ONLY
+    ``df``'s rows plus a ``_PARENT`` marker naming the version it
+    extends; the publish is the same single atomic manifest replace.
+    This is the second half of the table-format kernel (round 12):
+    ``write_version`` gives atomic REPLACE, ``append_version`` gives
+    atomic APPEND — a refresh whose write cost is the DELTA, not the
+    table (rewriting a 100 TB index to add a 0.1% batch is the cost
+    shape this exists to kill). Readers use ``read_current_chain``,
+    which unions the parent chain — every directory in the chain is
+    immutable, so snapshot isolation is unchanged (a pinned reader's
+    chain can never mutate under it), and ``vacuum`` refuses to delete
+    any ancestor of the published chain. The schema gate matches
+    write_version's: additions fine, drops/retypes refused."""
+    cur = current_version(root)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published version at {root!r} to append to — "
+            "write_version the base first"
+        )
+    old_fields = {
+        f.name: f.dataType
+        for f in df.sparkSession.read.parquet(
+            os.path.join(root, cur)
+        ).schema.fields
+    }
+    new_fields = {f.name: f.dataType for f in df.schema.fields}
+    dropped = sorted(set(old_fields) - set(new_fields))
+    retyped = sorted(
+        n for n, t in old_fields.items()
+        if n in new_fields and new_fields[n] != t
+    )
+    if dropped or retyped:
+        raise ValueError(
+            "incompatible schema for appended version "
+            f"(dropped={dropped}, retyped={retyped})"
+        )
+    n = int(cur[1:]) + 1
+    version = f"v{n}"
+    path = os.path.join(root, version)
+    while os.path.exists(path):  # orphan from a crashed writer
+        n += 1
+        version = f"v{n}"
+        path = os.path.join(root, version)
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    with open(os.path.join(path, _PARENT), "w") as fh:
+        fh.write(cur + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    _publish(root, version)
+    return version
+
+
+def chain_versions(root: str, version: str | None = None) -> list[str]:
+    """The version's ancestry, newest first: [version, parent, ...] —
+    a write_version dir has no ``_PARENT`` and terminates the chain.
+    Defaults to the published version."""
+    v = version or current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no published version at {root!r}")
+    out = []
+    while v is not None:
+        out.append(v)
+        marker = os.path.join(root, v, _PARENT)
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                v = fh.read().strip() or None
+        else:
+            v = None
+    return out
+
+
+def read_current_chain(spark: SparkSession, root: str) -> DataFrame:
+    """DataFrame over the published version AND its append ancestry —
+    the reader for tables maintained with ``append_version``. For a
+    table that has only ever been replaced (chain length 1) this is
+    exactly ``read_current``. Pinned like read_current: every chain dir
+    is immutable and vacuum never removes a published ancestor."""
+    dirs = chain_versions(root)
+    out = spark.read.parquet(os.path.join(root, dirs[0]))
+    for d in dirs[1:]:
+        out = out.unionByName(
+            spark.read.parquet(os.path.join(root, d)),
+            allowMissingColumns=True,
+        )
+    return out
+
+
 def compact_version(
     spark: SparkSession, root: str, target_bytes: int = 128 * 1024 * 1024
 ) -> dict:
@@ -217,8 +315,13 @@ def vacuum(root: str, keep: int = 2) -> list[str]:
         )
     published = [v for v in versions if int(v[1:]) <= cur_n]
     orphans = [v for v in versions if int(v[1:]) > cur_n]
-    doomed = [v for v in published[:-keep] if v != cur] if keep else [
-        v for v in published if v != cur
+    # the published version's append ANCESTRY is load-bearing data for
+    # read_current_chain — never retention-eligible while reachable
+    live_chain = set(chain_versions(root)) if cur else set()
+    doomed = [
+        v for v in published[:-keep] if v != cur and v not in live_chain
+    ] if keep else [
+        v for v in published if v != cur and v not in live_chain
     ]
     doomed += orphans
     for v in doomed:

@@ -354,3 +354,113 @@ def test_stream_knn_live_equals_one_shot_search(spark):
     assert len(rows) == len(set(rows)), "duplicate emission across batches"
     assert set(rows) == one_shot
     assert {q for q, *_ in rows} == set(range(15))
+
+
+def test_append_version_chain_and_vacuum_safety(spark, tmp_path):
+    """The table-format kernel's append half: a delta version holds only
+    its own rows plus the _PARENT marker; read_current_chain unions the
+    ancestry; a pinned chain reader survives a later append (snapshot
+    isolation); vacuum never deletes a published ancestor (the chain is
+    load-bearing data) but still sweeps replaced non-ancestors; and the
+    schema gate refuses drops/retypes on append."""
+    import os
+
+    import pytest
+    from itdb_spark.sinks import versioned as V
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert V.write_version(base, root) == "v1"
+    d1 = spark.createDataFrame([(3, "c")], "k long, v string")
+    assert V.append_version(d1, root) == "v2"
+    pinned = V.read_current_chain(spark, root)
+    assert pinned.count() == 3
+    d2 = spark.createDataFrame([(4, "d")], "k long, v string")
+    assert V.append_version(d2, root) == "v3"
+    assert pinned.count() == 3  # snapshot isolation across an append
+    assert V.chain_versions(root) == ["v3", "v2", "v1"]
+    got = {tuple(r) for r in V.read_current_chain(spark, root).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    # delta dirs hold ONLY their delta
+    assert spark.read.parquet(os.path.join(root, "v3")).count() == 1
+    # vacuum keeps the whole published ancestry even with keep=1
+    assert V.vacuum(root, keep=1) == []
+    assert got == {tuple(r) for r in V.read_current_chain(spark, root).collect()}
+    # a REPLACE on top of the chain makes the ancestry unreachable —
+    # then (and only then) vacuum may sweep it
+    V.write_version(V.read_current_chain(spark, root), root)
+    swept = V.vacuum(root, keep=1)
+    assert set(swept) == {"v1", "v2", "v3"}
+    assert {
+        tuple(r) for r in V.read_current_chain(spark, root).collect()
+    } == got
+    with pytest.raises(ValueError, match="retyped"):
+        V.append_version(
+            spark.createDataFrame([(5, 6)], "k long, v long"), root
+        )
+
+
+def test_append_containment_index_batch_bounded_and_equivalent(spark, tmp_path):
+    """The refresh-amortization gate: after appending batch1 as a delta,
+    probing batch2 against the CHAIN must return exactly what probing
+    batch2 against a FULL REBUILD over (old ∪ batch1) returns —
+    losslessness under the permanently frozen v1 order, across a real
+    refresh. Each delta version materializes only batch-scale rows, and
+    duplicate-content batch docs join their EXISTING set (member-only
+    delta, no re-ranked postings)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from itdb_spark.operators.dedup import (
+        append_containment_index,
+        containment_probe_persisted,
+        persist_containment_index,
+    )
+    from itdb_spark.queries.pipeline import corpus
+    from itdb_spark.sinks import versioned as V
+
+    docs = corpus(spark, SF_DIR).select("doc_id", "source", "text")
+    old = docs.where(F.col("doc_id") % 5 < 3)
+    batch1 = docs.where(F.col("doc_id") % 5 == 3)
+    batch2 = docs.where(F.col("doc_id") % 5 == 4)
+
+    chain_root = str(tmp_path / "chain")
+    persist_containment_index(old, "doc_id", "text", chain_root)
+    v1_rows = spark.read.parquet(os.path.join(chain_root, "v1")).count()
+    append_containment_index(spark, chain_root, batch1, "doc_id", "text")
+    assert V.chain_versions(chain_root) == ["v2", "v1"]
+    delta = spark.read.parquet(os.path.join(chain_root, "v2"))
+    assert 0 < delta.count() < v1_rows  # batch-scale, not corpus-scale
+    # exact-duplicate batch docs (the +200000 copies of old-slice docs
+    # share content only with same-residue docs — so check via sets):
+    # every batch1 doc must appear in the chain's member partition
+    members = {
+        r.doc
+        for r in V.read_current_chain(spark, chain_root)
+        .where("kind = 'member'")
+        .select("doc")
+        .collect()
+    }
+    b1 = {r.doc_id for r in batch1.select("doc_id").collect()}
+    assert b1 <= members
+
+    rebuild_root = str(tmp_path / "rebuild")
+    persist_containment_index(
+        old.unionByName(batch1), "doc_id", "text", rebuild_root
+    )
+    via_chain = {
+        tuple(r)
+        for r in containment_probe_persisted(
+            spark, chain_root, batch2, "doc_id", "text"
+        ).collect()
+    }
+    via_rebuild = {
+        tuple(r)
+        for r in containment_probe_persisted(
+            spark, rebuild_root, batch2, "doc_id", "text"
+        ).collect()
+    }
+    assert via_chain == via_rebuild and via_chain, (
+        f"chain={len(via_chain)} rebuild={len(via_rebuild)}"
+    )
