@@ -1196,18 +1196,55 @@ def band_collision_counts_persisted(
     call). Reader is pinned to the currently-published version, so a
     concurrent index refresh never perturbs an in-flight probe. Falls
     back to deriving keys from the member table for pre-round-12 roots
-    published without the sibling."""
-    from itdb_spark.sinks.versioned import current_version, read_current
+    published without the sibling. Both reads follow the append chain
+    (read_current_chain — identical to read_current for tables only
+    ever replaced), so an ``append_band_index``-maintained index serves
+    without compaction."""
+    from itdb_spark.sinks.versioned import current_version, read_current_chain
 
     keys_root = index_root + "_keys"
     if current_version(keys_root) is not None:
-        keys = read_current(spark, keys_root).select("band", "band_hash")
+        keys = read_current_chain(spark, keys_root).select(
+            "band", "band_hash"
+        )
         return (
             new_bands.join(keys, ["band", "band_hash"])
             .groupBy(F.col("doc").alias("doc_id"))
             .agg(F.count_distinct("band").cast("long").alias("n_hit_bands"))
         )
-    return band_collision_counts(new_bands, read_current(spark, index_root))
+    return band_collision_counts(
+        new_bands, read_current_chain(spark, index_root)
+    )
+
+
+def append_band_index(
+    spark: SparkSession, root: str, new_bands: DataFrame
+) -> str:
+    """BATCH-BOUNDED refresh of a ``persist_band_index`` table (round
+    12 — the containment index's append_containment_index discipline
+    applied to the MinHash family): after a screened batch is accepted,
+    its band rows land as a DELTA version of the member table and its
+    NOT-YET-PRESENT bucket keys as a delta of the sibling keys table —
+    two append_version publishes, each an atomic pointer swap, write
+    cost bounded by the batch. The novelty anti-join is batch-bounded
+    on BOTH sides: the chain's key table is first map-side restricted
+    by the broadcast batch keys (matched ⊆ batch keys), then the
+    batch's keys anti-join that small frame — the corpus-scale key set
+    is scanned once, never shuffled. Returns the member table's new
+    version name."""
+    from itdb_spark.sinks.versioned import append_version, read_current_chain
+
+    keys_root = root + "_keys"
+    bkeys = new_bands.select("band", "band_hash").distinct()
+    matched = (
+        read_current_chain(spark, keys_root)
+        .select("band", "band_hash")
+        .join(F.broadcast(bkeys), ["band", "band_hash"])
+        .distinct()
+    )
+    fresh = bkeys.join(matched, ["band", "band_hash"], "left_anti")
+    append_version(fresh, keys_root, partition_by=["band"])
+    return append_version(new_bands, root, partition_by=["band"])
 
 
 def persist_containment_index(

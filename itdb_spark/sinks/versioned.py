@@ -174,11 +174,11 @@ def append_version(
             f"no published version at {root!r} to append to — "
             "write_version the base first"
         )
+    # gate against the CHAIN's schema (read_current_chain skips empty
+    # deltas — the head itself may be one)
     old_fields = {
         f.name: f.dataType
-        for f in df.sparkSession.read.parquet(
-            os.path.join(root, cur)
-        ).schema.fields
+        for f in read_current_chain(df.sparkSession, root).schema.fields
     }
     new_fields = {f.name: f.dataType for f in df.schema.fields}
     dropped = sorted(set(old_fields) - set(new_fields))
@@ -234,8 +234,23 @@ def read_current_chain(spark: SparkSession, root: str) -> DataFrame:
     the reader for tables maintained with ``append_version``. For a
     table that has only ever been replaced (chain length 1) this is
     exactly ``read_current``. Pinned like read_current: every chain dir
-    is immutable and vacuum never removes a published ancestor."""
-    dirs = chain_versions(root)
+    is immutable and vacuum never removes a published ancestor.
+    EMPTY deltas (an append whose frame had zero rows writes no parquet
+    files — e.g. a re-crawl batch contributing no novel keys) are valid
+    chain links for ancestry but carry no data: skipped here, or the
+    file-less dir would fail schema inference."""
+
+    def has_data(version: str) -> bool:
+        for _, _, files in os.walk(os.path.join(root, version)):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    dirs = [d for d in chain_versions(root) if has_data(d)]
+    if not dirs:
+        raise FileNotFoundError(
+            f"published chain at {root!r} holds no data files"
+        )
     out = spark.read.parquet(os.path.join(root, dirs[0]))
     for d in dirs[1:]:
         out = out.unionByName(

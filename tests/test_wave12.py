@@ -464,3 +464,121 @@ def test_append_containment_index_batch_bounded_and_equivalent(spark, tmp_path):
     assert via_chain == via_rebuild and via_chain, (
         f"chain={len(via_chain)} rebuild={len(via_rebuild)}"
     )
+
+
+def test_exact_int_gemm_property():
+    """Property gate for the split-GEMM exactness proof: against
+    arbitrary int64 matrices within the guarded magnitude bound, both
+    kernels must equal the arbitrary-precision integer product (numpy
+    object dtype = Python bigints — a third engine with no float
+    anywhere). Adversarial corners included deliberately: max-magnitude
+    values, negatives (the arithmetic-shift floor split), and the
+    guard's rejection just past the bound."""
+    import numpy as np
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from itdb_spark.operators.moments import (
+        _MAX_MICRO_ABS,
+        _exact_int_matmul,
+        exact_int_gemm,
+    )
+
+    bound = _MAX_MICRO_ABS - 1
+    mat = lambda n, m: arrays(  # noqa: E731
+        np.int64, (n, m),
+        elements=st.integers(min_value=-bound, max_value=bound),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 7).flatmap(
+            lambda n: st.tuples(
+                st.integers(1, 5), st.integers(1, 4), st.just(n)
+            ).flatmap(
+                lambda t: st.tuples(mat(t[2], t[0]), mat(t[0], t[1]))
+            )
+        )
+    )
+    def check(ab):
+        a, b = ab
+        want = a.astype(object) @ b.astype(object)
+        got = exact_int_gemm(a, b)
+        assert (got.astype(object) == want).all()
+        sym = _exact_int_matmul(a)
+        want_sym = a.astype(object).T @ a.astype(object)
+        assert (sym.astype(object) == want_sym).all()
+
+    check()
+
+    # the extremes exactly at the bound, dense
+    a = np.full((3, 4), bound, dtype=np.int64)
+    a[0, 0] = -bound
+    b = np.full((4, 2), -bound, dtype=np.int64)
+    assert (
+        exact_int_gemm(a, b).astype(object)
+        == a.astype(object) @ b.astype(object)
+    ).all()
+    with pytest.raises(ValueError, match="split-gemm bound"):
+        exact_int_gemm(
+            np.array([[_MAX_MICRO_ABS]], dtype=np.int64),
+            np.array([[1]], dtype=np.int64),
+        )
+
+
+def test_append_band_index_probe_equivalence(spark, tmp_path):
+    """Two-step ingest against an append-maintained band index must
+    answer collision probes exactly like a rebuilt index over the same
+    corpus, and the keys sibling must stay a SET (an append adds only
+    genuinely novel bucket keys — re-crawled content contributes zero
+    delta key rows)."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.operators.dedup import (
+        append_band_index,
+        band_collision_counts,
+        band_collision_counts_persisted,
+        minhash_bands,
+        minhash_signatures,
+        persist_band_index,
+    )
+    from itdb_spark.queries.pipeline import corpus
+    from itdb_spark.sinks import versioned as V
+
+    bands = minhash_bands(
+        minhash_signatures(corpus(spark, SF_DIR), "doc_id", "text")
+    ).cache()
+    base = bands.where(F.col("doc") % 5 < 3)
+    b1 = bands.where(F.col("doc") % 5 == 3)
+    b2 = bands.where(F.col("doc") % 5 == 4)
+    root = str(tmp_path / "bidx")
+    persist_band_index(base, root)
+    append_band_index(spark, root, b1)
+    assert V.chain_versions(root) == ["v2", "v1"]
+    got = {
+        tuple(r)
+        for r in band_collision_counts_persisted(spark, root, b2).collect()
+    }
+    want = {
+        tuple(r)
+        for r in band_collision_counts(b2, base.unionByName(b1)).collect()
+    }
+    assert got == want and got
+    keys = V.read_current_chain(spark, root + "_keys").select(
+        "band", "band_hash"
+    )
+    assert keys.count() == keys.distinct().count()
+    # exact re-crawl: appending b1 AGAIN (same content, same keys) adds
+    # zero key rows — the delta carries only novel buckets
+    n_keys = keys.count()
+    append_band_index(
+        spark, root, b1.select(
+            (F.col("doc") + 10_000_000).alias("doc"), "band", "band_hash"
+        )
+    )
+    assert (
+        V.read_current_chain(spark, root + "_keys").count() == n_keys
+    )
+    bands.unpersist()
