@@ -27,6 +27,16 @@ entirely by never mutating data in place:
 At 100 TB the same protocol holds on any store with atomic single-key
 replace (POSIX rename, HDFS rename, S3 PUT-overwrite of the manifest
 key); only the manifest is ever overwritten, and it is one line.
+
+Round 12 adds the kernel's APPEND half: ``append_version`` publishes a
+delta directory (new rows + a ``_PARENT`` marker) behind the same
+manifest swap, ``read_current_chain`` unions the immutable ancestry,
+and ``vacuum`` treats published ancestors as load-bearing. Write cost
+becomes the delta, never the table — the refresh shape an incremental
+index needs. Compaction of a long chain is just
+``write_version(read_current_chain(...), root)``: the replace version
+has no parent, terminating the chain, after which vacuum may sweep the
+old links.
 """
 
 from __future__ import annotations
