@@ -220,6 +220,15 @@ def append_version(
     return version
 
 
+def _has_data(root: str, version: str) -> bool:
+    """True when the version dir holds at least one parquet data file
+    (an empty delta holds only markers)."""
+    for _, _, files in os.walk(os.path.join(root, version)):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def chain_versions(root: str, version: str | None = None) -> list[str]:
     """The version's ancestry, newest first: [version, parent, ...] —
     a write_version dir has no ``_PARENT`` and terminates the chain.
@@ -249,14 +258,7 @@ def read_current_chain(spark: SparkSession, root: str) -> DataFrame:
     files — e.g. a re-crawl batch contributing no novel keys) are valid
     chain links for ancestry but carry no data: skipped here, or the
     file-less dir would fail schema inference."""
-
-    def has_data(version: str) -> bool:
-        for _, _, files in os.walk(os.path.join(root, version)):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
-
-    dirs = [d for d in chain_versions(root) if has_data(d)]
+    dirs = [d for d in chain_versions(root) if _has_data(root, d)]
     if not dirs:
         raise FileNotFoundError(
             f"published chain at {root!r} holds no data files"
@@ -352,3 +354,54 @@ def vacuum(root: str, keep: int = 2) -> list[str]:
     for v in doomed:
         shutil.rmtree(os.path.join(root, v))
     return doomed
+
+
+def compact_chain(
+    spark: SparkSession, root: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Fold an append chain into ONE replace version — the maintenance
+    half of the append story (a chain grows one dir per accepted batch;
+    compaction resets read amplification and makes the old links
+    vacuum-eligible, since the replace version has no parent). Publishes
+    only after the SAME parity gates compact_version uses — exploiting
+    that the content checksum is a SUM, hence exactly additive across
+    the chain's disjoint delta dirs: expected (rows, checksum) is the
+    per-dir sum, compared against the rewritten dir before the pointer
+    moves. On mismatch the pointer is rolled back and the bad dir
+    dropped — the chain was never touched. Returns the compact_version-
+    shaped stats dict plus the folded chain."""
+    cur = current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no published version at {root!r}")
+    dirs = [d for d in chain_versions(root) if _has_data(root, d)]
+    rows_before, ck_before = 0, 0
+    files_before, bytes_before = 0, 0
+    for d in dirs:
+        path = os.path.join(root, d)
+        r, ck = _content_checksum(spark, path)
+        rows_before += r
+        ck_before += int(ck)
+        f, b = parquet_file_stats(path)
+        files_before += f
+        bytes_before += b
+    n_out = max(1, math.ceil(bytes_before / target_bytes))
+    new_v = write_version(read_current_chain(spark, root), root, n_files=n_out)
+    new_path = os.path.join(root, new_v)
+    rows_after, ck_after = _content_checksum(spark, new_path)
+    if (rows_after, int(ck_after)) != (rows_before, ck_before):
+        _publish(root, cur)
+        shutil.rmtree(new_path)
+        raise RuntimeError(
+            "chain compaction parity mismatch: "
+            f"rows {rows_before} -> {rows_after}, "
+            f"checksum {ck_before} -> {ck_after}"
+        )
+    files_after, _ = parquet_file_stats(new_path)
+    return {
+        "files_before": files_before,
+        "bytes_before": bytes_before,
+        "files_after": files_after,
+        "rows": rows_before,
+        "version": new_v,
+        "folded_chain": dirs,
+    }

@@ -582,3 +582,24 @@ def test_append_band_index_probe_equivalence(spark, tmp_path):
         V.read_current_chain(spark, root + "_keys").count() == n_keys
     )
     bands.unpersist()
+
+
+def test_compact_chain_folds_and_gates(spark, tmp_path):
+    """Chain compaction: fold a 3-link chain into one replace version
+    behind the additive (rows, checksum) parity gate, after which the
+    old links are vacuum-eligible and the data is byte-equal."""
+    from itdb_spark.sinks import versioned as V
+
+    root = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), root
+    )
+    V.append_version(spark.createDataFrame([(3, "c")], "k long, v string"), root)
+    V.append_version(spark.createDataFrame([(4, "d")], "k long, v string"), root)
+    before = {tuple(r) for r in V.read_current_chain(spark, root).collect()}
+    stats = V.compact_chain(spark, root)
+    assert stats["rows"] == 4 and stats["folded_chain"] == ["v3", "v2", "v1"]
+    assert V.chain_versions(root) == ["v4"]  # replace version: no parent
+    assert {tuple(r) for r in V.read_current_chain(spark, root).collect()} == before
+    assert set(V.vacuum(root, keep=1)) == {"v1", "v2", "v3"}
+    assert {tuple(r) for r in V.read_current_chain(spark, root).collect()} == before
