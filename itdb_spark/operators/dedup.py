@@ -1407,12 +1407,25 @@ def append_containment_index(
     bsh = shingle_frame(batch, id_col, text_col).select(
         "doc", F.xxhash64("w").alias("w")
     )
-    bcanon = (
+    braw = (
         bsh.groupBy("doc")
         .agg(F.sort_array(F.collect_list("w")).alias("ts"))
         .groupBy("ts")
         .agg(F.min("doc").alias("bsid"), F.collect_list("doc").alias("members"))
-        .join(idx_sets, "ts", "left")
+        .withColumn("kh", F.xxhash64("ts"))
+    )
+    # ts-equality match against the chain's sets, batch-bounded on BOTH
+    # join sides: the corpus-scale set partition is first map-side
+    # restricted by the broadcast batch content-hash set (matched rows ⊆
+    # batch sets up to 2^-64 collisions, which the full-ts equi-join
+    # then eliminates exactly) — a naive join on the array key would
+    # shuffle every set's shingle array per append.
+    idx_restricted = (
+        idx_sets.withColumn("kh", F.xxhash64("ts"))
+        .join(F.broadcast(braw.select("kh").distinct()), "kh")
+    )
+    bcanon = (
+        braw.join(idx_restricted, ["kh", "ts"], "left")
         .select(
             F.coalesce("esid", "bsid").alias("sid"),
             F.col("esid").isNull().alias("is_new_set"),
