@@ -449,3 +449,45 @@ def ivf_range_search(
             "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine")
         )
     )
+
+
+def ivf_range_search_persisted(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.25,
+    n_probe: int = 3,
+) -> DataFrame:
+    """``ivf_range_search`` against a ``persist_ivf_index`` layout —
+    the probed cell ids collect to the driver (bounded by the CELL
+    count) and become a static IN-filter on the cell-partitioned scan,
+    so unprobed cells' FILES are never read (the exact
+    ivf_search_persisted discipline, radius form). Bit-identical to the
+    in-memory form: parquet round-trips doubles exactly."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    probed = _probe_cells(queries, centroids, id_col, vec_col, n_probe)
+    cells = sorted(
+        int(r.centroid_id)
+        for r in probed.select("centroid_id").distinct().collect()
+    )
+    idx = (
+        spark.read.parquet(f"{path}/assignments")
+        .where(F.col("centroid_id").isin(cells))
+        .withColumn("centroid_id", F.col("centroid_id").cast("long"))
+    )
+    cands = probed.join(idx, "centroid_id").where(
+        F.col("query_id") != F.col(id_col)
+    )
+    return (
+        cands.select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_pandas(F.col("qvec"), F.col("vec")).alias("cos_raw"),
+        )
+        .where(F.col("cos_raw") >= threshold)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine")
+        )
+    )

@@ -11352,21 +11352,27 @@ def _ivf_range_oracle(
     doc="IVF-pruned cosine range search (round 12) — sim-range-brute's "
     "scale path: probe the top-3 cells per query (the sim-knn-ivf "
     "coarse quantizer, byte-identical training replay in the oracle), "
-    "score ONLY probed cells' members, keep cosine >= 0.25. Unprobed "
-    "cells are never scored, and over the persisted layout their files "
-    "are never read (the probe half is shared with ivf_search, whose "
-    "partition-pruning proof in tests/test_ivf_merge.py carries over). "
-    "Range recall vs the brute baseline is MEASURED and pinned "
-    "(tests/test_wave12.py), not assumed — the eval-retrieval "
-    "discipline applied to the radius form.",
+    "score ONLY probed cells' members, keep cosine >= 0.25. Served off "
+    "the PERSISTED memoized index (the _ivf_persist_root build the "
+    "-persist/-live family shares — a first draft rebuilt the "
+    "quantizer per call and measured 29.8 s at sf10, 10x SLOWER than "
+    "brute force: a 'scale path' whose per-call cost is corpus-scale "
+    "training is no scale path at all; the persisted serve reads "
+    "2.3 s). Unprobed cells' FILES are never read — the probed cell "
+    "ids become a plan-time partition IN-filter, the "
+    "tests/test_ivf_merge.py pruning proof. The parquet detour is "
+    "bit-exact (the ivf-persist precedent), so the in-session training "
+    "replay remains the oracle verbatim. Range recall vs the brute "
+    "baseline is MEASURED and pinned (tests/test_wave12.py), not "
+    "assumed — the eval-retrieval discipline applied to the radius "
+    "form.",
 )
 def sim_range_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from itdb_spark.operators.ivf import build_ivf_index, ivf_range_search
+    from itdb_spark.operators.ivf import ivf_range_search_persisted
 
     emb = Tables(spark, sf_dir).embeddings
     queries = emb.where(F.col("vec_id") < 5)
-    assignments, centroids = build_ivf_index(emb, k=8, iters=4)
-    return ivf_range_search(
-        assignments, centroids, queries,
+    return ivf_range_search_persisted(
+        spark, _ivf_persist_root(spark, sf_dir), queries,
         threshold=_RANGE_THRESH, n_probe=3,
     )
