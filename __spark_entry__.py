@@ -124,7 +124,12 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # changed and its last grade is r10, so that grade no longer certifies
 # the committed definition. (dedup-incr-persist got the same fix but
 # has never been driver-graded — it fronts the window automatically.)
-_CHANGED_SINCE_GRADED: dict[str, int] = {"dedup-incremental": 10}
+# Round 13: the dedup-incremental pin is CLEARED — CORRECTNESS_r12
+# re-graded it GREEN under the replica-keyed oracle (the one-round
+# tolerance window). Registry fully green at its latest grades
+# (285/285 per the r12 verdict: 279 driver + 6 judge-verified).
+# Round-13 registrations use defer_after=13.
+_CHANGED_SINCE_GRADED: dict[str, int] = {}
 
 
 def _last_graded_round() -> dict[str, int]:
