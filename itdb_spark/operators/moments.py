@@ -43,6 +43,45 @@ _MAX_ARROW_BATCH_ROWS = 1 << 22
 _MAX_MICRO_ABS = 1 << 25
 
 
+def _check_exact_bounds(n, max_a, max_b, what):
+    """Joint exactness precondition for the split GEMMs (ADVICE r12).
+
+    The per-value (< 2²⁵) and length (≤ 2²²) caps are each necessary
+    but NOT jointly sufficient: a product entry is bounded by n·Ma·Mb,
+    which the individual caps allow to reach 2²²·2²⁵·2²⁵ = 2⁷², past
+    int64 — values ~3e7 at a 10k-row batch would wrap SILENTLY. The
+    full proof needs, with M' = max(M, 2¹⁰) (the lo half is always
+    < 2¹⁰ regardless of how small the values are):
+
+    * n·M'a·M'b < 2⁶³ — every recombination term (hh·2²⁰, the shifted
+      cross terms, and the true result) representable in int64;
+    * n ≤ 2²² — with the above, every float64 partial sum (hh ≤
+      n·M'aM'b/2²⁰ < 2⁴³; hl/lh ≤ n·M'aM'b/2¹⁰ < 2⁵³; ll ≤ n·2²⁰
+      < 2⁴²) is an exact integer under any BLAS summation order.
+
+    Real embeddings (M ~ 2²⁰) pass at the full 2²² batch cap:
+    2²²·2⁴⁰ = 2⁶² < 2⁶³."""
+    if n > _MAX_ARROW_BATCH_ROWS:
+        raise ValueError(
+            f"{what}: length {n} exceeds the exactness cap "
+            f"{_MAX_ARROW_BATCH_ROWS}"
+        )
+    for m in (max_a, max_b):
+        if m >= _MAX_MICRO_ABS:
+            raise ValueError(
+                f"{what}: micro value magnitude {m} breaks the exact "
+                f"split-gemm bound {_MAX_MICRO_ABS}"
+            )
+    eff_a = max(max_a, 1 << 10)
+    eff_b = max(max_b, 1 << 10)
+    if n * eff_a * eff_b >= 1 << 63:
+        raise ValueError(
+            f"{what}: joint bound violated — {n} terms of magnitude "
+            f"{max_a}x{max_b} can reach {n * eff_a * eff_b}, past "
+            f"int64 (need n*max(|a|,2^10)*max(|b|,2^10) < 2^63)"
+        )
+
+
 def _exact_int_matmul(x):
     """XᵀX for an int64 (n, d) matrix, EXACTLY, at float64-BLAS speed.
 
@@ -55,16 +94,14 @@ def _exact_int_matmul(x):
     integer below 2⁵³ (bounds in _MAX_MICRO_ABS's note), so each float
     result is exactly representable REGARDLESS of BLAS summation order
     and converts back to int64 losslessly; the shift-recombination is
-    pure int64. Not an approximation — a guard enforces the magnitude
-    precondition the proof needs."""
+    pure int64. Not an approximation — ``_check_exact_bounds`` enforces
+    the JOINT precondition the proof needs (rows·M'² < 2⁶³, not just
+    the per-value cap — ADVICE r12)."""
     import numpy as np
 
-    if x.size and int(np.abs(x).max()) >= _MAX_MICRO_ABS:
-        raise ValueError(
-            f"micro value magnitude {int(np.abs(x).max())} breaks the "
-            f"exact split-matmul bound {_MAX_MICRO_ABS} (embedding "
-            "values far outside [-32, 32]?)"
-        )
+    if x.size:
+        mx = int(np.abs(x).max())
+        _check_exact_bounds(x.shape[0], mx, mx, "exact split-matmul")
     hi = x >> 10
     lo = (x - (hi << 10)).astype(np.float64)
     hif = hi.astype(np.float64)
@@ -82,20 +119,15 @@ def exact_int_gemm(a, b):
     integer ≤ 2²²·2³⁰ = 2⁵² < 2⁵³, so each float GEMM is exact under
     any summation order and the int64 shift-recombination is lossless.
     Used by the kmeans assignment's -2·X·Cᵀ distance term (int64
-    broadcast-subtract distances were the O(n·k·d) non-BLAS form)."""
+    broadcast-subtract distances were the O(n·k·d) non-BLAS form).
+    ``_check_exact_bounds`` enforces the joint precondition
+    (inner·M'a·M'b < 2⁶³ plus the per-value and length caps —
+    ADVICE r12: the independent caps alone admit 2⁷² products)."""
     import numpy as np
 
-    for m in (a, b):
-        if m.size and int(np.abs(m).max()) >= _MAX_MICRO_ABS:
-            raise ValueError(
-                f"micro value magnitude {int(np.abs(m).max())} breaks "
-                f"the exact split-gemm bound {_MAX_MICRO_ABS}"
-            )
-    if a.shape[1] > _MAX_ARROW_BATCH_ROWS:
-        raise ValueError(
-            f"inner dim {a.shape[1]} exceeds the exactness cap "
-            f"{_MAX_ARROW_BATCH_ROWS}"
-        )
+    ma = int(np.abs(a).max()) if a.size else 0
+    mb = int(np.abs(b).max()) if b.size else 0
+    _check_exact_bounds(a.shape[1], ma, mb, "exact split-gemm")
     ah = a >> 10
     al = (a - (ah << 10)).astype(np.float64)
     bh = b >> 10
