@@ -7,17 +7,24 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is timed over a full action (noop write — computes everything,
 collects nothing), after a JVM/reader warmup pass.
 
-Load canary (round-10 VERDICT #5): this host carries a measured ±40%
-same-day wall envelope (BASELINE.md §Round 8/§Round 10 — uniform
-inflation with byte-identical plans). The r9→r10 sim-knn-ivfpq drift
-took three ad-hoc instruments to adjudicate; the harness now emits the
-instrument every run: dedup-minhash (the ambient reference — mid-set,
-deploy-path, shuffle+UDF mix, stable plan since r6) is compared against
-its committed idle-record wall, and the resulting ``load_factor``
-scales every wall into ``queries_loadnorm``/``value_loadnorm``.
-RAW fields are unchanged and remain the record; the normalized ones are
-the adjudication aid — a future drift is a plan/code regression only if
-it survives normalization (and the plan diff agrees).
+Load canary (round-10 VERDICT #5, rebuilt round 13 per r12 #2): this
+host carries a measured ±40% same-day wall envelope (BASELINE.md
+§Round 8/§Round 10 — uniform inflation with byte-identical plans).
+The single-query instrument (dedup-minhash vs its BENCH_r10 idle
+wall) failed its one job in BENCH_r12: nearly every untouched plan
+read 1.2-1.5× its r11 wall while minhash — the one query that did NOT
+slow down — declared the host idle (load_factor 0.994). Ambient load
+is evidently non-uniform across query shapes, so the instrument is
+now the MEDIAN of five untouched shape-spanning headline plans
+(scan-agg, join, window, shuffle+UDF, broadcast-grid eval), each
+against its committed BENCH_r10 near-idle wall; the per-query ratio
+spread is emitted alongside so a single-plan regression (one outlier,
+tight median) is distinguishable from host load (uniform shift).
+``load_factor`` scales every wall into ``queries_loadnorm``/
+``value_loadnorm``. RAW fields are unchanged and remain the record;
+the normalized ones are the adjudication aid — a future drift is a
+plan/code regression only if it survives normalization (and the plan
+diff agrees).
 """
 
 from __future__ import annotations
@@ -34,14 +41,23 @@ from itdb_spark.session import default_parallelism, get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Ambient-load canary: committed reference wall for the canary query at
-# the default bench SF on this host — the BENCH_r10 driver record
-# (near-idle: its 18-query total 24.55 s sits 0.8% over the same-day
-# round-close idle reading of 24.36 s, BASELINE.md §Round 10). The ref
-# is only meaningful at sf0.1; at any other SF the canary reports the
-# raw wall with load_factor null.
-CANARY_QID = "dedup-minhash"
-CANARY_REF_WALL = 1.212  # BENCH_r10 record, sf0.1, local[32]
+# Ambient-load canary: committed reference walls from the BENCH_r10
+# driver record (near-idle: its 18-query total 24.55 s sits 0.8% over
+# the same-day round-close idle reading of 24.36 s, BASELINE.md
+# §Round 10). Five untouched plans spanning execution shapes — a
+# median over shapes is robust to the non-uniform ambient load that
+# blinded the single-query form in BENCH_r12 (r12 VERDICT #2). All
+# five plans are stable since r10 (PLANS.md, CI-gated). The refs are
+# only meaningful at sf0.1; at any other SF the canary reports raw
+# walls with load_factor null.
+CANARY_REFS = {  # BENCH_r10 record walls, sf0.1, local[32]
+    "agg-hist-genre": 0.332,  # scan-agg (group-by over one table)
+    "join-pt": 0.545,  # shuffle join
+    "win-topk-group": 0.375,  # window function
+    "dedup-minhash": 1.212,  # shuffle + Arrow-UDF mix (deploy twin)
+    "eval-chrf": 1.261,  # broadcast grid + higher-order exprs
+}
+CANARY_REF_RECORD = "BENCH_r10"
 CANARY_REF_SF = 0.1
 
 
@@ -107,20 +123,26 @@ def main() -> None:
     }
 
     # Self-adjudicating load canary (module docstring): raw walls above
-    # are the record; load_factor > 1 with a byte-identical plan set is
-    # the documented host-load signature, and queries_loadnorm is the
-    # like-for-like comparison surface across differently-loaded days.
-    canary_wall = timings.get(CANARY_QID)
-    lf = (
-        round(canary_wall / CANARY_REF_WALL, 3)
-        if canary_wall and sf_val == CANARY_REF_SF
-        else None
-    )
+    # are the record; a UNIFORM ratio shift across the five shapes is
+    # the host-load signature (normalize and compare), while a tight
+    # median with one outlying ratio fingers that plan specifically.
+    ratios = {
+        qid: round(timings[qid] / ref, 3)
+        for qid, ref in CANARY_REFS.items()
+        if timings.get(qid) and sf_val == CANARY_REF_SF
+    }
+    lf = None
+    if ratios:
+        vals = sorted(ratios.values())
+        lf = round(vals[len(vals) // 2], 3)  # median (odd-sized set)
     out["canary"] = {
-        "qid": CANARY_QID,
-        "wall": canary_wall,
-        "ref_wall": CANARY_REF_WALL,
-        "ref_record": "BENCH_r10",
+        "method": f"median-of-{len(CANARY_REFS)}",
+        "refs": CANARY_REFS,
+        "ref_record": CANARY_REF_RECORD,
+        "ratios": ratios,
+        "spread": [min(ratios.values()), max(ratios.values())]
+        if ratios
+        else None,
         "load_factor": lf,
     }
     if lf:

@@ -1174,15 +1174,24 @@ def persist_band_index(bands: DataFrame, root: str) -> str:
     belongs at publish time (collision screening needs keys only; the
     member rows stay for verification routing). The keys table is
     derived and read alone by the probe, so single-table manifest
-    atomicity still covers every reader."""
+    atomicity still covers every reader.
+
+    Publish ORDER (ADVICE r12): member table FIRST, keys sibling
+    SECOND. The two manifests have no cross-table atomicity, so the
+    order picks which torn state a crash between them leaves: keys
+    without members would route collision hits to members that do not
+    exist (over-report, wrong), while members without keys just means
+    the probe's fallback derives keys from the member table (fully
+    live, merely unamortized) — fail toward under-claiming."""
     from itdb_spark.sinks.versioned import write_version
 
+    v = write_version(bands, root, partition_by=["band"])
     write_version(
         bands.select("band", "band_hash").distinct(),
         root + "_keys",
         partition_by=["band"],
     )
-    return write_version(bands, root, partition_by=["band"])
+    return v
 
 
 def band_collision_counts_persisted(
@@ -1231,7 +1240,15 @@ def append_band_index(
     by the broadcast batch keys (matched ⊆ batch keys), then the
     batch's keys anti-join that small frame — the corpus-scale key set
     is scanned once, never shuffled. Returns the member table's new
-    version name."""
+    version name.
+
+    Publish ORDER (ADVICE r12): member delta FIRST, keys delta SECOND
+    — a crash between the two sibling publishes then leaves a keys
+    table that merely UNDER-reports (the batch screens as not yet
+    accepted; probes stay correct-toward-novelty), instead of keys
+    claiming buckets whose member rows do not exist. The novelty
+    anti-join reads the keys CHAIN as of entry, which the member
+    append never touches, so the swap changes no published content."""
     from itdb_spark.sinks.versioned import append_version, read_current_chain
 
     keys_root = root + "_keys"
@@ -1243,8 +1260,9 @@ def append_band_index(
         .distinct()
     )
     fresh = bkeys.join(matched, ["band", "band_hash"], "left_anti")
+    v = append_version(new_bands, root, partition_by=["band"])
     append_version(fresh, keys_root, partition_by=["band"])
-    return append_version(new_bands, root, partition_by=["band"])
+    return v
 
 
 def persist_containment_index(

@@ -272,6 +272,45 @@ def read_current_chain(spark: SparkSession, root: str) -> DataFrame:
     return out
 
 
+def _tree_parquet_stats(path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) over ALL parquet parts under ``path``,
+    recursively — the versioned-table form of ``parquet_file_stats``
+    (which is deliberately flat-only for compact_parquet): version
+    dirs may be hive-partitioned, and their compaction must measure
+    the whole tree."""
+    n, b = 0, 0
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                b += os.path.getsize(os.path.join(dirpath, f))
+    return n, b
+
+
+def _detect_partition_cols(root: str, version: str) -> list[str]:
+    """Partition columns of a version dir, read off the hive layout
+    (``col=value`` path segments between the version dir and its
+    parquet files, in nesting order). Compaction defaults to
+    PRESERVING this layout (ADVICE r12): folding a band- or
+    kind-partitioned index through a plain rewrite silently demoted
+    the partition key to an ordinary column and lost the file-level
+    pruning every probe path relies on."""
+    base = os.path.join(root, version)
+    for dirpath, dirnames, filenames in os.walk(base):
+        if any(f.endswith(".parquet") for f in filenames):
+            rel = os.path.relpath(dirpath, base)
+            if rel == ".":
+                return []
+            cols = []
+            for seg in rel.split(os.sep):
+                if "=" not in seg:
+                    return []  # not a hive layout
+                cols.append(seg.split("=", 1)[0])
+            return cols
+        dirnames.sort()  # deterministic walk
+    return []
+
+
 def compact_version(
     spark: SparkSession, root: str, target_bytes: int = 128 * 1024 * 1024
 ) -> dict:
@@ -285,10 +324,18 @@ def compact_version(
     if v is None:
         raise FileNotFoundError(f"no published version at {root!r}")
     src_path = os.path.join(root, v)
-    files_before, bytes_before = parquet_file_stats(src_path)
+    files_before, bytes_before = _tree_parquet_stats(src_path)
     n_out = max(1, math.ceil(bytes_before / target_bytes))
     rows_before, ck_before = _content_checksum(spark, src_path)
-    new_v = write_version(spark.read.parquet(src_path), root, n_files=n_out)
+    part_cols = _detect_partition_cols(root, v)
+    src = spark.read.parquet(src_path)
+    if part_cols:
+        # keep the index layout: cluster by the partition key so the
+        # rewrite emits ~one file per partition value, not n_out each
+        src = src.repartition(n_out, *part_cols)
+        new_v = write_version(src, root, partition_by=part_cols)
+    else:
+        new_v = write_version(src, root, n_files=n_out)
     new_path = os.path.join(root, new_v)
     rows_after, ck_after = _content_checksum(spark, new_path)
     if (rows_after, ck_after) != (rows_before, ck_before):
@@ -301,7 +348,7 @@ def compact_version(
             f"rows {rows_before} -> {rows_after}, "
             f"checksum {ck_before} -> {ck_after}"
         )
-    files_after, _ = parquet_file_stats(new_path)
+    files_after, _ = _tree_parquet_stats(new_path)
     return {
         "files_before": files_before,
         "bytes_before": bytes_before,
@@ -357,7 +404,10 @@ def vacuum(root: str, keep: int = 2) -> list[str]:
 
 
 def compact_chain(
-    spark: SparkSession, root: str, target_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Fold an append chain into ONE replace version — the maintenance
     half of the append story (a chain grows one dir per accepted batch;
@@ -369,11 +419,18 @@ def compact_chain(
     per-dir sum, compared against the rewritten dir before the pointer
     moves. On mismatch the pointer is rolled back and the bad dir
     dropped — the chain was never touched. Returns the compact_version-
-    shaped stats dict plus the folded chain."""
+    shaped stats dict plus the folded chain.
+
+    ``partition_by`` defaults to the NEWEST data dir's detected hive
+    layout (ADVICE r12: a plain rewrite of a band-/kind-partitioned
+    index silently dropped the layout and with it the file-level
+    partition pruning the probe paths rely on)."""
     cur = current_version(root)
     if cur is None:
         raise FileNotFoundError(f"no published version at {root!r}")
     dirs = [d for d in chain_versions(root) if _has_data(root, d)]
+    if partition_by is None and dirs:
+        partition_by = _detect_partition_cols(root, dirs[0]) or None
     rows_before, ck_before = 0, 0
     files_before, bytes_before = 0, 0
     for d in dirs:
@@ -381,11 +438,16 @@ def compact_chain(
         r, ck = _content_checksum(spark, path)
         rows_before += r
         ck_before += int(ck)
-        f, b = parquet_file_stats(path)
+        f, b = _tree_parquet_stats(path)
         files_before += f
         bytes_before += b
     n_out = max(1, math.ceil(bytes_before / target_bytes))
-    new_v = write_version(read_current_chain(spark, root), root, n_files=n_out)
+    folded = read_current_chain(spark, root)
+    if partition_by:
+        folded = folded.repartition(n_out, *partition_by)
+        new_v = write_version(folded, root, partition_by=partition_by)
+    else:
+        new_v = write_version(folded, root, n_files=n_out)
     new_path = os.path.join(root, new_v)
     rows_after, ck_after = _content_checksum(spark, new_path)
     if (rows_after, int(ck_after)) != (rows_before, ck_before):
@@ -396,7 +458,7 @@ def compact_chain(
             f"rows {rows_before} -> {rows_after}, "
             f"checksum {ck_before} -> {ck_after}"
         )
-    files_after, _ = parquet_file_stats(new_path)
+    files_after, _ = _tree_parquet_stats(new_path)
     return {
         "files_before": files_before,
         "bytes_before": bytes_before,

@@ -57,3 +57,87 @@ def test_exact_gemm_joint_bound_boundary():
     eff = max(1 << 20, 1 << 10)
     assert (1 << 22) * eff * eff < (1 << 63)
     assert 1 << 20 < _MAX_MICRO_ABS
+
+
+def test_compact_chain_preserves_partition_layout(spark, tmp_path):
+    """ADVICE r12: folding an append chain maintained with
+    partition_by=['band'] must KEEP the hive layout (band=N dirs) in
+    the folded version — a plain rewrite demoted the partition key to
+    an ordinary column and silently lost the file-level partition
+    pruning the index probe paths rely on. Content parity is gated by
+    compact_chain itself; here we assert layout + readability."""
+    import os
+
+    from itdb_spark.sinks import versioned as V
+
+    base = spark.range(100).selectExpr("id", "cast(id % 4 as int) as band")
+    root = str(tmp_path / "bandidx")
+    V.write_version(base, root, partition_by=["band"])
+    delta = spark.range(100, 140).selectExpr("id", "cast(id % 4 as int) as band")
+    V.append_version(delta, root, partition_by=["band"])
+
+    stats = V.compact_chain(spark, root)
+    new_dir = os.path.join(root, stats["version"])
+    subdirs = sorted(
+        d for d in os.listdir(new_dir) if not d.startswith(("_", "."))
+    )
+    assert subdirs == ["band=0", "band=1", "band=2", "band=3"], subdirs
+    assert V._detect_partition_cols(root, stats["version"]) == ["band"]
+    folded = V.read_current_chain(spark, root)
+    assert folded.count() == 140
+    assert set(folded.columns) == {"id", "band"}
+    # an unpartitioned chain still compacts flat (no spurious layout)
+    flat_root = str(tmp_path / "flat")
+    V.write_version(spark.range(10), flat_root)
+    V.append_version(spark.range(10, 20), flat_root)
+    fstats = V.compact_chain(spark, flat_root)
+    assert V._detect_partition_cols(flat_root, fstats["version"]) == []
+
+
+def test_band_index_sibling_publish_order(spark, tmp_path, monkeypatch):
+    """ADVICE r12: the member table must publish BEFORE the keys
+    sibling (both in persist_band_index and append_band_index) — the
+    two manifests have no cross-table atomicity, and member-first
+    fails toward UNDER-reporting (a torn pair screens as 'batch not
+    yet accepted') instead of routing collision hits to member rows
+    that do not exist."""
+    from itdb_spark.operators.dedup import (
+        append_band_index,
+        minhash_bands,
+        minhash_signatures,
+        persist_band_index,
+    )
+    from itdb_spark.sinks import versioned as V
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon zeta") for i in range(8)],
+        "doc_id long, text string",
+    )
+    bands = minhash_bands(minhash_signatures(docs, "doc_id", "text"))
+    root = str(tmp_path / "bidx")
+
+    order: list[str] = []
+    real_write = V.write_version
+    real_append = V.append_version
+
+    def spy_write(df, r, **kw):
+        order.append(r)
+        return real_write(df, r, **kw)
+
+    def spy_append(df, r, **kw):
+        order.append(r)
+        return real_append(df, r, **kw)
+
+    monkeypatch.setattr(V, "write_version", spy_write)
+    monkeypatch.setattr(V, "append_version", spy_append)
+    persist_band_index(bands, root)
+    assert order == [root, root + "_keys"], order
+
+    order.clear()
+    batch = spark.createDataFrame(
+        [(100, "totally novel content here for the batch only")],
+        "doc_id long, text string",
+    )
+    bbands = minhash_bands(minhash_signatures(batch, "doc_id", "text"))
+    append_band_index(spark, root, bbands)
+    assert order == [root, root + "_keys"], order
