@@ -1390,6 +1390,7 @@ def append_containment_index(
     text_col: str,
     t_num: int = 8,
     t_den: int = 10,
+    tag: str | None = None,
 ) -> str:
     """BATCH-BOUNDED refresh of a ``persist_containment_index`` table
     (round 12 — completes the amortization story: the probe was already
@@ -1414,7 +1415,12 @@ def append_containment_index(
     postings never rescanned), frozen-df lookup for the new sets' keys
     (broadcast-semi-restricted vocab scan), rank windows over new-set
     postings only. Nothing corpus-scale is shuffled, ranked, or
-    rewritten. Returns the published version name."""
+    rewritten. Returns the published version name.
+
+    ``tag`` (optional) is published atomically with the delta
+    (sinks/versioned.py chain_tags) — an at-least-once caller (e.g.
+    foreachBatch, ADVICE r12) keys acceptance on its batch id and
+    skips replays whose tag is already on the chain."""
     from itdb_spark.sinks.versioned import append_version, read_current_chain
 
     table = read_current_chain(spark, root)
@@ -1496,7 +1502,7 @@ def append_containment_index(
         .unionByName(shaped(new_sets.select("sid", "ts"), "set"))
     )
     try:
-        return append_version(delta, root, partition_by=["kind"])
+        return append_version(delta, root, partition_by=["kind"], tag=tag)
     finally:
         bcanon.unpersist()
 

@@ -83,12 +83,45 @@ def _publish(root: str, version: str) -> None:
         raise
 
 
+_TAGS = "_TAGS"  # underscore prefix: invisible to Spark's file lister
+
+
+def _write_tags(path: str, tags) -> None:
+    """Stage idempotency tags (one per line) INSIDE an unpublished
+    version dir — written before the manifest swap, so a tag becomes
+    visible atomically WITH its version (the property foreachBatch
+    at-least-once replay protection needs: a marker written after the
+    publish would leave a crash window where the data is live but the
+    replay guard is not)."""
+    with open(os.path.join(path, _TAGS), "w") as fh:
+        for t in sorted(tags):
+            fh.write(t + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+
+
+def chain_tags(root: str) -> set[str]:
+    """Every idempotency tag visible on the published chain (appends
+    carry their own; compact_chain folds ancestors' tags forward).
+    Empty set for an unpublished root."""
+    out: set[str] = set()
+    if current_version(root) is None:
+        return out
+    for v in chain_versions(root):
+        p = os.path.join(root, v, _TAGS)
+        if os.path.exists(p):
+            with open(p) as fh:
+                out.update(line.strip() for line in fh if line.strip())
+    return out
+
+
 def write_version(
     df: DataFrame,
     root: str,
     n_files: int | None = None,
     enforce_schema: bool = True,
     partition_by: list[str] | None = None,
+    tags=None,
 ) -> str:
     """Write ``df`` as the table's next immutable version and publish it.
     Returns the version name. The data write happens entirely inside
@@ -143,6 +176,8 @@ def write_version(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    if tags:
+        _write_tags(path, tags)
     _publish(root, version)
     return version
 
@@ -164,6 +199,7 @@ def append_version(
     df: DataFrame,
     root: str,
     partition_by: list[str] | None = None,
+    tag: str | None = None,
 ) -> str:
     """Publish a DELTA version: the new v{N} directory holds ONLY
     ``df``'s rows plus a ``_PARENT`` marker naming the version it
@@ -216,6 +252,12 @@ def append_version(
         fh.write(cur + "\n")
         fh.flush()
         os.fsync(fh.fileno())
+    if tag:
+        # ``tag`` publishes atomically with the delta (chain_tags):
+        # an at-least-once caller keys its append on the batch id and
+        # skips replays whose tag is already visible — exactly-once
+        # acceptance without any side channel.
+        _write_tags(path, [tag])
     _publish(root, version)
     return version
 
@@ -358,6 +400,30 @@ def compact_version(
     }
 
 
+def maybe_compact_chain(
+    spark: SparkSession,
+    root: str,
+    max_links: int = 8,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict | None:
+    """The append story's COMPACTION POLICY (r12 VERDICT #3): fold the
+    chain iff it has grown past ``max_links`` data-bearing links, else
+    do nothing. Every probe unions the whole ancestry
+    (read_current_chain) — K appends mean K delta dirs per probe and
+    progressively weaker file-level min/max pruning, so read
+    amplification grows with K while each fold costs one corpus-scale
+    rewrite: the knee is a policy knob, not a constant (the measured
+    sf1.0 curve lives in SCALE.md §r13 — near-flat to ~4 links, and the
+    default 8 keeps probe overhead under ~20% there while amortizing
+    the fold over 8 batch ingests). Partition layout and idempotency
+    tags fold forward (compact_chain). Returns compact_chain's stats,
+    or None when under threshold."""
+    links = [d for d in chain_versions(root) if _has_data(root, d)]
+    if len(links) <= max_links:
+        return None
+    return compact_chain(spark, root, target_bytes=target_bytes)
+
+
 def vacuum(root: str, keep: int = 2) -> list[str]:
     """Delete all but the newest ``keep`` PUBLISHED-lineage version
     directories, never the published one (retention as an explicit
@@ -443,11 +509,18 @@ def compact_chain(
         bytes_before += b
     n_out = max(1, math.ceil(bytes_before / target_bytes))
     folded = read_current_chain(spark, root)
+    # fold the chain's idempotency tags forward — compaction must not
+    # reopen the at-least-once replay window for already-accepted
+    # batches (their data survives in the folded version; so must the
+    # markers that say so)
+    folded_tags = chain_tags(root)
     if partition_by:
         folded = folded.repartition(n_out, *partition_by)
-        new_v = write_version(folded, root, partition_by=partition_by)
+        new_v = write_version(
+            folded, root, partition_by=partition_by, tags=folded_tags
+        )
     else:
-        new_v = write_version(folded, root, n_files=n_out)
+        new_v = write_version(folded, root, n_files=n_out, tags=folded_tags)
     new_path = os.path.join(root, new_v)
     rows_after, ck_after = _content_checksum(spark, new_path)
     if (rows_after, int(ck_after)) != (rows_before, ck_before):

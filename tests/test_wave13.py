@@ -141,3 +141,61 @@ def test_band_index_sibling_publish_order(spark, tmp_path, monkeypatch):
     bbands = minhash_bands(minhash_signatures(batch, "doc_id", "text"))
     append_band_index(spark, root, bbands)
     assert order == [root, root + "_keys"], order
+
+
+def test_chain_tags_idempotency_and_fold(spark, tmp_path):
+    """ADVICE r12 (foreachBatch at-least-once): a tag passed to
+    append_version publishes atomically with the delta and is visible
+    via chain_tags — the replay guard an at-least-once caller keys on.
+    Compaction (manual or via the maybe_compact_chain policy) must
+    fold tags FORWARD: losing them would reopen the replay window for
+    batches whose data survives in the folded version."""
+    from itdb_spark.sinks import versioned as V
+
+    root = str(tmp_path / "t")
+    V.write_version(spark.range(5), root)
+    assert V.chain_tags(root) == set()
+    V.append_version(spark.range(5, 8), root, tag="batch-0")
+    V.append_version(spark.range(8, 11), root, tag="batch-1")
+    assert V.chain_tags(root) == {"batch-0", "batch-1"}
+
+    # under threshold: no fold, tags unchanged
+    assert V.maybe_compact_chain(spark, root, max_links=8) is None
+    assert len(V.chain_versions(root)) == 3
+
+    # over threshold: one fold — chain resets to a single replace
+    # version, rows and tags both survive
+    stats = V.maybe_compact_chain(spark, root, max_links=2)
+    assert stats is not None and stats["rows"] == 11
+    assert len(V.chain_versions(root)) == 1
+    assert V.chain_tags(root) == {"batch-0", "batch-1"}
+    assert V.read_current_chain(spark, root).count() == 11
+
+    # a replayed batch id stays visible after the fold; a fresh append
+    # adds its own tag on top
+    V.append_version(spark.range(11, 12), root, tag="batch-2")
+    assert V.chain_tags(root) == {"batch-0", "batch-1", "batch-2"}
+
+
+def test_append_containment_index_tag(spark, tmp_path):
+    """The tag threads through append_containment_index to the
+    published delta — the stream-contain-live replay guard's exact
+    call path."""
+    from itdb_spark.operators.dedup import (
+        append_containment_index,
+        persist_containment_index,
+    )
+    from itdb_spark.sinks.versioned import chain_tags
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g h i j") for i in range(6)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "cidx")
+    persist_containment_index(docs, "doc_id", "text", root)
+    batch = spark.createDataFrame(
+        [(10, "fresh content never seen before in this corpus at all")],
+        "doc_id long, text string",
+    )
+    append_containment_index(spark, root, batch, "doc_id", "text", tag="batch-7")
+    assert "batch-7" in chain_tags(root)
