@@ -1294,10 +1294,20 @@ def persist_containment_index(
       kind='vocab':  (w, df) — one row per distinct shingle, so a probe
                      ranks its batch with one map-side key join instead
                      of deduplicating posting rows per call;
-      kind='set':    (sid, ts ARRAY<BIGINT>) — each set's sorted shingle
-                     array, so verification READS candidate arrays
-                     (map-side semi-restricted) instead of re-collecting
-                     them from postings with a per-call shuffle.
+      kind='set':    (sid, ts ARRAY<BIGINT>, kh BIGINT) — each set's
+                     sorted shingle array plus its STORED content hash
+                     kh = xxhash64(ts), so verification READS candidate
+                     arrays (map-side semi-restricted) instead of
+                     re-collecting them from postings with a per-call
+                     shuffle, and the APPEND path matches batch content
+                     against the chain by pushing the batch's kh keys
+                     into the parquet scan instead of re-hashing every
+                     corpus set array per refresh (r12 VERDICT #4). The
+                     version is written repartitionByRange(kind, kh) +
+                     sortWithinPartitions(kh): each set-partition file
+                     covers a narrow kh band, so row-group min/max
+                     stats bound the append's IO by the batch's touched
+                     files, not the corpus.
 
     Persisting the RANKS — not just the shingles — is what makes the
     probe batch-bounded: the rebuild form (containment_join_incremental)
@@ -1355,7 +1365,7 @@ def persist_containment_index(
     nulls = {
         "w": "bigint", "df": "bigint", "nt": "bigint", "rn": "int",
         "pfx": "boolean", "doc": "bigint", "ts": "array<bigint>",
-        "sid": "bigint",
+        "sid": "bigint", "kh": "bigint",
     }
 
     def shaped(df: DataFrame, kind: str) -> DataFrame:
@@ -1369,17 +1379,37 @@ def persist_containment_index(
         canon.select("sid", F.explode("members").alias("doc")), "member"
     )
     vocab = shaped(df_, "vocab")
-    sets = shaped(canon.select("sid", "ts"), "set")
+    sets = shaped(
+        canon.select("sid", "ts", F.xxhash64("ts").alias("kh")), "set"
+    )
     table = (
         shaped(post.drop("kind"), "post")
         .unionByName(member)
         .unionByName(vocab)
         .unionByName(sets)
+        # kh-clustered layout (r12 VERDICT #4): range-partition within
+        # each kind by the stored content hash and sort files by it, so
+        # the append path's pushed-down batch-key filter prunes the set
+        # partition on row-group min/max stats (non-set kinds carry
+        # kh = NULL and are unaffected)
+        .repartitionByRange(F.col("kind"), F.col("kh"))
+        .sortWithinPartitions("kh")
     )
     try:
         return write_version(table, root, partition_by=["kind"])
     finally:
         canon.unpersist()
+
+
+# Batch-key count above which the append's content match switches from
+# a pushed-down literal IN filter (row-group pruning: IO bounded by the
+# batch — the streaming micro-batch shape) to a broadcast join on the
+# stored kh (one full 8-byte-column scan, no re-hash — the bulk-ingest
+# shape): a plan carrying tens of thousands of literals costs more to
+# build and evaluate than the pruning saves (measured at sf10: 92-key
+# batch's restriction stage 1.3x faster pushed-down and re-hash-free;
+# 21k-key batch 2.3x SLOWER end-to-end — SCALE.md §r13).
+_KH_PUSHDOWN_MAX = 4096
 
 
 def append_containment_index(
@@ -1391,6 +1421,7 @@ def append_containment_index(
     t_num: int = 8,
     t_den: int = 10,
     tag: str | None = None,
+    use_stored_kh: bool = True,
 ) -> str:
     """BATCH-BOUNDED refresh of a ``persist_containment_index`` table
     (round 12 — completes the amortization story: the probe was already
@@ -1420,14 +1451,22 @@ def append_containment_index(
     ``tag`` (optional) is published atomically with the delta
     (sinks/versioned.py chain_tags) — an at-least-once caller (e.g.
     foreachBatch, ADVICE r12) keys acceptance on its batch id and
-    skips replays whose tag is already on the chain."""
-    from itdb_spark.sinks.versioned import append_version, read_current_chain
+    skips replays whose tag is already on the chain.
+
+    ``use_stored_kh=False`` forces the legacy full-scan content match
+    (the r12 shape) even on a kh-native chain — the A/B lever for the
+    r12 VERDICT #4 measurement; results are identical either way."""
+    import os as _os
+
+    from itdb_spark.sinks.versioned import (
+        _has_data,
+        append_version,
+        chain_versions,
+        read_current_chain,
+    )
 
     table = read_current_chain(spark, root)
     idx_vocab = table.where(F.col("kind") == "vocab").select("w", "df")
-    idx_sets = table.where(F.col("kind") == "set").select(
-        F.col("sid").alias("esid"), "ts"
-    )
     bsh = shingle_frame(batch, id_col, text_col).select(
         "doc", F.xxhash64("w").alias("w")
     )
@@ -1437,17 +1476,56 @@ def append_containment_index(
         .groupBy("ts")
         .agg(F.min("doc").alias("bsid"), F.collect_list("doc").alias("members"))
         .withColumn("kh", F.xxhash64("ts"))
+        .cache()
     )
     # ts-equality match against the chain's sets, batch-bounded on BOTH
-    # join sides: the corpus-scale set partition is first map-side
-    # restricted by the broadcast batch content-hash set (matched rows ⊆
-    # batch sets up to 2^-64 collisions, which the full-ts equi-join
-    # then eliminates exactly) — a naive join on the array key would
-    # shuffle every set's shingle array per append.
-    idx_restricted = (
-        idx_sets.withColumn("kh", F.xxhash64("ts"))
-        .join(F.broadcast(braw.select("kh").distinct()), "kh")
+    # join sides (matched rows ⊆ batch sets up to 2^-64 kh collisions,
+    # which the full-ts equi-join below eliminates exactly — a naive
+    # join on the array key would shuffle every set's shingle array per
+    # append). r12 VERDICT #4: when every chain dir STORES kh (any
+    # index published this round or later), the batch's distinct
+    # content hashes — a batch-bounded driver list — are pushed into
+    # the parquet scan as a literal IN filter: with the kh-clustered
+    # layout the scan's IO is bounded by the row groups the batch
+    # actually touches, and the corpus's ts arrays are neither read nor
+    # re-hashed. Chains with any pre-kh dir fall back to deriving kh
+    # from ts (full set-partition read, the r12 shape).
+    native_kh = use_stored_kh and all(
+        "kh"
+        in spark.read.parquet(_os.path.join(root, d)).schema.fieldNames()
+        for d in chain_versions(root)
+        if _has_data(root, d)
     )
+    if native_kh:
+        bkh = [r["kh"] for r in braw.select("kh").distinct().collect()]
+        if len(bkh) <= _KH_PUSHDOWN_MAX:
+            # micro-batch shape: literal IN filter reaches the parquet
+            # scan (PushedFilters: In(kh, ...)), so with the
+            # kh-clustered layout row-group stats bound what the scan
+            # decodes to the batch's keys and nothing is re-hashed
+            # (restriction stage measured 0.48 s vs the re-hash's
+            # 0.63 s at sf10; granularity notes in SCALE.md §r13)
+            kh_pred = F.col("kh").isin(bkh) if bkh else F.lit(False)
+            idx_restricted = table.where(
+                (F.col("kind") == "set") & kh_pred
+            ).select(F.col("sid").alias("esid"), "ts", "kh")
+        else:
+            # bulk-batch shape: a 21k-literal plan costs more than it
+            # prunes (measured 2.3x WORSE end-to-end at sf10);
+            # broadcast-join on the STORED kh instead — same full
+            # set-partition read as the legacy path but no per-row
+            # re-hash of the corpus's shingle arrays
+            idx_restricted = table.where(F.col("kind") == "set").select(
+                F.col("sid").alias("esid"), "ts", "kh"
+            ).join(F.broadcast(braw.select("kh").distinct()), "kh")
+    else:
+        idx_sets = table.where(F.col("kind") == "set").select(
+            F.col("sid").alias("esid"), "ts"
+        )
+        idx_restricted = (
+            idx_sets.withColumn("kh", F.xxhash64("ts"))
+            .join(F.broadcast(braw.select("kh").distinct()), "kh")
+        )
     bcanon = (
         braw.join(idx_restricted, ["kh", "ts"], "left")
         .select(
@@ -1455,6 +1533,7 @@ def append_containment_index(
             F.col("esid").isNull().alias("is_new_set"),
             "ts",
             "members",
+            "kh",
         )
         .cache()
     )
@@ -1481,7 +1560,7 @@ def append_containment_index(
     nulls = {
         "w": "bigint", "df": "bigint", "nt": "bigint", "rn": "int",
         "pfx": "boolean", "doc": "bigint", "ts": "array<bigint>",
-        "sid": "bigint",
+        "sid": "bigint", "kh": "bigint",
     }
 
     def shaped(df: DataFrame, kind: str) -> DataFrame:
@@ -1499,12 +1578,16 @@ def append_containment_index(
                 "member",
             )
         )
-        .unionByName(shaped(new_sets.select("sid", "ts"), "set"))
+        # the delta's set rows carry their stored kh too, so every
+        # future append keeps the pushed-down fast path (native_kh)
+        .unionByName(shaped(new_sets.select("sid", "ts", "kh"), "set"))
+        .sortWithinPartitions("kh")
     )
     try:
         return append_version(delta, root, partition_by=["kind"], tag=tag)
     finally:
         bcanon.unpersist()
+        braw.unpersist()
 
 
 def containment_probe_persisted(

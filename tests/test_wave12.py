@@ -151,7 +151,7 @@ def test_persist_containment_index_layout_and_refresh(spark, tmp_path):
     assert v1 == "v1" and current_version(root) == "v1"
     table = read_current(spark, root)
     assert set(table.columns) == {
-        "kind", "sid", "w", "df", "nt", "rn", "pfx", "doc", "ts",
+        "kind", "sid", "w", "df", "nt", "rn", "pfx", "doc", "ts", "kh",
     }
     members = {
         (r.sid, r.doc) for r in table.where("kind = 'member'").collect()

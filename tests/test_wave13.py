@@ -199,3 +199,75 @@ def test_append_containment_index_tag(spark, tmp_path):
     )
     append_containment_index(spark, root, batch, "doc_id", "text", tag="batch-7")
     assert "batch-7" in chain_tags(root)
+
+
+def test_containment_append_stored_kh(spark, tmp_path):
+    """r12 VERDICT #4: the index's set rows STORE kh = xxhash64(ts) so
+    an append matches batch content via a pushed-down literal filter
+    instead of re-hashing every corpus set array per refresh. Gates:
+    (a) stored kh equals the recomputed hash; (b) fast path and forced
+    legacy path emit identical probe results on the refreshed chain;
+    (c) a pre-kh chain (simulated by publishing a version without the
+    column) falls back to the legacy path and still answers
+    identically."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.operators.dedup import (
+        append_containment_index,
+        containment_probe_persisted,
+        persist_containment_index,
+    )
+    from itdb_spark.sinks.versioned import read_current, write_version
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{j}" for j in range(i % 4, i % 4 + 12)))
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (100, " ".join(f"tok{j}" for j in range(0, 12))),  # dup of doc 0/4/8
+            (101, "entirely novel words " + " ".join(f"n{j}" for j in range(10))),
+        ],
+        "doc_id long, text string",
+    )
+    probe_batch = spark.createDataFrame(
+        [(200, " ".join(f"tok{j}" for j in range(1, 13)))],
+        "doc_id long, text string",
+    )
+
+    def emitted(root):
+        return {
+            tuple(r)
+            for r in containment_probe_persisted(
+                spark, root, probe_batch, "doc_id", "text"
+            ).collect()
+        }
+
+    # (a) stored kh parity
+    root_a = str(tmp_path / "a")
+    persist_containment_index(docs, "doc_id", "text", root_a)
+    sets = read_current(spark, root_a).where("kind = 'set'")
+    bad = sets.where(F.col("kh") != F.xxhash64("ts")).count()
+    assert bad == 0 and sets.count() > 0
+
+    # (b) fast vs forced-legacy append: identical probe answers
+    root_b = str(tmp_path / "b")
+    persist_containment_index(docs, "doc_id", "text", root_b)
+    append_containment_index(spark, root_a, batch1, "doc_id", "text")
+    append_containment_index(
+        spark, root_b, batch1, "doc_id", "text", use_stored_kh=False
+    )
+    assert emitted(root_a) == emitted(root_b) and emitted(root_a)
+
+    # (c) pre-kh chain: base version published WITHOUT the kh column —
+    # the append must detect it and fall back, answers unchanged
+    root_c = str(tmp_path / "c")
+    root_tmp = str(tmp_path / "tmpl")
+    persist_containment_index(docs, "doc_id", "text", root_tmp)
+    legacy_base = read_current(spark, root_tmp).drop("kh")
+    write_version(legacy_base, root_c, partition_by=["kind"])
+    append_containment_index(spark, root_c, batch1, "doc_id", "text")
+    assert emitted(root_c) == emitted(root_a)
