@@ -298,6 +298,99 @@ def ivf_search_persisted(
     return _rerank_in_cells(probed, idx, id_col, k, allowed)
 
 
+def persist_ivf_index_versioned(
+    assignments: DataFrame, centroids: DataFrame, root: str
+) -> None:
+    """persist_ivf_index, versioned-kernel form (round 13, r12 VERDICT
+    #5 — the ANN ingest loop's storage half): the assignment table is
+    published as a sinks/versioned.py table at ``<root>/assignments``
+    (hive-partitioned by centroid_id inside each immutable version dir,
+    one atomic manifest swap), so refresh-by-append is batch-bounded
+    (append_ivf_index) and probes stay snapshot-isolated; the FROZEN
+    coarse quantizer lands once at ``<root>/centroids`` (it never
+    changes after training — the sim-knn-ivf-incr semantics — so it
+    needs no versioning, and writing it BEFORE the first assignment
+    publish means any visible index always has its quantizer).
+    centroid_id is stored as INT to match the hive partition-value type
+    parquet reads back — the append-time schema gate compares against
+    the read-back chain schema (search casts to long)."""
+    from itdb_spark.sinks.versioned import write_version
+
+    centroids.write.mode("overwrite").parquet(f"{root}/centroids")
+    write_version(
+        assignments.withColumn(
+            "centroid_id", F.col("centroid_id").cast("int")
+        ),
+        f"{root}/assignments",
+        partition_by=["centroid_id"],
+    )
+
+
+def append_ivf_index(
+    spark: SparkSession,
+    root: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tag: str | None = None,
+) -> str:
+    """BATCH-BOUNDED refresh of a ``persist_ivf_index_versioned`` index
+    (round 13 — the containment family's append discipline applied to
+    vectors): the batch is assigned to the FROZEN coarse centroids
+    (ivf_assign_incremental — one broadcast join over k centroids,
+    nothing corpus-scale is read, shuffled, or retrained) and published
+    as a DELTA version of the cell-partitioned assignment chain behind
+    one atomic manifest swap. ``tag`` publishes atomically with the
+    delta (chain_tags) — the foreachBatch at-least-once replay guard.
+    Returns the new version name."""
+    from itdb_spark.sinks.versioned import append_version
+
+    centroids = spark.read.parquet(f"{root}/centroids")
+    assigned = ivf_assign_incremental(
+        new_vectors, centroids, id_col, vec_col
+    ).withColumn("centroid_id", F.col("centroid_id").cast("int"))
+    return append_version(
+        assigned, f"{root}/assignments", partition_by=["centroid_id"],
+        tag=tag,
+    )
+
+
+def ivf_search_chain(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """``ivf_search_persisted`` against a ``persist_ivf_index_versioned``
+    chain — the serving path BETWEEN streaming refreshes: the probed
+    cell ids (collected driver-side, bounded by the CELL count) become
+    a static IN filter that Catalyst pushes through the chain's union
+    into every version dir's partition filters, so each request reads
+    only its probed cells' files in every chain link; snapshot
+    isolation pins the probe to the chain resolved at entry even while
+    an append publishes. Results are bit-identical to ivf_search over
+    the unioned in-memory assignments (doubles round-trip parquet
+    exactly — the sim-knn-ivf-persist precedent)."""
+    from itdb_spark.sinks.versioned import read_current_chain
+
+    centroids = spark.read.parquet(f"{root}/centroids")
+    probed = _probe_cells(queries, centroids, id_col, vec_col, n_probe)
+    cells = sorted(
+        int(r.centroid_id)
+        for r in probed.select("centroid_id").distinct().collect()
+    )
+    idx = (
+        read_current_chain(spark, f"{root}/assignments")
+        .where(F.col("centroid_id").isin(cells))
+        .withColumn("centroid_id", F.col("centroid_id").cast("long"))
+    )
+    return _rerank_in_cells(probed, idx, id_col, k, allowed)
+
+
 def ivf_assign_incremental(
     new_vectors: DataFrame,
     centroids: DataFrame,

@@ -1024,6 +1024,116 @@ def stream_contain_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream-ann-ingest-live",
+    # train on the base slice, query the full corpus — the proven
+    # sim-knn-ivf-incr one-parameter reuse with the 15-query serving set
+    oracle=_ivf_oracle(
+        train_src="(SELECT * FROM v WHERE vec_id % 5 != 4) v",
+        queries_pred="vec_id < 15",
+    ),
+    defer_after=13,
+    doc="STREAMING ANN ingest loop (round 13, r12 VERDICT #5) — "
+    "stream-knn-live SERVES but never accepts; this closes the cycle "
+    "the containment family got in round 12, for vectors: the coarse "
+    "quantizer trains once on the base corpus (vec_id % 5 != 4) and "
+    "freezes; the increment arrives as a real readStream (three "
+    "staged parquet files, maxFilesPerTrigger=1 → three "
+    "micro-batches); each foreachBatch (a) ACCEPTS its batch — "
+    "assigned to the frozen centroids with one broadcast join and "
+    "published as a DELTA version of the cell-partitioned assignment "
+    "chain behind one atomic manifest swap (append_ivf_index), "
+    "acceptance keyed on the batch id via an atomically-published tag "
+    "(at-least-once replay safe) — then (b) SERVES the fixed 15-query "
+    "set against the just-published chain (ivf_search_chain: probed "
+    "cells become partition IN-filters in EVERY chain link), and (c) "
+    "runs the compaction policy (maybe_compact_chain max_links=2 — "
+    "one fold happens mid-stream, layout and tags preserved). The "
+    "graded frame is the LAST trigger's served output — by then every "
+    "batch is ingested, so it must equal a one-shot search over the "
+    "batch-rebuilt index regardless of arrival order: the oracle is "
+    "the sim-knn-ivf-incr training replay with the query CTE widened. "
+    "At 100 TB this IS the vector-ingest topology end-to-end: "
+    "per-trigger cost = one broadcast assign + one delta write + one "
+    "pruned probe — nothing corpus-scale moves in the loop.",
+)
+def stream_ann_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from itdb_spark.operators.ivf import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_search_chain,
+        persist_ivf_index_versioned,
+    )
+    from itdb_spark.sinks.versioned import chain_tags, maybe_compact_chain
+
+    emb = Tables(spark, sf_dir).embeddings
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    incr = emb.where(F.col("vec_id") % 5 == 4)
+    queries = emb.where(F.col("vec_id") < 15)
+
+    work = tempfile.mkdtemp(prefix="itdb_stream_ann_")
+    stage = os.path.join(work, "stage")
+    serves = os.path.join(work, "serves")
+    root = os.path.join(work, "index")
+    chain_root = os.path.join(root, "assignments")
+    os.makedirs(stage)
+    try:
+        for b in range(3):
+            sub = os.path.join(work, f"sub{b}")
+            incr.where(F.expr("vec_id DIV 5") % 3 == b).coalesce(
+                1
+            ).write.parquet(sub)
+            part = glob.glob(os.path.join(sub, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(stage, f"b{b}.parquet"))
+        assignments, centroids = build_ivf_index(base, k=8)
+        persist_ivf_index_versioned(assignments, centroids, root)
+
+        def ingest(bdf, batch_id):
+            tag = f"batch-{batch_id}"
+            if tag in chain_tags(chain_root):
+                return  # at-least-once replay of an accepted batch
+            append_ivf_index(spark, root, bdf, tag=tag)
+            # serve BETWEEN refreshes, against the just-published chain
+            ivf_search_chain(
+                spark, root, queries, k=5, n_probe=3
+            ).write.mode("overwrite").parquet(
+                os.path.join(serves, f"b{batch_id}")
+            )
+            maybe_compact_chain(spark, chain_root, max_links=2)
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ])
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+        q = stream.writeStream.foreachBatch(ingest).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        last = max(
+            int(d[1:]) for d in os.listdir(serves) if d.startswith("b")
+        )
+        out = spark.read.parquet(os.path.join(serves, f"b{last}"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "stream-knn-live",
     # the proven sim-knn-ivf replay with a 15-query set — one parameter
     # on the shared builder, the sim-knn-ivf-incr precedent

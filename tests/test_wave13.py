@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 
 def test_exact_gemm_joint_bound_boundary():
@@ -271,3 +272,76 @@ def test_containment_append_stored_kh(spark, tmp_path):
     write_version(legacy_base, root_c, partition_by=["kind"])
     append_containment_index(spark, root_c, batch1, "doc_id", "text")
     assert emitted(root_c) == emitted(root_a)
+
+
+def test_ivf_versioned_chain_ingest_and_serve(spark, tmp_path):
+    """r12 VERDICT #5 — the ANN ingest loop's pieces, triangulated
+    against the in-memory engine: (a) append_ivf_index publishes
+    batch-assigned deltas whose union equals in-memory incremental
+    assignment; (b) ivf_search_chain over the chain is BIT-IDENTICAL to
+    ivf_search over the unioned in-memory assignments; (c) the probed-
+    cell IN filter reaches every chain link's scan as PartitionFilters;
+    (d) maybe_compact_chain folds the chain keeping the centroid_id
+    layout, the tags, and the exact search answers."""
+    import os
+    import re
+
+    from itdb_spark.operators.ivf import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_assign_incremental,
+        ivf_search,
+        ivf_search_chain,
+        persist_ivf_index_versioned,
+    )
+    from itdb_spark.sinks import versioned as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    b0 = emb.where((F.col("vec_id") % 5 == 4) & (F.col("vec_id") % 10 == 4))
+    b1 = emb.where((F.col("vec_id") % 5 == 4) & (F.col("vec_id") % 10 == 9))
+    queries = emb.where(F.col("vec_id") < 5)
+
+    assignments, centroids = build_ivf_index(base, k=8)
+    root = str(tmp_path / "ivf")
+    chain_root = os.path.join(root, "assignments")
+    persist_ivf_index_versioned(assignments, centroids, root)
+    append_ivf_index(spark, root, b0, tag="batch-0")
+    append_ivf_index(spark, root, b1, tag="batch-1")
+    assert V.chain_tags(chain_root) == {"batch-0", "batch-1"}
+    assert len(V.chain_versions(chain_root)) == 3
+
+    merged = assignments.unionByName(
+        ivf_assign_incremental(b0, centroids)
+    ).unionByName(ivf_assign_incremental(b1, centroids))
+    want = sorted(
+        tuple(r)
+        for r in ivf_search(merged, centroids, queries, k=5, n_probe=3).collect()
+    )
+    chain_df = ivf_search_chain(spark, root, queries, k=5, n_probe=3)
+    got = sorted(tuple(r) for r in chain_df.collect())
+    assert got == want and got
+
+    # (c) pruning proof: one query at n_probe=2 — the IN filter must be
+    # a PartitionFilter on EVERY chain link's scan (3 links here)
+    one_df = ivf_search_chain(
+        spark, root, emb.where(F.col("vec_id") == 0), k=5, n_probe=2
+    )
+    one_df.collect()
+    plan = one_df._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    hits = [pf for pf in pfs if "centroid_id" in pf and " IN " in pf]
+    assert len(hits) >= 3, plan
+
+    # (d) fold: layout, tags, and answers all survive
+    stats = V.maybe_compact_chain(spark, chain_root, max_links=1)
+    assert stats is not None and len(V.chain_versions(chain_root)) == 1
+    assert V._detect_partition_cols(chain_root, stats["version"]) == [
+        "centroid_id"
+    ]
+    assert V.chain_tags(chain_root) == {"batch-0", "batch-1"}
+    refolded = sorted(
+        tuple(r)
+        for r in ivf_search_chain(spark, root, queries, k=5, n_probe=3).collect()
+    )
+    assert refolded == want
