@@ -11297,6 +11297,7 @@ _RANGE_THRESH = 0.25  # organic boundary gap >= 2.4e-5 at every measured SF
     ) WHERE cos_raw >= {_RANGE_THRESH}
     """,
     defer_after=12,
+    bench=True,
     doc="Exact cosine RANGE (radius) search (round 12) — the similarity "
     "API's other half next to top-k: return EVERYTHING at cosine >= "
     "0.25 of each query, however many or few — the retrieval shape "
@@ -11349,6 +11350,7 @@ def _ivf_range_oracle(
     "sim-range-ivf",
     oracle=_ivf_range_oracle(),
     defer_after=12,
+    bench=True,
     doc="IVF-pruned cosine range search (round 12) — sim-range-brute's "
     "scale path: probe the top-3 cells per query (the sim-knn-ivf "
     "coarse quantizer, byte-identical training replay in the oracle), "

@@ -302,7 +302,12 @@ def test_bench_headline_set_stable():
     VERDICT #8): emb-cov (the Arrow-batched int64-matmul exact-moment
     kernel) and mm-pixeldedup (the decode → pixel-fingerprint → one-
     shuffle image content dedup); totals from BENCH_r12 on include
-    all 25."""
+    all 25. Round 13 added the range-search build/serve pair (r12
+    VERDICT #7): sim-range-brute (the exact one-pass baseline) and
+    sim-range-ivf (the persisted-index pruned serve — its warmup pays
+    the shared memoized build), so the round-12 'near-flat serve'
+    claim gets a tracked per-round number; totals from BENCH_r13 on
+    include all 27."""
     from itdb_spark.queries import load_all
 
     bench_ids = {qid for qid, q in load_all().items() if q.bench}
@@ -316,6 +321,7 @@ def test_bench_headline_set_stable():
         "dedup-incremental", "dedup-incr-persist", "dedup-exactspan",
         "dedup-contain-incr", "dedup-contain-incr-persist",
         "emb-cov", "mm-pixeldedup",
+        "sim-range-brute", "sim-range-ivf",
     }
 
 
