@@ -122,6 +122,7 @@ def write_version(
     enforce_schema: bool = True,
     partition_by: list[str] | None = None,
     tags=None,
+    writer_options: dict[str, str] | None = None,
 ) -> str:
     """Write ``df`` as the table's next immutable version and publish it.
     Returns the version name. The data write happens entirely inside
@@ -142,7 +143,13 @@ def write_version(
     manifest publish is unchanged) — the index-table shape where readers
     prune on the partition key (e.g. the LSH band index partitioned by
     band). Parquet round-trips the partition column through the
-    directory name, so the schema gate sees it as an ordinary column."""
+    directory name, so the schema gate sees it as an ordinary column.
+
+    ``writer_options`` passes parquet writer knobs verbatim (e.g.
+    ``{"parquet.block.size": str(1 << 23)}`` — smaller row groups on a
+    point-lookup index table, so a pushed-down key filter's row-group
+    min/max pruning has granularity to work with; the SCALE.md §r13
+    switch-point made selectable)."""
     os.makedirs(root, exist_ok=True)
     cur = current_version(root)
     if enforce_schema and cur is not None:
@@ -173,6 +180,8 @@ def write_version(
         path = os.path.join(root, version)
     out = df.repartition(n_files) if n_files else df
     writer = out.write.mode("errorifexists")
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
@@ -200,6 +209,7 @@ def append_version(
     root: str,
     partition_by: list[str] | None = None,
     tag: str | None = None,
+    writer_options: dict[str, str] | None = None,
 ) -> str:
     """Publish a DELTA version: the new v{N} directory holds ONLY
     ``df``'s rows plus a ``_PARENT`` marker naming the version it
@@ -245,6 +255,8 @@ def append_version(
         version = f"v{n}"
         path = os.path.join(root, version)
     writer = df.write.mode("errorifexists")
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

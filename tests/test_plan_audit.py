@@ -30,6 +30,14 @@ BNLJ_ALLOWED = {
     # in test_retrieval_family_plans_hold_scale_properties.
     "sim-knn-ivfpq-res",
     "eval-chrf",
+    # round 13 bench additions (r12 VERDICT #7): a RADIUS search has no
+    # equi-key — its only correct plan IS the bounded-broadcast
+    # nested-loop (the 5-query set against the corpus for brute, and
+    # against the k=8 centroid table + pruned cells for the ivf serve);
+    # the corpus side streams map-side, same declaration as
+    # sim-knn-brute.
+    "sim-range-brute",
+    "sim-range-ivf",
 }
 
 # Widest column set any bench-query scan may read: these queries project

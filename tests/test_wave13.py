@@ -274,6 +274,45 @@ def test_containment_append_stored_kh(spark, tmp_path):
     assert emitted(root_c) == emitted(root_a)
 
 
+def test_versioned_writer_options_reach_parquet(spark, tmp_path):
+    """writer_options threads parquet knobs into version writes: a
+    2 MB block size on a ~6 MB single-file write must produce multiple
+    row groups where the default produces one — the granularity lever
+    the kh point-lookup pruning needs (SCALE.md §r13 switch-point)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from itdb_spark.sinks import versioned as V
+
+    df = spark.range(600_000).selectExpr(
+        "id", "repeat(uuid(), 2) as pad"
+    ).coalesce(1)
+    root_default = str(tmp_path / "d")
+    V.write_version(df, root_default, n_files=1)
+    root_small = str(tmp_path / "s")
+    V.write_version(
+        df, root_small, n_files=1,
+        writer_options={"parquet.block.size": str(1 << 21)},
+    )
+
+    def row_groups(root):
+        vdir = os.path.join(root, V.current_version(root))
+        files = [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+        assert len(files) == 1
+        return pq.ParquetFile(os.path.join(vdir, files[0])).num_row_groups
+
+    assert row_groups(root_default) == 1
+    assert row_groups(root_small) >= 3
+
+    # the append path takes the same knob
+    V.append_version(
+        df.limit(1000), root_small,
+        writer_options={"parquet.block.size": str(1 << 21)},
+    )
+    assert V.read_current_chain(spark, root_small).count() == 601_000
+
+
 def test_ivf_versioned_chain_ingest_and_serve(spark, tmp_path):
     """r12 VERDICT #5 — the ANN ingest loop's pieces, triangulated
     against the in-memory engine: (a) append_ivf_index publishes
