@@ -1227,7 +1227,8 @@ def band_collision_counts_persisted(
 
 
 def append_band_index(
-    spark: SparkSession, root: str, new_bands: DataFrame
+    spark: SparkSession, root: str, new_bands: DataFrame,
+    tag: str | None = None,
 ) -> str:
     """BATCH-BOUNDED refresh of a ``persist_band_index`` table (round
     12 — the containment index's append_containment_index discipline
@@ -1248,10 +1249,26 @@ def append_band_index(
     accepted; probes stay correct-toward-novelty), instead of keys
     claiming buckets whose member rows do not exist. The novelty
     anti-join reads the keys CHAIN as of entry, which the member
-    append never touches, so the swap changes no published content."""
-    from itdb_spark.sinks.versioned import append_version, read_current_chain
+    append never touches, so the swap changes no published content.
+
+    ``tag`` (round 13) makes acceptance idempotent under at-least-once
+    delivery: the tag publishes atomically with the KEYS delta — the
+    LAST of the two sibling publishes, so a replay after a crash
+    between them REDOES both (completing the torn pair) rather than
+    skipping forever with the keys half missing. The redo's only
+    artifact is a duplicate member delta, which every probe path
+    absorbs (collision screening reads the keys SET; counts are
+    count_distinct) — exactly-once for the pair's visible semantics."""
+    from itdb_spark.sinks.versioned import (
+        append_version,
+        chain_tags,
+        current_version,
+        read_current_chain,
+    )
 
     keys_root = root + "_keys"
+    if tag and tag in chain_tags(keys_root):
+        return current_version(root)  # replay of a COMPLETED accept
     bkeys = new_bands.select("band", "band_hash").distinct()
     matched = (
         read_current_chain(spark, keys_root)
@@ -1261,7 +1278,7 @@ def append_band_index(
     )
     fresh = bkeys.join(matched, ["band", "band_hash"], "left_anti")
     v = append_version(new_bands, root, partition_by=["band"])
-    append_version(fresh, keys_root, partition_by=["band"])
+    append_version(fresh, keys_root, partition_by=["band"], tag=tag)
     return v
 
 

@@ -15,6 +15,7 @@ from itdb_spark.queries.pipeline import (
     _BLOOM_ORACLE,
     _SHINGLE_CTES,
     _ivf_oracle,
+    _minhash_bands_ctes,
     ORACLE_CORPUS,
 )
 
@@ -1014,6 +1015,127 @@ def stream_contain_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize before the temp dir disappears (recursive lookup:
         # results live in per-batch subdirs for replay idempotency, and
         # the dir names must NOT surface as a partition column)
+        out = spark.read.option("recursiveFileLookup", "true").parquet(
+            results
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream-minhash-ingest-live",
+    # dedup-incremental's oracle VERBATIM: every batch doc's hit set is
+    # provably arrival-order-invariant (docstring), so the live union
+    # equals the one-shot batch-vs-index result
+    oracle=f"""
+    WITH {_minhash_bands_ctes()}
+    SELECT i.doc AS doc_id, CAST(count(DISTINCT i.band) AS BIGINT) AS n_hit_bands
+    FROM bands i
+    JOIN (SELECT DISTINCT band, band_hash FROM bands WHERE doc % 300000 < 200000) e
+      ON i.band = e.band AND i.band_hash = e.band_hash
+    WHERE i.doc % 300000 >= 200000
+    GROUP BY 1
+    """,
+    defer_after=13,
+    doc="STREAMING MinHash ingest loop (round 13) — completes the "
+    "ingest-loop trilogy (containment r12, ANN r13): the corpus band "
+    "index (originals + near-dups, doc % 300000 < 200000) publishes "
+    "once via persist_band_index (member table + DISTINCT-keys "
+    "sibling, member-first order); the re-crawl batch (the exact-copy "
+    "replicas, % 300000 >= 200000) arrives as a real readStream in "
+    "three micro-batches; each foreachBatch (a) SCREENS its batch "
+    "against the currently-published keys chain "
+    "(band_collision_counts_persisted — per-call work is the batch's "
+    "signatures + one key join), (b) ACCEPTS it via append_band_index "
+    "— member delta first, NOVEL keys second, the acceptance tag "
+    "atomic with the keys publish (the LAST sibling, so an "
+    "at-least-once replay after a torn pair REDOES both; the redo's "
+    "duplicate member delta is absorbed by the key-set/count_distinct "
+    "probe semantics) — and (c) runs the compaction policy on both "
+    "siblings (maybe_compact_chain max_links=2: the member chain folds "
+    "once mid-stream, band layout preserved; the keys chain gains only "
+    "EMPTY deltas here — a re-crawl contributes zero novel keys — "
+    "exercising the data-less chain-link path live). Emissions are "
+    "ORDER-INVARIANT by construction, not assumption: every batch doc "
+    "is an exact replica, so each of its band buckets matches an "
+    "earlier-batch doc's bucket ONLY IF both replicas' originals share "
+    "it — in which case the BASE index already holds it; hits vs "
+    "(base ∪ earlier batches) therefore equal hits vs base, and the "
+    "oracle is dedup-incremental's naive SQL verbatim. At 100 TB this "
+    "is the dedup ingest topology end-to-end: screen cost and refresh "
+    "cost both bounded by the batch, acceptance exactly-once, "
+    "maintenance amortized by policy.",
+)
+def stream_minhash_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from itdb_spark.operators.dedup import (
+        append_band_index,
+        band_collision_counts_persisted,
+        minhash_bands,
+        minhash_signatures,
+        persist_band_index,
+    )
+    from itdb_spark.queries.pipeline import corpus
+    from itdb_spark.sinks.versioned import chain_tags, maybe_compact_chain
+
+    docs = corpus(spark, sf_dir).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 300000 < 200000)
+    batch_pool = docs.where(F.col("doc_id") % 300000 >= 200000)
+
+    work = tempfile.mkdtemp(prefix="itdb_stream_minhash_")
+    stage = os.path.join(work, "stage")
+    results = os.path.join(work, "results")
+    root = os.path.join(work, "bandidx")
+    os.makedirs(stage)
+    try:
+        for k in range(3):
+            sub = os.path.join(work, f"sub{k}")
+            batch_pool.where(
+                F.expr("doc_id DIV 7") % 3 == k
+            ).coalesce(1).write.parquet(sub)
+            part = glob.glob(os.path.join(sub, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(stage, f"b{k}.parquet"))
+        persist_band_index(
+            minhash_bands(minhash_signatures(base, "doc_id", "text")), root
+        )
+
+        def ingest(bdf, batch_id):
+            tag = f"batch-{batch_id}"
+            if tag in chain_tags(root + "_keys"):
+                return  # at-least-once replay of a COMPLETED accept
+            bands = minhash_bands(minhash_signatures(bdf, "doc_id", "text"))
+            band_collision_counts_persisted(
+                spark, root, bands
+            ).write.mode("overwrite").parquet(
+                os.path.join(results, f"b{batch_id}")
+            )
+            append_band_index(spark, root, bands, tag=tag)
+            maybe_compact_chain(spark, root, max_links=2)
+            maybe_compact_chain(spark, root + "_keys", max_links=2)
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+        q = stream.writeStream.foreachBatch(ingest).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
         out = spark.read.option("recursiveFileLookup", "true").parquet(
             results
         )

@@ -274,6 +274,88 @@ def test_containment_append_stored_kh(spark, tmp_path):
     assert emitted(root_c) == emitted(root_a)
 
 
+def test_band_ingest_loop_pieces(spark, tmp_path):
+    """stream-minhash-ingest-live's machinery, triangulated: (a) a
+    tagged append replayed with the same tag is a no-op (the tag rides
+    the KEYS publish — the LAST sibling — so only a COMPLETED accept
+    skips); (b) folding the member chain keeps the band layout and the
+    probe's answers; (c) a batch with zero novel keys publishes a
+    data-less keys link that the chain reader and probe absorb."""
+    import os
+
+    from itdb_spark.operators.dedup import (
+        append_band_index,
+        band_collision_counts_persisted,
+        minhash_bands,
+        minhash_signatures,
+        persist_band_index,
+    )
+    from itdb_spark.sinks import versioned as V
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "bidx")
+    keys_root = root + "_keys"
+    persist_band_index(
+        minhash_bands(minhash_signatures(docs, "doc_id", "text")), root
+    )
+
+    batch1 = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta doc0"),
+         (101, "wholly novel content words qqq www eee rrr ttt yyy")],
+        "doc_id long, text string",
+    )
+    b1 = minhash_bands(minhash_signatures(batch1, "doc_id", "text"))
+    append_band_index(spark, root, b1, tag="batch-0")
+    assert "batch-0" in V.chain_tags(keys_root)
+    n_member = len(V.chain_versions(root))
+    n_keys = len(V.chain_versions(keys_root))
+    # (a) replay: same tag → no new versions on either sibling
+    append_band_index(spark, root, b1, tag="batch-0")
+    assert len(V.chain_versions(root)) == n_member
+    assert len(V.chain_versions(keys_root)) == n_keys
+
+    def screen(batch_df):
+        bands = minhash_bands(
+            minhash_signatures(batch_df, "doc_id", "text")
+        )
+        return {
+            (r.doc_id, r.n_hit_bands)
+            for r in band_collision_counts_persisted(
+                spark, root, bands
+            ).collect()
+        }
+
+    probe = spark.createDataFrame(
+        [(200, "alpha beta gamma delta epsilon zeta eta theta doc1")],
+        "doc_id long, text string",
+    )
+    before = screen(probe)
+    assert before  # the replica must collide
+
+    # (b) fold the member chain: band layout + answers survive
+    stats = V.maybe_compact_chain(spark, root, max_links=1)
+    assert stats is not None
+    assert V._detect_partition_cols(root, stats["version"]) == ["band"]
+    assert screen(probe) == before
+
+    # (c) zero-novel-keys accept: replica of batch1 → data-less keys
+    # delta, everything still answers
+    batch2 = spark.createDataFrame(
+        [(300, "alpha beta gamma delta epsilon zeta eta theta doc0")],
+        "doc_id long, text string",
+    )
+    b2 = minhash_bands(minhash_signatures(batch2, "doc_id", "text"))
+    append_band_index(spark, root, b2, tag="batch-1")
+    assert "batch-1" in V.chain_tags(keys_root)
+    newest_keys = V.chain_versions(keys_root)[0]
+    assert not V._has_data(keys_root, newest_keys)  # data-less link
+    assert screen(probe) == before
+
+
 def test_versioned_writer_options_reach_parquet(spark, tmp_path):
     """writer_options threads parquet knobs into version writes: a
     2 MB block size on a ~6 MB single-file write must produce multiple
