@@ -26,8 +26,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 from itdb_spark.queries import load_all
 from itdb_spark.session import get_spark
 
-SINGLE_RUN = {"stream-ann-ingest-live", "stream-contain-live"}
+SINGLE_RUN = {
+    "stream-ann-ingest-live", "stream-contain-live",
+    "stream-minhash-ingest-live",
+}
 QIDS = [
+    "stream-minhash-ingest-live",
     "stream-ann-ingest-live",
     "stream-contain-live",
     "dedup-contain-incr",
