@@ -153,11 +153,17 @@ def write_version(
     os.makedirs(root, exist_ok=True)
     cur = current_version(root)
     if enforce_schema and cur is not None:
+        # gate against the CHAIN's schema, not the head dir alone: the
+        # head may be a DATA-LESS delta (an append that contributed no
+        # rows writes no parquet files), which schema inference cannot
+        # read; a chain with no data anywhere has nothing to be
+        # compatible with
+        try:
+            old_schema = read_current_chain(df.sparkSession, root).schema
+        except FileNotFoundError:
+            old_schema = None
         old_fields = {
-            f.name: f.dataType
-            for f in df.sparkSession.read.parquet(
-                os.path.join(root, cur)
-            ).schema.fields
+            f.name: f.dataType for f in (old_schema.fields if old_schema else [])
         }
         new_fields = {f.name: f.dataType for f in df.schema.fields}
         dropped = sorted(set(old_fields) - set(new_fields))
@@ -419,19 +425,26 @@ def maybe_compact_chain(
     target_bytes: int = 128 * 1024 * 1024,
 ) -> dict | None:
     """The append story's COMPACTION POLICY (r12 VERDICT #3): fold the
-    chain iff it has grown past ``max_links`` data-bearing links, else
-    do nothing. Every probe unions the whole ancestry
-    (read_current_chain) — K appends mean K delta dirs per probe and
-    progressively weaker file-level min/max pruning, so read
-    amplification grows with K while each fold costs one corpus-scale
-    rewrite: the knee is a policy knob, not a constant (the measured
-    sf1.0 curve lives in SCALE.md §r13 — near-flat to ~4 links, and the
-    default 8 keeps probe overhead under ~20% there while amortizing
-    the fold over 8 batch ingests). Partition layout and idempotency
-    tags fold forward (compact_chain). Returns compact_chain's stats,
-    or None when under threshold."""
-    links = [d for d in chain_versions(root) if _has_data(root, d)]
-    if len(links) <= max_links:
+    chain iff it has grown past ``max_links`` links, else do nothing.
+    Every probe unions the whole ancestry (read_current_chain) — K
+    appends mean K delta dirs per probe and progressively weaker
+    file-level min/max pruning, so read amplification grows with K
+    while each fold costs one corpus-scale rewrite: the knee is a
+    policy knob, not a constant (the measured sf1.0 curve lives in
+    SCALE.md §r13 — near-flat to ~4 links, and the default 8 keeps
+    probe overhead under ~20% there while amortizing the fold over 8
+    batch ingests). Partition layout and idempotency tags fold forward
+    (compact_chain). Returns compact_chain's stats, or None when under
+    threshold.
+
+    The threshold counts EVERY chain link, data-less deltas included:
+    a re-crawl workload appends one EMPTY keys delta per batch (zero
+    novel keys — stream-minhash-ingest-live's exact shape), and each
+    link still costs every reader a marker walk; counting only
+    data-bearing links would let that chain grow unboundedly without
+    ever folding. Folding an almost-empty chain is nearly free (the
+    rewrite reads only the data links) and resets the walk."""
+    if len(chain_versions(root)) <= max_links:
         return None
     return compact_chain(spark, root, target_bytes=target_bytes)
 
@@ -515,7 +528,10 @@ def compact_chain(
         path = os.path.join(root, d)
         r, ck = _content_checksum(spark, path)
         rows_before += r
-        ck_before += int(ck)
+        # a delta dir can hold a ZERO-ROW parquet file (an empty frame
+        # with a non-empty task layout still writes a part file) — its
+        # checksum is SQL NULL, which contributes 0 to the additive sum
+        ck_before += int(ck) if r else 0
         f, b = _tree_parquet_stats(path)
         files_before += f
         bytes_before += b
@@ -535,7 +551,8 @@ def compact_chain(
         new_v = write_version(folded, root, n_files=n_out, tags=folded_tags)
     new_path = os.path.join(root, new_v)
     rows_after, ck_after = _content_checksum(spark, new_path)
-    if (rows_after, int(ck_after)) != (rows_before, ck_before):
+    ck_after_int = int(ck_after) if rows_after else 0
+    if (rows_after, ck_after_int) != (rows_before, ck_before):
         _publish(root, cur)
         shutil.rmtree(new_path)
         raise RuntimeError(

@@ -177,6 +177,20 @@ def test_chain_tags_idempotency_and_fold(spark, tmp_path):
     V.append_version(spark.range(11, 12), root, tag="batch-2")
     assert V.chain_tags(root) == {"batch-0", "batch-1", "batch-2"}
 
+    # DATA-LESS links count toward the fold threshold (the re-crawl
+    # shape: every batch appends an empty keys delta; a data-only count
+    # would never fold the ever-growing marker chain)
+    empty = spark.range(1).where("id < 0")
+    for i in (3, 4):
+        V.append_version(empty, root, tag=f"batch-{i}")
+    assert len(V.chain_versions(root)) == 4
+    stats2 = V.maybe_compact_chain(spark, root, max_links=3)
+    assert stats2 is not None and stats2["rows"] == 12
+    assert len(V.chain_versions(root)) == 1
+    assert V.chain_tags(root) == {
+        "batch-0", "batch-1", "batch-2", "batch-3", "batch-4"
+    }
+
 
 def test_append_containment_index_tag(spark, tmp_path):
     """The tag threads through append_containment_index to the
