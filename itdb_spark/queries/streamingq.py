@@ -992,7 +992,7 @@ def stream_contain_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             # production the knob sits at the measured knee (SCALE.md
             # §r13), amortizing one corpus-scale rewrite over that
             # many batch-bounded ingests.
-            maybe_compact_chain(spark, root, max_links=3)
+            maybe_compact_chain(spark, root, max_links=3, vacuum_keep=1)
 
         from pyspark.sql import types as T
 
@@ -1116,8 +1116,10 @@ def stream_minhash_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(results, f"b{batch_id}")
             )
             append_band_index(spark, root, bands, tag=tag)
-            maybe_compact_chain(spark, root, max_links=2)
-            maybe_compact_chain(spark, root + "_keys", max_links=2)
+            maybe_compact_chain(spark, root, max_links=2, vacuum_keep=1)
+            maybe_compact_chain(
+                spark, root + "_keys", max_links=2, vacuum_keep=1
+            )
 
         from pyspark.sql import types as T
 
@@ -1225,7 +1227,7 @@ def stream_ann_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).write.mode("overwrite").parquet(
                 os.path.join(serves, f"b{batch_id}")
             )
-            maybe_compact_chain(spark, chain_root, max_links=2)
+            maybe_compact_chain(spark, chain_root, max_links=2, vacuum_keep=1)
 
         from pyspark.sql import types as T
 

@@ -423,6 +423,7 @@ def maybe_compact_chain(
     root: str,
     max_links: int = 8,
     target_bytes: int = 128 * 1024 * 1024,
+    vacuum_keep: int | None = None,
 ) -> dict | None:
     """The append story's COMPACTION POLICY (r12 VERDICT #3): fold the
     chain iff it has grown past ``max_links`` links, else do nothing.
@@ -443,10 +444,21 @@ def maybe_compact_chain(
     link still costs every reader a marker walk; counting only
     data-bearing links would let that chain grow unboundedly without
     ever folding. Folding an almost-empty chain is nearly free (the
-    rewrite reads only the data links) and resets the walk."""
+    rewrite reads only the data links) and resets the walk.
+
+    ``vacuum_keep`` (optional) sweeps superseded versions after a
+    SUCCESSFUL fold (vacuum(keep=N)) — a long-running ingest loop
+    otherwise accretes every folded-away link on disk forever. Only
+    set it where the caller is the table's sole writer AND no reader
+    is pinned to an old chain (vacuum's maintenance-window contract;
+    a foreachBatch loop that owns its index satisfies both). None
+    (default) leaves retention to an explicit vacuum call."""
     if len(chain_versions(root)) <= max_links:
         return None
-    return compact_chain(spark, root, target_bytes=target_bytes)
+    stats = compact_chain(spark, root, target_bytes=target_bytes)
+    if vacuum_keep is not None:
+        stats["vacuumed"] = vacuum(root, keep=vacuum_keep)
+    return stats
 
 
 def vacuum(root: str, keep: int = 2) -> list[str]:

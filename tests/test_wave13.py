@@ -184,12 +184,20 @@ def test_chain_tags_idempotency_and_fold(spark, tmp_path):
     for i in (3, 4):
         V.append_version(empty, root, tag=f"batch-{i}")
     assert len(V.chain_versions(root)) == 4
-    stats2 = V.maybe_compact_chain(spark, root, max_links=3)
+    stats2 = V.maybe_compact_chain(spark, root, max_links=3, vacuum_keep=1)
     assert stats2 is not None and stats2["rows"] == 12
     assert len(V.chain_versions(root)) == 1
     assert V.chain_tags(root) == {
         "batch-0", "batch-1", "batch-2", "batch-3", "batch-4"
     }
+    # vacuum_keep swept the folded-away links (a sole-writer ingest
+    # loop's retention); only the folded version remains on disk
+    import os as _os
+
+    vdirs = [d for d in _os.listdir(root) if d.startswith("v")]
+    assert vdirs == [stats2["version"]], vdirs
+    assert stats2["vacuumed"]
+    assert V.read_current_chain(spark, root).count() == 12
 
 
 def test_append_containment_index_tag(spark, tmp_path):
