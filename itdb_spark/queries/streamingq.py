@@ -1306,9 +1306,17 @@ def stream_knn_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.move(part, os.path.join(stage, f"q{b}.parquet"))
 
         def serve(bdf, batch_id):
+            # per-batch dir, overwritten on replay: foreachBatch is
+            # at-least-once, and mode("append") to one dir would
+            # duplicate a redelivered batch's results (the ingest
+            # loops' idempotency discipline, applied to the pure-serve
+            # twin — no index mutation here, so the dir IS the whole
+            # replay guard)
             ivf_search_persisted(
                 spark, root, bdf, k=5, n_probe=3
-            ).write.mode("append").parquet(results)
+            ).write.mode("overwrite").parquet(
+                os.path.join(results, f"b{batch_id}")
+            )
 
         from pyspark.sql import types as T
 
@@ -1330,7 +1338,9 @@ def stream_knn_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        out = spark.read.parquet(results)
+        out = spark.read.option("recursiveFileLookup", "true").parquet(
+            results
+        )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
