@@ -1442,9 +1442,10 @@ _INDEX_BLOCK_BYTES = str(1 << 22)
 # batch — the streaming micro-batch shape) to a broadcast join on the
 # stored kh (one full 8-byte-column scan, no re-hash — the bulk-ingest
 # shape): a plan carrying tens of thousands of literals costs more to
-# build and evaluate than the pruning saves (measured at sf10: 92-key
-# batch's restriction stage 1.3x faster pushed-down and re-hash-free;
-# 21k-key batch 2.3x SLOWER end-to-end — SCALE.md §r13).
+# build and evaluate than the pruning saves (measured at sf10 with the
+# shipped 4 MB row groups: 92-key batch's restriction stage 0.185 s vs
+# the re-hash's 0.63 s — 3.4x, re-hash-free; 21k-key batch 2.3x SLOWER
+# end-to-end — SCALE.md §r13).
 _KH_PUSHDOWN_MAX = 4096
 
 
@@ -1537,10 +1538,10 @@ def append_containment_index(
         if len(bkh) <= _KH_PUSHDOWN_MAX:
             # micro-batch shape: literal IN filter reaches the parquet
             # scan (PushedFilters: In(kh, ...)), so with the
-            # kh-clustered layout row-group stats bound what the scan
-            # decodes to the batch's keys and nothing is re-hashed
-            # (restriction stage measured 0.48 s vs the re-hash's
-            # 0.63 s at sf10; granularity notes in SCALE.md §r13)
+            # kh-clustered 4 MB-row-group layout the scan decodes only
+            # the batch's row groups and nothing is re-hashed
+            # (restriction stage measured 0.185 s vs the re-hash's
+            # 0.63 s at sf10 — SCALE.md §r13)
             kh_pred = F.col("kh").isin(bkh) if bkh else F.lit(False)
             idx_restricted = table.where(
                 (F.col("kind") == "set") & kh_pred
