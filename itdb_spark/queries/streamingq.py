@@ -927,6 +927,7 @@ def stream_contain_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from itdb_spark.operators.dedup import (
+        _INDEX_BLOCK_BYTES,
         append_containment_index,
         containment_probe_persisted,
         persist_containment_index,
@@ -992,7 +993,10 @@ def stream_contain_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             # production the knob sits at the measured knee (SCALE.md
             # §r13), amortizing one corpus-scale rewrite over that
             # many batch-bounded ingests.
-            maybe_compact_chain(spark, root, max_links=3, vacuum_keep=1)
+            maybe_compact_chain(
+                spark, root, max_links=3, vacuum_keep=1,
+                writer_options={"parquet.block.size": _INDEX_BLOCK_BYTES},
+            )
 
         from pyspark.sql import types as T
 

@@ -424,6 +424,7 @@ def maybe_compact_chain(
     max_links: int = 8,
     target_bytes: int = 128 * 1024 * 1024,
     vacuum_keep: int | None = None,
+    writer_options: dict[str, str] | None = None,
 ) -> dict | None:
     """The append story's COMPACTION POLICY (r12 VERDICT #3): fold the
     chain iff it has grown past ``max_links`` links, else do nothing.
@@ -455,7 +456,10 @@ def maybe_compact_chain(
     (default) leaves retention to an explicit vacuum call."""
     if len(chain_versions(root)) <= max_links:
         return None
-    stats = compact_chain(spark, root, target_bytes=target_bytes)
+    stats = compact_chain(
+        spark, root, target_bytes=target_bytes,
+        writer_options=writer_options,
+    )
     if vacuum_keep is not None:
         stats["vacuumed"] = vacuum(root, keep=vacuum_keep)
     return stats
@@ -511,6 +515,7 @@ def compact_chain(
     root: str,
     target_bytes: int = 128 * 1024 * 1024,
     partition_by: list[str] | None = None,
+    writer_options: dict[str, str] | None = None,
 ) -> dict:
     """Fold an append chain into ONE replace version — the maintenance
     half of the append story (a chain grows one dir per accepted batch;
@@ -527,7 +532,12 @@ def compact_chain(
     ``partition_by`` defaults to the NEWEST data dir's detected hive
     layout (ADVICE r12: a plain rewrite of a band-/kind-partitioned
     index silently dropped the layout and with it the file-level
-    partition pruning the probe paths rely on)."""
+    partition pruning the probe paths rely on). ``writer_options``
+    passes parquet writer knobs to the folded version's write — the
+    same hazard class: a fold of an index written at 4 MB row groups
+    (dedup.py::_INDEX_BLOCK_BYTES) would otherwise rewrite at the
+    128 MB default and silently discard the point-lookup granularity
+    the append's pushed-key pruning relies on."""
     cur = current_version(root)
     if cur is None:
         raise FileNotFoundError(f"no published version at {root!r}")
@@ -557,10 +567,14 @@ def compact_chain(
     if partition_by:
         folded = folded.repartition(n_out, *partition_by)
         new_v = write_version(
-            folded, root, partition_by=partition_by, tags=folded_tags
+            folded, root, partition_by=partition_by, tags=folded_tags,
+            writer_options=writer_options,
         )
     else:
-        new_v = write_version(folded, root, n_files=n_out, tags=folded_tags)
+        new_v = write_version(
+            folded, root, n_files=n_out, tags=folded_tags,
+            writer_options=writer_options,
+        )
     new_path = os.path.join(root, new_v)
     rows_after, ck_after = _content_checksum(spark, new_path)
     ck_after_int = int(ck_after) if rows_after else 0

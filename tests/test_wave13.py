@@ -416,6 +416,16 @@ def test_versioned_writer_options_reach_parquet(spark, tmp_path):
     )
     assert V.read_current_chain(spark, root_small).count() == 601_000
 
+    # ...and so does the FOLD: a compaction that rewrote at the 128 MB
+    # default would silently discard the point-lookup granularity the
+    # pushed-key pruning relies on (the partition-layout hazard class)
+    stats = V.compact_chain(
+        spark, root_small,
+        writer_options={"parquet.block.size": str(1 << 21)},
+    )
+    assert row_groups(root_small) >= 3
+    assert stats["rows"] == 601_000
+
 
 def test_ivf_versioned_chain_ingest_and_serve(spark, tmp_path):
     """r12 VERDICT #5 — the ANN ingest loop's pieces, triangulated
