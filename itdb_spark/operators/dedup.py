@@ -1493,12 +1493,8 @@ def append_containment_index(
     ``use_stored_kh=False`` forces the legacy full-scan content match
     (the r12 shape) even on a kh-native chain — the A/B lever for the
     r12 VERDICT #4 measurement; results are identical either way."""
-    import os as _os
-
     from itdb_spark.sinks.versioned import (
-        _has_data,
         append_version,
-        chain_versions,
         read_current_chain,
     )
 
@@ -1519,21 +1515,31 @@ def append_containment_index(
     # join sides (matched rows ⊆ batch sets up to 2^-64 kh collisions,
     # which the full-ts equi-join below eliminates exactly — a naive
     # join on the array key would shuffle every set's shingle array per
-    # append). r12 VERDICT #4: when every chain dir STORES kh (any
-    # index published this round or later), the batch's distinct
-    # content hashes — a batch-bounded driver list — are pushed into
-    # the parquet scan as a literal IN filter: with the kh-clustered
-    # layout the scan's IO is bounded by the row groups the batch
-    # actually touches, and the corpus's ts arrays are neither read nor
-    # re-hashed. Chains with any pre-kh dir fall back to deriving kh
-    # from ts (full set-partition read, the r12 shape).
-    native_kh = use_stored_kh and all(
-        "kh"
-        in spark.read.parquet(_os.path.join(root, d)).schema.fieldNames()
-        for d in chain_versions(root)
-        if _has_data(root, d)
-    )
+    # append). r12 VERDICT #4: when a chain dir STORES kh, the batch's
+    # distinct content hashes — a batch-bounded driver list — are
+    # pushed into the parquet scan as a literal IN filter: with the
+    # kh-clustered layout the scan's IO is bounded by the row groups
+    # the batch actually touches, and the corpus's ts arrays are
+    # neither read nor re-hashed.
+    #
+    # r13 ADVICE (medium): set rows whose STORED kh is NULL — a pre-kh
+    # dir surfacing through allowMissingColumns, or a compact_chain
+    # fold that merged a legacy base under a kh-bearing schema — would
+    # never match the IN pushdown or the kh broadcast join, so
+    # content-identical batch sets would be misclassified is_new_set
+    # and republished under new sids. The hybrid below matches stored
+    # (non-NULL) kh on the fast path and re-hashes ONLY the NULL-kh
+    # rows; on a fully-native chain the NULL branch's IsNull(kh)
+    # filter prunes every row group via parquet null_count stats, so
+    # the hybrid costs nothing where the hazard is absent. The gate is
+    # the union schema read_current_chain already computed — no
+    # per-dir footer reads (r13 ADVICE, low: the old all-dirs schema
+    # walk opened O(chain) parquet readers per micro-batch).
+    native_kh = use_stored_kh and "kh" in table.columns
     if native_kh:
+        stored = table.where(
+            (F.col("kind") == "set") & F.col("kh").isNotNull()
+        )
         bkh = [r["kh"] for r in braw.select("kh").distinct().collect()]
         if len(bkh) <= _KH_PUSHDOWN_MAX:
             # micro-batch shape: literal IN filter reaches the parquet
@@ -1543,18 +1549,28 @@ def append_containment_index(
             # (restriction stage measured 0.185 s vs the re-hash's
             # 0.63 s at sf10 — SCALE.md §r13)
             kh_pred = F.col("kh").isin(bkh) if bkh else F.lit(False)
-            idx_restricted = table.where(
-                (F.col("kind") == "set") & kh_pred
-            ).select(F.col("sid").alias("esid"), "ts", "kh")
+            matched = stored.where(kh_pred).select(
+                F.col("sid").alias("esid"), "ts", "kh"
+            )
         else:
             # bulk-batch shape: a 21k-literal plan costs more than it
             # prunes (measured 2.3x WORSE end-to-end at sf10);
             # broadcast-join on the STORED kh instead — same full
             # set-partition read as the legacy path but no per-row
             # re-hash of the corpus's shingle arrays
-            idx_restricted = table.where(F.col("kind") == "set").select(
+            matched = stored.select(
                 F.col("sid").alias("esid"), "ts", "kh"
             ).join(F.broadcast(braw.select("kh").distinct()), "kh")
+        legacy_rows = (
+            table.where((F.col("kind") == "set") & F.col("kh").isNull())
+            .select(F.col("sid").alias("esid"), "ts")
+            .withColumn("kh", F.xxhash64("ts"))
+            .join(F.broadcast(braw.select("kh").distinct()), "kh")
+            .select("esid", "ts", "kh")
+        )
+        idx_restricted = matched.select("esid", "ts", "kh").unionByName(
+            legacy_rows
+        )
     else:
         idx_sets = table.where(F.col("kind") == "set").select(
             F.col("sid").alias("esid"), "ts"

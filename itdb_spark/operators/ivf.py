@@ -313,10 +313,19 @@ def persist_ivf_index_versioned(
     publish means any visible index always has its quantizer).
     centroid_id is stored as INT to match the hive partition-value type
     parquet reads back — the append-time schema gate compares against
-    the read-back chain schema (search casts to long)."""
+    the read-back chain schema (search casts to long).
+
+    The centroid write is ``errorifexists`` (r13 ADVICE): a re-publish
+    over a populated root would pair NEW centroids with the
+    still-published OLD assignment chain during the window (or after a
+    crash) between the two writes — probes would rank cells under a
+    quantizer the assignments were not built against, silently. The
+    frozen-quantizer contract is therefore enforced at the write:
+    re-training into an existing root raises; build a fresh root and
+    cut readers over atomically instead."""
     from itdb_spark.sinks.versioned import write_version
 
-    centroids.write.mode("overwrite").parquet(f"{root}/centroids")
+    centroids.write.mode("errorifexists").parquet(f"{root}/centroids")
     write_version(
         assignments.withColumn(
             "centroid_id", F.col("centroid_id").cast("int")

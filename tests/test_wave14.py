@@ -1,0 +1,199 @@
+"""Round-14 wave: folded-legacy-chain kh matching (r13 ADVICE medium),
+frozen-quantizer re-publish refusal (r13 ADVICE low), vacuum retention
+floor (r13 VERDICT #5), and the standalone fold grade's machinery
+(r13 VERDICT #6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_containment_append_after_legacy_fold(spark, tmp_path):
+    """r13 ADVICE (medium): compact_chain over a chain whose BASE
+    predates the stored-kh layout folds everything into ONE dir whose
+    legacy set rows carry kh = NULL under a kh-bearing schema. The
+    old gate ("every data dir's schema has kh") then took the stored-kh
+    fast path, and NULL never matches an IN pushdown or an equi-join —
+    batch sets content-identical to legacy corpus sets were
+    misclassified is_new_set and republished under new sids. The hybrid
+    match must classify them as existing sets, and probe answers must
+    equal the forced-legacy twin's."""
+    from itdb_spark.operators.dedup import (
+        append_containment_index,
+        containment_probe_persisted,
+        persist_containment_index,
+    )
+    from itdb_spark.sinks.versioned import (
+        compact_chain,
+        read_current,
+        read_current_chain,
+        write_version,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{j}" for j in range(i % 3, i % 3 + 12)))
+            for i in range(9)
+        ],
+        "doc_id long, text string",
+    )
+    fresh = spark.createDataFrame(
+        [(50, "novel filler " + " ".join(f"x{j}" for j in range(10)))],
+        "doc_id long, text string",
+    )
+    # batch1 duplicates a LEGACY corpus doc's content exactly — the
+    # rows the stored-kh match can only see via the NULL-kh branch
+    batch1 = spark.createDataFrame(
+        [
+            (100, " ".join(f"tok{j}" for j in range(0, 12))),
+            (101, "brand new words " + " ".join(f"n{j}" for j in range(8))),
+        ],
+        "doc_id long, text string",
+    )
+    probe_batch = spark.createDataFrame(
+        [(200, " ".join(f"tok{j}" for j in range(1, 13)))],
+        "doc_id long, text string",
+    )
+
+    def build_folded_legacy(root):
+        # legacy (pre-kh) base + one kh-bearing delta, then fold: one
+        # dir, kh in schema, NULL kh on the legacy set rows
+        tmpl = root + "_tmpl"
+        persist_containment_index(docs, "doc_id", "text", tmpl)
+        write_version(
+            read_current(spark, tmpl).drop("kh"), root,
+            partition_by=["kind"],
+        )
+        append_containment_index(spark, root, fresh, "doc_id", "text")
+        compact_chain(spark, root)
+
+    root_fast = str(tmp_path / "fast")
+    root_slow = str(tmp_path / "slow")
+    build_folded_legacy(root_fast)
+    build_folded_legacy(root_slow)
+    folded = read_current(spark, root_fast)
+    assert "kh" in folded.columns
+    n_null = folded.where("kind = 'set' AND kh IS NULL").count()
+    assert n_null > 0, "hazard precondition: folded legacy sets lost kh"
+    sets_before = folded.where("kind = 'set'").count()
+
+    append_containment_index(spark, root_fast, batch1, "doc_id", "text")
+    append_containment_index(
+        spark, root_slow, batch1, "doc_id", "text", use_stored_kh=False
+    )
+
+    chain = read_current_chain(spark, root_fast)
+    sets_after = chain.where("kind = 'set'").count()
+    # exactly ONE genuinely new set (doc 101); doc 100's content must
+    # have joined its existing legacy sid, not minted a duplicate
+    assert sets_after == sets_before + 1, (sets_before, sets_after)
+    dup_sids = (
+        chain.where("kind = 'set'")
+        .groupBy("ts").count().where("count > 1").count()
+    )
+    assert dup_sids == 0
+    # doc 100 is a member of the SAME sid as the legacy doc it copies
+    members = {
+        r["doc"]: r["sid"]
+        for r in chain.where("kind = 'member'").collect()
+    }
+    assert members[100] == members[0]
+
+    def emitted(root):
+        return {
+            tuple(r)
+            for r in containment_probe_persisted(
+                spark, root, probe_batch, "doc_id", "text"
+            ).collect()
+        }
+
+    assert emitted(root_fast) == emitted(root_slow) and emitted(root_fast)
+
+
+def test_containment_append_mixed_chain_hybrid(spark, tmp_path):
+    """The UNFOLDED mixed chain (pre-kh base dir + kh deltas) now takes
+    the hybrid path too — stored-kh rows fast, NULL-kh rows re-hashed —
+    instead of the r13 full-corpus re-hash fallback; answers unchanged
+    (extends test_wave13 case (c) to assert set identity, not just
+    probe parity)."""
+    from itdb_spark.operators.dedup import (
+        append_containment_index,
+        persist_containment_index,
+    )
+    from itdb_spark.sinks.versioned import (
+        read_current,
+        read_current_chain,
+        write_version,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 2, i % 2 + 10)))
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "mixed")
+    tmpl = str(tmp_path / "tmpl")
+    persist_containment_index(docs, "doc_id", "text", tmpl)
+    write_version(
+        read_current(spark, tmpl).drop("kh"), root, partition_by=["kind"]
+    )
+    # delta 1: novel content (carries kh)
+    append_containment_index(
+        spark, root,
+        spark.createDataFrame(
+            [(10, "aaa bbb ccc ddd eee fff ggg hhh iii jjj")],
+            "doc_id long, text string",
+        ),
+        "doc_id", "text",
+    )
+    # delta 2: one dup-of-legacy-base + one dup-of-delta-1 — the former
+    # only matches via the NULL-kh branch, the latter via stored kh
+    append_containment_index(
+        spark, root,
+        spark.createDataFrame(
+            [
+                (20, " ".join(f"w{j}" for j in range(0, 10))),
+                (21, "aaa bbb ccc ddd eee fff ggg hhh iii jjj"),
+            ],
+            "doc_id long, text string",
+        ),
+        "doc_id", "text",
+    )
+    chain = read_current_chain(spark, root)
+    dup_sets = (
+        chain.where("kind = 'set'")
+        .groupBy("ts").count().where("count > 1").count()
+    )
+    assert dup_sets == 0
+    members = {
+        r["doc"]: r["sid"]
+        for r in chain.where("kind = 'member'").collect()
+    }
+    assert members[20] == members[0]
+    assert members[21] == members[10]
+
+
+def test_ivf_versioned_publish_refuses_populated_root(spark, tmp_path):
+    """r13 ADVICE (low): persist_ivf_index_versioned used
+    mode('overwrite') on <root>/centroids — a re-publish over a live
+    root could pair new centroids with the still-published old
+    assignment chain (probes against a quantizer the assignments were
+    not built under: silently wrong neighbors). The frozen-quantizer
+    contract is now enforced at the write: re-publishing to a populated
+    root raises instead of overwriting."""
+    import numpy as np
+
+    from itdb_spark.operators.ivf import (
+        build_ivf_index,
+        persist_ivf_index_versioned,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    root = str(tmp_path / "ivf")
+    assignments, centroids = build_ivf_index(vecs, "vec_id", "embedding", k=4)
+    persist_ivf_index_versioned(assignments, centroids, root)
+    with pytest.raises(Exception, match="(?i)exist"):
+        persist_ivf_index_versioned(assignments, centroids, root)
