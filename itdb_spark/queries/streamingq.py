@@ -994,7 +994,12 @@ def stream_contain_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             # §r13), amortizing one corpus-scale rewrite over that
             # many batch-bounded ingests.
             maybe_compact_chain(
+                # vacuum_min_age_s=0: this loop is the table's sole
+                # owner and every reader is per-trigger (constructed
+                # after the publish, dead before the next fold), so
+                # the retention floor is safely waived
                 spark, root, max_links=3, vacuum_keep=1,
+                vacuum_min_age_s=0,
                 writer_options={"parquet.block.size": _INDEX_BLOCK_BYTES},
             )
 
@@ -1120,9 +1125,14 @@ def stream_minhash_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(results, f"b{batch_id}")
             )
             append_band_index(spark, root, bands, tag=tag)
-            maybe_compact_chain(spark, root, max_links=2, vacuum_keep=1)
+            # vacuum_min_age_s=0: sole-owner loop, per-trigger readers
             maybe_compact_chain(
-                spark, root + "_keys", max_links=2, vacuum_keep=1
+                spark, root, max_links=2, vacuum_keep=1,
+                vacuum_min_age_s=0,
+            )
+            maybe_compact_chain(
+                spark, root + "_keys", max_links=2, vacuum_keep=1,
+                vacuum_min_age_s=0,
             )
 
         from pyspark.sql import types as T
@@ -1231,7 +1241,11 @@ def stream_ann_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).write.mode("overwrite").parquet(
                 os.path.join(serves, f"b{batch_id}")
             )
-            maybe_compact_chain(spark, chain_root, max_links=2, vacuum_keep=1)
+            # vacuum_min_age_s=0: sole-owner loop, per-trigger readers
+            maybe_compact_chain(
+                spark, chain_root, max_links=2, vacuum_keep=1,
+                vacuum_min_age_s=0,
+            )
 
         from pyspark.sql import types as T
 

@@ -45,10 +45,19 @@ import math
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 from itdb_spark.sinks.compact import _content_checksum, parquet_file_stats
+
+# vacuum's default retention floor (seconds): a superseded version dir
+# younger than this is never swept, whatever ``keep`` says — it may
+# still back a pinned reader's in-flight scan (isolation keeps it
+# ANSWERING; only retention keeps its files). Must exceed the longest
+# expected probe; 15 min covers every measured probe in SCALE.md by
+# >25x (the sf10 stream-contain-live trigger, fold included, is 33 s).
+DEFAULT_VACUUM_MIN_AGE_S = 15 * 60.0
 
 _MANIFEST = "MANIFEST"
 
@@ -425,6 +434,7 @@ def maybe_compact_chain(
     target_bytes: int = 128 * 1024 * 1024,
     vacuum_keep: int | None = None,
     writer_options: dict[str, str] | None = None,
+    vacuum_min_age_s: float | None = None,
 ) -> dict | None:
     """The append story's COMPACTION POLICY (r12 VERDICT #3): fold the
     chain iff it has grown past ``max_links`` links, else do nothing.
@@ -453,7 +463,11 @@ def maybe_compact_chain(
     set it where the caller is the table's sole writer AND no reader
     is pinned to an old chain (vacuum's maintenance-window contract;
     a foreachBatch loop that owns its index satisfies both). None
-    (default) leaves retention to an explicit vacuum call."""
+    (default) leaves retention to an explicit vacuum call.
+    ``vacuum_min_age_s`` threads through to vacuum's retention floor
+    (r13 VERDICT #5): None keeps vacuum's protective default; a
+    sole-owner loop whose readers are per-trigger (never pinned across
+    a fold) passes 0 for immediate reclamation."""
     if len(chain_versions(root)) <= max_links:
         return None
     stats = compact_chain(
@@ -461,11 +475,18 @@ def maybe_compact_chain(
         writer_options=writer_options,
     )
     if vacuum_keep is not None:
-        stats["vacuumed"] = vacuum(root, keep=vacuum_keep)
+        kw = {} if vacuum_min_age_s is None else {
+            "min_age_s": vacuum_min_age_s
+        }
+        stats["vacuumed"] = vacuum(root, keep=vacuum_keep, **kw)
     return stats
 
 
-def vacuum(root: str, keep: int = 2) -> list[str]:
+def vacuum(
+    root: str,
+    keep: int = 2,
+    min_age_s: float = DEFAULT_VACUUM_MIN_AGE_S,
+) -> list[str]:
     """Delete all but the newest ``keep`` PUBLISHED-lineage version
     directories, never the published one (retention as an explicit
     policy). Version dirs numerically NEWER than the published pointer
@@ -479,7 +500,21 @@ def vacuum(root: str, keep: int = 2) -> list[str]:
     outright (round-10 ADVICE: cur_n=-1 would classify every version as
     a crashed-writer orphan and delete ALL data regardless of ``keep`` —
     a lost pointer is corruption to surface, not retention to enforce).
-    Returns the removed names."""
+    Returns the removed names.
+
+    ``min_age_s`` is the retention FLOOR (r13 VERDICT #5 — the Delta
+    VACUUM footgun): snapshot isolation guarantees a reader pinned to
+    an old chain keeps ANSWERING from it (proven by the snap-isolation
+    grade), but only retention guarantees its files still exist — a
+    vacuum that sweeps a superseded dir younger than the longest
+    in-flight probe deletes that reader's files mid-scan. Dirs whose
+    mtime is younger than the floor are retained regardless of
+    ``keep`` (orphans too: a LIVE writer's not-yet-published dir is
+    younger than any sane floor, so the floor also closes the
+    crashed-vs-live ambiguity above). The default (15 min) must exceed
+    the longest expected probe; a sole-owner maintenance window whose
+    readers are known dead passes ``min_age_s=0`` for immediate
+    reclamation."""
     cur = current_version(root)
     cur_n = int(cur[1:]) if cur else -1
     versions = sorted(
@@ -499,12 +534,20 @@ def vacuum(root: str, keep: int = 2) -> list[str]:
     # the published version's append ANCESTRY is load-bearing data for
     # read_current_chain — never retention-eligible while reachable
     live_chain = set(chain_versions(root)) if cur else set()
+    now = time.time()
+
+    def _aged(v: str) -> bool:
+        return (
+            min_age_s <= 0
+            or now - os.path.getmtime(os.path.join(root, v)) >= min_age_s
+        )
+
     doomed = [
         v for v in published[:-keep] if v != cur and v not in live_chain
     ] if keep else [
         v for v in published if v != cur and v not in live_chain
     ]
-    doomed += orphans
+    doomed = [v for v in doomed + orphans if _aged(v)]
     for v in doomed:
         shutil.rmtree(os.path.join(root, v))
     return doomed

@@ -307,7 +307,7 @@ def test_versioned_table_atomic_pointer(spark, tmp_path):
     assert V.read_current(spark, root).count() == 5_000
 
     # (e) vacuum: sweeps old + orphans, never the published version
-    removed = V.vacuum(root, keep=1)
+    removed = V.vacuum(root, keep=1, min_age_s=0)
     assert V.current_version(root) == "v5"
     assert V.read_current(spark, root).count() == 5_000
     assert "v5" not in removed and "v3" in removed
@@ -317,7 +317,7 @@ def test_versioned_table_atomic_pointer(spark, tmp_path):
     # must sweep it even though it is never in the [:-keep] slice
     # (round-9 ADVICE), and must not touch the published version
     os.makedirs(os.path.join(root, "v9", "part"), exist_ok=True)
-    removed = V.vacuum(root, keep=1)
+    removed = V.vacuum(root, keep=1, min_age_s=0)
     assert "v9" in removed
     assert not os.path.exists(os.path.join(root, "v9"))
     assert V.current_version(root) == "v5"
@@ -332,7 +332,7 @@ def test_versioned_table_atomic_pointer(spark, tmp_path):
     saved = open(manifest).read()
     os.remove(manifest)
     with pytest.raises(RuntimeError, match="refusing to vacuum"):
-        V.vacuum(root, keep=1)
+        V.vacuum(root, keep=1, min_age_s=0)
     assert os.path.exists(os.path.join(root, "v5"))  # nothing swept
     with open(manifest, "w") as fh:
         fh.write(saved)

@@ -384,12 +384,12 @@ def test_append_version_chain_and_vacuum_safety(spark, tmp_path):
     # delta dirs hold ONLY their delta
     assert spark.read.parquet(os.path.join(root, "v3")).count() == 1
     # vacuum keeps the whole published ancestry even with keep=1
-    assert V.vacuum(root, keep=1) == []
+    assert V.vacuum(root, keep=1, min_age_s=0) == []
     assert got == {tuple(r) for r in V.read_current_chain(spark, root).collect()}
     # a REPLACE on top of the chain makes the ancestry unreachable —
     # then (and only then) vacuum may sweep it
     V.write_version(V.read_current_chain(spark, root), root)
-    swept = V.vacuum(root, keep=1)
+    swept = V.vacuum(root, keep=1, min_age_s=0)
     assert set(swept) == {"v1", "v2", "v3"}
     assert {
         tuple(r) for r in V.read_current_chain(spark, root).collect()
@@ -601,5 +601,5 @@ def test_compact_chain_folds_and_gates(spark, tmp_path):
     assert stats["rows"] == 4 and stats["folded_chain"] == ["v3", "v2", "v1"]
     assert V.chain_versions(root) == ["v4"]  # replace version: no parent
     assert {tuple(r) for r in V.read_current_chain(spark, root).collect()} == before
-    assert set(V.vacuum(root, keep=1)) == {"v1", "v2", "v3"}
+    assert set(V.vacuum(root, keep=1, min_age_s=0)) == {"v1", "v2", "v3"}
     assert {tuple(r) for r in V.read_current_chain(spark, root).collect()} == before

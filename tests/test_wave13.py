@@ -184,7 +184,9 @@ def test_chain_tags_idempotency_and_fold(spark, tmp_path):
     for i in (3, 4):
         V.append_version(empty, root, tag=f"batch-{i}")
     assert len(V.chain_versions(root)) == 4
-    stats2 = V.maybe_compact_chain(spark, root, max_links=3, vacuum_keep=1)
+    stats2 = V.maybe_compact_chain(
+        spark, root, max_links=3, vacuum_keep=1, vacuum_min_age_s=0
+    )
     assert stats2 is not None and stats2["rows"] == 12
     assert len(V.chain_versions(root)) == 1
     assert V.chain_tags(root) == {

@@ -197,3 +197,68 @@ def test_ivf_versioned_publish_refuses_populated_root(spark, tmp_path):
     persist_ivf_index_versioned(assignments, centroids, root)
     with pytest.raises(Exception, match="(?i)exist"):
         persist_ivf_index_versioned(assignments, centroids, root)
+
+
+def test_vacuum_retention_floor_protects_pinned_reader(spark, tmp_path):
+    """r13 VERDICT #5: snap-isolation proves a pinned reader keeps
+    ANSWERING from its chain across append + fold; this proves its
+    FILES survive retention at default policy. vacuum(keep=1) right
+    after a fold must retain the superseded chain dirs (they are
+    younger than the floor), so the pinned scan completes — and the
+    same call with the floor waived (the sole-owner mode) sweeps
+    them."""
+    import os
+
+    from itdb_spark.sinks import versioned as V
+
+    root = str(tmp_path / "tbl")
+    V.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        root,
+    )
+    pinned = V.read_current_chain(spark, root)
+    assert pinned.count() == 2
+    V.append_version(
+        spark.createDataFrame([(3, "c")], "k long, v string"), root
+    )
+    V.compact_chain(spark, root)  # chain [v1, v2] folded into v3
+    # default policy: the just-superseded dirs are younger than the
+    # floor — retained regardless of keep
+    assert V.vacuum(root, keep=1) == []
+    assert os.path.isdir(os.path.join(root, "v1"))
+    assert pinned.count() == 2  # pinned scan still has its files
+    # aged past the floor (backdated mtime), the same call sweeps them
+    old = 10 ** 9
+    for v in ("v1", "v2"):
+        os.utime(os.path.join(root, v), (old, old))
+    assert set(V.vacuum(root, keep=1)) == {"v1", "v2"}
+    # and the floor-waived sole-owner mode sweeps immediately
+    root2 = str(tmp_path / "tbl2")
+    V.write_version(
+        spark.createDataFrame([(1, "a")], "k long, v string"), root2
+    )
+    V.append_version(
+        spark.createDataFrame([(2, "b")], "k long, v string"), root2
+    )
+    V.compact_chain(spark, root2)
+    assert set(V.vacuum(root2, keep=1, min_age_s=0)) == {"v1", "v2"}
+
+
+def test_vacuum_floor_retains_young_orphan(tmp_path, spark):
+    """The floor also closes vacuum's crashed-vs-live writer ambiguity:
+    a version dir NEWER than the published pointer that is younger
+    than the floor may be a LIVE publish in flight — retained; once
+    aged, it is a crashed writer's orphan — swept."""
+    import os
+
+    from itdb_spark.sinks import versioned as V
+
+    root = str(tmp_path / "tbl")
+    V.write_version(
+        spark.createDataFrame([(1, "a")], "k long, v string"), root
+    )
+    os.makedirs(os.path.join(root, "v9"))
+    assert V.vacuum(root, keep=1) == []
+    assert os.path.isdir(os.path.join(root, "v9"))
+    os.utime(os.path.join(root, "v9"), (10 ** 9, 10 ** 9))
+    assert V.vacuum(root, keep=1) == ["v9"]
