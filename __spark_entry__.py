@@ -129,6 +129,18 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # tolerance window). Registry fully green at its latest grades
 # (285/285 per the r12 verdict: 279 driver + 6 judge-verified).
 # Round-13 registrations use defer_after=13.
+# Round 14: the pin dict stays EMPTY — no oracle text changed. The
+# round's Spark-side changes (the hybrid NULL-kh containment-append
+# match, the vacuum retention floor with sole-owner waivers in the
+# ingest loops, the errorifexists centroid publish) are
+# result-identical on every graded corpus and were differentially
+# re-verified at sf0.001/sf0.01 (dedup-contain-incr-persist,
+# stream-contain-live, stream-minhash-ingest-live,
+# stream-ann-ingest-live, snap-isolation — the round-10 "refactor
+# needs no pin" precedent). The three r13 registrations front the
+# window automatically (their defer_after=13 expired when
+# CORRECTNESS_r13 landed). Round-14 registrations (snap-fold) use
+# defer_after=14.
 _CHANGED_SINCE_GRADED: dict[str, int] = {}
 
 

@@ -146,6 +146,77 @@ def snap_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap-fold",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 800
+    """,
+    defer_after=14,
+    doc="The chain FOLD graded standalone (r13 VERDICT #6): every prior "
+    "grade exercised compact_chain inside an ingest loop at one chain "
+    "shape; this query's answer is wrong unless the fold preserves "
+    "CONTENT and LAYOUT from a multi-link chain. It stages documents "
+    "doc_id < 200 as a lang-partitioned base, publishes THREE appends "
+    "([200,400), [400,600), [600,800)), folds the 4-link chain via the "
+    "shipped policy (maybe_compact_chain at max_links=3), then returns "
+    "a FRESH read of the folded table — the oracle is the union slice, "
+    "so a hash match proves the fold lost, duplicated, and reordered "
+    "nothing. The function additionally raises unless the post-fold "
+    "chain is exactly ONE link and the folded dir kept the hive "
+    "lang=... layout (sinks/versioned.py::_detect_partition_cols) — "
+    "the r12 hazard where a plain rewrite silently dropped partition "
+    "pruning. At 100 TB the fold is the LSM maintenance step every "
+    "append-chain index relies on; this pins it to an oracle, not "
+    "just unit parity.",
+)
+def snap_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from itdb_spark.sinks.versioned import (
+        _detect_partition_cols,
+        append_version,
+        chain_versions,
+        maybe_compact_chain,
+        read_current_chain,
+        write_version,
+    )
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "n_chars")
+    work = tempfile.mkdtemp(prefix="itdb_snap_fold_")
+    root = os.path.join(work, "table")
+    try:
+        write_version(
+            docs.where(F.col("doc_id") < 200), root, partition_by=["lang"]
+        )
+        for lo in (200, 400, 600):
+            append_version(
+                docs.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 200)
+                ),
+                root,
+                partition_by=["lang"],
+            )
+        assert len(chain_versions(root)) == 4
+        stats = maybe_compact_chain(spark, root, max_links=3)
+        if stats is None:
+            raise RuntimeError("policy did not fold a 4-link chain")
+        after = chain_versions(root)
+        if len(after) != 1:
+            raise RuntimeError(f"fold left a {len(after)}-link chain")
+        if _detect_partition_cols(root, after[0]) != ["lang"]:
+            raise RuntimeError("fold dropped the hive lang= layout")
+        folded = read_current_chain(spark, root).select(
+            "doc_id", F.col("lang").cast("string"), "n_chars"
+        )
+        rows = folded.collect()
+        return spark.createDataFrame(rows, folded.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "snap-diff",
     oracle="""
     WITH newt AS (
