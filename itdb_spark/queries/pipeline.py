@@ -2017,7 +2017,10 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     defer_after=11,
 )
 def mm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from itdb_spark.operators.pngcodec import decode_png_pixels, encode_png
+    from itdb_spark.operators.pngcodec import (
+        decode_png_pixels_batch,
+        encode_png,
+    )
 
     t = Tables(spark, sf_dir)
     schema = (
@@ -2028,7 +2031,8 @@ def mm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
+            metas = []
+            pngs = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 w = 1 + doc_id % 13
@@ -2036,7 +2040,15 @@ def mm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raw = bytes(
                     (doc_id * 31 + i * 7) % 251 for i in range(w * h * 3)
                 )
-                dw, dh, ch, px = decode_png_pixels(encode_png(w, h, raw, 2))
+                metas.append((doc_id, w, h))
+                pngs.append(encode_png(w, h, raw, 2))
+            # r13 VERDICT #4: the decode stage runs batch-vectorized —
+            # the unfilter is numpy across every same-shape image in
+            # the Arrow batch instead of a per-byte Python loop
+            rows = []
+            for (doc_id, w, h), (dw, dh, ch, px) in zip(
+                metas, decode_png_pixels_batch(pngs)
+            ):
                 if (dw, dh, ch) != (w, h, 3):
                     raise ValueError(f"codec geometry drift for doc {doc_id}")
                 rows.append(
@@ -10673,7 +10685,10 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def mm_pixeldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from itdb_spark.operators.pngcodec import decode_png_pixels, encode_png
+    from itdb_spark.operators.pngcodec import (
+        decode_png_pixels_batch,
+        encode_png,
+    )
 
     t = Tables(spark, sf_dir)
     schema = "doc_id long, pixel_md5 string, width int, height int, px_sum long"
@@ -10684,15 +10699,22 @@ def mm_pixeldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
+            metas = []
+            pngs = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 g = doc_id % 50
                 w = 1 + g % 13
                 h = 1 + (g * 3) % 11
                 raw = bytes((g * 31 + i * 7) % 251 for i in range(w * h * 3))
-                png = encode_png(w, h, raw, 2, phase=doc_id % 5)
-                dw, dh, ch, px = decode_png_pixels(png)
+                metas.append((doc_id, w, h))
+                pngs.append(encode_png(w, h, raw, 2, phase=doc_id % 5))
+            # batch-vectorized decode (r13 VERDICT #4): same bytes out,
+            # unfilter runs numpy across the batch's 50 shape groups
+            rows = []
+            for (doc_id, w, h), (dw, dh, ch, px) in zip(
+                metas, decode_png_pixels_batch(pngs)
+            ):
                 if (dw, dh, ch) != (w, h, 3):
                     raise ValueError(f"codec geometry drift for doc {doc_id}")
                 rows.append(
@@ -10767,7 +10789,10 @@ def mm_pixeldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sampling-grid bug breaks the hash gate.",
 )
 def mm_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from itdb_spark.operators.pngcodec import decode_png_pixels, encode_png
+    from itdb_spark.operators.pngcodec import (
+        decode_png_pixels_batch,
+        encode_png,
+    )
 
     t = Tables(spark, sf_dir)
     schema = "doc_id long, variant int, ahash_bits string, width int, height int"
@@ -10776,7 +10801,8 @@ def mm_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
+            metas = []
+            pngs = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 g = doc_id % 50
@@ -10790,8 +10816,13 @@ def mm_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (g * 31 + i * 7 + (v if i % 29 == 0 else 0)) % 251
                     for i in range(w * h * 3)
                 )
-                png = encode_png(w, h, raw, 2, phase=doc_id % 5)
-                dw, dh, ch, px = decode_png_pixels(png)
+                metas.append((doc_id, v, w, h))
+                pngs.append(encode_png(w, h, raw, 2, phase=doc_id % 5))
+            # batch-vectorized decode (r13 VERDICT #4)
+            rows = []
+            for (doc_id, v, w, h), (dw, dh, ch, px) in zip(
+                metas, decode_png_pixels_batch(pngs)
+            ):
                 if (dw, dh, ch) != (w, h, 3):
                     raise ValueError(f"codec geometry drift for doc {doc_id}")
                 lumas = []

@@ -198,3 +198,51 @@ def test_decode_image_header_matches_pil_real_encoders():
     img.save(buf, format="PNG")
     w, h, ch, px = decode_png_pixels(buf.getvalue())
     assert (w, h, ch) == (9, 7, 3) and set(px) <= {1, 2, 3}
+
+
+def test_batch_decoder_parity_full_matrix():
+    """decode_png_pixels_batch is bit-identical to the scalar decoder
+    over the full filter matrix (phase-cycled rows), all three color
+    types, mixed shapes in one batch, and both sides of the
+    vectorized/scalar group-size threshold (r13 VERDICT #4)."""
+    import random
+
+    from itdb_spark.operators.pngcodec import (
+        decode_png_pixels,
+        decode_png_pixels_batch,
+        encode_png,
+    )
+
+    rng = random.Random(11)
+    pngs = []
+    for n in range(120):
+        ctype = [0, 2, 6][n % 3]
+        ch = {0: 1, 2: 3, 6: 4}[ctype]
+        w = 1 + n % 13
+        h = 1 + (n * 3) % 11
+        raw = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        pngs.append(encode_png(w, h, raw, ctype, phase=n % 5))
+    # a wide image exercises the vectorized path even as a singleton
+    wide_raw = bytes(rng.randrange(256) for _ in range(96 * 16 * 3))
+    pngs.append(encode_png(96, 16, wide_raw, 2, phase=2))
+    assert decode_png_pixels_batch(pngs) == [
+        decode_png_pixels(p) for p in pngs
+    ]
+    assert decode_png_pixels_batch([]) == []
+
+
+def test_batch_decoder_rejects_corrupt_member():
+    """A corrupt image anywhere in the batch raises — same contract as
+    the scalar decoder; no silent partial results."""
+    import pytest
+
+    from itdb_spark.operators.pngcodec import (
+        decode_png_pixels_batch,
+        encode_png,
+    )
+
+    good = encode_png(4, 4, bytes(range(48)), 2)
+    flipped = bytearray(good)
+    flipped[-20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png_pixels_batch([good, bytes(flipped)])
