@@ -132,6 +132,100 @@ def encode_png(
     )
 
 
+def encode_png_batch(
+    items: list[tuple[int, int, bytes, int, int]],
+) -> list[bytes]:
+    """Batch encoder, byte-identical to ``encode_png`` per image
+    (same filter schedule, same zlib level → same compressed stream).
+    ``items`` rows are (width, height, pixels, color_type, phase).
+
+    Unlike the DECODE direction, the filter computation has NO
+    sequential dependency at all — every filter is an elementwise
+    function of the RAW current row, the RAW previous row, and their
+    one-pixel-left shifts — so the whole image (and every same-shape
+    image in the batch) filters in a handful of numpy array ops
+    instead of a per-byte Python loop; only the per-image zlib
+    compress and chunk framing stay scalar (both C-bound). Shape
+    groups below ``_BATCH_MIN_ELEMS`` fall back to the scalar path,
+    mirroring the decoder's threshold."""
+    import numpy as np
+
+    results: list[bytes | None] = [None] * len(items)
+    groups: dict[tuple[int, int, int], list[int]] = {}
+    for i, (w, h, px, ctype, _phase) in enumerate(items):
+        ch = _CHANNELS.get(ctype)
+        if ch is None:
+            raise ValueError(f"unsupported color type {ctype}")
+        if w <= 0 or h <= 0:
+            raise ValueError("dimensions must be positive")
+        if len(px) != w * ch * h:
+            raise ValueError(
+                f"pixel buffer is {len(px)} bytes, want {w * ch * h}"
+            )
+        groups.setdefault((w, h, ch), []).append(i)
+    for (w, h, ch), idxs in groups.items():
+        stride = w * ch
+        if len(idxs) * stride * h < _BATCH_MIN_ELEMS:
+            for i in idxs:
+                wi, hi, px, ctype, phase = items[i]
+                results[i] = encode_png(wi, hi, px, ctype, phase)
+            continue
+        pxs = np.stack(
+            [np.frombuffer(items[i][2], dtype=np.uint8) for i in idxs]
+        ).reshape(len(idxs), h, stride)
+        phases = np.array([items[i][4] for i in idxs], dtype=np.int64)
+        ftypes = (np.arange(h)[None, :] + phases[:, None]) % 5
+        prev = np.zeros_like(pxs)
+        prev[:, 1:, :] = pxs[:, :-1, :]
+        left = np.zeros_like(pxs)
+        left[:, :, ch:] = pxs[:, :, :-ch]
+        upleft = np.zeros_like(pxs)
+        upleft[:, 1:, ch:] = pxs[:, :-1, :-ch]
+        out = np.empty_like(pxs)
+        for t in range(5):
+            m = ftypes == t
+            if not m.any():
+                continue
+            p, a, b, c = pxs[m], left[m], prev[m], upleft[m]
+            if t == 0:
+                out[m] = p
+            elif t == 1:
+                out[m] = p - a
+            elif t == 2:
+                out[m] = p - b
+            elif t == 3:
+                out[m] = p - (
+                    (a.astype(np.uint16) + b) >> 1
+                ).astype(np.uint8)
+            else:  # Paeth
+                ai = a.astype(np.int16)
+                bi = b.astype(np.int16)
+                ci = c.astype(np.int16)
+                q = ai + bi - ci
+                pa = np.abs(q - ai)
+                pb = np.abs(q - bi)
+                pc = np.abs(q - ci)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    ai,
+                    np.where(pb <= pc, bi, ci),
+                ).astype(np.uint8)
+                out[m] = p - pred
+        scan = np.empty((len(idxs), h, stride + 1), dtype=np.uint8)
+        scan[:, :, 0] = ftypes
+        scan[:, :, 1:] = out
+        for k, i in enumerate(idxs):
+            wi, hi, _px, ctype, _phase = items[i]
+            ihdr = struct.pack(">IIBBBBB", wi, hi, 8, ctype, 0, 0, 0)
+            results[i] = (
+                _PNG_SIG
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(scan[k].tobytes(), 6))
+                + _chunk(b"IEND", b"")
+            )
+    return results  # type: ignore[return-value]
+
+
 def _parse_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Parse chunks, verify CRCs, and inflate: returns (width, height,
     channels, filtered scanline stream) — everything BEFORE unfiltering,

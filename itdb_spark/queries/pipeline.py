@@ -2019,7 +2019,7 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.operators.pngcodec import (
         decode_png_pixels_batch,
-        encode_png,
+        encode_png_batch,
     )
 
     t = Tables(spark, sf_dir)
@@ -2028,36 +2028,39 @@ def mm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def work(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             metas = []
-            pngs = []
+            to_encode = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 w = 1 + doc_id % 13
                 h = 1 + (doc_id * 3) % 11
-                raw = bytes(
-                    (doc_id * 31 + i * 7) % 251 for i in range(w * h * 3)
-                )
+                raw = (
+                    (doc_id * 31 + 7 * np.arange(w * h * 3, dtype=np.int64))
+                    % 251
+                ).astype(np.uint8).tobytes()
                 metas.append((doc_id, w, h))
-                pngs.append(encode_png(w, h, raw, 2))
-            # r13 VERDICT #4: the decode stage runs batch-vectorized —
-            # the unfilter is numpy across every same-shape image in
-            # the Arrow batch instead of a per-byte Python loop
+                to_encode.append((w, h, raw, 2, 0))
+            # r13 VERDICT #4: encode AND decode run batch-vectorized —
+            # the filter/unfilter is numpy across every same-shape
+            # image in the Arrow batch instead of a per-byte loop
             rows = []
             for (doc_id, w, h), (dw, dh, ch, px) in zip(
-                metas, decode_png_pixels_batch(pngs)
+                metas, decode_png_pixels_batch(encode_png_batch(to_encode))
             ):
                 if (dw, dh, ch) != (w, h, 3):
                     raise ValueError(f"codec geometry drift for doc {doc_id}")
+                pxa = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
                 rows.append(
                     (
                         doc_id,
                         w,
                         h,
-                        sum(px),
-                        sum((i + 1) * v for i, v in enumerate(px)),
+                        int(pxa.sum()),
+                        int(np.dot(np.arange(1, pxa.size + 1), pxa)),
                     )
                 )
             yield pd.DataFrame(
@@ -10687,7 +10690,7 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_pixeldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.operators.pngcodec import (
         decode_png_pixels_batch,
-        encode_png,
+        encode_png_batch,
     )
 
     t = Tables(spark, sf_dir)
@@ -10696,24 +10699,29 @@ def mm_pixeldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def work(batches):
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             metas = []
-            pngs = []
+            to_encode = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 g = doc_id % 50
                 w = 1 + g % 13
                 h = 1 + (g * 3) % 11
-                raw = bytes((g * 31 + i * 7) % 251 for i in range(w * h * 3))
+                raw = (
+                    (g * 31 + 7 * np.arange(w * h * 3, dtype=np.int64))
+                    % 251
+                ).astype(np.uint8).tobytes()
                 metas.append((doc_id, w, h))
-                pngs.append(encode_png(w, h, raw, 2, phase=doc_id % 5))
-            # batch-vectorized decode (r13 VERDICT #4): same bytes out,
-            # unfilter runs numpy across the batch's 50 shape groups
+                to_encode.append((w, h, raw, 2, doc_id % 5))
+            # batch-vectorized encode+decode (r13 VERDICT #4): same
+            # bytes both directions, filter/unfilter run numpy across
+            # the batch's 50 shape groups
             rows = []
             for (doc_id, w, h), (dw, dh, ch, px) in zip(
-                metas, decode_png_pixels_batch(pngs)
+                metas, decode_png_pixels_batch(encode_png_batch(to_encode))
             ):
                 if (dw, dh, ch) != (w, h, 3):
                     raise ValueError(f"codec geometry drift for doc {doc_id}")
@@ -10791,18 +10799,19 @@ def mm_pixeldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itdb_spark.operators.pngcodec import (
         decode_png_pixels_batch,
-        encode_png,
+        encode_png_batch,
     )
 
     t = Tables(spark, sf_dir)
     schema = "doc_id long, variant int, ahash_bits string, width int, height int"
 
     def work(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             metas = []
-            pngs = []
+            to_encode = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 g = doc_id % 50
@@ -10812,16 +10821,16 @@ def mm_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # is constant there (50 is a multiple of 5), so the noise
                 # keys on the replica index (doc_id // 50) % 5 instead
                 v = (doc_id // 50) % 5
-                raw = bytes(
-                    (g * 31 + i * 7 + (v if i % 29 == 0 else 0)) % 251
-                    for i in range(w * h * 3)
-                )
+                idx = np.arange(w * h * 3, dtype=np.int64)
+                raw = (
+                    (g * 31 + 7 * idx + v * (idx % 29 == 0)) % 251
+                ).astype(np.uint8).tobytes()
                 metas.append((doc_id, v, w, h))
-                pngs.append(encode_png(w, h, raw, 2, phase=doc_id % 5))
-            # batch-vectorized decode (r13 VERDICT #4)
+                to_encode.append((w, h, raw, 2, doc_id % 5))
+            # batch-vectorized encode+decode (r13 VERDICT #4)
             rows = []
             for (doc_id, v, w, h), (dw, dh, ch, px) in zip(
-                metas, decode_png_pixels_batch(pngs)
+                metas, decode_png_pixels_batch(encode_png_batch(to_encode))
             ):
                 if (dw, dh, ch) != (w, h, 3):
                     raise ValueError(f"codec geometry drift for doc {doc_id}")

@@ -246,3 +246,40 @@ def test_batch_decoder_rejects_corrupt_member():
     flipped[-20] ^= 0xFF
     with pytest.raises(ValueError):
         decode_png_pixels_batch([good, bytes(flipped)])
+
+
+def test_batch_encoder_parity_full_matrix():
+    """encode_png_batch is byte-identical to the scalar encoder —
+    same filter schedule, same zlib stream — over mixed shapes, all
+    color types, all phases, and both sides of the group-size
+    threshold."""
+    import random
+
+    from itdb_spark.operators.pngcodec import encode_png, encode_png_batch
+
+    rng = random.Random(13)
+    items = []
+    for n in range(150):
+        ctype = [0, 2, 6][n % 3]
+        ch = {0: 1, 2: 3, 6: 4}[ctype]
+        w = 1 + n % 13
+        h = 1 + (n * 3) % 11
+        raw = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        items.append((w, h, raw, ctype, n % 5))
+    wide = (120, 20, bytes(rng.randrange(256) for _ in range(120 * 20 * 3)), 2, 4)
+    items.append(wide)
+    assert encode_png_batch(items) == [encode_png(*it) for it in items]
+    assert encode_png_batch([]) == []
+
+
+def test_batch_encoder_rejects_bad_input():
+    import pytest
+
+    from itdb_spark.operators.pngcodec import encode_png_batch
+
+    with pytest.raises(ValueError, match="color type"):
+        encode_png_batch([(2, 2, bytes(12), 3, 0)])
+    with pytest.raises(ValueError, match="pixel buffer"):
+        encode_png_batch([(2, 2, bytes(11), 2, 0)])
+    with pytest.raises(ValueError, match="positive"):
+        encode_png_batch([(0, 2, b"", 2, 0)])
