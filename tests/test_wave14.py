@@ -262,3 +262,52 @@ def test_vacuum_floor_retains_young_orphan(tmp_path, spark):
     assert os.path.isdir(os.path.join(root, "v9"))
     os.utime(os.path.join(root, "v9"), (10 ** 9, 10 ** 9))
     assert V.vacuum(root, keep=1) == ["v9"]
+
+
+def test_chain_fold_triangulated(spark, tmp_path):
+    """snap-fold's third engine (verification-ladder step 5): the fold
+    of a K=3-append hive-partitioned chain must equal the pure-Python
+    union of the staged slices — content compared as multisets off the
+    parquet files directly, layout asserted via the partition dirs."""
+    import os
+
+    from itdb_spark.sinks.versioned import (
+        _detect_partition_cols,
+        append_version,
+        chain_versions,
+        maybe_compact_chain,
+        read_current_chain,
+        write_version,
+    )
+
+    rows = [(i, f"g{i % 3}", i * 10) for i in range(40)]
+    expected = {}
+    for i, g, v in rows:
+        expected[(i, g, v)] = expected.get((i, g, v), 0) + 1
+
+    def frame(sel):
+        return spark.createDataFrame(sel, "k long, grp string, v long")
+
+    root = str(tmp_path / "tbl")
+    write_version(frame(rows[:10]), root, partition_by=["grp"])
+    for lo in (10, 20, 30):
+        append_version(
+            frame(rows[lo:lo + 10]), root, partition_by=["grp"]
+        )
+    assert len(chain_versions(root)) == 4
+    stats = maybe_compact_chain(spark, root, max_links=3)
+    assert stats is not None
+    after = chain_versions(root)
+    assert len(after) == 1
+    assert _detect_partition_cols(root, after[0]) == ["grp"]
+    # layout on disk: one hive dir per grp value inside the folded dir
+    folded_dir = os.path.join(root, after[0])
+    hive = sorted(
+        d for d in os.listdir(folded_dir) if d.startswith("grp=")
+    )
+    assert hive == ["grp=g0", "grp=g1", "grp=g2"]
+    got = {}
+    for r in read_current_chain(spark, root).collect():
+        key = (r["k"], r["grp"], r["v"])
+        got[key] = got.get(key, 0) + 1
+    assert got == expected

@@ -21,6 +21,12 @@ pool — and drives it against corpora at sf0.1 / sf1.0 / sf10:
               + delta publish
     serve   — ivf_search_chain(fixed 15-query set, k=5, n_probe=3)
 
+  containment family (stream-contain-live's stages):
+    build   — persist_containment_index over the corpus (one-time)
+    probe   — containment_probe_persisted(batch) vs the chain
+    accept  — append_containment_index(batch): delta ranked under the
+              frozen v1 order + atomic tag
+
 If screen/accept/assign_publish/serve are near-flat across the two
 decades while build grows ~linearly, the amortization split is proven
 at fixed batch — the number a production ingest SLA needs. Any stage
@@ -79,10 +85,13 @@ def main() -> None:
 
     from itdb_spark.operators.dedup import (
         append_band_index,
+        append_containment_index,
         band_collision_counts_persisted,
+        containment_probe_persisted,
         minhash_bands,
         minhash_signatures,
         persist_band_index,
+        persist_containment_index,
     )
     from itdb_spark.operators.ivf import (
         append_ivf_index,
@@ -102,6 +111,13 @@ def main() -> None:
         ).select("doc_id", "text").write.parquet(doc_batch_path)
         doc_batch = spark.read.parquet(doc_batch_path)
         doc_batch_rows = doc_batch.count()
+
+        contain_batch_path = os.path.join(work, "contain_batch")
+        corpus(spark, BASE_SF).where(
+            (F.col("doc_id") % 5 == 4) & (F.expr("doc_id DIV 5") % 3 == 0)
+        ).select("doc_id", "text").write.parquet(contain_batch_path)
+        contain_batch = spark.read.parquet(contain_batch_path)
+        contain_batch_rows = contain_batch.count()
 
         emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
         vec_batch_path = os.path.join(work, "vec_batch")
@@ -146,6 +162,34 @@ def main() -> None:
             row["accept"] = timed(
                 lambda: append_band_index(
                     spark, root, bands, tag="fixed-batch"
+                )
+            )
+            print(json.dumps(row), flush=True)
+
+            # ---- containment ----
+            croot = os.path.join(
+                work, "contain_" + sf_dir.strip("/").replace("/", "_")
+            )
+            cbase = corpus(spark, sf_dir).where(F.col("doc_id") % 5 != 4)
+            row = {
+                "family": "containment",
+                "sf_dir": sf_dir,
+                "batch_rows": contain_batch_rows,
+            }
+            row["build"] = timed(
+                lambda: persist_containment_index(
+                    cbase, "doc_id", "text", croot
+                )
+            )
+            row["probe"] = best2(
+                lambda: containment_probe_persisted(
+                    spark, croot, contain_batch, "doc_id", "text"
+                ).write.format("noop").mode("overwrite").save()
+            )
+            row["accept"] = timed(
+                lambda: append_containment_index(
+                    spark, croot, contain_batch, "doc_id", "text",
+                    tag="fixed-batch",
                 )
             )
             print(json.dumps(row), flush=True)
