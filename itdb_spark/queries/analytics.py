@@ -109,7 +109,11 @@ def fn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "alone. Both later writes would change the result if any leaked in "
     "(the append adds rows; the fold re-points the manifest at a merged "
     "version) — so a hash match IS the isolation proof. At 100 TB this "
-    "is why index refreshes never perturb in-flight probes.",
+    "is why index refreshes never perturb in-flight probes. Isolation "
+    "(proven here) keeps the pinned reader ANSWERING; whether its "
+    "files still EXIST is retention policy — vacuum's min_age_s floor "
+    "(r14), which sweeps a superseded dir only once it outlives the "
+    "longest expected probe.",
 )
 def snap_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -139,6 +143,69 @@ def snap_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         compact_chain(spark, root)
         # materialize the PINNED snapshot before the temp dir goes away
+        rows = pinned.collect()
+        return spark.createDataFrame(rows, pinned.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "snap-retention",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 300
+    """,
+    defer_after=14,
+    doc="Retention under a pinned reader, graded as a QUERY (round 14, "
+    "r13 VERDICT #5's proof half): snap-isolation proves a pinned "
+    "reader keeps ANSWERING across append+fold; this proves its FILES "
+    "survive vacuum at DEFAULT policy. Same staging (documents "
+    "doc_id < 300 as v1, pinned reader, append [300,600), "
+    "compact_chain), then ``vacuum(root, keep=1)`` — which without "
+    "the min_age_s retention floor (sinks/versioned.py, r14) would "
+    "DELETE v1 and v2 out from under the pinned scan (keep=1 retains "
+    "only the folded version; the classic Delta VACUUM footgun), and "
+    "the query would crash or answer from nothing. The floor retains "
+    "superseded dirs younger than the longest expected probe, so the "
+    "pinned reader still materializes exactly the v1 slice — the hash "
+    "match is the retention proof, the same way snap-isolation's is "
+    "the isolation proof. At 100 TB this is why aggressive reclamation "
+    "on a live index cannot strand in-flight probes.",
+)
+def snap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from itdb_spark.sinks.versioned import (
+        append_version,
+        compact_chain,
+        read_current_chain,
+        vacuum,
+        write_version,
+    )
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "n_chars")
+    work = tempfile.mkdtemp(prefix="itdb_snap_ret_")
+    root = os.path.join(work, "table")
+    try:
+        write_version(docs.where(F.col("doc_id") < 300), root)
+        pinned = read_current_chain(spark, root)  # pins v1
+        append_version(
+            docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 600)),
+            root,
+        )
+        compact_chain(spark, root)
+        # DEFAULT retention policy: keep=1 would doom both superseded
+        # dirs were it not for the min-age floor
+        swept = vacuum(root, keep=1)
+        if swept:
+            raise RuntimeError(
+                f"retention floor failed to protect {swept} (all "
+                "superseded dirs are seconds old)"
+            )
+        if not os.path.isdir(os.path.join(root, "v1")):
+            raise RuntimeError("pinned reader's v1 files are gone")
         rows = pinned.collect()
         return spark.createDataFrame(rows, pinned.schema)
     finally:
