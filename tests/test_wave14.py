@@ -311,3 +311,28 @@ def test_chain_fold_triangulated(spark, tmp_path):
         key = (r["k"], r["grp"], r["v"])
         got[key] = got.get(key, 0) + 1
     assert got == expected
+
+
+def test_null_kh_branch_pushes_isnull(spark, tmp_path):
+    """The hybrid containment match's NULL-kh branch must reach the
+    parquet scan as PushedFilters: [IsNull(kh)] under the kind=set
+    partition filter — on a fully-native chain every row group's
+    null_count is 0, so the branch prunes to nothing and the hybrid
+    costs nothing where the folded-legacy hazard is absent."""
+    from itdb_spark.operators.dedup import persist_containment_index
+    from itdb_spark.sinks.versioned import read_current_chain
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g h i j") for i in range(6)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "idx")
+    persist_containment_index(docs, "doc_id", "text", root)
+    legacy = read_current_chain(spark, root).where(
+        "kind = 'set' AND kh IS NULL"
+    )
+    plan = legacy._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert scan and "IsNull(kh)" in scan[0], plan
+    assert "kind" in scan[0] and "set" in scan[0], plan
+    assert legacy.count() == 0
