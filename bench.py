@@ -176,15 +176,13 @@ def main() -> None:
         for qid, ref in CANARY_REFS.items()
         if timings.get(qid) and sf_val == CANARY_REF_SF
     }
+    # load_factor only from the COMPLETE canary set: a canary qid
+    # missing or timed 0.0 silently shifts the median (r13 ADVICE: the
+    # old upper-middle pick biased it upward on even-sized sets), so a
+    # partial set reports raw walls with load_factor null instead
     lf = None
     if ratios and len(ratios) == len(CANARY_REFS):
         lf = round(statistics.median(ratios.values()), 3)
-    elif ratios:
-        # a canary qid missing or timed 0.0 — a partial set silently
-        # shifts the median (r13 ADVICE: the old upper-middle pick
-        # biased load_factor upward on even-sized sets); report raw
-        # walls with load_factor null rather than a biased number
-        lf = None
     out["canary"] = {
         "method": f"median-of-{len(CANARY_REFS)}",
         "refs": CANARY_REFS,

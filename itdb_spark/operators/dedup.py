@@ -1568,8 +1568,18 @@ def append_containment_index(
             .join(F.broadcast(braw.select("kh").distinct()), "kh")
             .select("esid", "ts", "kh")
         )
-        idx_restricted = matched.select("esid", "ts", "kh").unionByName(
-            legacy_rows
+        # one esid per content (min over the union): on a healthy chain
+        # each (kh, ts) has exactly one set row so this is a no-op, but
+        # a chain DAMAGED by the pre-hybrid gate (the same ts published
+        # under both a NULL-kh legacy sid and a misclassified kh-bearing
+        # sid) would otherwise match BOTH esids and fan each batch doc
+        # out to two member rows — the min-esid fold makes recovery
+        # deterministic instead of amplifying the damage
+        idx_restricted = (
+            matched.select("esid", "ts", "kh")
+            .unionByName(legacy_rows)
+            .groupBy("kh", "ts")
+            .agg(F.min("esid").alias("esid"))
         )
     else:
         idx_sets = table.where(F.col("kind") == "set").select(
@@ -1578,6 +1588,10 @@ def append_containment_index(
         idx_restricted = (
             idx_sets.withColumn("kh", F.xxhash64("ts"))
             .join(F.broadcast(braw.select("kh").distinct()), "kh")
+            # same min-esid fold as the hybrid path, so the forced
+            # legacy twin stays row-identical on damaged chains too
+            .groupBy("kh", "ts")
+            .agg(F.min("esid").alias("esid"))
         )
     bcanon = (
         braw.join(idx_restricted, ["kh", "ts"], "left")

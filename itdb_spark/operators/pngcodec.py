@@ -278,6 +278,25 @@ def _parse_png(data: bytes) -> tuple[int, int, int, bytes]:
     return (width, height, channels, scan)
 
 
+def _unfilter_image(
+    width: int, height: int, channels: int, scan: bytes
+) -> bytes:
+    """Scalar row-by-row reconstruction of a parsed scanline stream —
+    the shared unfilter loop behind decode_png_pixels and the batch
+    decoder's small-group fallback."""
+    stride = width * channels
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for r in range(height):
+        base = r * (stride + 1)
+        row = _unfilter_row(
+            scan[base], scan[base + 1 : base + 1 + stride], prev, channels
+        )
+        out[r * stride : (r + 1) * stride] = row
+        prev = row
+    return bytes(out)
+
+
 def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG into (width, height, channels, raw row-major samples).
 
@@ -286,15 +305,7 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     (a corrupt chunk raises instead of yielding garbage pixels).
     """
     width, height, channels, scan = _parse_png(data)
-    stride = width * channels
-    out = bytearray(stride * height)
-    prev = bytes(stride)
-    for r in range(height):
-        base = r * (stride + 1)
-        row = _unfilter_row(scan[base], scan[base + 1 : base + 1 + stride], prev, channels)
-        out[r * stride : (r + 1) * stride] = row
-        prev = row
-    return (width, height, channels, bytes(out))
+    return (width, height, channels, _unfilter_image(width, height, channels, scan))
 
 
 def decode_png_pixels_batch(
@@ -334,17 +345,10 @@ def decode_png_pixels_batch(
         if len(idxs) * stride * h < _BATCH_MIN_ELEMS:
             for i in idxs:
                 width, height, channels, scan = parsed[i]
-                out = bytearray(stride * h)
-                prev = bytes(stride)
-                for r in range(h):
-                    base = r * (stride + 1)
-                    row = _unfilter_row(
-                        scan[base], scan[base + 1 : base + 1 + stride],
-                        prev, ch,
-                    )
-                    out[r * stride : (r + 1) * stride] = row
-                    prev = row
-                results[i] = (width, height, channels, bytes(out))
+                results[i] = (
+                    width, height, channels,
+                    _unfilter_image(width, height, channels, scan),
+                )
             continue
         scans = np.stack(
             [np.frombuffer(parsed[i][3], dtype=np.uint8) for i in idxs]

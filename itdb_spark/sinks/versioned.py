@@ -475,10 +475,13 @@ def maybe_compact_chain(
         writer_options=writer_options,
     )
     if vacuum_keep is not None:
-        kw = {} if vacuum_min_age_s is None else {
-            "min_age_s": vacuum_min_age_s
-        }
-        stats["vacuumed"] = vacuum(root, keep=vacuum_keep, **kw)
+        stats["vacuumed"] = vacuum(
+            root,
+            keep=vacuum_keep,
+            min_age_s=DEFAULT_VACUUM_MIN_AGE_S
+            if vacuum_min_age_s is None
+            else vacuum_min_age_s,
+        )
     return stats
 
 

@@ -336,3 +336,84 @@ def test_null_kh_branch_pushes_isnull(spark, tmp_path):
     assert scan and "IsNull(kh)" in scan[0], plan
     assert "kind" in scan[0] and "set" in scan[0], plan
     assert legacy.count() == 0
+
+
+def test_containment_append_converges_damaged_chain(spark, tmp_path):
+    """Review follow-up to the NULL-kh fix: a chain DAMAGED by the
+    pre-hybrid gate can hold the SAME ts under both a NULL-kh legacy
+    sid and a misclassified kh-bearing sid. The hybrid match must not
+    fan a batch doc out to both esids (two member rows per doc); the
+    min-esid fold maps it to exactly one, deterministically, on both
+    the fast and the forced-legacy path."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.operators.dedup import (
+        append_containment_index,
+        persist_containment_index,
+    )
+    from itdb_spark.sinks.versioned import (
+        append_version,
+        compact_chain,
+        read_current,
+        read_current_chain,
+        write_version,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(12))) for i in range(3)],
+        "doc_id long, text string",
+    )
+
+    def build_damaged(root):
+        # legacy base (NULL kh after fold), then a crafted delta that
+        # re-publishes the SAME ts under a new kh-bearing sid — the
+        # r13 misclassification's exact on-disk outcome
+        tmpl = root + "_tmpl"
+        persist_containment_index(docs, "doc_id", "text", tmpl)
+        base = read_current(spark, tmpl)
+        write_version(base.drop("kh"), root, partition_by=["kind"])
+        compact_chain(spark, root)
+        dup_set = (
+            base.where("kind = 'set'")
+            .limit(1)
+            .select(
+                "kind",
+                "w", "df", "nt", "rn", "pfx", "doc", "ts",
+                F.lit(999999).cast("bigint").alias("sid"),
+                F.xxhash64("ts").alias("kh"),
+            )
+        )
+        append_version(dup_set, root, partition_by=["kind"])
+
+    def member_map(root):
+        return {
+            r["doc"]: r["sid"]
+            for r in read_current_chain(spark, root)
+            .where("kind = 'member'").collect()
+        }
+
+    batch = spark.createDataFrame(
+        [(100, " ".join(f"tok{j}" for j in range(12)))],
+        "doc_id long, text string",
+    )
+    for kwargs in ({}, {"use_stored_kh": False}):
+        root = str(
+            tmp_path / ("fast" if kwargs == {} else "slow")
+        )
+        build_damaged(root)
+        chain = read_current_chain(spark, root)
+        same_ts = (
+            chain.where("kind = 'set'")
+            .groupBy("ts").count().where("count > 1").count()
+        )
+        assert same_ts == 1, "damage precondition: duplicate ts sets"
+        append_containment_index(
+            spark, root, batch, "doc_id", "text", **kwargs
+        )
+        members = (
+            read_current_chain(spark, root)
+            .where("kind = 'member' AND doc = 100").collect()
+        )
+        assert len(members) == 1, members  # no fan-out
+        legit = member_map(root)[0]
+        assert members[0]["sid"] == min(legit, 999999)
