@@ -819,3 +819,48 @@ def test_round_boundary_simulation_survives_future_round(tmp_path, monkeypatch):
     # every deferral committed to the tree has expired by r99: nothing
     # may still sort last
     assert all(r < 10**9 for r in ranks), "a deferral survived a far-future boundary"
+
+
+def test_png_batch_roundtrip_property():
+    """Property: for ANY pixel buffer, shape, color type, and phase,
+    batch-encode → batch-decode recovers the exact pixels, and both
+    batch directions are byte-identical to their scalar forms (the
+    round-14 vectorization's contract, fuzzed beyond the fixed parity
+    matrix)."""
+    from hypothesis import given, settings, strategies as st
+
+    from itdb_spark.operators.pngcodec import (
+        decode_png_pixels,
+        decode_png_pixels_batch,
+        encode_png,
+        encode_png_batch,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(1, 20),  # width
+                st.integers(1, 12),  # height
+                st.sampled_from([0, 2, 6]),  # color type
+                st.integers(0, 4),  # phase
+                st.randoms(use_true_random=False),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(specs):
+        items = []
+        for w, h, ctype, phase, rnd in specs:
+            ch = {0: 1, 2: 3, 6: 4}[ctype]
+            raw = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+            items.append((w, h, raw, ctype, phase))
+        batch_pngs = encode_png_batch(items)
+        assert batch_pngs == [encode_png(*it) for it in items]
+        decoded = decode_png_pixels_batch(batch_pngs)
+        assert decoded == [decode_png_pixels(p) for p in batch_pngs]
+        for (w, h, raw, ctype, _), (dw, dh, dch, px) in zip(items, decoded):
+            assert (dw, dh, dch, px) == (w, h, {0: 1, 2: 3, 6: 4}[ctype], raw)
+
+    check()
