@@ -488,13 +488,20 @@ def ngram_jaccard_pairs(
 
 
 def containment_candidates(
-    sh: DataFrame, t_num: int = 8, t_den: int = 10
+    sh: DataFrame, t_num: int = 8, t_den: int = 10, materialize: bool = False
 ) -> DataFrame:
     """Small-side prefix-filter candidate pairs (id1 < id2) for
     ``containment_join`` from a (doc, w) shingle frame — exposed
     separately so the Zipf-fixture invariant test and the bench tooling
     can pin the candidate FRACTION (the quantity the sub-quadratic claim
-    rides on) without paying for verification."""
+    rides on) without paying for verification.
+
+    ``materialize=True`` (the owning containment_join path) eagerly
+    checkpoints the ranked frame: it feeds the candidate join on BOTH
+    sides (prefix + index), so unmaterialized the join+two-windows
+    subtree is planned and executed twice — ReuseExchange shares only
+    the shuffle below the windows, not the sort+window above it. The
+    default stays lazy for the plan-audit/invariant-test callers."""
     df_ = sh.groupBy("w").agg(F.count("*").alias("df"))
     ranked = (
         sh.join(df_, "w")
@@ -504,6 +511,10 @@ def containment_candidates(
         )
         .withColumn("nt", F.count("*").over(Window.partitionBy("doc")))
     )
+    if materialize:
+        from itdb_spark.plans.library import truncate_lineage
+
+        ranked = truncate_lineage(ranked)
     # prefix length |S| - ceil(t|S|) + 1; integer ceil = (t_num*n + t_den-1) DIV t_den
     prefix = ranked.where(
         F.col("rn")
@@ -583,7 +594,7 @@ def containment_join_incremental(
     the right trade.) Verification is the same exact intersection over
     candidates; output schema matches containment_join.
     """
-    from itdb_spark.plans.library import materialized
+    from itdb_spark.plans.library import materialized, truncate_lineage
 
     sh = shingle_frame(docs, id_col, text_col).select(
         "doc", F.xxhash64("w").alias("w")
@@ -599,7 +610,15 @@ def containment_join_incremental(
     doc_sets = sh.groupBy("doc").agg(
         F.sort_array(F.collect_list("w")).alias("ts")
     ).join(flags, "doc")
-    canon = (
+    # eager lineage truncation instead of .cache(): canon is referenced
+    # 5x below (rep / reps twice / members twice / same) and every
+    # reference to a CACHED frame re-analyzes its full logical subtree —
+    # the same near-exponential plan-composition cost measured at 1.5 s
+    # driver wall per call on containment_probe_persisted (guide §3.3 /
+    # §7.3: materialize to truncate the plan). The checkpoint is one
+    # materialization of the same distinct-content-bounded frame the
+    # cache held, so the 100 TB shape is unchanged.
+    canon = truncate_lineage(
         doc_sets.groupBy("ts")
         .agg(
             F.min("doc").alias("sid"),
@@ -617,7 +636,6 @@ def containment_join_incremental(
             (F.col("has_new") == 1).alias("has_new"),
             (F.col("has_old") == 1).alias("has_old"),
         )
-        .cache()
     )
     rep = canon.select(
         F.col("sid").alias("doc"),
@@ -626,7 +644,13 @@ def containment_join_incremental(
         F.explode("ts").alias("w"),
     )
     df_ = rep.groupBy("w").agg(F.count("*").alias("df"))
-    ranked = (
+    # ranked feeds BOTH probes on BOTH sides (prefix in probe1+probe2,
+    # index in probe1+probe2) — unmaterialized, the join+two-windows
+    # subtree is planned 4x and executed up to 4x (ReuseExchange only
+    # shares the shuffle below the windows, not the sort+window work
+    # above it); one eager checkpoint runs it once and keeps the four
+    # references leaf-sized in the composed candidate plan
+    ranked = truncate_lineage(
         rep.join(df_, "w")
         .withColumn(
             "rn",
@@ -846,15 +870,18 @@ def containment_join(
         .select("sid", "ts", "members", F.size("ts").cast("long").alias("n"))
     )
     if materialize:
-        # cache only on the owning path — materialized() unpersists it.
-        # The lazy (materialize=False) form is a plan-audit hook, but the
-        # audit's noop write EXECUTES the plan (tests/test_plan_audit.py),
-        # so a cache here would populate and leak into the shared
-        # session's executor storage with no owner to release it
-        # (ADVICE r11).
-        canon = canon.cache()
+        # eager lineage truncation on the owning path (was .cache() —
+        # canon is referenced 4x below and each reference to a cached
+        # frame re-analyzes its full subtree; the checkpoint is the same
+        # single materialization with leaf-sized references, the fix
+        # measured at ~2x on containment_probe_persisted). The lazy
+        # (materialize=False) form is a plan-audit hook and stays fully
+        # lazy (tests/test_plan_audit.py explains the composed plan).
+        from itdb_spark.plans.library import truncate_lineage
+
+        canon = truncate_lineage(canon)
     rep_sh = canon.select(F.col("sid").alias("doc"), F.explode("ts").alias("w"))
-    cand = containment_candidates(rep_sh, t_num, t_den)
+    cand = containment_candidates(rep_sh, t_num, t_den, materialize=materialize)
     reps = canon.select("sid", "ts", "n")
     qual = (
         cand.join(
@@ -1704,7 +1731,7 @@ def containment_probe_persisted(
     argued at ``persist_containment_index``; the output is therefore
     SET-identical to the rebuild form (gated in tests/test_wave12.py).
     """
-    from itdb_spark.plans.library import materialized
+    from itdb_spark.plans.library import materialized, truncate_lineage
     from itdb_spark.sinks.versioned import read_current_chain
 
     table = read_current_chain(spark, index_root)
@@ -1717,7 +1744,20 @@ def containment_probe_persisted(
     bsh = shingle_frame(batch, id_col, text_col).select(
         "doc", F.xxhash64("w").alias("w")
     )
-    bcanon = (
+    # Batch-bounded intermediates TRUNCATE LINEAGE (eager localCheckpoint)
+    # instead of .cache(): a cached frame's full logical subtree is
+    # re-analyzed at every reference, and this probe references bcanon /
+    # branked / cand / all_ts 3-6 times each with each later frame
+    # CONTAINING the earlier ones — the composed tree grows near-
+    # exponentially and the r14 stage profile measured a 1.5 s driver
+    # planning gap per call (the bulk of the fixed-batch table's ~1.6 s
+    # empty-batch constant). Checkpointing makes each intermediate a leaf
+    # scan: small trees to plan, same single materialization per frame,
+    # and every checkpointed frame is batch/candidate-bounded — the
+    # corpus-scale posting/member partitions still stream map-side, so
+    # the 100 TB shape is unchanged (guide §1.2: fix the constant only
+    # after the dataflow is right; §3.3: materialize to truncate plans).
+    bcanon = truncate_lineage(
         bsh.groupBy("doc")
         .agg(F.sort_array(F.collect_list("w")).alias("ts"))
         .groupBy("ts")
@@ -1725,7 +1765,6 @@ def containment_probe_persisted(
             F.min("doc").alias("sid"),
             F.sort_array(F.collect_list("doc")).alias("members"),
         )
-        .cache()
     )
     b_sh = bcanon.select("sid", "ts", F.explode("ts").alias("w"))
     # batch ranks under the index's frozen order: df(w) := the PERSISTED
@@ -1750,11 +1789,12 @@ def containment_probe_persisted(
             - F.expr(f"({t_num} * nt + {t_den - 1}) DIV {t_den}")
             + 1,
         )
-        # three appearances in the candidate plan (probe1's prefix side,
-        # probe1's index side via the union, probe2's batch side) —
-        # uncached, the rank windows execute three times
-        .cache()
     )
+    # three appearances in the candidate plan (probe1's prefix side,
+    # probe1's index side via the union, probe2's batch side) — the
+    # checkpoint both materializes the rank windows once and keeps the
+    # three references leaf-sized in the composed plan
+    branked = truncate_lineage(branked)
     small_side = (F.col("a.nt") < F.col("b.nt")) | (
         (F.col("a.nt") == F.col("b.nt")) & (F.col("a.sid") < F.col("b.sid"))
     )
@@ -1795,11 +1835,11 @@ def containment_probe_persisted(
         .agg(F.max("ub").alias("ub"), F.max("req").alias("req"))
         .where(F.col("ub") >= F.col("req"))
         .select("s1", "s2")
-        # three consumers below (sid extraction + two verification
-        # joins) — uncached, the whole candidate-generation subtree
-        # would execute three times (measured +3 s at sf0.1)
-        .cache()
     )
+    # three consumers below (sid extraction + two verification joins) —
+    # unmaterialized, the whole candidate-generation subtree would
+    # execute three times (measured +3 s at sf0.1)
+    cand = truncate_lineage(cand)
     # verification: candidate INDEX sets' arrays are READ off the 'set'
     # partition, map-side semi-restricted by the broadcast sid set — no
     # reconstruction shuffle (batch sets carry their arrays already);
