@@ -47,19 +47,34 @@ def connected_components(
     # (minhash_candidates(distinct_pairs=False)), trading a few duplicate
     # edge rows for one less full shuffle upstream.
     pairs = pairs.cache()
-    # Repartition on b BEFORE caching: InMemoryRelation preserves its
-    # child's outputPartitioning, so every round's edges⋈labels join sees
-    # HashPartitioning(b) already satisfied and skips the exchange of the
-    # BIG side — one full edge shuffle per round becomes zero (measured
-    # 5-8% off whole pipe-curate at sf0.1; at 100 TB the per-round edge
-    # shuffle is the dominant CC cost). Labels (small, changes each
-    # round) still shuffles.
-    edges = (
+    # Repartition on b BEFORE materializing: both the old cache and the
+    # checkpoint below preserve the child's outputPartitioning, so every
+    # round's edges⋈labels join sees HashPartitioning(b) already
+    # satisfied and skips the exchange of the BIG side — one full edge
+    # shuffle per round becomes zero (measured 5-8% off whole
+    # pipe-curate at sf0.1; at 100 TB the per-round edge shuffle is the
+    # dominant CC cost). Labels (small, changes each round) still
+    # shuffles.
+    #
+    # EAGER lineage truncation instead of .cache() (r14): edges is
+    # referenced 1-2x per round and a cached frame's full logical
+    # subtree — here the whole LSH candidate pipeline — is re-analyzed
+    # and re-PLANNED at every reference and at every round's lazy
+    # checkpoint (localCheckpoint runs the optimizer even when lazy).
+    # The r14 attribution measured ~0.55 s DRIVER wall per round on
+    # plan work against ~0.13 s of execution; with edges a leaf, round
+    # plans are constant-size regardless of how the candidate pipeline
+    # grew (guide §3.3/§7.3 — same fix as the containment family).
+    edges = truncate_lineage(
         pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
         .unionByName(pairs.select(F.col(id2).alias("a"), F.col(id1).alias("b")))
-        .repartition(F.col("b"))
-        .cache()  # reused every round
+        .repartition(F.col("b")),
+        eager=True,
     )
+    # pairs' cache exists only so the union's two branches compute the
+    # candidate pipeline once inside the eager materialization above —
+    # release it immediately; edges now reads checkpoint blocks.
+    pairs.unpersist()
     # Initial labels fold the would-be first propagation round into a plain
     # groupBy: with identity labels, "min neighbor label" IS min(b) — no
     # join needed, and the loop starts one round further along.
@@ -124,11 +139,9 @@ def connected_components(
         if changed == 0:
             break
     # The convergence count just materialized the final round's (lazy)
-    # checkpoint, so the returned frame reads checkpoint blocks — the edge
-    # caches are no longer on its lineage and can be released here rather
-    # than leaking into the caller's long-lived session.
-    pairs.unpersist()
-    edges.unpersist()
+    # checkpoint, so the returned frame reads checkpoint blocks; the
+    # edge checkpoint's blocks are reclaimed by the ContextCleaner once
+    # `edges` goes out of scope (plans.library.materialized's contract).
     if stats is not None:
         stats["rounds"] = rounds
     return labels

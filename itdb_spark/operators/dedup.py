@@ -433,10 +433,21 @@ def ngram_jaccard_pairs(
     resident in the caller's session (plans.library.materialized). Pass
     ``shingles`` (a cached ``shingle_frame``) to also share the explode
     with the MinHash candidate stage — caller-owned, caller-released."""
-    from itdb_spark.plans.library import materialized
+    from itdb_spark.plans.library import materialized, truncate_lineage
 
     base = shingles if shingles is not None else shingle_frame(docs, id_col, text_col)
-    words = base.select("doc", F.xxhash64("w").alias("w")).cache()
+    # eager lineage truncation instead of .cache() (r14): words is
+    # referenced 4x below (arrs -> a/b, sizes -> sa/sb) and the final
+    # materialization executes those subtrees as CONCURRENT AQE stages —
+    # concurrent stages racing to populate a cache each recompute the
+    # scan+explode+hash subtree (the r14 stage profile showed 4-5
+    # overlapping 3-task ~0.65 s stages, one per reference), where the
+    # checkpoint computes it exactly once and hands every reference a
+    # leaf scan (plan-analysis savings as measured on the containment
+    # family).
+    words = truncate_lineage(
+        base.select("doc", F.xxhash64("w").alias("w"))
+    )
     sizes = words.groupBy("doc").agg(F.count("*").alias("sz"))
     if candidates is not None:
         # per-doc hash ARRAYS, intersected per candidate row — replaces
