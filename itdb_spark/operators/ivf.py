@@ -39,6 +39,13 @@ def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     map-side, collapsing the k-fanned scored rows before the exchange
     instead of shuffling and sorting them all (round-7 plan improvement,
     output bit-identical)."""
+    # the k-fanned Arrow-kernel scoring + map-side max_by pipeline onto
+    # the input's tasks; a single-row-group bench scan pins them to one
+    # task (r14 profile) — conditional floor, self-disabling at scale
+    # and a no-op for already-shuffled inputs (see scan_parallelism_floor)
+    from itdb_spark.plans.library import scan_parallelism_floor
+
+    vectors = scan_parallelism_floor(vectors)
     scored = vectors.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         "vec",

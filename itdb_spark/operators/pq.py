@@ -294,6 +294,16 @@ def pq_encode(
     m = codebooks.agg(F.countDistinct("sub").alias("m")).first()["m"]
     if dim is None:
         dim = _probe_dim(vectors, vec_col)
+    # the encode pipeline (per-row interpreted normalize fold -> m-way
+    # explode -> broadcast codebook join -> per-row interpreted _l2sq
+    # fold -> map-side min_by) pipelines entirely onto the scan's
+    # tasks; a single-row-group bench input pins all of it to ONE task
+    # (r14 profile: a 2.1 s single-task stage while 31 cores idle).
+    # Floor BEFORE _normalize so its HOF fold parallelizes too.
+    # Conditional, self-disabling at scale — see scan_parallelism_floor.
+    from itdb_spark.plans.library import scan_parallelism_floor
+
+    vectors = scan_parallelism_floor(vectors)
     src = (
         _normalize(vectors, id_col, vec_col)
         if normalize

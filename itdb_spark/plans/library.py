@@ -327,3 +327,35 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def scan_parallelism_floor(df: DataFrame) -> DataFrame:
+    """Floor ``df``'s partition count at the session's default
+    parallelism — ONLY when the scan comes up short (guide §2.5 input
+    skew / §6 input split size): a small single-row-group parquet file
+    is one unsplittable scan task, so compute-heavy work pipelined
+    above it runs on one core while the machine idles. A conditional
+    round-robin repartition spreads the rows once.
+
+    Use SELECTIVELY, where a profile shows a long single/few-task stage
+    with real per-row CPU and no concurrent sibling stages (guide §2.4
+    warns against blanket repartition-for-parallelism, and the r14
+    corpus-wide experiment measured it a WASH-to-regression where
+    concurrent AQE stages already fill the cores — the record is in
+    OPTIMIZATION_r14.md). The r14 win case: the IVF-PQ encode/assign
+    pipeline, one sequential 2.1 s single-task stage of HOF/Arrow
+    kernel work.
+
+    Scale posture: the condition — initial scan partitions < default
+    parallelism — can only fire when the input is SMALL relative to the
+    cluster (at 100 TB any leaf scan has thousands of splits), so no
+    production plan pays the extra exchange; this is a self-disabling
+    floor, not a local constant baked into the plan. Deterministic
+    under retries: round-robin repartition local-sorts its input first
+    (SPARK-23207, ``spark.sql.execution.sortBeforeRepartition`` on by
+    default)."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
