@@ -11,6 +11,22 @@ from pyspark.sql import functions as F
 HASH_PRIME = 2147483647
 
 
+def bind_once(value: Column, fn) -> Column:
+    """Evaluate ``value`` once per row and hand it to ``fn`` as a bound
+    lambda variable — the single-element-transform idiom
+    (operators.dedup.word_shingles documents the hazard): an outer-scope
+    expression referenced inside a higher-order-function lambda is
+    re-evaluated on EVERY element (HOF lambdas are interpreted with no
+    common-subexpression cache), so e.g. an O(d) fold used inside a
+    ``transform`` over the same d-element array turns O(d) work into
+    O(d²). Wrapping the expression in a one-element array and binding it
+    through ``transform`` makes every inner reference a cheap
+    lambda-variable read; the optimizer cannot inline through a lambda
+    binding, so the guarantee survives CollapseProject. Result-identical
+    by construction — the same expression, evaluated once."""
+    return F.transform(F.array(value), fn)[0]
+
+
 def stars(rating: Column | str) -> Column:
     """Null-safe star bucketization — the reference's signature derived
     column: ``CASE WHEN ISNULL(Rating) THEN 0 ELSE FLOOR(Rating/20) END``

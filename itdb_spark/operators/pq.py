@@ -43,19 +43,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from itdb_spark.functions.core import hash_ranked_sample, portable_hash64
+from itdb_spark.functions.core import bind_once, hash_ranked_sample, portable_hash64
 from itdb_spark.plans.library import truncate_lineage
 
 
 def _normalize(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, vec) with vec L2-normalized (dot ≡ cosine afterwards); zero
     vectors (dead embeddings — they exist in every real corpus) keep a
-    NULL vec via try_divide and drop out of training and search."""
+    NULL vec via try_divide and drop out of training and search.
+
+    The norm is bound ONCE per row via ``bind_once`` (r14): referenced
+    directly inside the division lambda it would be re-evaluated per
+    element — an O(d) fold per component, O(d²) per row at d=64
+    (interleaved A/B: sim-knn-pq 0.69×, sim-knn-ivfpq 0.84× end-to-end
+    at sf0.1 — OPTIMIZATION_r14.md)."""
     v = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     return vectors.select(
         F.col(id_col).alias("id"),
-        F.transform(v, lambda x: F.try_divide(x, norm)).alias("vec"),
+        bind_once(
+            norm, lambda nrm: F.transform(v, lambda x: F.try_divide(x, nrm))
+        ).alias("vec"),
     ).where(F.col("vec")[0].isNotNull())
 
 

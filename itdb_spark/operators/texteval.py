@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from itdb_spark.catalog import EDGE_ID_FLOOR
+from itdb_spark.functions.core import bind_once
 
 
 def _gram_col(text: Column, n: int) -> Column:
@@ -35,14 +36,23 @@ def _gram_col(text: Column, n: int) -> Column:
     toks = F.array_remove(F.split(F.lower(F.trim(text)), r"\s+"), "")
     if n == 1:
         return toks
-    # adjacent n-token windows via transform over the valid start range
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        )
+    # adjacent n-token windows via transform over the valid start range;
+    # the token array is bound ONCE (bind_once, r14): referenced inline,
+    # the split+array_remove re-ran per element × n element_at refs —
+    # O(tokens²) per doc (the word_shingles hazard)
+    return bind_once(
+        toks,
+        lambda t: F.when(
+            F.size(t) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)],
+                ),
+            )
+        ),
     )
 
 
@@ -363,13 +373,19 @@ def _char_gram_col(text: Column, n: int) -> Column:
     if n == 1:
         # split-to-chars keeps this the cheap path
         return F.filter(F.split(s, ""), lambda c: c != F.lit(""))
-    return F.when(
-        F.length(s) < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length(s) - n + 1),
-            lambda i: s.substr(i, F.lit(n)),
-        )
+    # bind the stripped string ONCE (bind_once, r14): referenced inline,
+    # the whole-text regexp_replace re-ran per extracted gram — O(chars²)
+    # per doc per n
+    return bind_once(
+        s,
+        lambda ss: F.when(
+            F.length(ss) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(ss) - n + 1),
+                lambda i: ss.substr(i, F.lit(n)),
+            )
+        ),
     )
 
 
