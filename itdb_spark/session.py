@@ -34,6 +34,16 @@ def get_spark(app_name: str = "itdb_spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4's DataFrame debugging captures a Python call site and
+        # ships it over py4j on EVERY DataFrame method call (~3 extra RPC
+        # round-trips each) purely to enrich error messages. Off, query
+        # CONSTRUCTION — which the bench times as part of each query
+        # callable — drops ~2× (dedup-minhash 0.65→0.31 s construct,
+        # cProfile: py4j socket reads were 80% of construction; measured
+        # r14). Plans, results, and scale behavior are identical; this is
+        # driver-side constant overhead on any cluster, not a local-mode
+        # tune.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
