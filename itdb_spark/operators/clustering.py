@@ -47,15 +47,6 @@ def connected_components(
     # (minhash_candidates(distinct_pairs=False)), trading a few duplicate
     # edge rows for one less full shuffle upstream.
     pairs = pairs.cache()
-    # Repartition on b BEFORE materializing: both the old cache and the
-    # checkpoint below preserve the child's outputPartitioning, so every
-    # round's edges⋈labels join sees HashPartitioning(b) already
-    # satisfied and skips the exchange of the BIG side — one full edge
-    # shuffle per round becomes zero (measured 5-8% off whole
-    # pipe-curate at sf0.1; at 100 TB the per-round edge shuffle is the
-    # dominant CC cost). Labels (small, changes each round) still
-    # shuffles.
-    #
     # EAGER lineage truncation instead of .cache() (r14): edges is
     # referenced 1-2x per round and a cached frame's full logical
     # subtree — here the whole LSH candidate pipeline — is re-analyzed
@@ -65,10 +56,26 @@ def connected_components(
     # plan work against ~0.13 s of execution; with edges a leaf, round
     # plans are constant-size regardless of how the candidate pipeline
     # grew (guide §3.3/§7.3 — same fix as the containment family).
+    # r14: the pre-checkpoint repartition(b) this carried since the
+    # cache era was REMOVED. Measured: an AQE-on localCheckpoint
+    # records UnknownPartitioning in the LogicalRDD (a groupBy over
+    # the checkpointed leaf plans 1 Exchange; only an AQE-OFF
+    # materialization preserves hashpartitioning — neither
+    # coalescePartitions=false nor an explicit count is enough), so
+    # the repartition's exchange was pure cost: no round ever saw the
+    # partitioning. The AQE-off alternative (copartitioned_leaf,
+    # union materialized first under AQE, then a bare re-keying
+    # exchange) was built and measured WORSE at sf0.1 (interleaved
+    # A/B medians 7.0 vs 5.6 s on pipe-curate — the extra
+    # materialization outweighs the per-round map-write skip, and at
+    # bench scale AQE broadcasts labels so edges were never shuffled
+    # per round anyway). If a cluster profile ever shows per-round
+    # edge exchanges dominating CC, revisit that helper's approach.
     edges = truncate_lineage(
         pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
-        .unionByName(pairs.select(F.col(id2).alias("a"), F.col(id1).alias("b")))
-        .repartition(F.col("b")),
+        .unionByName(
+            pairs.select(F.col(id2).alias("a"), F.col(id1).alias("b"))
+        ),
         eager=True,
     )
     # pairs' cache exists only so the union's two branches compute the

@@ -5178,6 +5178,15 @@ def kcore_survivor_degrees(
     edges = pairs.unionByName(
         pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
     ).select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    # NOT pre-partitioned by src (r14 negative result): a src-hash
+    # repartition before this checkpoint measured a WASH at sf0.1
+    # (interleaved A/B 3.16/2.82 vs 3.07/2.93) because (a) an AQE-on
+    # localCheckpoint records UnknownPartitioning in the LogicalRDD, so
+    # the partitioning never reaches the per-round agg anyway, and
+    # (b) even if preserved (AQE-off materialization), the dst-side
+    # semi join re-keys the frame every round — src partitioning cannot
+    # survive a round. The per-round agg shuffle carries node-sized
+    # map-combined partial counts, already the cheap part at scale.
     edges = truncate_lineage(edges, eager=True)
     for _ in range(rounds):
         keep = (
