@@ -1185,6 +1185,33 @@ def band_collision_counts(new_bands: DataFrame, index_bands: DataFrame) -> DataF
     )
 
 
+def band_collision_counts_onepass(
+    bands: DataFrame, is_idx: Column
+) -> DataFrame:
+    """``band_collision_counts`` for the case where index and batch are
+    SPLITS OF ONE BAND TABLE (the rebuild form's shape): instead of
+    filtering the table twice, distinct-ing the index side and joining
+    the batch side back (which plants TWO copies of the whole signature
+    pipeline in the plan — measured r14: the composed plan cost ~1.3 s
+    of driver planning per call, the query's single largest component),
+    flag each (band, band_hash) bucket with a window max of ``is_idx``
+    and keep batch rows in flagged buckets. ONE copy of the pipeline,
+    ONE bucket-keyed shuffle in place of distinct + join — the same
+    rows survive: a batch band row joins a distinct index key iff its
+    bucket contains >= 1 index row, which is exactly ``max(is_idx) =
+    1`` over the bucket. At scale this also drops the join's second
+    corpus-scale shuffle (the window and the removed distinct shuffle
+    the same band table once)."""
+    w = Window.partitionBy("band", "band_hash")
+    flag = F.max(F.when(is_idx, 1).otherwise(0)).over(w)
+    return (
+        bands.withColumn("_hit", flag)
+        .where((~is_idx) & (F.col("_hit") == 1))
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(F.count_distinct("band").cast("long").alias("n_hit_bands"))
+    )
+
+
 def persist_band_index(bands: DataFrame, root: str) -> str:
     """Publish the corpus LSH band table (doc, band, band_hash) as a
     versioned on-disk index — the build-once/probe-many serving shape

@@ -1683,14 +1683,22 @@ def _dedup_incremental_impl(
     spark: SparkSession, sf_dir: str, hash_fn: str
 ) -> DataFrame:
     from itdb_spark.operators.dedup import (
-        band_collision_counts,
+        band_collision_counts_onepass,
         minhash_bands,
         minhash_signatures,
     )
 
+    from itdb_spark.plans.library import scan_parallelism_floor
+
+    # Parallelism floor (r14): localized HERE, not inside
+    # minhash_signatures — dedup-minhash is a load canary whose plan
+    # must stay untouched. The profile showed the whole shingle+hash
+    # pipeline as one 3-task stage (the corpus scan's row groups).
     bands = minhash_bands(
-        minhash_signatures(corpus(spark, sf_dir), "doc_id", "text",
-                           hash_fn=hash_fn)
+        minhash_signatures(
+            scan_parallelism_floor(corpus(spark, sf_dir)),
+            "doc_id", "text", hash_fn=hash_fn,
+        )
     )
     # replica-keyed split (round 12, VERDICT r11 #3): corpus() doc ids
     # carry their replica class in (doc % 300000) DIV 100000 (0 = base,
@@ -1699,9 +1707,16 @@ def _dedup_incremental_impl(
     # batch FRACTION constant at every SF. The old absolute split
     # (doc < 100000) silently shrank the index share on block-remapped
     # scale dirs (sf10's base ids run past 100000).
-    new = bands.where(F.col("doc") % 300000 >= 100000)
-    idx = bands.where(F.col("doc") % 300000 < 100000)
-    return band_collision_counts(new, idx)
+    #
+    # r14: filter-twice + distinct + join-back became the one-pass
+    # bucket-flag form (band_collision_counts_onepass) — the old plan
+    # carried the signature pipeline TWICE and its planning alone
+    # measured ~1.3 s/call (stage profile; the largest single
+    # component). Same rows by construction; dedup-incr-persist keeps
+    # the join form — its index side is a pre-distincted on-disk table.
+    return band_collision_counts_onepass(
+        bands, F.col("doc") % 300000 < 100000
+    )
 
 
 @register(
@@ -9413,7 +9428,16 @@ def _exactspan_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-crawl replica whose MIDDLE word is replaced by an injective
     per-doc sentinel, so the shared content splits into a prefix and a
     suffix region — the island-merge has real work to do."""
-    d = Tables(spark, sf_dir).documents.select("doc_id", "text")
+    from itdb_spark.plans.library import scan_parallelism_floor
+
+    # Parallelism floor (r14, guide §2.5/§6 — the IVF-PQ encode/assign
+    # precedent): documents.parquet at bench SFs is 1-2 row groups → the
+    # whole tokenize → sentinel-replica transform → 8-gram build + hash
+    # pipeline ran as ONE ~1 s 2-task stage while 30 cores idled
+    # (stage profile). Conditional and self-disabling at scale.
+    d = scan_parallelism_floor(
+        Tables(spark, sf_dir).documents.select("doc_id", "text")
+    )
     base = d.select(
         F.col("doc_id").alias("doc"),
         F.split(F.trim(F.lower("text")), r"\s+").alias("toks"),
@@ -9462,7 +9486,11 @@ def _exactspan_spans(
     # partition) — deliberately NOT agg + join-back on the gram key,
     # which is the exact post-agg broadcast hazard text-novelty hit at
     # sf10. The deploy twin shuffles an 8-byte xxhash64 of the gram
-    # instead of the ~50-byte string.
+    # instead of the ~50-byte string. (r14 negative result: keying the
+    # twin's grams as xxhash64 over a slice of pre-hashed tokens — no
+    # gram string built at all — measured a WASH at sf0.1, stage-exec
+    # 1.28 vs 1.34 s: the per-slice array allocation costs what the
+    # string build did. Reverted to the shared gram builder.)
     key = F.xxhash64("gram") if hash_fn == "xxhash64" else F.col("gram")
     dup = (
         grams.withColumn(
