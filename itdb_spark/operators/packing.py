@@ -189,6 +189,11 @@ def learn_bpe(
     spark = docs.sparkSession
     from itdb_spark.plans.library import truncate_lineage
 
+    # No parallelism floor on the vocab build (r14 negative result):
+    # flooring the docs scan measured WORSE at sf0.1 (0.09 s repartition
+    # + 0.31 s over 32 tasks vs 0.22 s on the single scan task — the
+    # stage is too small to amortize the task scheduling). At scale the
+    # scan has real splits anyway.
     toks = (
         docs.where(F.length(F.trim(text_col)) > 0)
         .select(F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("w"))
@@ -285,7 +290,17 @@ def learn_bpe(
         "rank long, left_sym string, right_sym string, "
         "merged string, pair_count long"
     )
-    return spark.createDataFrame(merges, schema)
+    # ONE slice at the source: createDataFrame slices the list across
+    # default parallelism, so this <= n_merges-row MODEL table
+    # materialized as 32 near-empty Python tasks (0.32 s of pure
+    # scheduling at bench, r14 profile). A merge table is model-sized
+    # at any corpus scale — one partition is the right layout
+    # everywhere. NOT coalesce(1), which measured 5.5 s: the coalesced
+    # task pulls every parent slice through the Python worker
+    # SEQUENTIALLY (32 worker round-trips in one task).
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(merges, 1), schema
+    )
 
 
 _BPE_TRAIN_HEAD = [
