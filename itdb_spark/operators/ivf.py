@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from itdb_spark.plans.library import read_parquet_pinned as _read_pinned
+
 from itdb_spark.functions.core import hash_ranked_sample, portable_hash64
 from itdb_spark.operators.similarity import cosine_pandas
 from itdb_spark.plans.library import truncate_lineage
@@ -289,14 +291,14 @@ def ivf_search_persisted(
     to ivf_search over the in-memory index: parquet round-trips doubles
     exactly, and the global probed-cell superset read is re-restricted
     per query by the same centroid_id equi-join."""
-    centroids = spark.read.parquet(f"{path}/centroids")
+    centroids = _read_pinned(spark, f"{path}/centroids")
     probed = _probe_cells(queries, centroids, id_col, vec_col, n_probe)
     cells = sorted(
         int(r.centroid_id)
         for r in probed.select("centroid_id").distinct().collect()
     )
     idx = (
-        spark.read.parquet(f"{path}/assignments")
+        _read_pinned(spark, f"{path}/assignments")
         .where(F.col("centroid_id").isin(cells))
         # partition-directory values read back as int; the join key and
         # every consumer expect the trainer's long
@@ -361,7 +363,7 @@ def append_ivf_index(
     Returns the new version name."""
     from itdb_spark.sinks.versioned import append_version
 
-    centroids = spark.read.parquet(f"{root}/centroids")
+    centroids = _read_pinned(spark, f"{root}/centroids")
     assigned = ivf_assign_incremental(
         new_vectors, centroids, id_col, vec_col
     ).withColumn("centroid_id", F.col("centroid_id").cast("int"))
@@ -393,7 +395,7 @@ def ivf_search_chain(
     exactly — the sim-knn-ivf-persist precedent)."""
     from itdb_spark.sinks.versioned import read_current_chain
 
-    centroids = spark.read.parquet(f"{root}/centroids")
+    centroids = _read_pinned(spark, f"{root}/centroids")
     probed = _probe_cells(queries, centroids, id_col, vec_col, n_probe)
     cells = sorted(
         int(r.centroid_id)
@@ -575,14 +577,14 @@ def ivf_range_search_persisted(
     so unprobed cells' FILES are never read (the exact
     ivf_search_persisted discipline, radius form). Bit-identical to the
     in-memory form: parquet round-trips doubles exactly."""
-    centroids = spark.read.parquet(f"{path}/centroids")
+    centroids = _read_pinned(spark, f"{path}/centroids")
     probed = _probe_cells(queries, centroids, id_col, vec_col, n_probe)
     cells = sorted(
         int(r.centroid_id)
         for r in probed.select("centroid_id").distinct().collect()
     )
     idx = (
-        spark.read.parquet(f"{path}/assignments")
+        _read_pinned(spark, f"{path}/assignments")
         .where(F.col("centroid_id").isin(cells))
         .withColumn("centroid_id", F.col("centroid_id").cast("long"))
     )

@@ -43,6 +43,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from itdb_spark.plans.library import read_parquet_pinned as _read_pinned
+
+# Per-process (m, dim) memo per persisted-index path — index constants
+# read once per process like a server loading its index parameters
+# (see ivfpq_res_search_persisted). Holds two ints, never data.
+_INDEX_META_CACHE: dict[str, tuple[int, int]] = {}
+
 from itdb_spark.functions.core import bind_once, hash_ranked_sample, portable_hash64
 from itdb_spark.plans.library import truncate_lineage
 
@@ -999,16 +1006,29 @@ def ivfpq_res_search_persisted(
     PRIMARY table, read only by the exact rerank over the surviving
     candidates — the persisted index itself carries codes, never the
     float payload."""
-    dim = _probe_dim(vectors, vec_col)
-    centroids = spark.read.parquet(f"{path}/centroids")
-    anchors = spark.read.parquet(f"{path}/anchors")
-    codebooks = spark.read.parquet(f"{path}/codebooks")
-    # m is a property of the PERSISTED index, not a caller choice: a
-    # mismatched parameter would mis-slice query subvectors and produce
-    # silently wrong ADC scores (partial join on `sub`). Derive it from
-    # the codebooks' subquantizer ids — one tiny-aggregate collect over
-    # an m*k-row broadcastable frame.
-    m = int(codebooks.agg(F.max("sub")).first()[0]) + 1
+    centroids = _read_pinned(spark, f"{path}/centroids")
+    anchors = _read_pinned(spark, f"{path}/anchors")
+    codebooks = _read_pinned(spark, f"{path}/codebooks")
+    # m and dim are properties of the PERSISTED index, not caller
+    # choices: a mismatched m would mis-slice query subvectors and
+    # produce silently wrong ADC scores (partial join on `sub`), and
+    # dim must equal the index's training dim or the rerank joins
+    # nonsense. Both are derived from the index's own small tables —
+    # m from the codebooks' subquantizer ids, dim from a centroid
+    # vector — and memoized per index path (r14): they are constants
+    # of an immutable published index, so re-collecting them was two
+    # driver jobs (~0.4 s) on EVERY probe; a server reads its index
+    # parameters once at load, not per query. The first probe per
+    # process (bench warmup / server startup) still pays the two
+    # tiny-frame jobs.
+    meta = _INDEX_META_CACHE.get(path)
+    if meta is None:
+        meta = (
+            int(codebooks.agg(F.max("sub")).first()[0]) + 1,
+            int(centroids.select(F.size("cvec").alias("d")).first()["d"]),
+        )
+        _INDEX_META_CACHE[path] = meta
+    m, dim = meta
     probed = _probe_cells_scored(
         queries, centroids, id_col, vec_col, n_probe
     ).select("query_id", "centroid_id")
@@ -1017,7 +1037,7 @@ def ivfpq_res_search_persisted(
         for r in probed.select("centroid_id").distinct().collect()
     )
     coded = (
-        spark.read.parquet(f"{path}/codes")
+        _read_pinned(spark, f"{path}/codes")
         .where(F.col("centroid_id").isin(cells))
         # partition-directory values read back as int; the join key and
         # every consumer expect the trainer's long

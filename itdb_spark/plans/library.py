@@ -5,7 +5,7 @@ schemas — e.g. the plist ingest output."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from itdb_spark.functions.core import stars
@@ -255,6 +255,32 @@ def ranged_cumsum(
         .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("long"))
         .drop("_bucket", "_obucket", "_local", "_off", "_v")
     )
+
+
+# Per-process schema memo for IMMUTABLE parquet dirs (versioned index
+# dirs — never modified after publish; appends/compactions create NEW
+# dirs). Keyed on absolute path; holds StructType only, never data.
+_PINNED_SCHEMAS: dict[str, object] = {}
+
+
+def read_parquet_pinned(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` for an IMMUTABLE directory, memoizing its
+    schema per process so repeated reads skip footer-based schema
+    inference — measured r14: each reader init costs ~0.1 s of driver
+    wall, and a persisted-index probe pays 4-5 of them per call (0.4 s
+    of the probe's construction, which the bench times). This is reader
+    state, not result caching: only the SCHEMA is held, every read
+    still scans the files, and the first read per process (the bench
+    warmup; a server's startup) pays the inference. Callers must only
+    pass dirs whose content is immutable by construction (the
+    sinks/versioned.py contract: a published version dir never
+    changes)."""
+    s = _PINNED_SCHEMAS.get(path)
+    if s is None:
+        df = spark.read.parquet(path)
+        _PINNED_SCHEMAS[path] = df.schema
+        return df
+    return spark.read.schema(s).parquet(path)
 
 
 def truncate_lineage(df: DataFrame, *, eager: bool = True, reliable: bool | None = None) -> DataFrame:

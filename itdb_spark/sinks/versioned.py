@@ -213,7 +213,12 @@ def read_current(spark: SparkSession, root: str) -> DataFrame:
     v = current_version(root)
     if v is None:
         raise FileNotFoundError(f"no published version at {root!r}")
-    return spark.read.parquet(os.path.join(root, v))
+    # pinned-schema read (r14): version dirs are immutable, so the
+    # per-process schema memo skips footer inference on every read
+    # after the first — ~0.1 s of driver wall per reader init.
+    from itdb_spark.plans.library import read_parquet_pinned
+
+    return read_parquet_pinned(spark, os.path.join(root, v))
 
 
 _PARENT = "_PARENT"  # underscore prefix: invisible to Spark's file lister
@@ -327,15 +332,22 @@ def read_current_chain(spark: SparkSession, root: str) -> DataFrame:
     files — e.g. a re-crawl batch contributing no novel keys) are valid
     chain links for ancestry but carry no data: skipped here, or the
     file-less dir would fail schema inference."""
+    from itdb_spark.plans.library import read_parquet_pinned
+
     dirs = [d for d in chain_versions(root) if _has_data(root, d)]
     if not dirs:
         raise FileNotFoundError(
             f"published chain at {root!r} holds no data files"
         )
-    out = spark.read.parquet(os.path.join(root, dirs[0]))
+    # pinned-schema reads (r14): chain dirs are immutable, so each
+    # dir's schema is memoized per process — a probe against a K-link
+    # chain paid K reader inits (~0.1 s each) per call before this.
+    # The memo is per DIR, so mixed-schema chains (legacy links) keep
+    # their exact per-link schema for the allowMissingColumns union.
+    out = read_parquet_pinned(spark, os.path.join(root, dirs[0]))
     for d in dirs[1:]:
         out = out.unionByName(
-            spark.read.parquet(os.path.join(root, d)),
+            read_parquet_pinned(spark, os.path.join(root, d)),
             allowMissingColumns=True,
         )
     return out
