@@ -417,3 +417,59 @@ def test_containment_append_converges_damaged_chain(spark, tmp_path):
         assert len(members) == 1, members  # no fan-out
         legit = member_map(root)[0]
         assert members[0]["sid"] == min(legit, 999999)
+
+
+def test_read_parquet_pinned_matches_inference_and_sees_all_files(
+    spark, tmp_path
+):
+    """The pinned reader must (a) return the inference-identical schema
+    on the memoized path, and (b) still SCAN the files on every read —
+    only the schema is held, never data (the r14 optimization's
+    contract: reader state, not result caching)."""
+    from itdb_spark.plans.library import read_parquet_pinned
+
+    p = str(tmp_path / "imm")
+    spark.range(5).selectExpr(
+        "id", "cast(id as string) s"
+    ).write.parquet(p)
+    first = read_parquet_pinned(spark, p)   # populates the memo
+    again = read_parquet_pinned(spark, p)   # memoized-schema path
+    assert again.schema == spark.read.parquet(p).schema
+    assert {r["id"] for r in again.collect()} == set(range(5))
+    assert first.count() == again.count() == 5
+
+
+def test_band_collision_counts_onepass_equals_join_form(spark):
+    """The window-flag one-pass form must produce exactly the
+    distinct-then-join form's rows on a band table whose buckets mix
+    index-only, batch-only, and shared keys (including a batch doc
+    with multiple hit bands and one with none)."""
+    from pyspark.sql import functions as F
+
+    from itdb_spark.operators.dedup import (
+        band_collision_counts,
+        band_collision_counts_onepass,
+    )
+
+    rows = [
+        # (doc, band, band_hash): docs < 100 = index, >= 100 = batch
+        (1, 0, "a"), (1, 1, "b"), (2, 0, "a"), (2, 1, "z"),
+        (100, 0, "a"),            # hits bucket (0,a)
+        (100, 1, "b"),            # hits bucket (1,b)
+        (101, 0, "q"),            # batch-only bucket: no hit
+        (101, 1, "z"),            # hits (1,z)
+        (102, 0, "nope"),         # no hits at all -> absent from output
+        (102, 1, "nor"),
+    ]
+    bands = spark.createDataFrame(
+        rows, "doc long, band int, band_hash string"
+    )
+    is_idx = F.col("doc") < 100
+    one = band_collision_counts_onepass(bands, is_idx)
+    two = band_collision_counts(
+        bands.where(~is_idx), bands.where(is_idx)
+    )
+    assert {tuple(r) for r in one.collect()} == {
+        tuple(r) for r in two.collect()
+    }
+    assert {tuple(r) for r in one.collect()} == {(100, 2), (101, 1)}
