@@ -1201,11 +1201,19 @@ def band_collision_counts_onepass(
     bucket contains >= 1 index row, which is exactly ``max(is_idx) =
     1`` over the bucket. At scale this also drops the join's second
     corpus-scale shuffle (the window and the removed distinct shuffle
-    the same band table once)."""
+    the same band table once).
+
+    NULL keys (r14 ADVICE): an equi-join drops NULL-keyed rows while
+    ``Window.partitionBy`` groups them together, so rows with a NULL
+    ``band``/``band_hash`` are filtered up front to keep the
+    join-equivalence claim exact for ANY caller (minhash_bands itself
+    can never produce them — concat_ws never yields NULL — so this
+    filter drops nothing on the registered paths)."""
     w = Window.partitionBy("band", "band_hash")
     flag = F.max(F.when(is_idx, 1).otherwise(0)).over(w)
     return (
-        bands.withColumn("_hit", flag)
+        bands.where(F.col("band").isNotNull() & F.col("band_hash").isNotNull())
+        .withColumn("_hit", flag)
         .where((~is_idx) & (F.col("_hit") == 1))
         .groupBy(F.col("doc").alias("doc_id"))
         .agg(F.count_distinct("band").cast("long").alias("n_hit_bands"))
@@ -1723,7 +1731,13 @@ def append_containment_index(
         .sortWithinPartitions("kh")
     )
     # braw/bcanon are checkpoint leaves now — nothing to unpersist;
-    # their blocks are reclaimed by the ContextCleaner on GC.
+    # their blocks are reclaimed by the ContextCleaner once the frames
+    # (and `delta`, which references them) are GC'd after the publish
+    # below returns. r14 ADVICE flagged possible accumulation between
+    # GC cycles in 100+-query sessions; LEAKCHECK has shown 0 growth
+    # across the full single-session gate, so deterministic cleanup is
+    # deliberately not re-added (an explicit unpersist before the
+    # publish would recompute the delta).
     return append_version(
         delta, root, partition_by=["kind"], tag=tag,
         writer_options={"parquet.block.size": _INDEX_BLOCK_BYTES},

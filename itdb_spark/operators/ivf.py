@@ -30,21 +30,93 @@ from itdb_spark.operators.similarity import cosine_pandas
 from itdb_spark.plans.library import truncate_lineage
 
 
-def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
-    """(id, vec, centroid_id): nearest centroid by cosine (broadcast join
-    over k centroids — k rows, always broadcastable).
+def _cents_nested(centroids: DataFrame) -> DataFrame:
+    """The centroid table folded to ONE row (cents: array<struct<
+    centroid_id, cvec>>) — the broadcastable quantizer row ``_assign``
+    attaches by a constant-key broadcast hash join (the pq_encode
+    ``_cb_nested`` pattern): the data rides in a one-row LocalRelation,
+    not in the expression tree (constant-size plan analysis) and not in
+    a groupBy() global aggregation (whose single-partition Exchange the
+    plan-audit gate forbids). Driver-side fold of a k-row table — the
+    coarse quantizer is broadcast-sized by definition; floats
+    round-trip exactly."""
+    rows = centroids.select("centroid_id", "cvec").collect()
+    cents = [
+        (int(r.centroid_id), [float(x) for x in r.cvec])
+        for r in sorted(rows, key=lambda r: int(r.centroid_id))
+    ]
+    return centroids.sparkSession.createDataFrame(
+        [(cents,)], "cents array<struct<centroid_id:bigint,cvec:array<double>>>"
+    )
 
-    The argmax is a ``max_by`` aggregate over the (sim, -centroid_id)
-    struct — identical winner to the previous desc-sim/asc-id window
-    (including on exact sim ties and the all-NaN zero-vector row: Spark
-    orders NaN greatest in both forms), but it PARTIAL-combines
-    map-side, collapsing the k-fanned scored rows before the exchange
-    instead of shuffling and sorting them all (round-7 plan improvement,
-    output bit-identical)."""
-    # the k-fanned Arrow-kernel scoring + map-side max_by pipeline onto
-    # the input's tasks; a single-row-group bench scan pins them to one
-    # task (r14 profile) — conditional floor, self-disabling at scale
-    # and a no-op for already-shuffled inputs (see scan_parallelism_floor)
+
+def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """(id, vec, centroid_id): nearest centroid by cosine (the coarse
+    quantizer is k rows — always broadcastable).
+
+    r15: the whole assignment is ONE JVM projection per row — an
+    argmax fold over the broadcast centroid row. The previous shape
+    (kept as ``_assign_arrow``, the equivalence-test reference) fanned
+    every vector k ways through a crossJoin, scored the k·corpus rows
+    in an Arrow Python kernel, and collapsed them back with a
+    max_by groupBy — i.e. one JVM↔Python boundary crossing per
+    (vector, centroid) AND a corpus-scale exchange carrying the full
+    vec payload, for a decision each row can make alone (guide §2.3,
+    §2.4, §4.1; the r15 plan diff removes both ArrowEvalPython nodes
+    and the hashpartitioning(id) Exchange from every assignment pass).
+
+    Winner semantics replicate max_by over the (sim, -centroid_id)
+    struct exactly: array_max shares the interpreted struct ordering
+    (verified: NULL sim sorts first, so NULL sims lose and the all-NULL
+    zero-vector row falls to the smallest centroid id — the
+    cosine_pandas NaN crossed Arrow as NULL, try_divide yields the same
+    NULL, and an explicit isnan guard pins the NaN-input corner).
+    Cosine arithmetic is the same left-fold the DuckDB oracle replays;
+    it differs from the einsum kernel only in final-ulp summation
+    order, absorbed by the same assignment margins the driver-trainer
+    bit-identity gates rely on (tests/test_wave15.py gates old-vs-new
+    equality on the real corpus + zero-vector edges)."""
+    from itdb_spark.functions.core import bind_once
+    from itdb_spark.plans.library import scan_parallelism_floor
+
+    vectors = scan_parallelism_floor(vectors)
+    crow = _cents_nested(centroids).withColumn("_ck", F.lit(1))
+    joined = vectors.withColumn("_ck", F.lit(1)).join(F.broadcast(crow), "_ck")
+
+    def _sim(cvec, na):
+        dot = F.aggregate(
+            F.zip_with(F.col("vec"), cvec, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        nb = F.sqrt(F.aggregate(cvec, F.lit(0.0), lambda a, x: a + x * x))
+        raw = F.try_divide(dot, na * nb)
+        return F.when(F.isnan(raw), F.lit(None).cast("double")).otherwise(raw)
+
+    best = bind_once(
+        F.sqrt(
+            F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x)
+        ),
+        lambda na: F.array_max(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    _sim(c.getField("cvec"), na).alias("sim"),
+                    (-c.getField("centroid_id")).alias("nid"),
+                    c.getField("centroid_id").alias("cid"),
+                ),
+            )
+        ).getField("cid"),
+    )
+    return joined.select(F.col(id_col), "vec", best.alias("centroid_id"))
+
+
+def _assign_arrow(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """Pre-r15 assignment (crossJoin k-fan → Arrow cosine kernel →
+    max_by groupBy) — kept as the equivalence-test reference for
+    ``_assign``; the argmax is a ``max_by`` aggregate over the
+    (sim, -centroid_id) struct, identical winner to the desc-sim/asc-id
+    window including exact ties and the all-NULL zero-vector row."""
     from itdb_spark.plans.library import scan_parallelism_floor
 
     vectors = scan_parallelism_floor(vectors)
@@ -258,7 +330,15 @@ def persist_ivf_index(assignments: DataFrame, centroids: DataFrame, path: str) -
     size), the centroid table as one small broadcastable file.
     Incremental ingest appends to the same layout
     (ivf_assign_incremental → write.mode('append'): new files land
-    inside their cell's directory and stay pruned)."""
+    inside their cell's directory and stay pruned).
+
+    Overwrites in place, so pinned reader schemas for this path are
+    invalidated first (r14 ADVICE) — a same-path rebuild must not read
+    back through a stale schema memo. Appends keep the schema, so the
+    incremental path needs no invalidation."""
+    from itdb_spark.plans.library import invalidate_pinned_schemas
+
+    invalidate_pinned_schemas(path)
     assignments.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/assignments"
     )

@@ -260,21 +260,49 @@ def learn_bpe(
             rules.append((left, right))
 
         # factory, not a default arg: pyspark's lambda-arity inspection
-        # would read a third parameter as the lambda's index variable
+        # would read a third parameter as the lambda's index variable.
+        # r15: the per-element rule check is ONE struct-keyed map lookup
+        # instead of the previous nested when-chain (one branch per
+        # rule, each re-comparing last(acc) and x): the batch's rules
+        # are pairwise symbol-disjoint by selection, so at most one
+        # rule can match a given (last, x) pair and the lookup picks
+        # exactly the branch the chain would have — same result, ~8×
+        # fewer expression nodes per element at batch=8, which is what
+        # the per-round driver planning wall was made of (r15 profile:
+        # 1.5-3 s planning gaps per round on the chained form).
         def _make_merge_step(step_rules):
-            def _merge_step(acc, x):
-                expr = F.concat(acc, F.array(x))
-                for left, right in step_rules:
-                    expr = F.when(
-                        (F.size(acc) > 0)
-                        & (F.element_at(acc, -1) == F.lit(left))
-                        & (x == F.lit(right)),
-                        F.concat(
-                            F.slice(acc, 1, F.size(acc) - 1),
-                            F.array(F.lit(left + right)),
+            rmap = F.create_map(
+                *[
+                    part
+                    for left, right in step_rules
+                    for part in (
+                        F.struct(
+                            F.lit(left).alias("l"), F.lit(right).alias("r")
                         ),
-                    ).otherwise(expr)
-                return expr
+                        F.lit(left + right),
+                    )
+                ]
+            )
+
+            def _merge_step(acc, x):
+                # size guard first: Catalyst `when` only evaluates the
+                # lookup on the guarded branch, and element_at(acc, -1)
+                # on an empty array errors under ANSI
+                merged = F.when(
+                    F.size(acc) > 0,
+                    F.try_element_at(
+                        rmap,
+                        F.struct(
+                            F.element_at(acc, -1).alias("l"), x.alias("r")
+                        ),
+                    ),
+                )
+                return F.when(
+                    merged.isNotNull(),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
 
             return _merge_step
 

@@ -40,21 +40,27 @@ registers.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from itdb_spark.functions.core import bind_once, hash_ranked_sample, portable_hash64
+from itdb_spark.plans.library import invalidate_pinned_schemas
 from itdb_spark.plans.library import read_parquet_pinned as _read_pinned
+from itdb_spark.plans.library import truncate_lineage
 
 # Per-process (m, dim) memo per persisted-index path — index constants
 # read once per process like a server loading its index parameters
-# (see ivfpq_res_search_persisted). Holds two ints, never data.
+# (see ivfpq_res_search_persisted). Holds two ints, never data. Keyed
+# on abspath; invalidated by persist_ivfpq_res_index so a same-path
+# rebuild cannot serve stale m/dim (r14 ADVICE).
 _INDEX_META_CACHE: dict[str, tuple[int, int]] = {}
 
-from itdb_spark.functions.core import bind_once, hash_ranked_sample, portable_hash64
-from itdb_spark.plans.library import truncate_lineage
 
-
-def _normalize(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _normalize(
+    vectors: DataFrame, id_col: str, vec_col: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """(id, vec) with vec L2-normalized (dot ≡ cosine afterwards); zero
     vectors (dead embeddings — they exist in every real corpus) keep a
     NULL vec via try_divide and drop out of training and search.
@@ -71,6 +77,7 @@ def _normalize(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         bind_once(
             norm, lambda nrm: F.transform(v, lambda x: F.try_divide(x, nrm))
         ).alias("vec"),
+        *[F.col(c) for c in extra],
     ).where(F.col("vec")[0].isNotNull())
 
 
@@ -294,6 +301,38 @@ def train_pq(
     return codebooks
 
 
+def _cb_nested(codebooks: DataFrame) -> DataFrame:
+    """The codebook folded to ONE row —
+    (cb: array<struct<sub, entries: array<struct<code, cvec>>>>, subs
+    sorted, entries sorted by code) — the broadcastable index-parameter
+    row pq_encode attaches by a constant-key broadcast hash join. The
+    nested data rides in a one-row LocalRelation, NOT in the expression
+    tree: an inlined literal of m·k·sd doubles was measured to COST
+    construction time (the analyzer re-walks every literal node on each
+    downstream plan composition). The fold runs DRIVER-side over the
+    collected model-sized table (a server loading its quantizer; the
+    collect is job-free for driver-trained LocalRelation codebooks and
+    one ~m·k-row job for distributed ones) rather than as a groupBy(),
+    whose global aggregation would plant a single-partition Exchange in
+    every encode plan — the scale anti-pattern the plan-audit CI gate
+    forbids. Floats round-trip exactly (collect → Python float → double
+    is bit-preserving)."""
+    rows = codebooks.select("sub", "code", "cvec").collect()
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        by_sub.setdefault(int(r.sub), []).append(
+            (int(r.code), [float(x) for x in r.cvec])
+        )
+    cb = [
+        (s, [(c, cv) for c, cv in sorted(ents)])
+        for s, ents in sorted(by_sub.items())
+    ]
+    return codebooks.sparkSession.createDataFrame(
+        [(cb,)],
+        "cb array<struct<sub:int,entries:array<struct<code:int,cvec:array<double>>>>>",
+    )
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: DataFrame,
@@ -301,14 +340,91 @@ def pq_encode(
     vec_col: str = "embedding",
     dim: int | None = None,
     normalize: bool = True,
+    carry: tuple[str, ...] = (),
+    m: int | None = None,
 ) -> DataFrame:
     """(id, codes array<int>): the stored index — m small ints per
     vector in place of the float payload. At scale this is the ONLY
     per-vector state search reads. ``normalize=False`` encodes the
-    input as-is (the residual path — see train_pq)."""
-    m = codebooks.agg(F.countDistinct("sub").alias("m")).first()["m"]
+    input as-is (the residual path — see train_pq). ``carry`` names
+    extra input columns threaded through the projection unchanged
+    (ivfpq_search carries ``centroid_id`` so the probed-cell
+    restriction joins the encode output directly — the partition-pruned
+    index layout — instead of re-attaching cells by an id-keyed join of
+    two corpus-scale frames).
+
+    r15: encoding is ONE narrow projection over the input. The codebook
+    is model-sized by construction (m·k rows — FAISS holds it in cache
+    on every search node), so it folds to a one-row nested frame
+    (``_cb_nested``) attached by a constant-key BROADCAST hash join;
+    each row's m argmins then run as a JVM fold with byte-identical
+    arithmetic to the join form (same ``_l2sq`` left fold, same
+    min-over-(d, code) tie-break — array_min and min_by share the
+    interpreted struct ordering; gated in tests/test_wave15.py). This
+    removes, per corpus pass: the m-way explode (m× the rows), the
+    k-fanned scoring rows, and the groupBy(id) exchange that
+    reassembled the code arrays — encode now pipelines inside the scan
+    stage with NO shuffle at any scale (guide §2.3/§2.4; measured r15:
+    see OPTIMIZATION_r15.md). ``m`` avoids a per-call countDistinct
+    driver job when the caller already knows it (every composed
+    pipeline does). The pre-r15 form is kept as ``_pq_encode_join``
+    (the equivalence-test reference)."""
+    if m is None:
+        m = int(codebooks.agg(F.countDistinct("sub").alias("m")).first()["m"])
     if dim is None:
         dim = _probe_dim(vectors, vec_col)
+    sd = dim // m
+    # the per-row m·k·sd argmin fold is real CPU that would pin to a
+    # single-row-group bench scan's ONE task (r14 profile) — same
+    # conditional floor as the join form, self-disabling at scale and
+    # a no-op for already-shuffled inputs
+    from itdb_spark.plans.library import scan_parallelism_floor
+
+    vectors = scan_parallelism_floor(vectors)
+    src = (
+        _normalize(vectors, id_col, vec_col, extra=carry)
+        if normalize
+        else vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            *[F.col(c) for c in carry],
+        )
+    )
+    cbrow = _cb_nested(codebooks).withColumn("_cbk", F.lit(1))
+    joined = src.withColumn("_cbk", F.lit(1)).join(F.broadcast(cbrow), "_cbk")
+    # per sub: bind the svec slice once (bind_once — the r14 HOF
+    # re-evaluation hazard), then argmin over the sub's entries by the
+    # exact (d, code) struct order the join form's min_by used
+    codes = F.transform(
+        F.col("cb"),
+        lambda e: bind_once(
+            F.slice(F.col("vec"), e.getField("sub") * sd + 1, sd),
+            lambda svec: F.array_min(
+                F.transform(
+                    e.getField("entries"),
+                    lambda ent: F.struct(
+                        _l2sq(svec, ent.getField("cvec")).alias("d"),
+                        ent.getField("code").alias("code"),
+                    ),
+                )
+            ).getField("code"),
+        ),
+    )
+    return joined.select("id", codes.alias("codes"), *carry)
+
+
+def _pq_encode_join(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    normalize: bool,
+    m: int,
+) -> DataFrame:
+    """The pre-r15 join-form encode (explode → broadcast codebook join →
+    min_by → groupBy(id) reassembly) — the general-codebook fallback and
+    the equivalence-test reference for the literal-expression form."""
     # the encode pipeline (per-row interpreted normalize fold -> m-way
     # explode -> broadcast codebook join -> per-row interpreted _l2sq
     # fold -> map-side min_by) pipelines entirely onto the scan's
@@ -346,12 +462,15 @@ def pq_search(
     vec_col: str = "embedding",
     top_k: int = 10,
     dim: int | None = None,
+    m: int | None = None,
 ) -> DataFrame:
     """ADC top-k: (query_id, neighbor_id, adc_score) — approximate cosine
     per (query, vector) as a HOF fold of m code-keyed table lookups over
     the code array. One corpus scan; the only exchange is the per-query
-    top-k window (WindowGroupLimit pre-prunes)."""
-    m = codebooks.agg(F.countDistinct("sub").alias("m")).first()["m"]
+    top-k window (WindowGroupLimit pre-prunes). ``m`` skips the
+    countDistinct driver job when the caller knows it (r15)."""
+    if m is None:
+        m = codebooks.agg(F.countDistinct("sub").alias("m")).first()["m"]
     if dim is None:
         dim = _probe_dim(queries, vec_col)
     qtables = _query_adc_tables(queries, codebooks, id_col, vec_col, m, dim)
@@ -769,13 +888,28 @@ def ivf_anchor_means(
 
     Dead (zero-norm) embeddings drop with the normalized corpus before
     the mean, so every cell with at least one live member has a
-    well-defined anchor and no division occurs at all."""
-    xn = _normalize(vectors, id_col, vec_col)
-    return (
-        xn.join(
+    well-defined anchor and no division occurs at all.
+
+    r15: when ``assignments`` still carries its ``vec`` column (the
+    ``_assign`` output contract — the same raw vector per id that
+    ``vectors`` holds, 1:1 on id), the cell label is already on the row
+    and the corpus-scale id-equi-join against ``vectors`` is pure cost:
+    normalize the assignment frame directly. Assignment frames read
+    back WITHOUT the vector payload (a persisted code-table shape) keep
+    the join path."""
+    if "vec" in assignments.columns:
+        xnc = _normalize(
+            assignments.select(
+                F.col(id_col), F.col("vec").alias(vec_col), "centroid_id"
+            ),
+            id_col, vec_col, extra=("centroid_id",),
+        )
+    else:
+        xnc = _normalize(vectors, id_col, vec_col).join(
             assignments.select(F.col(id_col).alias("id"), "centroid_id"), "id"
         )
-        .select("centroid_id", F.posexplode("vec").alias("pos", "val"))
+    return (
+        xnc.select("centroid_id", F.posexplode("vec").alias("pos", "val"))
         .groupBy("centroid_id", "pos")
         .agg(F.avg("val").alias("m"))
         .groupBy("centroid_id")
@@ -793,6 +927,7 @@ def ivf_residuals(
     anchors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cell: bool = False,
 ) -> DataFrame:
     """(id, vec): the IVF residual r = x̂ − c*(x) — the normalized vector
     minus its cell's anchor mean (ivf_anchor_means). In this space
@@ -800,15 +935,30 @@ def ivf_residuals(
     decomposition from a per-(query, cell) base term plus the residual
     ADC — and the residual carries strictly less variance than the raw
     vector, the reason FAISS's IVFPQ encodes residuals by default
-    (Jégou et al. 2011 §III; better recall at the same code budget)."""
-    xn = _normalize(vectors, id_col, vec_col)
-    return (
-        xn.join(
+    (Jégou et al. 2011 §III; better recall at the same code budget).
+
+    ``carry_cell=True`` keeps ``centroid_id`` on the output so the
+    caller can encode and cell-attach in one projection. r15: same
+    assignments-direct fast path as ivf_anchor_means (the _assign
+    output carries the raw vec per id, so the id-equi-join against
+    ``vectors`` added nothing but a corpus-scale exchange)."""
+    if "vec" in assignments.columns:
+        xnc = _normalize(
+            assignments.select(
+                F.col(id_col), F.col("vec").alias(vec_col), "centroid_id"
+            ),
+            id_col, vec_col, extra=("centroid_id",),
+        )
+    else:
+        xnc = _normalize(vectors, id_col, vec_col).join(
             assignments.select(F.col(id_col).alias("id"), "centroid_id"), "id"
         )
-        .join(F.broadcast(anchors), "centroid_id")
+    out_cols = ["id"] + (["centroid_id"] if carry_cell else [])
+    return (
+        xnc.join(F.broadcast(anchors), "centroid_id")
         .select(
-            "id", F.zip_with("vec", "csvec", lambda a, b: a - b).alias("vec")
+            *out_cols,
+            F.zip_with("vec", "csvec", lambda a, b: a - b).alias("vec"),
         )
     )
 
@@ -879,7 +1029,13 @@ def build_ivfpq_res_index(
             vectors, id_col, vec_col, k=n_cells, max_train=max_train
         )
     anchors = ivf_anchor_means(vectors, assignments, id_col, vec_col)
-    resid = ivf_residuals(vectors, assignments, anchors, id_col, vec_col)
+    # carry the cell through the residual so encoding attaches it in
+    # the same projection (r15) — the old shape re-joined assignments
+    # on id after encoding, one corpus-scale exchange for a column the
+    # residual row already knew
+    resid = ivf_residuals(
+        vectors, assignments, anchors, id_col, vec_col, carry_cell=True
+    )
     if train_backend == "driver":
         import numpy as np
 
@@ -897,9 +1053,9 @@ def build_ivfpq_res_index(
             resid, "id", "vec", m=m, k=k, dim=dim,
             max_train=max_train, normalize=False,
         )
-    encoded = pq_encode(resid, codebooks, "id", "vec", dim=dim, normalize=False)
-    coded = encoded.join(
-        assignments.select(F.col(id_col).alias("id"), "centroid_id"), "id"
+    coded = pq_encode(
+        resid, codebooks, "id", "vec", dim=dim, normalize=False,
+        carry=("centroid_id",), m=m,
     ).select("id", "centroid_id", "codes")
     return coded, centroids, anchors, codebooks
 
@@ -973,7 +1129,15 @@ def persist_ivfpq_res_index(
     partitioned by centroid_id — an ADC scan reads ONLY probed cells'
     files, m bytes per vector, partition pruning does the cell
     selection at any index size — and the three small frames
-    (centroids / anchors / codebooks) as single broadcastable files."""
+    (centroids / anchors / codebooks) as single broadcastable files.
+
+    Overwrites in place, so any reader state memoized for this path is
+    invalidated first (r14 ADVICE): a same-path rebuild in one driver
+    process must re-read schema and (m, dim) from the NEW index, not
+    serve the stale memo — stale m/dim would silently mis-slice query
+    subvectors."""
+    _INDEX_META_CACHE.pop(os.path.abspath(path), None)
+    invalidate_pinned_schemas(path)
     coded.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/codes"
     )
@@ -1021,13 +1185,14 @@ def ivfpq_res_search_persisted(
     # parameters once at load, not per query. The first probe per
     # process (bench warmup / server startup) still pays the two
     # tiny-frame jobs.
-    meta = _INDEX_META_CACHE.get(path)
+    meta_key = os.path.abspath(path)
+    meta = _INDEX_META_CACHE.get(meta_key)
     if meta is None:
         meta = (
             int(codebooks.agg(F.max("sub")).first()[0]) + 1,
             int(centroids.select(F.size("cvec").alias("d")).first()["d"]),
         )
-        _INDEX_META_CACHE[path] = meta
+        _INDEX_META_CACHE[meta_key] = meta
     m, dim = meta
     probed = _probe_cells_scored(
         queries, centroids, id_col, vec_col, n_probe
@@ -1170,21 +1335,32 @@ def ivfpq_search(
         codebooks = train_pq(
             vectors, id_col, vec_col, m=m, k=k, dim=dim, max_train=max_train
         )
-    encoded = pq_encode(vectors, codebooks, id_col, vec_col, dim=dim)
+    # encode directly over the assignment frame, carrying centroid_id
+    # through the projection (r15): the encoded index is then (id,
+    # codes, centroid_id) in ONE pass — exactly the row layout
+    # persist_ivfpq_res_index stores — so the probed-cell restriction
+    # is one broadcast join on centroid_id. The old shape re-attached
+    # cells by joining two corpus-scale frames on id (encoded ⋈
+    # assignments⋈probed), a full extra exchange of the code table at
+    # any scale; same rows by construction (assignments carry the same
+    # raw vec per id that pq_encode normalized, 1:1 on id).
+    encoded = pq_encode(
+        assignments.select(
+            F.col(id_col), F.col("vec").alias(vec_col), "centroid_id"
+        ),
+        codebooks, id_col, vec_col, dim=dim, carry=("centroid_id",), m=m,
+    )
 
     probed = _probe_cells_scored(queries, centroids, id_col, vec_col, n_probe).select(
         "query_id", "centroid_id"
     )
     # restrict the encoded index to probed cells per query: at scale the
-    # assignment table is written partitionBy(centroid_id), so this join
-    # IS partition pruning; locally it is a broadcast of the tiny
+    # code table is written partitionBy(centroid_id), so this join IS
+    # partition pruning; locally it is a broadcast of the tiny
     # (query, cell) pairs against the code table
-    members = (
-        assignments.select(F.col(id_col).alias("id"), "centroid_id")
-        .join(F.broadcast(probed), "centroid_id")
-        .select("query_id", "id")
+    in_cells = encoded.join(F.broadcast(probed), "centroid_id").select(
+        "query_id", "id", "codes"
     )
-    in_cells = encoded.join(members, "id")
     # ADC within the probed cells only — reusing pq_search's scoring by
     # filtering its full-corpus result is NOT equivalent (top-k would be
     # computed pre-filter), but the table build and score expression ARE

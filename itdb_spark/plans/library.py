@@ -5,6 +5,8 @@ schemas — e.g. the plist ingest output."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -259,8 +261,21 @@ def ranged_cumsum(
 
 # Per-process schema memo for IMMUTABLE parquet dirs (versioned index
 # dirs — never modified after publish; appends/compactions create NEW
-# dirs). Keyed on absolute path; holds StructType only, never data.
+# dirs). Keyed on os.path.abspath(path) so relative and absolute
+# spellings of one dir share an entry (r14 ADVICE); holds StructType
+# only, never data.
 _PINNED_SCHEMAS: dict[str, object] = {}
+
+
+def invalidate_pinned_schemas(path: str) -> None:
+    """Drop every memoized schema at or under ``path`` — the hook the
+    mode('overwrite') persist_* writers call (r14 ADVICE): rebuilding an
+    index at a REUSED path in one driver process would otherwise read
+    back with the stale pinned schema of the overwritten files."""
+    root = os.path.abspath(path)
+    prefix = root + os.sep
+    for k in [k for k in _PINNED_SCHEMAS if k == root or k.startswith(prefix)]:
+        del _PINNED_SCHEMAS[k]
 
 
 def read_parquet_pinned(spark: SparkSession, path: str) -> DataFrame:
@@ -274,11 +289,13 @@ def read_parquet_pinned(spark: SparkSession, path: str) -> DataFrame:
     warmup; a server's startup) pays the inference. Callers must only
     pass dirs whose content is immutable by construction (the
     sinks/versioned.py contract: a published version dir never
-    changes)."""
-    s = _PINNED_SCHEMAS.get(path)
+    changes); writers that DO overwrite a dir in place call
+    invalidate_pinned_schemas first."""
+    key = os.path.abspath(path)
+    s = _PINNED_SCHEMAS.get(key)
     if s is None:
         df = spark.read.parquet(path)
-        _PINNED_SCHEMAS[path] = df.schema
+        _PINNED_SCHEMAS[key] = df.schema
         return df
     return spark.read.schema(s).parquet(path)
 

@@ -4662,9 +4662,9 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     emb = t.embeddings
     cb = train_pq(emb, m=16, k=16, iters=3)
-    enc = pq_encode(emb, cb)
+    enc = pq_encode(emb, cb, m=16)
     queries = emb.where(F.col("vec_id") < 5)
-    return pq_search(enc, queries, cb, top_k=10)
+    return pq_search(enc, queries, cb, top_k=10, m=16)
 
 
 @register(
