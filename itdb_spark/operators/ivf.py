@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from itdb_spark.plans.library import model_df
 from itdb_spark.plans.library import read_parquet_pinned as _read_pinned
 
 from itdb_spark.functions.core import hash_ranked_sample, portable_hash64
@@ -45,8 +46,10 @@ def _cents_nested(centroids: DataFrame) -> DataFrame:
         (int(r.centroid_id), [float(x) for x in r.cvec])
         for r in sorted(rows, key=lambda r: int(r.centroid_id))
     ]
-    return centroids.sparkSession.createDataFrame(
-        [(cents,)], "cents array<struct<centroid_id:bigint,cvec:array<double>>>"
+    return model_df(
+        centroids.sparkSession,
+        [(cents,)],
+        "cents array<struct<centroid_id:bigint,cvec:array<double>>>",
     )
 
 
@@ -77,26 +80,23 @@ def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     bit-identity gates rely on (tests/test_wave15.py gates old-vs-new
     equality on the real corpus + zero-vector edges)."""
     from itdb_spark.functions.core import bind_once
+    from itdb_spark.operators.similarity import dot_col
     from itdb_spark.plans.library import scan_parallelism_floor
 
     vectors = scan_parallelism_floor(vectors)
     crow = _cents_nested(centroids).withColumn("_ck", F.lit(1))
     joined = vectors.withColumn("_ck", F.lit(1)).join(F.broadcast(crow), "_ck")
 
+    # cosine_fold's semantics with the row's own norm bound ONCE for all
+    # k centroids (bind_once — the O(k·d) rescan hazard)
     def _sim(cvec, na):
-        dot = F.aggregate(
-            F.zip_with(F.col("vec"), cvec, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
+        raw = F.try_divide(
+            dot_col(F.col("vec"), cvec), na * F.sqrt(dot_col(cvec, cvec))
         )
-        nb = F.sqrt(F.aggregate(cvec, F.lit(0.0), lambda a, x: a + x * x))
-        raw = F.try_divide(dot, na * nb)
         return F.when(F.isnan(raw), F.lit(None).cast("double")).otherwise(raw)
 
     best = bind_once(
-        F.sqrt(
-            F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x)
-        ),
+        F.sqrt(dot_col(F.col("vec"), F.col("vec"))),
         lambda na: F.array_max(
             F.transform(
                 F.col("cents"),
@@ -274,14 +274,18 @@ def _probe_cells(
     """(query_id, qvec, centroid_id): the top-``n_probe`` cells per query
     by coarse-quantizer cosine — the probe half shared by the in-session
     search (ivf_search) and the persisted-index search
-    (ivf_search_persisted)."""
+    (ivf_search_persisted). r15: scored by the JVM ``cosine_fold``
+    (the _probe_cells_scored rationale: a queries×k grid cannot
+    amortize an Arrow boundary; NULL semantics identical)."""
+    from itdb_spark.operators.similarity import cosine_fold
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
     )
     cell_scores = q.crossJoin(F.broadcast(centroids)).select(
         "query_id", "qvec", "centroid_id",
-        cosine_pandas(F.col("qvec"), F.col("cvec")).alias("sim"),
+        cosine_fold(F.col("qvec"), F.col("cvec")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
     return (

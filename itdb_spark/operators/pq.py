@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from itdb_spark.functions.core import bind_once, hash_ranked_sample, portable_hash64
-from itdb_spark.plans.library import invalidate_pinned_schemas
+from itdb_spark.plans.library import invalidate_pinned_schemas, model_df
 from itdb_spark.plans.library import read_parquet_pinned as _read_pinned
 from itdb_spark.plans.library import truncate_lineage
 
@@ -327,7 +327,8 @@ def _cb_nested(codebooks: DataFrame) -> DataFrame:
         (s, [(c, cv) for c, cv in sorted(ents)])
         for s, ents in sorted(by_sub.items())
     ]
-    return codebooks.sparkSession.createDataFrame(
+    return model_df(
+        codebooks.sparkSession,
         [(cb,)],
         "cb array<struct<sub:int,entries:array<struct<code:int,cvec:array<double>>>>>",
     )
@@ -749,7 +750,8 @@ def _train_ivfpq_driver(
     # IVF coarse quantizer: cosine assignment, per-dimension mean update,
     # empty cells drop (mirrors ivf.build_ivf_index)
     cent_ids, cents = _ivf_lloyd_np(X, n_cells, ivf_iters)
-    centroids = spark.createDataFrame(
+    centroids = model_df(
+        spark,
         [(int(i), [float(x) for x in c]) for i, c in zip(cent_ids, cents)],
         "centroid_id long, cvec array<double>",
     )
@@ -830,7 +832,8 @@ def _pq_lloyd_np(S, k: int, pq_iters: int = 3):
 
 def _codebooks_df(spark: SparkSession, books) -> DataFrame:
     m, n_codes = books.shape[0], books.shape[1]
-    return spark.createDataFrame(
+    return model_df(
+        spark,
         [
             (s, c, [float(x) for x in books[s, c]])
             for s in range(m)
@@ -850,8 +853,13 @@ def _probe_cells_scored(
     """(query_id, centroid_id, sim): top-``n_probe`` cells per query by
     raw cosine with centroid-id tie-break — the probe stage shared by
     ivfpq_search (which drops sim) and ivfpq_residual_search (where sim
-    IS the coarse base term dot(q̂, ĉ) of every residual ADC score)."""
-    from itdb_spark.operators.similarity import cosine_pandas
+    IS the coarse base term dot(q̂, ĉ) of every residual ADC score).
+    r15: scored by the JVM ``cosine_fold`` — a queries×k grid is far
+    too small to amortize an Arrow kernel's boundary + worker spin-up,
+    and the probe often executes inside a broadcast build on the
+    critical path; NULL semantics identical (desc sort keeps NULLS
+    LAST, so dead queries probe nothing on both forms)."""
+    from itdb_spark.operators.similarity import cosine_fold
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -859,7 +867,7 @@ def _probe_cells_scored(
     )
     cell_scores = q.crossJoin(F.broadcast(centroids)).select(
         "query_id", "centroid_id",
-        cosine_pandas(F.col("qvec"), F.col("cvec")).alias("sim"),
+        cosine_fold(F.col("qvec"), F.col("cvec")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
     return (
@@ -1016,7 +1024,8 @@ def build_ivfpq_res_index(
         rows = hash_ranked_sample(v, "id", max_train).collect()
         X = np.asarray([r.vec for r in rows], dtype=np.float64)
         cent_ids, cents = _ivf_lloyd_np(X, n_cells)
-        centroids = spark.createDataFrame(
+        centroids = model_df(
+            spark,
             [(int(i), [float(x) for x in c]) for i, c in zip(cent_ids, cents)],
             "centroid_id long, cvec array<double>",
         )

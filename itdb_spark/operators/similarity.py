@@ -71,6 +71,20 @@ def cosine_pandas(a: Column, b: Column) -> Column:
     return _UDF_CACHE["cosine"](a, b)
 
 
+def cosine_fold(a: Column, b: Column) -> Column:
+    """``cosine_col`` with the Arrow kernel's FULL NULL semantics (r15):
+    a zero-norm side already yields NULL on both (einsum 0/0 NaN crossed
+    Arrow as NULL; try_divide reproduces it) and the isnan guard here
+    additionally pins the NaN-INPUT corner to NULL. Differs from
+    cosine_pandas only in final-ulp summation order — the fold the
+    DuckDB oracle twins replay. Use for MODEL-sized or per-row-decision
+    positions (probe scoring, assignment) where the Arrow boundary and
+    its worker spin-up cost more than the arithmetic; keep the einsum
+    kernel for bulk pair scoring (guide §4.2 — batches to BLAS)."""
+    raw = cosine_col(a, b)
+    return F.when(F.isnan(raw), F.lit(None).cast("double")).otherwise(raw)
+
+
 def brute_force_knn(
     vectors: DataFrame,
     queries: DataFrame,
