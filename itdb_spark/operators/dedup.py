@@ -85,6 +85,43 @@ def shingle_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_set_col(text_col: str) -> Column:
+    """Per-document sorted xxhash64 shingle-set ARRAY, built IN-ROW —
+    the zero-shuffle twin of ``shingle_frame(...).select(doc,
+    xxhash64(w)).groupBy(doc).agg(sort_array(collect_list(w)))`` that
+    every containment build used to run (r15, guide §2.4: the explode
+    fans each doc's shingles out only for the groupBy(doc) exchange to
+    collect them straight back — partial aggregation meant the shuffle
+    already carried one array row per doc, so the exchange bought
+    nothing; a higher-order transform builds the same array inside the
+    scan stage). Row-identical to the explode→groupBy form by
+    construction: ``word_shingles`` is already per-row distinct,
+    ``transform`` preserves elements (xxhash64 collisions included),
+    and ``sort_array`` fixes the order ``collect_list`` left
+    unspecified. The ONE divergence is NULL text: explode drops the
+    doc, in-row yields a NULL array — callers filter NULL text out
+    (doc_shingle_sets does) to keep the forms exactly equal.
+    Equality is pinned on the real corpus + a NULL/empty-text edge
+    frame in tests/test_wave15.py."""
+    return F.sort_array(
+        F.transform(word_shingles(text_col), lambda g: F.xxhash64(g))
+    )
+
+
+def doc_shingle_sets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, ts) distinct-shingle-set frame for the containment family:
+    one in-row projection, no explode, no exchange (see
+    ``shingle_set_col``). The NULL guard filters on the TEXT column,
+    not on ts: ts is NULL iff text is NULL (split/trim/lower/transform
+    all propagate NULL and nothing else in the chain produces one), a
+    Filter on ts would re-evaluate the whole tokenize+hash+sort
+    expression per row (Filter and Project don't share subexpressions),
+    and IsNotNull(text) pushes down to the parquet scan."""
+    return docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), shingle_set_col(text_col).alias("ts")
+    )
+
+
 def _shingle_hash(hash_fn: str) -> "Callable[[Column], Column]":
     """Shingle hash choice: ``portable`` (md5-prefix — DuckDB reproduces
     every bucket bit-for-bit; the oracle-gate default) or ``xxhash64``
@@ -607,20 +644,23 @@ def containment_join_incremental(
     """
     from itdb_spark.plans.library import materialized, truncate_lineage
 
-    sh = shingle_frame(docs, id_col, text_col).select(
-        "doc", F.xxhash64("w").alias("w")
-    )
-    flags = docs.select(
-        F.col(id_col).alias("doc"), F.col(new_col).alias("is_new")
-    )
     # canonicalize over the UNION (the containment_join discipline,
     # extended with the increment class): docs group by exact shingle
     # set; a set is new-touched / old-touched from its members, the
     # case-split probes run at SET level, and qualifying set pairs
     # expand back to doc pairs filtered to those touching the increment.
-    doc_sets = sh.groupBy("doc").agg(
-        F.sort_array(F.collect_list("w")).alias("ts")
-    ).join(flags, "doc")
+    # r15: the shingle set AND the is_new flag are both per-row facts,
+    # so doc_sets is ONE in-row projection (shingle_set_col) — the old
+    # explode→groupBy(doc)→join(flags) shape paid a corpus-scale
+    # exchange plus a join to reassemble columns that never left the row.
+    # NULL-text guard on the TEXT column (ts is NULL iff text is NULL;
+    # a ts filter would re-evaluate the shingle expression — see
+    # doc_shingle_sets)
+    doc_sets = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"),
+        shingle_set_col(text_col).alias("ts"),
+        F.col(new_col).alias("is_new"),
+    )
     # eager lineage truncation instead of .cache(): canon is referenced
     # 5x below (rep / reps twice / members twice / same) and every
     # reference to a CACHED frame re-analyzes its full logical subtree —
@@ -849,11 +889,11 @@ def containment_join(
     """
     from itdb_spark.plans.library import materialized
 
-    sh = shingles if shingles is not None else shingle_frame(docs, id_col, text_col)
-    # accept a pre-folded (doc, bigint w) frame — callers that cache the
-    # shingle explode should cache the FOLDED form (16 B/row vs the
-    # ~60 B string rows; the sf10 heap lesson) and skip the re-fold here
-    if dict(sh.dtypes).get("w") != "bigint":
+    sh = shingles
+    if sh is not None and dict(sh.dtypes).get("w") != "bigint":
+        # accept a pre-folded (doc, bigint w) frame — callers that cache
+        # the shingle explode should cache the FOLDED form (16 B/row vs
+        # the ~60 B string rows; the sf10 heap lesson), skip the re-fold
         sh = sh.select("doc", F.xxhash64("w").alias("w"))
     # --- canonicalize: candidates + verification per DISTINCT shingle
     # set, not per doc (round 11 — the sf10 second-decade point killed
@@ -869,8 +909,14 @@ def containment_join(
     # containment is 1 by definition (emitted arithmetically below).
     # The prefix theorem is unaffected: it needs only a global total
     # order over shingles, and distinct-set df is one.
-    doc_sets = sh.groupBy("doc").agg(
-        F.sort_array(F.collect_list("w")).alias("ts")
+    # r15: the self-built path computes the shingle-set array IN-ROW
+    # (shingle_set_col — no explode, no groupBy(doc) exchange); the
+    # explode→groupBy form survives only for caller-provided shingle
+    # frames, whose explode the caller is sharing deliberately.
+    doc_sets = (
+        sh.groupBy("doc").agg(F.sort_array(F.collect_list("w")).alias("ts"))
+        if sh is not None
+        else doc_shingle_sets(docs, id_col, text_col)
     )
     canon = (
         doc_sets.groupBy("ts")
@@ -1421,12 +1467,9 @@ def persist_containment_index(
     """
     from itdb_spark.sinks.versioned import write_version
 
-    sh = shingle_frame(docs, id_col, text_col).select(
-        "doc", F.xxhash64("w").alias("w")
-    )
-    doc_sets = sh.groupBy("doc").agg(
-        F.sort_array(F.collect_list("w")).alias("ts")
-    )
+    # r15: in-row shingle-set build (shingle_set_col) — one less
+    # corpus-scale exchange per index build
+    doc_sets = doc_shingle_sets(docs, id_col, text_col)
     # canon feeds post/member/set and (via rep_sh) vocab — cache for the
     # build's one write action, released right after
     canon = (
@@ -1574,18 +1617,16 @@ def append_containment_index(
 
     table = read_current_chain(spark, root)
     idx_vocab = table.where(F.col("kind") == "vocab").select("w", "df")
-    bsh = shingle_frame(batch, id_col, text_col).select(
-        "doc", F.xxhash64("w").alias("w")
-    )
     # eager lineage truncation instead of .cache() (r14, the probe's
     # convention applied to the append leg): braw/bcanon are nested,
     # multiply-referenced, batch-bounded intermediates — the cached
     # form re-analyzed the whole composed subtree per reference
     # (interleaved A/B over lockstep chains: append wall medians
     # 3.88 → 3.62 s at sf0.1, every round after warmup faster).
+    # r15: batch shingle sets built in-row (shingle_set_col), no
+    # explode→groupBy(doc) exchange per micro-batch.
     braw = truncate_lineage(
-        bsh.groupBy("doc")
-        .agg(F.sort_array(F.collect_list("w")).alias("ts"))
+        doc_shingle_sets(batch, id_col, text_col)
         .groupBy("ts")
         .agg(F.min("doc").alias("bsid"), F.collect_list("doc").alias("members"))
         .withColumn("kh", F.xxhash64("ts")),
@@ -1798,9 +1839,6 @@ def containment_probe_persisted(
     idx_members = table.where(F.col("kind") == "member").select("sid", "doc")
     idx_vocab = table.where(F.col("kind") == "vocab").select("w", "df")
     idx_sets = table.where(F.col("kind") == "set").select("sid", "ts")
-    bsh = shingle_frame(batch, id_col, text_col).select(
-        "doc", F.xxhash64("w").alias("w")
-    )
     # Batch-bounded intermediates TRUNCATE LINEAGE (eager localCheckpoint)
     # instead of .cache(): a cached frame's full logical subtree is
     # re-analyzed at every reference, and this probe references bcanon /
@@ -1814,9 +1852,10 @@ def containment_probe_persisted(
     # corpus-scale posting/member partitions still stream map-side, so
     # the 100 TB shape is unchanged (guide §1.2: fix the constant only
     # after the dataflow is right; §3.3: materialize to truncate plans).
+    # r15: batch shingle sets built in-row (shingle_set_col), no
+    # explode→groupBy(doc) exchange per probe.
     bcanon = truncate_lineage(
-        bsh.groupBy("doc")
-        .agg(F.sort_array(F.collect_list("w")).alias("ts"))
+        doc_shingle_sets(batch, id_col, text_col)
         .groupBy("ts")
         .agg(
             F.min("doc").alias("sid"),

@@ -196,3 +196,70 @@ def test_band_collision_onepass_null_keys_match_join_form(spark):
         ).collect()
     )
     assert one == join == [(2, 1)]  # null-keyed rows never collide
+
+
+def test_shingle_set_col_matches_explode_groupby(spark):
+    """r15: the in-row shingle-set build (shingle_set_col /
+    doc_shingle_sets) must be row-identical to the explode→xxhash64→
+    groupBy(doc)→sort_array(collect_list) form every containment build
+    used to run — on real corpus text AND the NULL/empty/short-text
+    corners where the two forms could diverge (explode DROPS a
+    NULL-text doc; the in-row form must filter it)."""
+    from itdb_spark.operators.dedup import doc_shingle_sets, shingle_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # dup
+            (3, "short doc"),           # < 3 tokens: whole-text shingle
+            (4, ""),                     # empty text
+            (5, "   "),                  # whitespace only
+            (6, None),                   # NULL text: dropped by BOTH
+            (7, "a b c a b c a b c"),   # repeated 3-grams (distinct'd)
+            (8, "ONE two THREE four"),  # case folding
+        ],
+        "doc_id long, text string",
+    )
+    old = (
+        shingle_frame(docs, "doc_id", "text")
+        .select("doc", F.xxhash64("w").alias("w"))
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list("w")).alias("ts"))
+    )
+    new = doc_shingle_sets(docs, "doc_id", "text")
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    assert 6 not in {r.doc for r in new.collect()}
+
+
+def test_containment_incremental_inrow_doc_sets_match(spark):
+    """r15: containment_join_incremental's in-row (doc, ts, is_new)
+    projection must equal the old explode→groupBy(doc)→join(flags)
+    composition it replaced."""
+    from itdb_spark.operators.dedup import shingle_frame, shingle_set_col
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", False),
+            (2, "alpha beta gamma delta epsilon", True),
+            (3, "tiny", True),
+            (4, None, False),  # NULL text: absent from both forms
+        ],
+        "doc_id long, text string, is_new boolean",
+    )
+    sh = shingle_frame(docs, "doc_id", "text").select(
+        "doc", F.xxhash64("w").alias("w")
+    )
+    flags = docs.select(F.col("doc_id").alias("doc"), "is_new")
+    old = (
+        sh.groupBy("doc")
+        .agg(F.sort_array(F.collect_list("w")).alias("ts"))
+        .join(flags, "doc")
+    )
+    new = docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("doc"),
+        shingle_set_col("text").alias("ts"),
+        "is_new",
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
