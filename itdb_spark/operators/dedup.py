@@ -463,29 +463,16 @@ def ngram_jaccard_pairs(
 
     The shingle join key is xxhash64(shingle), not the string (~10× fewer
     shuffle bytes); a 64-bit collision (P ≈ n²/2⁶⁵) would perturb one
-    pair's count by 1 — negligible. The hashed shingle table is cached (it
-    feeds three consumers and exchange reuse doesn't cover broadcast plans)
-    and released before return: the verified-pair result is materialized
-    with an eager localCheckpoint while the cache is hot, so nothing stays
-    resident in the caller's session (plans.library.materialized). Pass
-    ``shingles`` (a cached ``shingle_frame``) to also share the explode
-    with the MinHash candidate stage — caller-owned, caller-released."""
+    pair's count by 1 — negligible. The verified-pair result is
+    materialized with an eager localCheckpoint so nothing (cache or
+    multiply-referenced lineage) stays resident in the caller's session
+    (plans.library.materialized). Pass ``shingles`` (a cached
+    ``shingle_frame``) only when the caller is ALREADY amortizing the
+    explode across another consumer; the self-built candidates path
+    computes per-doc shingle arrays in-row instead (shingle_set_col — no
+    explode, no groupBy(doc) exchange, r15)."""
     from itdb_spark.plans.library import materialized, truncate_lineage
 
-    base = shingles if shingles is not None else shingle_frame(docs, id_col, text_col)
-    # eager lineage truncation instead of .cache() (r14): words is
-    # referenced 4x below (arrs -> a/b, sizes -> sa/sb) and the final
-    # materialization executes those subtrees as CONCURRENT AQE stages —
-    # concurrent stages racing to populate a cache each recompute the
-    # scan+explode+hash subtree (the r14 stage profile showed 4-5
-    # overlapping 3-task ~0.65 s stages, one per reference), where the
-    # checkpoint computes it exactly once and hands every reference a
-    # leaf scan (plan-analysis savings as measured on the containment
-    # family).
-    words = truncate_lineage(
-        base.select("doc", F.xxhash64("w").alias("w"))
-    )
-    sizes = words.groupBy("doc").agg(F.count("*").alias("sz"))
     if candidates is not None:
         # per-doc hash ARRAYS, intersected per candidate row — replaces
         # the exploded (pair x shingle) join+groupBy: same-session A/B
@@ -495,11 +482,39 @@ def ngram_jaccard_pairs(
         # identical 17,274 output rows — candidate generation dominates
         # the rest). Fewer shuffled bytes: each pair ships two
         # doc-bounded arrays once instead of one row per candidate-side
-        # shingle plus an aggregation; the groupBy(doc) collect is the
-        # same volume the sizes agg already shuffles.
-        arrs = words.groupBy("doc").agg(F.collect_list("w").alias("ws"))
+        # shingle plus an aggregation.
+        if shingles is not None:
+            # caller-shared cached explode: fold + collect per doc (the
+            # pre-r15 shape; the caller is amortizing the explode across
+            # the candidate stage, so consume it rather than re-shingle)
+            arrs = shingles.select(
+                "doc", F.xxhash64("w").alias("w")
+            ).groupBy("doc").agg(F.collect_list("w").alias("ws"))
+        else:
+            # r15: the shingle-hash array is a PER-ROW fact, so the
+            # self-built path computes it in-row (shingle_set_col — no
+            # Generate, no groupBy(doc) exchange; the containment family's
+            # measured win, commit "in-row shingle sets"). Row-identical to
+            # explode→collect_list up to element ORDER, which
+            # array_intersect/size never observe. Deliberately NOT
+            # checkpointed even though it feeds BOTH join sides below:
+            # recomputing the scan+transform per side beat a
+            # localCheckpoint's block write+read in the interleaved A/B
+            # (tools/jaccard_ab_r15.py: nockpt 1.84-2.05 s vs 2.29-2.77 s
+            # checkpointed, every round) — and recompute-from-columnar-
+            # parquet is the 100 TB posture anyway. NULL-text guard
+            # matches the explode form (explode drops NULL-shingle docs —
+            # see doc_shingle_sets for why the filter is on text, not ws).
+            arrs = docs.where(F.col(text_col).isNotNull()).select(
+                F.col(id_col).alias("doc"),
+                shingle_set_col(text_col).alias("ws"),
+            )
         a = arrs.select(F.col("doc").alias("id1"), F.col("ws").alias("ws1"))
         b = arrs.select(F.col("doc").alias("id2"), F.col("ws").alias("ws2"))
+        # sz1/sz2 are size(ws) on plain attributes — the separate
+        # groupBy(doc).count() aggregation and its two sa/sb joins the
+        # pre-r15 form paid are gone (collect_list length == count(*)
+        # per doc by construction, xxhash64 collisions included).
         common = (
             candidates.select("id1", "id2")
             .join(a, "id1")
@@ -508,11 +523,24 @@ def ngram_jaccard_pairs(
                 "id1",
                 "id2",
                 F.size(F.array_intersect("ws1", "ws2")).alias("common"),
+                F.size("ws1").alias("sz1"),
+                F.size("ws2").alias("sz2"),
             )
         )
     else:
+        # exhaustive all-pairs via shingle co-occurrence self-join (small
+        # corpora/tests only): keeps the exploded form — the self-join IS
+        # over exploded rows. words feeds 4 references (a/b/sa/sb), so the
+        # r14 checkpoint discipline stays.
+        base = (
+            shingles if shingles is not None else shingle_frame(docs, id_col, text_col)
+        )
+        words = truncate_lineage(base.select("doc", F.xxhash64("w").alias("w")))
+        sizes = words.groupBy("doc").agg(F.count("*").alias("sz"))
         a = words.alias("a")
         b = words.alias("b")
+        sa = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
+        sb = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
         common = (
             a.join(
                 b,
@@ -520,19 +548,16 @@ def ngram_jaccard_pairs(
             )
             .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
             .agg(F.count("*").alias("common"))
+            .join(sa, "id1")
+            .join(sb, "id2")
         )
-    sa = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
-    sb = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
     jac = F.col("common").cast("double") / (
         F.col("sz1") + F.col("sz2") - F.col("common")
     ).cast("double")
-    verified = (
-        common.join(sa, "id1")
-        .join(sb, "id2")
-        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
-    return materialized(verified, words)
+    verified = common.select(
+        "id1", "id2", F.round(jac, 4).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+    return materialized(verified)
 
 
 def containment_candidates(

@@ -243,20 +243,17 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_jaccard_impl(
     spark: SparkSession, sf_dir: str, hash_fn: str
 ) -> DataFrame:
-    from itdb_spark.operators.dedup import shingle_frame
-
     c = corpus(spark, sf_dir)
-    # One shingle explode shared by BOTH stages (candidate generation and
-    # exact verification) — the explode is the dominant intermediate.
-    # ngram_jaccard_pairs materializes its result before returning, so by
-    # this point every consumer of the shingle cache has run; release it.
-    # hash_fn only changes the candidate buckets (verification joins on
-    # xxhash64 shingle keys either way).
-    sh = shingle_frame(c, "doc_id", "text").cache()
-    cands = minhash_candidates(c, "doc_id", "text", shingles=sh, hash_fn=hash_fn)
-    verified = ngram_jaccard_pairs(c, "doc_id", "text", candidates=cands, shingles=sh)
-    sh.unpersist()
-    return verified
+    # r15: verification builds its per-doc shingle arrays IN-ROW
+    # (ngram_jaccard_pairs' self-built path — shingle_set_col, no explode),
+    # so the candidate stage is the explode's ONLY consumer and the shared
+    # shingle cache became pure overhead (population + unpersist per run
+    # for a single reader) — dropped; minhash_candidates builds its own
+    # shingle_frame exactly as dedup-minhash does. hash_fn only changes
+    # the candidate buckets (verification joins on xxhash64 keys either
+    # way).
+    cands = minhash_candidates(c, "doc_id", "text", hash_fn=hash_fn)
+    return ngram_jaccard_pairs(c, "doc_id", "text", candidates=cands)
 
 
 @register(

@@ -263,3 +263,97 @@ def test_containment_incremental_inrow_doc_sets_match(spark):
     )
     assert old.exceptAll(new).count() == 0
     assert new.exceptAll(old).count() == 0
+
+
+def test_jaccard_candidates_inrow_matches_pre_r15_form(spark):
+    """r15: ngram_jaccard_pairs' self-built candidates path (in-row
+    shingle arrays, sizes as size(ws), no sa/sb joins) must be
+    row-identical to the pre-r15 composition it replaced: explode →
+    xxhash64 → checkpoint → groupBy collect_list + groupBy count →
+    candidate join → sizes joins — on real near-dup text plus the
+    NULL/empty/short-text corners, at a threshold low enough that
+    partial overlaps (not just exact dups) survive into the output."""
+    from itdb_spark.operators.dedup import (
+        minhash_candidates,
+        ngram_jaccard_pairs,
+        shingle_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "the quick brown fox jumps over the lazy cat today"),
+            (4, "completely different text with no shared shingles at all"),
+            (5, "short doc"),
+            (6, ""),
+            (7, None),
+            (8, "a b c a b c a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    # exhaustive candidate grid (every i<j pair) so the verification arm —
+    # not LSH recall — is what the equality exercises; include pairs
+    # touching the NULL/empty docs to pin the drop semantics.
+    ids = docs.select(F.col("doc_id").alias("id1"))
+    cands = ids.crossJoin(docs.select(F.col("doc_id").alias("id2"))).where(
+        F.col("id1") < F.col("id2")
+    )
+    threshold = 0.1
+
+    # --- pre-r15 reference composition, verbatim ---
+    words = (
+        shingle_frame(docs, "doc_id", "text")
+        .select("doc", F.xxhash64("w").alias("w"))
+        .localCheckpoint()
+    )
+    sizes = words.groupBy("doc").agg(F.count("*").alias("sz"))
+    arrs = words.groupBy("doc").agg(F.collect_list("w").alias("ws"))
+    a = arrs.select(F.col("doc").alias("id1"), F.col("ws").alias("ws1"))
+    b = arrs.select(F.col("doc").alias("id2"), F.col("ws").alias("ws2"))
+    common = (
+        cands.select("id1", "id2")
+        .join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1", "id2", F.size(F.array_intersect("ws1", "ws2")).alias("common")
+        )
+    )
+    sa = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
+    jac = F.col("common").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("common")
+    ).cast("double")
+    old = (
+        common.join(sa, "id1")
+        .join(sb, "id2")
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+    new = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=threshold, candidates=cands
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    rows = {(r.id1, r.id2): r.jaccard for r in new.collect()}
+    assert rows[(1, 2)] == 1.0          # exact dup
+    assert 0 < rows[(1, 3)] < 1.0       # near dup survives the low threshold
+    assert not any(7 in p for p in rows)  # NULL text absent from both forms
+
+    # the LSH-candidate form (the registered query's composition) runs
+    # through the same rewrite: the exact dup must survive, every emitted
+    # pair must clear the default 0.5, and nothing outside the exhaustive
+    # grid's own >= 0.5 pairs can appear (LSH candidates ⊆ all pairs)
+    lsh = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs,
+            "doc_id",
+            "text",
+            candidates=minhash_candidates(docs, "doc_id", "text"),
+        ).collect()
+    }
+    assert lsh[(1, 2)] == 1.0
+    assert all(j >= 0.5 for j in lsh.values())
+    assert set(lsh) <= {p for p, j in rows.items() if j >= 0.5}
